@@ -1,0 +1,517 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in `SparkEntry.queries`.
+  *
+  * Shared building blocks are Scala string templates so the op-stream
+  * derivation is written once and stays in lockstep with
+  * `graft.cdc.CdcOps`. All arithmetic that feeds comparisons is integer or
+  * single-double-op (no re-associated float sums; money sums go through
+  * DECIMAL and cast back), so Spark and DuckDB agree bit-for-bit.
+  */
+object Oracles {
+
+  /** hash31 (reference `src/changefeed/model.ts:92-98`) in pure DuckDB SQL:
+    * fold over UTF-16 code units. ASCII-only data ⇒ ascii() == charCodeAt. */
+  def h31(x: String, mod: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(split($x, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % $mod)"
+
+  /** Canonical CDC op stream — mirrors `CdcOps.ops`. */
+  val opsCte: String = """ops AS (
+    SELECT epoch_ms(ts) AS t,
+           epoch_ms(ts) * 1000000 + event_id AS lsn,
+           event_id,
+           't' || CAST(user_id % 3 AS VARCHAR) AS tbl,
+           CAST(user_id AS VARCHAR) AS pk,
+           CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op,
+           event_type IN ('signup','click','purchase') AS sets_val,
+           event_type IN ('signup','view','purchase') AS sets_k,
+           CASE WHEN event_type IN ('signup','click','purchase') THEN value END AS val,
+           CASE WHEN event_type IN ('signup','view','purchase')
+                THEN CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) END AS k
+    FROM events)"""
+
+  /** Per-op row-state enrichment — mirrors `CdcOps.withState`. */
+  val stateCte: String = s"""$opsCte,
+  st0 AS (
+    SELECT *,
+      count(*) OVER (PARTITION BY tbl, pk ORDER BY lsn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver,
+      count(CASE WHEN op = 'delete' THEN 1 END) OVER (
+        PARTITION BY tbl, pk ORDER BY lsn
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS epoch_pre
+    FROM ops),
+  st AS (
+    SELECT *,
+      last_value(CASE WHEN sets_val THEN val END IGNORE NULLS) OVER w_pre AS prev_val,
+      last_value(CASE WHEN sets_k THEN k END IGNORE NULLS) OVER w_pre AS prev_k,
+      count(*) OVER (PARTITION BY tbl, pk, epoch_pre ORDER BY lsn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver_epoch,
+      CASE WHEN op = 'delete' THEN NULL WHEN sets_val THEN val
+           ELSE last_value(CASE WHEN sets_val THEN val END IGNORE NULLS) OVER w_pre
+      END AS cur_val,
+      CASE WHEN op = 'delete' THEN NULL WHEN sets_k THEN k
+           ELSE last_value(CASE WHEN sets_k THEN k END IGNORE NULLS) OVER w_pre
+      END AS cur_k
+    FROM st0
+    WINDOW w_pre AS (PARTITION BY tbl, pk, epoch_pre ORDER BY lsn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"""
+
+  val opCodeExpr: String =
+    "CASE op WHEN 'insert' THEN 'c' WHEN 'delete' THEN 'd' ELSE 'u' END"
+
+  /** Log-based capture lane — mirrors `Capture.log` (fetch interval 100). */
+  val logLaneCte: String = s"""log_lane AS (
+    SELECT lsn, tbl, pk,
+      $opCodeExpr AS op_code,
+      prev_val AS before_val, prev_k AS before_k,
+      cur_val AS after_val, cur_k AS after_k,
+      t AS commit_ts,
+      t - (t % 100) + 100 AS emitted_ts,
+      t - (t % 100) + 100 - t AS lag_ms,
+      'tx-' || CAST(lsn AS VARCHAR) AS tx_id
+    FROM st)"""
+
+  /** Trigger-based capture lane — mirrors `Capture.trigger` (overhead 5,
+    * extract 500). */
+  val trigLaneCte: String = s"""trig_lane AS (
+    SELECT lsn AS audit_seq, tbl, pk,
+      $opCodeExpr AS op_code,
+      prev_val AS before_val, prev_k AS before_k,
+      cur_val AS after_val, cur_k AS after_k,
+      t + 5 AS commit_ts,
+      (t + 5) - ((t + 5) % 500) + 500 AS emitted_ts,
+      (t + 5) - ((t + 5) % 500) + 500 - t AS lag_ms
+    FROM st)"""
+
+  /** Polling lane with soft deletes visible — mirrors `Capture.poll`
+    * (interval 1000). */
+  val pollCte: String = s"""poll AS (
+    SELECT tbl, pk, t // 1000 AS poll_window,
+      CASE WHEN op = 'delete' THEN 'd' WHEN ver > 1 THEN 'u' ELSE 'c' END AS op_code,
+      cur_val AS after_val, cur_k AS after_k, ver AS version,
+      (t // 1000 + 1) * 1000 AS poll_ts, t AS src_t, lsn AS src_lsn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY tbl, pk, t // 1000 ORDER BY lsn DESC) AS rn FROM st)
+    WHERE rn = 1)"""
+
+  /** Final destination state after ordered merge-fold — mirrors
+    * `ApplyEngine.applyState`. */
+  val stateFinalCte: String = s"""state_final AS (
+    SELECT tbl, pk, cur_val AS val, cur_k AS k, ver_epoch AS version, t AS updated_at
+    FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn FROM st)
+    WHERE rn = 1 AND op <> 'delete')"""
+
+  // ---------------------------------------------------------------- queries
+
+  val cdcLogCapture: String = s"""WITH $stateCte, $logLaneCte
+    SELECT * FROM log_lane ORDER BY lsn"""
+
+  val cdcTriggerCapture: String = s"""WITH $stateCte, $trigLaneCte
+    SELECT * FROM trig_lane ORDER BY audit_seq"""
+
+  val cdcPollCapture: String = s"""WITH $stateCte, $pollCte
+    SELECT tbl, pk, poll_window, op_code, after_val, after_k, version, poll_ts
+    FROM poll ORDER BY tbl, pk, poll_window"""
+
+  val cdcPollLoss: String = s"""WITH $stateCte,
+    win AS (SELECT tbl, op, row_number() OVER (
+              PARTITION BY tbl, pk, t // 1000 ORDER BY lsn DESC) AS rn FROM st)
+    SELECT tbl,
+      count(CASE WHEN rn = 1 AND op = 'delete' THEN 1 END) AS missed_deletes,
+      count(CASE WHEN rn > 1 THEN 1 END) AS lost_intermediates
+    FROM win GROUP BY tbl ORDER BY tbl"""
+
+  val cdcApplyState: String = s"""WITH $stateCte, $stateFinalCte
+    SELECT * FROM state_final ORDER BY tbl, pk"""
+
+  val cdcReplayEvents: String = s"""WITH $stateCte, $logLaneCte
+    SELECT tbl, pk, after_val AS val, after_k AS k
+    FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+          FROM log_lane)
+    WHERE rn = 1 AND op_code <> 'd'
+    ORDER BY tbl, pk"""
+
+  val cdcDiffLane: String = s"""WITH $stateCte, $pollCte,
+    expected AS (
+      SELECT tbl || '::' || $opCodeExpr || '::' || pk AS key, t AS etime,
+             row_number() OVER (PARTITION BY tbl || '::' || $opCodeExpr || '::' || pk
+                                ORDER BY lsn) AS ordinal
+      FROM st),
+    actual AS (
+      SELECT tbl || '::' || op_code || '::' || pk AS key, poll_ts AS atime,
+             row_number() OVER (PARTITION BY tbl || '::' || op_code || '::' || pk
+                                ORDER BY src_lsn) AS ordinal
+      FROM poll),
+    pairs AS (
+      SELECT coalesce(e.key, a.key) AS key,
+             CASE WHEN e.key IS NOT NULL AND a.key IS NOT NULL THEN 'matched'
+                  WHEN e.key IS NOT NULL THEN 'missing' ELSE 'extra' END AS status,
+             CASE WHEN e.key IS NOT NULL AND a.key IS NOT NULL
+                  THEN greatest(0, a.atime - e.etime) END AS lag_ms
+      FROM expected e FULL OUTER JOIN actual a USING (key, ordinal))
+    SELECT status, count(*) AS cnt,
+           CAST(coalesce(sum(lag_ms), 0) AS BIGINT) AS total_lag_ms
+    FROM pairs GROUP BY status ORDER BY status"""
+
+  val cdcLagTopK: String = s"""WITH $stateCte, $trigLaneCte
+    SELECT audit_seq, tbl, pk, lag_ms FROM trig_lane
+    ORDER BY lag_ms DESC, audit_seq LIMIT 5"""
+
+  val cdcDiffStates: String = s"""WITH $stateCte, $stateFinalCte, $pollCte,
+    poll_state AS (
+      SELECT tbl, pk, after_val AS val, after_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY poll_window DESC) AS rn
+            FROM poll WHERE op_code <> 'd')
+      WHERE rn = 1),
+    diff AS (
+      SELECT coalesce(l.tbl, r.tbl) AS tbl,
+        CASE WHEN l.tbl IS NULL THEN 'unexpected_row'
+             WHEN r.tbl IS NULL THEN 'missing_row'
+             WHEN (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)
+               THEN 'field_mismatch'
+             ELSE 'match' END AS status
+      FROM state_final l FULL OUTER JOIN poll_state r
+        ON l.tbl = r.tbl AND l.pk = r.pk)
+    SELECT status, count(*) AS cnt FROM diff GROUP BY status ORDER BY status"""
+
+  val cdcMetricsLane: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte
+    SELECT 'log' AS method, count(*) AS produced,
+      count(CASE WHEN op_code = 'c' THEN 1 END) AS inserts,
+      count(CASE WHEN op_code = 'u' THEN 1 END) AS updates,
+      count(CASE WHEN op_code = 'd' THEN 1 END) AS deletes,
+      1.0::DOUBLE AS write_amp
+    FROM log_lane
+    UNION ALL
+    SELECT 'poll', count(*),
+      count(CASE WHEN op_code = 'c' THEN 1 END),
+      count(CASE WHEN op_code = 'u' THEN 1 END),
+      count(CASE WHEN op_code = 'd' THEN 1 END),
+      1.0::DOUBLE
+    FROM poll
+    UNION ALL
+    SELECT 'trigger', count(*),
+      count(CASE WHEN op_code = 'c' THEN 1 END),
+      count(CASE WHEN op_code = 'u' THEN 1 END),
+      count(CASE WHEN op_code = 'd' THEN 1 END),
+      2.0::DOUBLE
+    FROM trig_lane
+    ORDER BY method"""
+
+  val cdcLagPercentiles: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte
+    SELECT 'log' AS method, round(quantile_cont(lag_ms, 0.5), 3) AS p50,
+           round(quantile_cont(lag_ms, 0.95), 3) AS p95, max(lag_ms) AS max_lag
+    FROM log_lane
+    UNION ALL
+    SELECT 'poll', round(quantile_cont(poll_ts - src_t, 0.5), 3),
+           round(quantile_cont(poll_ts - src_t, 0.95), 3), max(poll_ts - src_t)
+    FROM poll
+    UNION ALL
+    SELECT 'trigger', round(quantile_cont(lag_ms, 0.5), 3),
+           round(quantile_cont(lag_ms, 0.95), 3), max(lag_ms)
+    FROM trig_lane
+    ORDER BY method"""
+
+  val cdcTxnApply: String = s"""WITH $opsCte,
+    txn AS (
+      SELECT event_id // 3 AS tx_num, count(*) AS n_events,
+             count(DISTINCT tbl) AS n_tables,
+             max(t) + 100 AS commit_ts, min(lsn) AS first_lsn
+      FROM ops GROUP BY 1)
+    SELECT 'tx-' || CAST(tx_num AS VARCHAR) AS tx_id, tx_num, n_events, n_tables,
+           commit_ts, first_lsn,
+           row_number() OVER (ORDER BY commit_ts, first_lsn) AS apply_order
+    FROM txn ORDER BY apply_order"""
+
+  val cdcBrokerRoute: String = s"""WITH $opsCte,
+    routed AS (
+      SELECT ${h31("pk", 9973)} % 3 AS part,
+             ${h31("CAST(lsn AS VARCHAR)", 9973)} % 100 < 10 AS dropped
+      FROM ops)
+    SELECT part,
+      count(CASE WHEN NOT dropped THEN 1 END) AS delivered,
+      count(CASE WHEN dropped THEN 1 END) AS dropped_cnt
+    FROM routed GROUP BY part ORDER BY part"""
+
+  val cdcOrderingDrift: String = s"""WITH $opsCte,
+    drift AS (
+      SELECT tbl, lsn,
+             t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 AS available_at
+      FROM ops),
+    scan AS (
+      SELECT tbl, lsn,
+             max(lsn) OVER (PARTITION BY tbl ORDER BY available_at, lsn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+      FROM drift)
+    SELECT tbl, count(CASE WHEN lsn < run_max THEN 1 END) AS inversions
+    FROM scan GROUP BY tbl ORDER BY tbl"""
+
+  val cdcSnapshot: String = """
+    SELECT 'r' AS op, 'customer' AS tbl, CAST(c_custkey AS VARCHAR) AS pk,
+           md5(c_name || '|' || c_mktsegment) AS payload_hash,
+           'snapshot-0' AS tx_id
+    FROM customer ORDER BY CAST(pk AS BIGINT)"""
+
+  // -------------------------------------------------------- analytics (TPC-H-ish)
+
+  val q1LineitemAgg: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+      count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val qRegionRevenue: String = """
+    SELECT r_name,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""
+
+  val qTopOrders: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS o_date_ms
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+  val qEventsHourly: String = """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, count(*) AS cnt,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, hour_id
+    ORDER BY event_type, hour_id"""
+
+  // ------------------------------------------------------------ LLM pipeline
+
+  /** Distinct 2-gram shingles per doc — mirrors `Dedup.shingles(n=2)`. */
+  val shinglesCte: String = """sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(string_split(text, ' ')), 1)),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingle
+      FROM documents))"""
+
+  val dedupExact: String = """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  val dedupExactKeep: String = """
+    SELECT min(doc_id) AS keep_id, count(*) AS copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+
+  private val minhashP = 104729L
+
+  def minhashSigCte: String = {
+    val mins = (0 until 8)
+      .map(i => s"min((${i + 1} * h + $i) % $minhashP) AS m$i")
+      .mkString(",\n      ")
+    s"""$shinglesCte,
+    hashed AS (SELECT doc_id, ${h31("shingle", minhashP)} AS h FROM sh),
+    sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id)"""
+  }
+
+  val dedupMinhash: String = s"""WITH $minhashSigCte
+    SELECT * FROM sigs ORDER BY doc_id"""
+
+  val dedupMinhashPairs: String = s"""WITH $minhashSigCte,
+    banded AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id,
+          unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
+                  'b1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR),
+                  'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
+                  'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
+          unnest([0, 1, 2, 3]) AS band
+        FROM sigs))
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    ORDER BY a_id, b_id"""
+
+  def dedupSimhash: String = {
+    val bitSums = (0 until 16)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n      ")
+    val bitVal = (0 until 16)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shinglesCte,
+    hashed AS (SELECT doc_id, ${h31("shingle", 65521L)} AS h FROM sh),
+    sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+    SELECT doc_id, $bitVal AS simhash FROM sums ORDER BY doc_id"""
+  }
+
+  def dedupJaccard(threshold: Double): String = s"""WITH $shinglesCte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT a_id, b_id,
+        CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM j
+    WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
+
+  /** Deterministic left-to-right double fold of a 64-dim dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       (acc, x) -> acc + x)"""
+
+  private def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)),
+       (acc, x) -> acc + x))"""
+
+  val annCosineTopK: String = s"""WITH
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** LSH bucket id in SQL — mirrors `Similarity.lshBucket`. */
+  def lshBucketSql(emb: String, nPlanes: Int): String = {
+    val planes = (0 until nPlanes).map { j =>
+      val proj = s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(0, 64), i -> $emb[i+1]::DOUBLE *
+          ((((${j * 64} + i + 1) * 2654435761) % 1000)::DOUBLE / 1000.0 - 0.5))),
+        (acc, x) -> acc + x)"""
+      s"CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END"
+    }
+    planes.mkString(" + ")
+  }
+
+  val annLshBuckets: String = s"""
+    SELECT bucket, count(*) AS n_vecs
+    FROM (SELECT ${lshBucketSql("embedding", 8)} AS bucket FROM embeddings)
+    GROUP BY bucket ORDER BY bucket"""
+
+  val annNearDup: String = s"""WITH
+    b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 4)} AS bucket,
+                 ${normSql("embedding")} AS nrm
+          FROM embeddings),
+    cand AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT DISTINCT a_id, b_id, round(cos, 4) AS cos_sim
+    FROM cand WHERE cos >= 0.45 ORDER BY a_id, b_id"""
+
+  // ------------------------------------------------------------ text analysis
+
+  private val stopList = "('the','a','of','and','to')"
+
+  val textQuality: String = s"""WITH t AS (
+      SELECT doc_id, length(text) AS n_chars_obs,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_obs, n_tokens, n_distinct,
+      round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+      round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+      round(CAST(n_chars_obs - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+            (CAST(n_distinct AS DOUBLE) / n_tokens) *
+            (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality_score
+    FROM t ORDER BY doc_id"""
+
+  val textTokens: String = """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens,
+      CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS bpe_est
+    FROM documents ORDER BY doc_id"""
+
+  def textLangid: String = {
+    val words = Map(
+      "en" -> Seq("the", "a", "of"), "de" -> Seq("der", "und", "die"),
+      "es" -> Seq("el", "y", "los"), "fr" -> Seq("le", "et", "les"),
+      "zh" -> Seq("的", "是", "了"))
+    val scoreCols = words.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString("(", ",", ")")
+      s"len(list_filter(string_split(text, ' '), x -> x IN $inList))::BIGINT AS score_$l"
+    }.mkString(",\n      ")
+    // argmax by (score, lang), both descending — matches Spark greatest(struct)
+    s"""WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents),
+    u AS (
+      SELECT doc_id, labeled_lang, cand, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+      FROM (
+        SELECT doc_id, labeled_lang,
+          unnest(['de','en','es','fr','zh']) AS cand,
+          unnest([score_de, score_en, score_es, score_fr, score_zh]) AS score
+        FROM scores))
+    SELECT doc_id, labeled_lang, cand AS pred_lang, score AS pred_score
+    FROM u WHERE rn = 1 ORDER BY doc_id"""
+  }
+
+  val textFingerprint: String = s"""
+    SELECT doc_id,
+      ${h31("text", 1000003L)} AS fp_full,
+      list_min(list_transform(range(1, greatest(length(text) - 6, 2)),
+        i -> ${h31("substr(text, i, 8)", 1000003L)})) AS fp_winnow
+    FROM documents ORDER BY doc_id"""
+
+  val mmBinaryMeta: String = """
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      md5(text) AS content_hash,
+      640 + octet_length(encode(text)) % 640 AS fake_width,
+      360 + octet_length(encode(text)) % 360 AS fake_height,
+      1 + octet_length(encode(text)) % 120 AS fake_frames
+    FROM documents ORDER BY doc_id"""
+
+  /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
+  val all: Map[String, String] = Map(
+    "cdc_log_capture" -> cdcLogCapture,
+    "cdc_trigger_capture" -> cdcTriggerCapture,
+    "cdc_poll_capture" -> cdcPollCapture,
+    "cdc_poll_loss" -> cdcPollLoss,
+    "cdc_apply_state" -> cdcApplyState,
+    "cdc_replay_events" -> cdcReplayEvents,
+    "cdc_difflane" -> cdcDiffLane,
+    "cdc_lag_topk" -> cdcLagTopK,
+    "cdc_diffstates" -> cdcDiffStates,
+    "cdc_metrics_lane" -> cdcMetricsLane,
+    "cdc_lag_percentiles" -> cdcLagPercentiles,
+    "cdc_txn_apply" -> cdcTxnApply,
+    "cdc_broker_route" -> cdcBrokerRoute,
+    "cdc_ordering_drift" -> cdcOrderingDrift,
+    "cdc_snapshot" -> cdcSnapshot,
+    "q1_lineitem_agg" -> q1LineitemAgg,
+    "q_region_revenue" -> qRegionRevenue,
+    "q_top_orders" -> qTopOrders,
+    "q_events_hourly" -> qEventsHourly,
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_keep" -> dedupExactKeep,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_jaccard" -> dedupJaccard(0.85),
+    "ann_cosine_topk" -> annCosineTopK,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_near_dup" -> annNearDup,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "mm_binary_meta" -> mmBinaryMeta)
+}

@@ -1,13 +1,201 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.cdc._
+import graft.functions.GraftFunctions
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB oracle in
+  * `Oracles`. Spark-side column names/aliases match the oracle SQL exactly
+  * (the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ops(s: SparkSession, dir: String): DataFrame = CdcOps.ops(s, dir)
+  private def st(s: SparkSession, dir: String): DataFrame = CdcOps.withState(ops(s, dir))
+
+  /** Flagship: the SURVEY §7.2 end-to-end slice on sf0.001 — log capture →
+    * event replay → state diff against the ordered merge-fold apply. All
+    * rows must classify as `match` (log capture is lossless). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val state = st(spark, dir)
+    val logLane = Capture.log(state)
+    val replayed = ApplyEngine.replayEvents(logLane, "lsn")
+    val truth = ApplyEngine.applyState(ops(spark, dir))
+    Diff.diffStates(truth, replayed, Seq("val", "k"))
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ CDC capture engines
+    "cdc_log_capture" -> ((s, dir) =>
+      Capture.log(st(s, dir)).orderBy("lsn")),
+    "cdc_trigger_capture" -> ((s, dir) =>
+      Capture.trigger(st(s, dir)).orderBy("audit_seq")),
+    "cdc_poll_capture" -> ((s, dir) =>
+      Capture.poll(st(s, dir))
+        .select("tbl", "pk", "poll_window", "op_code", "after_val", "after_k", "version", "poll_ts")
+        .orderBy("tbl", "pk", "poll_window")),
+    "cdc_poll_loss" -> ((s, dir) =>
+      Capture.pollLoss(st(s, dir)).orderBy("tbl")),
+    "cdc_snapshot" -> ((s, dir) =>
+      Capture.snapshot(Tables.customer(s, dir), "customer", "c_custkey", Seq("c_name", "c_mktsegment"))
+        .orderBy(col("pk").cast("bigint"))),
+
+    // ------------------------------------------------ apply / state fold
+    "cdc_apply_state" -> ((s, dir) =>
+      ApplyEngine.applyState(ops(s, dir)).orderBy("tbl", "pk")),
+    "cdc_replay_events" -> ((s, dir) =>
+      ApplyEngine.replayEvents(Capture.log(st(s, dir)), "lsn").orderBy("tbl", "pk")),
+
+    // ------------------------------------------------ diff / verification
+    "cdc_difflane" -> ((s, dir) => {
+      val state = st(s, dir)
+      val expected = state.select(
+        concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
+        col("t").as("time"), col("lsn").as("ord"))
+      val actual = Capture.poll(state).select(
+        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
+        col("poll_ts").as("time"), col("src_lsn").as("ord"))
+      Diff.laneTotals(Diff.lanePairs(expected, actual, "ord")).orderBy("status")
+    }),
+    "cdc_lag_topk" -> ((s, dir) =>
+      Capture.trigger(st(s, dir))
+        .select("audit_seq", "tbl", "pk", "lag_ms")
+        .orderBy(col("lag_ms").desc, col("audit_seq"))
+        .limit(5)),
+    "cdc_diffstates" -> ((s, dir) => {
+      val state = st(s, dir)
+      val truth = ApplyEngine.applyState(ops(s, dir))
+      val pollEmissions = Capture.poll(state, includeSoftDeletes = false)
+      val w = Window.partitionBy("tbl", "pk").orderBy(col("poll_window").desc)
+      val pollState = pollEmissions
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
+      Diff.diffStates(truth, pollState, Seq("val", "k"))
+        .groupBy("status").agg(count(lit(1)).as("cnt")).orderBy("status")
+    }),
+    "cdc_ordering_drift" -> ((s, dir) => {
+      val drifted = Broker.withDrift(
+        ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))
+      Diff.orderingInversions(drifted, Seq("tbl"), Seq(col("available_at"), col("lsn")), "lsn")
+        .groupBy("tbl")
+        .agg(count(when(col("inverted"), 1)).as("inversions"))
+        .orderBy("tbl")
+    }),
+
+    // ------------------------------------------------ metrics
+    "cdc_metrics_lane" -> ((s, dir) => {
+      val state = st(s, dir)
+      MetricsAgg.laneMix(Capture.log(state), "log", 1, 0)
+        .unionAll(MetricsAgg.laneMix(Capture.poll(state), "poll", 1, 0))
+        .unionAll(MetricsAgg.laneMix(Capture.trigger(state), "trigger", 1, 1))
+        .orderBy("method")
+    }),
+    "cdc_lag_percentiles" -> ((s, dir) => {
+      val state = st(s, dir)
+      val pollLag = Capture.poll(state).withColumn("lag_ms", col("poll_ts") - col("src_t"))
+      MetricsAgg.lagPercentiles(Capture.log(state), "log")
+        .unionAll(MetricsAgg.lagPercentiles(pollLag, "poll"))
+        .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger"))
+        .orderBy("method")
+    }),
+
+    // ------------------------------------------------ txn + broker
+    "cdc_txn_apply" -> ((s, dir) =>
+      Txn.assemble(ops(s, dir)).orderBy("apply_order")),
+    "cdc_broker_route" -> ((s, dir) =>
+      Broker.route(ops(s, dir), col("pk"), col("lsn"), 3, 0.1)
+        .groupBy("part")
+        .agg(
+          count(when(!col("dropped"), 1)).as("delivered"),
+          count(when(col("dropped"), 1)).as("dropped_cnt"))
+        .orderBy("part")),
+
+    // ------------------------------------------------ analytics
+    "q1_lineitem_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          sum(col("l_discount").cast(DecimalType(18, 4))).cast("double").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_region_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("r_name")),
+    "q_top_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          // parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ;
+          // session tz is UTC so the cast preserves the instant
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+    "q_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
+          col("value"))
+        .groupBy("event_type", "hour_id")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy("event_type", "hour_id")),
+
+    // ------------------------------------------------ dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactStats(Tables.documents(s, dir)).orderBy("lang")),
+    "dedup_exact_keep" -> ((s, dir) =>
+      Dedup.exactKeep(Tables.documents(s, dir)).orderBy("keep_id")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.85).orderBy("a_id", "b_id")),
+
+    // ------------------------------------------------ similarity search
+    "ann_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    "ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("bucket")),
+    "ann_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
+
+    // ------------------------------------------------ text analysis
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langScores(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------ multimodal plumbing
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")))
+
+  /** DuckDB oracle SQL per query (same keys as `queries`). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

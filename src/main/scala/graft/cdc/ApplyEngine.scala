@@ -1,0 +1,140 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Destination-side apply: fold an ordered change feed into final table state.
+  *
+  * Reference semantics (`src/domain/storage.ts:137-164`,
+  * `harness/verifier/index.js:59-76`): delete removes the key; insert/update
+  * shallow-merge the *partial* `after` payload over the current row
+  * (`next = {...current, ...after}`). Because payloads are partial,
+  * last-row-wins per key is wrong — a true ordered fold is required.
+  *
+  * Implementation: secondary sort. Repartition by key, sort each partition by
+  * (key, lsn), then a single `mapPartitions` pass folds consecutive rows of
+  * the same key carrying O(1) state per key. This is the shape that survives
+  * 100 TB: one shuffle on the key, no global sort, no per-group buffering
+  * (state is a single row image), no driver-side state.
+  */
+object ApplyEngine {
+
+  /** One source op, pre-projected for the fold. */
+  case class OpIn(
+      tbl: String, pk: String, lsn: Long, t: Long, op: String,
+      setsVal: Boolean, valV: Option[Double], setsK: Boolean, kV: Option[Long])
+
+  /** Final materialized destination row. */
+  case class RowOut(
+      tbl: String, pk: String, valV: Option[Double], kV: Option[Long],
+      version: Long, updatedAt: Long)
+
+  /** Fold the canonical op stream (from `CdcOps.ops`) into final state.
+    *
+    * `version` counts ops applied in the row's current lifetime (since the
+    * last delete) — the version counter the destination row would carry
+    * (`sim/core/types.ts:1-8`); a trailing delete removes the row.
+    */
+  def applyState(ops: DataFrame): DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val typed: Dataset[OpIn] = ops.select(
+      col("tbl"), col("pk"), col("lsn"), col("t"), col("op"),
+      col("sets_val").as("setsVal"), col("val").as("valV"),
+      col("sets_k").as("setsK"), col("k").as("kV")).as[OpIn]
+
+    val folded = typed
+      .repartition(col("tbl"), col("pk"))
+      .sortWithinPartitions("tbl", "pk", "lsn")
+      .mapPartitions { it => foldSortedPartition(it) }
+
+    folded.toDF()
+      .select(
+        col("tbl"), col("pk"),
+        col("valV").as("val"), col("kV").as("k"),
+        col("version"), col("updatedAt").as("updated_at"))
+  }
+
+  /** Fold one partition sorted by (tbl, pk, lsn). Emits the final image of
+    * each key when the key changes; O(1) memory. */
+  private[cdc] def foldSortedPartition(it: Iterator[OpIn]): Iterator[RowOut] = {
+    var curKey: (String, String) = null
+    var present = false
+    var v: Option[Double] = None
+    var k: Option[Long] = None
+    var version = 0L
+    var updatedAt = 0L
+
+    def finish(): Option[RowOut] =
+      if (curKey != null && present)
+        Some(RowOut(curKey._1, curKey._2, v, k, version, updatedAt))
+      else None
+
+    new Iterator[RowOut] {
+      private var pending: Option[RowOut] = None
+      private var done = false
+
+      private def advance(): Unit = {
+        while (pending.isEmpty && it.hasNext) {
+          val op = it.next()
+          val key = (op.tbl, op.pk)
+          if (key != curKey) {
+            pending = finish()
+            curKey = key
+            present = false; v = None; k = None; version = 0L; updatedAt = 0L
+          }
+          applyOp(op)
+        }
+        if (pending.isEmpty && !it.hasNext && !done) {
+          pending = finish()
+          done = true
+          curKey = null
+        }
+      }
+
+      private def applyOp(op: OpIn): Unit = {
+        if (op.op == "delete") {
+          present = false; v = None; k = None; version = 0L
+        } else {
+          // merge-upsert: {...current, ...after} — only fields present in
+          // the partial payload overwrite (src/domain/storage.ts:159-163)
+          if (!present) { present = true; v = None; k = None; version = 0L }
+          if (op.setsVal) v = op.valV
+          if (op.setsK) k = op.kV
+          version += 1
+        }
+        updatedAt = op.t
+      }
+
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): RowOut = {
+        advance()
+        val r = pending.get
+        pending = None
+        r
+      }
+    }
+  }
+
+  /** Replay an *event* feed (capture output) into destination state — the
+    * `replayEventsToTables` analogue (`src/domain/storage.ts:245-259`): same
+    * fold, but over c/u/d event codes with full-row images, keyed by
+    * (tbl, pk), ordered by an explicit sequence column. Last state wins per
+    * field because capture events carry full images.
+    */
+  def replayEvents(
+      events: DataFrame,
+      seqCol: String,
+      afterValCol: String = "after_val",
+      afterKCol: String = "after_k",
+      opCol: String = "op_code"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("tbl", "pk").orderBy(col(seqCol).desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col(opCol) =!= "d")
+      .select(col("tbl"), col("pk"),
+        col(afterValCol).as("val"), col(afterKCol).as("k"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lane/state diffing — the reference's verification queries.
+  *
+  * - `diffLane` (`sim/analysis/diff.ts:124-254`): bucket-positional match.
+  *   Both sides are keyed `table::op::pk`; the i-th expected entry of a key
+  *   pairs with the i-th actual entry; surplus expected → missing, surplus
+  *   actual → extra; lag per matched pair = `max(0, actualTime - expectedTime)`.
+  *   Relationally: per-key ordinals via `row_number`, then a full outer join
+  *   on (key, ordinal) — shuffle is on the diff key, no global sort.
+  * - `orderingInversions` (`sim/analysis/diff.ts:164-186`, per-table variant
+  *   `harness/verifier/diff.js:153-179`): pairs delivered out of source order,
+  *   found with a running-max window per table.
+  * - `diffStates` (`harness/verifier/index.js:138-167`): full outer join of
+  *   two materialized states on (tbl, pk), classifying missing/unexpected
+  *   rows and per-field mismatches (null-safe compare).
+  */
+object Diff {
+
+  /** Ordinal-matched lane diff. Inputs need columns (key, time) and a
+    * deterministic per-key order column. Returns per-pair rows with status. */
+  def lanePairs(
+      expected: DataFrame, // key, time, ord source col
+      actual: DataFrame,
+      orderCol: String): DataFrame = {
+    def ordinal(df: DataFrame, prefix: String): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(orderCol)
+      df.select(
+        col("key"),
+        col("time").as(s"${prefix}_time"),
+        row_number().over(w).as("ordinal"))
+    }
+    val e = ordinal(expected, "expected")
+    val a = ordinal(actual, "actual")
+    e.join(a, Seq("key", "ordinal"), "full_outer")
+      .withColumn("status",
+        when(col("expected_time").isNotNull && col("actual_time").isNotNull, "matched")
+          .when(col("expected_time").isNotNull, "missing")
+          .otherwise("extra"))
+      .withColumn("lag_ms",
+        when(col("status") === "matched",
+          greatest(lit(0L), col("actual_time") - col("expected_time"))))
+  }
+
+  /** Diff totals (`sim/analysis/diff.ts:235-246`): counts per status plus
+    * total matched lag. */
+  def laneTotals(pairs: DataFrame): DataFrame =
+    pairs.groupBy("status")
+      .agg(count(lit(1)).as("cnt"), coalesce(sum("lag_ms"), lit(0L)).as("total_lag_ms"))
+
+  /** Top-K matched pairs by lag (`sim/analysis/diff.ts:188-200`): top-5 by
+    * lag desc among lag>0, deterministic tie-break. */
+  def lagTopK(pairs: DataFrame, k: Int = 5, tieBreak: Seq[String] = Seq("key", "ordinal")): DataFrame =
+    pairs.filter(col("status") === "matched" && col("lag_ms") > 0)
+      .orderBy(col("lag_ms").desc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+
+  /** Running-max inversion scan per partition key: rows whose sequence is
+    * smaller than a previously delivered sequence (in delivery order). */
+  def orderingInversions(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      deliveryOrder: Seq[Column],
+      seqCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(deliveryOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("run_max", max(col(seqCol)).over(w))
+      .withColumn("inverted", col("run_max").isNotNull && col(seqCol) < col("run_max"))
+  }
+
+  /** Golden state comparison: classify rows of two states keyed (tbl, pk).
+    * `valCols` are compared null-safely; any difference → field_mismatch. */
+  def diffStates(left: DataFrame, right: DataFrame, valCols: Seq[String]): DataFrame = {
+    val l = left.select((Seq(col("tbl"), col("pk")) ++ valCols.map(c => col(c).as(s"l_$c"))): _*)
+    val r = right.select((Seq(col("tbl"), col("pk")) ++ valCols.map(c => col(c).as(s"r_$c"))): _*)
+    val lPresent = col(s"l_present")
+    val rPresent = col(s"r_present")
+    val joined = l.withColumn("l_present", lit(true))
+      .join(r.withColumn("r_present", lit(true)), Seq("tbl", "pk"), "full_outer")
+    val anyMismatch = valCols
+      .map(c => !(col(s"l_$c") <=> col(s"r_$c")))
+      .reduce(_ || _)
+    joined.withColumn("status",
+      when(lPresent.isNull, "unexpected_row") // only right has it
+        .when(rPresent.isNull, "missing_row") // only left has it
+        .when(anyMismatch, "field_mismatch")
+        .otherwise("match"))
+  }
+
+  /** Source↔sink verify (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`):
+    * anti-joins both directions + counts. Returns one summary row per side. */
+  def verifyCounts(source: DataFrame, sink: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val missingInSink = source.join(sink, keyCols, "left_anti").count()
+    val orphansInSink = sink.join(source, keyCols, "left_anti").count()
+    val spark = source.sparkSession
+    import spark.implicits._
+    Seq(
+      ("source_rows", source.count()),
+      ("sink_rows", sink.count()),
+      ("missing_in_sink", missingInSink),
+      ("orphans_in_sink", orphansInSink)
+    ).toDF("metric", "cnt")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Transaction assembly + apply-on-commit (`src/changefeed/model.ts:169-244`):
+  * events buffer per `txId` until the transaction is complete
+  * (`events.length >= total`); complete txns apply atomically in
+  * `(commitTs, lsn)` order once the commit floor (low watermark over
+  * in-flight commit timestamps) passes them.
+  *
+  * Batch-replay form: with the full feed known, every txn is complete and the
+  * commit floor degenerates to the global order, so the result is the
+  * deterministic ordered apply log. The streaming form (incremental buffering
+  * + watermark floor) lives in `graft.streaming.TxnStream`.
+  */
+object Txn {
+
+  /** Group ops into transactions of `size` consecutive events (by event id),
+    * with commit ts = max op time + `commitDelayMs` (the reference stamps
+    * commitTs = clock + 100, `model.ts:278`). Returns one row per txn with
+    * assembly metadata and the global apply order.
+    */
+  def assemble(ops: DataFrame, size: Int = 3, commitDelayMs: Long = 100L): DataFrame = {
+    val grouped = ops
+      .withColumn("tx_num", expr(s"event_id div $size"))
+      .groupBy("tx_num")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("t")) + commitDelayMs).as("commit_ts"),
+        min(col("lsn")).as("first_lsn"),
+        countDistinct(col("tbl")).as("n_tables"))
+    // Ordered apply log: (commitTs, first lsn) — `model.ts:215-227`. The
+    // apply log is inherently a total order; at scale it stays an ordering
+    // *key* (sortWithinPartitions per consumer) rather than a global sort —
+    // materializing the explicit position here is for the verifiable replay.
+    val applyOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
+    grouped
+      .withColumn("apply_order", row_number().over(applyOrder))
+      .withColumn("tx_id", concat(lit("tx-"), col("tx_num").cast("string")))
+      .select("tx_id", "tx_num", "n_events", "n_tables", "commit_ts", "first_lsn", "apply_order")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash `acc = (acc * 31 + charCode) % modulus` over the
+  * UTF-16 code units of a string.
+  *
+  * This reproduces, bit for bit, the deterministic hash the reference engine
+  * uses for broker partition routing and fault injection
+  * (`src/changefeed/model.ts:92-109`: `hash` with modulus 9973, `shouldDrop`,
+  * `partitionForKey`), so partition assignment and drop decisions are
+  * reproducible across engines. Implemented as a native Catalyst expression
+  * with codegen so it stays inside whole-stage codegen (no UDF boundary).
+  */
+case class Hash31(child: Expression, modulus: Long) extends UnaryExpression {
+
+  require(modulus > 0, "hash31 modulus must be positive")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash31"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash31.eval(input.asInstanceOf[UTF8String].toString, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash31.eval($c.toString(), ${modulus}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash31 =
+    copy(child = newChild)
+}
+
+object Hash31 {
+
+  /** Reference parity: JS `for (c of s) acc = (acc*31 + charCodeAt) % mod`. */
+  def eval(s: String, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i).toLong) % mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Column-level helpers around the graft custom expressions. */
+object GraftFunctions {
+
+  /** The reference's broker hash modulus (`src/changefeed/model.ts:95`). */
+  val BrokerModulus: Long = 9973L
+
+  def hash31(c: Column, modulus: Long = BrokerModulus): Column =
+    GraftBridge.column(Hash31(GraftBridge.expression(c), modulus))
+
+  /** Deterministic drop decision: `hash31(key) % 100 < floor(p*100)`
+    * (`src/changefeed/model.ts:100-104`). */
+  def shouldDrop(key: Column, dropProbability: Double): Column =
+    hash31(key) % 100L < math.floor(dropProbability * 100).toLong
+
+  /** Broker partition routing: `hash31(pk) % partitions`
+    * (`src/changefeed/model.ts:106-109`). */
+  def partitionForKey(pk: Column, partitions: Int): Column =
+    hash31(pk) % partitions.toLong
+
+  /** Make `hash31(str, modulus)` callable from SQL / `expr(...)` lambdas
+    * (needed inside higher-order functions like `transform`). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(
+      spark,
+      "hash31",
+      { exprs =>
+        require(exprs.size == 2, "hash31(str, modulus) takes 2 arguments")
+        val mod = exprs(1) match {
+          case Literal(v: Int, _)   => v.toLong
+          case Literal(v: Long, _)  => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"hash31 modulus must be an integer literal, got $other")
+        }
+        Hash31(exprs.head, mod)
+      })
+}

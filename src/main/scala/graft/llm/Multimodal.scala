@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata structs, processed batch-wise.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`fakeDecode`); the Spark-side plumbing
+  * — binary column, schema, partition-parallel batch processing through a
+  * typed `mapPartitions` (the Scala analogue of `mapInPandas` batch shape) —
+  * is real and tested. Swap `fakeDecode` for a codec call and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(
+      doc_id: Long, n_bytes: Long, content_hash: String,
+      fake_width: Int, fake_height: Int, fake_frames: Int)
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation would decode the container header here. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (640 + n % 640, 360 + n % 360, 1 + n % 120)
+  }
+
+  /** Build a binary media column from text (placeholder payload), then
+    * extract metadata partition-parallel in typed batches. */
+  def binaryMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaIn] = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        md.reset()
+        val hash = md.digest(m.payload).map("%02x".format(_)).mkString
+        val (w, h, f) = fakeDecode(m.payload)
+        MediaMeta(m.doc_id, m.payload.length.toLong, hash, w, h, f)
+      }
+    }.toDF()
+  }
+}
