@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Smaller heap for tests: Hadoop's local FS shells out (readlink/chmod) on
+// streaming state checkpoints, and each exec forks the JVM — fork cost is
+// proportional to dirty heap, so a big test heap makes state stores crawl.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  "-Xmx3g",
+)

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the stateful CDC operators.
+  *
+  * The batch-replay forms in `graft.cdc` are the deterministic oracles; these
+  * are the unbounded-stream equivalents built on the public
+  * `[flat]mapGroupsWithState` API (no custom physical plans), as SURVEY §2.9
+  * prescribes. State is keyed — per txn or per row key — so it shards across
+  * executors; timeouts bound state growth (the reference keeps buffers
+  * forever, `src/changefeed/model.ts:176-205`; at 100 TB that leaks, so every
+  * operator here takes a TTL).
+  */
+object Streams {
+
+  /** A change event on the wire (subset of the Debezium-style envelope,
+    * `sim/core/types.ts:42-54`). */
+  case class Event(
+      txId: String, txIndex: Int, txTotal: Int, last: Boolean,
+      tbl: String, pk: String, opCode: String,
+      setsVal: Boolean, valV: Option[Double], setsK: Boolean, kV: Option[Long],
+      commitTs: Long, lsn: Long)
+
+  /** An assembled transaction ready to apply atomically. */
+  case class AssembledTxn(
+      txId: String, nEvents: Int, commitTs: Long, firstLsn: Long,
+      events: Seq[Event])
+
+  /** Keyed buffer state for txn assembly (public: Spark codegen needs
+    * accessible accessors on state encoder classes). */
+  case class TxnBuf(events: Seq[Event])
+
+  /** Txn assembly (`src/changefeed/model.ts:176-205`, `web/App.tsx:2115-2156`):
+    * buffer events per txId until `count >= total` (or a `last` marker),
+    * then emit the whole transaction, events sorted by `txIndex`
+    * (`model.ts:196`). Incomplete txns are dropped after `ttlMs` processing
+    * time — the safety valve the reference lacks.
+    */
+  def assembleTxns(
+      events: Dataset[Event],
+      ttlMs: Long = 60000L): Dataset[AssembledTxn] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ttlMs <= 0 disables the timeout entirely — with ProcessingTimeTimeout
+    // armed, a zero-interval trigger busy-loops empty micro-batches just to
+    // evaluate timers; tests (and bounded replays) don't want that.
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.txId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (txId: String, incoming: Iterator[Event], state: GroupState[TxnBuf]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming).toList
+            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
+            val complete = buf.size >= total || buf.exists(_.last)
+            if (complete) {
+              state.remove()
+              val sorted = buf.sortBy(e => (e.txIndex, e.lsn))
+              Iterator.single(AssembledTxn(
+                txId, sorted.size,
+                sorted.map(_.commitTs).max,
+                sorted.map(_.lsn).min,
+                sorted))
+            } else {
+              state.update(TxnBuf(buf))
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+
+  /** Materialized destination row emitted by the streaming apply. */
+  case class RowState(
+      tbl: String, pk: String, valV: Option[Double], kV: Option[Long],
+      version: Long, deleted: Boolean)
+
+  /** Streaming merge-upsert apply keyed by (tbl, pk) — the unbounded form of
+    * `ApplyEngine.applyState`: delete clears, partial payloads merge
+    * (`src/domain/storage.ts:137-164`). Emits the post-image after each
+    * micro-batch's events for the key (ordered by lsn within the batch).
+    * Deleted keys emit a `deleted = true` tombstone and drop their state.
+    */
+  def applyStream(
+      events: Dataset[Event],
+      ttlMs: Long = 3600000L): Dataset[RowState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(e => (e.tbl, e.pk))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (String, String), incoming: Iterator[Event], state: GroupState[RowState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val start = state.getOption.getOrElse(
+              RowState(key._1, key._2, None, None, 0L, deleted = true))
+            val next = incoming.toSeq.sortBy(_.lsn).foldLeft(start) { (cur, e) =>
+              if (e.opCode == "d")
+                RowState(key._1, key._2, None, None, 0L, deleted = true)
+              else {
+                val base = if (cur.deleted) RowState(key._1, key._2, None, None, 0L, deleted = false) else cur
+                base.copy(
+                  valV = if (e.setsVal) e.valV else base.valV,
+                  kV = if (e.setsK) e.kV else base.kV,
+                  version = base.version + 1,
+                  deleted = false)
+              }
+            }
+            if (next.deleted) state.remove()
+            else {
+              state.update(next)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            Iterator.single(next)
+          }
+        })
+  }
+
+  /** Exactly-once ingestion dedup (`consumer.mjs:122-143` offset-dedup):
+    * drop replayed events by (topic, partition, offset) within the watermark
+    * — `dropDuplicatesWithinWatermark` keyed on the offset triple. `df` must
+    * carry an event-time column already watermarked by the caller.
+    */
+  def dedupOffsets[T](ds: Dataset[T], cols: Seq[String]): Dataset[T] =
+    ds.dropDuplicatesWithinWatermark(cols)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.cdc.ApplyEngine
+import graft.cdc.ApplyEngine.OpIn
+
+/** Semantics of the ordered merge-fold (`src/domain/storage.ts:137-164`):
+  * partial payloads merge (NOT last-row-wins), delete clears state, version
+  * counts the current lifetime.
+  */
+class ApplyEngineSpec extends SparkSpec {
+
+  private def runFold(ops: Seq[OpIn]): Map[(String, String), Row] = {
+    import spark.implicits._
+    val df = ops.toDS().toDF()
+      .withColumnRenamed("setsVal", "sets_val")
+      .withColumnRenamed("valV", "val")
+      .withColumnRenamed("setsK", "sets_k")
+      .withColumnRenamed("kV", "k")
+    ApplyEngine.applyState(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+  }
+
+  test("partial after-payloads merge; last-row-wins would be wrong") {
+    val ops = Seq(
+      OpIn("t0", "1", 1, 10, "insert", setsVal = true, Some(1.0), setsK = true, Some(100L)),
+      OpIn("t0", "1", 2, 20, "update", setsVal = true, Some(2.0), setsK = false, None), // touches only val
+      OpIn("t0", "1", 3, 30, "update", setsVal = false, None, setsK = true, Some(300L))) // touches only k
+    val st = runFold(ops)(("t0", "1"))
+    // merged image: val from op2, k from op3 — a naive last() would null val
+    assert(st.getDouble(2) === 2.0)
+    assert(st.getLong(3) === 300L)
+    assert(st.getLong(4) === 3L) // version: 3 ops this lifetime
+    assert(st.getLong(5) === 30L) // updated_at
+  }
+
+  test("delete removes the row; trailing delete yields no row") {
+    val ops = Seq(
+      OpIn("t0", "1", 1, 10, "insert", setsVal = true, Some(1.0), setsK = true, Some(1L)),
+      OpIn("t0", "1", 2, 20, "delete", setsVal = false, None, setsK = false, None))
+    assert(runFold(ops).isEmpty)
+  }
+
+  test("re-insert after delete starts a fresh lifetime (no value leak)") {
+    val ops = Seq(
+      OpIn("t0", "1", 1, 10, "insert", setsVal = true, Some(1.0), setsK = true, Some(1L)),
+      OpIn("t0", "1", 2, 20, "delete", setsVal = false, None, setsK = false, None),
+      OpIn("t0", "1", 3, 30, "update", setsVal = true, Some(9.0), setsK = false, None))
+    val st = runFold(ops)(("t0", "1"))
+    assert(st.getDouble(2) === 9.0)
+    assert(st.isNullAt(3), "k must not leak from the pre-delete lifetime")
+    assert(st.getLong(4) === 1L) // fresh lifetime: 1 op
+  }
+
+  test("keys fold independently across tables") {
+    val ops = Seq(
+      OpIn("t0", "1", 1, 10, "insert", setsVal = true, Some(1.0), setsK = false, None),
+      OpIn("t1", "1", 2, 20, "insert", setsVal = true, Some(2.0), setsK = false, None),
+      OpIn("t0", "2", 3, 30, "delete", setsVal = false, None, setsK = false, None))
+    val st = runFold(ops)
+    assert(st.size === 2)
+    assert(st(("t0", "1")).getDouble(2) === 1.0)
+    assert(st(("t1", "1")).getDouble(2) === 2.0)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** LLM-pipeline operator semantics on planted data: exact dup collapse,
+  * MinHash/Jaccard recall on planted near-duplicates, LSH candidate
+  * generation without crossJoin.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base =
+    "spark filter join table scan window batch merge sort group value column key row hash part data stream"
+  // near-dup: one token changed out of 19
+  private val nearDup = base.replace("window", "vector")
+  private val distinctDoc =
+    "completely different words entirely other content nothing shared here at all zero overlap whatsoever"
+
+  private lazy val docs = Seq(
+    (0L, base, "en"), (1L, base, "en"), // exact dup
+    (2L, nearDup, "en"), // near dup of 0
+    (3L, distinctDoc, "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup collapses identical content, keeps min doc_id") {
+    val keep = Dedup.exactKeep(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep === Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+    val stats = Dedup.exactStats(docs).collect().head
+    assert(stats.getAs[Long]("n_docs") === 4L)
+    assert(stats.getAs[Long]("n_unique") === 3L)
+    assert(stats.getAs[Long]("n_dup") === 1L)
+  }
+
+  test("jaccard pairs find planted near-dup and skip unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, n = 2, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair (jaccard 1.0)")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "planted near-dup")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
+  test("minhash LSH candidates recall the planted duplicates") {
+    val cands = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "identical docs must share every band")
+    assert(cands.contains((0L, 2L)), "near-dup should share ≥1 band")
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs identical prints; near-dup within small hamming") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 6, s"near-dup hamming $hamming too high")
+  }
+
+  test("ANN top-k ranks an identical vector first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (100L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)), // clone of 0
+      (101L, Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)),
+      (102L, Array.tabulate(64)(i => (math.sin(i + 1) * -1).toFloat)) // antipode
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, nQueries = 1, k = 3).collect()
+    assert(top.head.getAs[Long]("n_id") === 100L)
+    assert(top.head.getAs[Double]("cos_sim") === 1.0)
+    assert(top.last.getAs[Long]("n_id") === 102L) // antipode ranks last
+    assert(top.last.getAs[Double]("cos_sim") === -1.0)
+  }
+
+  test("LSH buckets put clones together and candidates avoid full cross product") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(64)(i => math.cos(i * 3 + 2).toFloat))
+    ).toDF("vec_id", "embedding")
+    val buckets = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(1L), "identical vectors must share a bucket")
+    val dups = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSeq === Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, Hash31}
+
+/** Parity tests for the reference hash (`src/changefeed/model.ts:92-109`):
+  * `acc = (acc*31 + charCodeAt) % 9973`, `shouldDrop`, `partitionForKey`.
+  * Expected values are hard-coded from hand-evaluating the reference
+  * algorithm (charCodeAt = UTF-16 code unit).
+  */
+class Hash31Spec extends SparkSpec {
+
+  test("hash31 matches hand-computed reference values") {
+    // '4'=52, '2'=50: ((0*31+52)%9973)*31+50 = 1662
+    assert(Hash31.eval("42", 9973) === 1662L)
+    // 'a'=97
+    assert(Hash31.eval("a", 9973) === 97L)
+    // 'a','b': 97*31+98 = 3105
+    assert(Hash31.eval("ab", 9973) === 3105L)
+    // 'abc': 3105*31+99 = 96354 % 9973 = 96354 - 9*9973 = 6597
+    assert(Hash31.eval("abc", 9973) === 6597L)
+    assert(Hash31.eval("", 9973) === 0L)
+    // modulus variant used by fingerprints
+    assert(Hash31.eval("a", 1000003) === 97L)
+  }
+
+  test("hash31 expression evaluates in a plan (codegen path)") {
+    import spark.implicits._
+    val df = Seq("42", "ab", "abc", "").toDF("s")
+      .select(GraftFunctions.hash31(col("s")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1662L, 3105L, 6597L, 0L))
+  }
+
+  test("shouldDrop and partitionForKey reproduce reference routing") {
+    import spark.implicits._
+    val df = Seq("7", "12", "99").toDF("pk").select(
+      col("pk"),
+      GraftFunctions.partitionForKey(col("pk"), 3).as("part"),
+      GraftFunctions.shouldDrop(col("pk"), 0.1).as("drop"))
+    // '7'=55 → 55 % 3 = 1; "12": (49*31+50)%9973 = 1569 % 3 = 0
+    val expected = Map(
+      "7" -> (55L % 3, 55L % 100 < 10),
+      "12" -> (1569L % 3, 1569L % 100 < 10),
+      "99" -> (Hash31.eval("99", 9973) % 3, Hash31.eval("99", 9973) % 100 < 10))
+    df.collect().foreach { r =>
+      val (p, d) = expected(r.getString(0))
+      assert(r.getLong(1) === p && r.getBoolean(2) === d)
+    }
+  }
+
+  test("SQL registration makes hash31 usable inside lambdas") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT array_min(transform(array('ab','abc'), x -> hash31(x, 9973))) v")
+      .collect().head.getLong(0)
+    assert(r === 3105L)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.streaming.Streams.{AssembledTxn, Event, RowState}
+
+/** Structured-Streaming operator tests over MemoryStream: txn assembly emits
+  * only complete transactions ("keeps transactions atomic under drift",
+  * `src/test/unit/changefeed-playground.test.ts:12-63`), and the streaming
+  * apply merges partial payloads across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(
+      tx: String, idx: Int, total: Int, tbl: String, pk: String, op: String,
+      lsn: Long, v: Option[Double] = None, k: Option[Long] = None): Event =
+    Event(tx, idx, total, last = idx == total - 1, tbl, pk, op,
+      setsVal = v.isDefined, v, setsK = k.isDefined, k, commitTs = 100L + lsn, lsn = lsn)
+
+  test("txn assembly holds incomplete transactions across batches (atomicity under drift)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.assembleTxns(input.toDS(), ttlMs = 0L)
+      .writeStream.format("memory").queryName("txns")
+      .outputMode("append").start()
+
+    // Batch 1: tx-1 partially arrives (drifted), tx-2 complete but interleaved
+    input.addData(
+      ev("tx-1", 0, 3, "t0", "a", "c", 1, v = Some(1.0)),
+      ev("tx-2", 0, 2, "t0", "b", "c", 2, v = Some(2.0)),
+      ev("tx-2", 1, 2, "t1", "b", "u", 3, k = Some(5L)),
+      ev("tx-1", 1, 3, "t1", "a", "u", 4, k = Some(9L)))
+    q.processAllAvailable()
+    val after1 = spark.table("txns").as[AssembledTxn].collect()
+    assert(after1.map(_.txId).toSet === Set("tx-2"), "incomplete tx-1 must be buffered")
+
+    // Batch 2: tx-1's last event arrives — now it emits, events in index order
+    input.addData(ev("tx-1", 2, 3, "t2", "a", "u", 5, v = Some(3.0)))
+    q.processAllAvailable()
+    val after2 = spark.table("txns").as[AssembledTxn].collect()
+    assert(after2.map(_.txId).toSet === Set("tx-1", "tx-2"))
+    val tx1 = after2.find(_.txId == "tx-1").get
+    assert(tx1.nEvents === 3)
+    assert(tx1.events.map(_.txIndex) === Seq(0, 1, 2))
+    assert(tx1.commitTs === tx1.events.map(_.commitTs).max)
+    q.stop()
+  }
+
+  test("streaming apply merges partial payloads across micro-batches; delete tombstones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.applyStream(input.toDS(), ttlMs = 0L)
+      .writeStream.format("memory").queryName("applied")
+      .outputMode("append").start()
+
+    input.addData(
+      ev("tx", 0, 1, "t0", "a", "c", 1, v = Some(1.0), k = Some(10L)),
+      ev("tx", 0, 1, "t0", "a", "u", 2, v = Some(2.0))) // partial: touches val only
+    q.processAllAvailable()
+    input.addData(ev("tx", 0, 1, "t0", "a", "u", 3, k = Some(30L))) // partial: k only
+    q.processAllAvailable()
+    val states = spark.table("applied").as[RowState].collect()
+    val last = states.maxBy(_.version)
+    assert(last.valV === Some(2.0), "val from batch-1 update must survive batch-2")
+    assert(last.kV === Some(30L))
+    assert(last.version === 3L)
+
+    input.addData(ev("tx", 0, 1, "t0", "a", "d", 4))
+    q.processAllAvailable()
+    val tomb = spark.table("applied").as[RowState].collect().last
+    assert(tomb.deleted && tomb.valV.isEmpty && tomb.kV.isEmpty)
+    q.stop()
+  }
+
+  test("offset dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, Long, java.sql.Timestamp)]
+    val deduped = Streams.dedupOffsets(
+      input.toDF().toDF("topic", "partition", "offset", "ts")
+        .withWatermark("ts", "10 seconds"),
+      Seq("topic", "partition", "offset"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val t0 = new java.sql.Timestamp(1000000L)
+    input.addData(("a", 0, 1L, t0), ("a", 0, 1L, t0), ("a", 0, 2L, t0))
+    q.processAllAvailable()
+    assert(spark.table("dedup").count() === 2)
+    q.stop()
+  }
+}
