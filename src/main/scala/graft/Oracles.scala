@@ -479,8 +479,102 @@ object Oracles {
       1 + octet_length(encode(text)) % 120 AS fake_frames
     FROM documents ORDER BY doc_id"""
 
+  /** Harness evaluate() report on the polling lane — composes the diffLane
+    * counts, delete capture, ordering scan, and state diff
+    * (`harness/verifier/index.js:169-205`). */
+  val cdcEvaluate: String = s"""WITH $stateCte, $stateFinalCte, $pollCte,
+    expected AS (
+      SELECT tbl || '::' || $opCodeExpr || '::' || pk AS key, t AS etime,
+             row_number() OVER (PARTITION BY tbl || '::' || $opCodeExpr || '::' || pk
+                                ORDER BY lsn) AS ordinal
+      FROM st),
+    actual AS (
+      SELECT tbl || '::' || op_code || '::' || pk AS key, poll_ts AS atime, src_lsn,
+             row_number() OVER (PARTITION BY tbl || '::' || op_code || '::' || pk
+                                ORDER BY src_lsn) AS ordinal
+      FROM poll),
+    pairs AS (
+      SELECT CASE WHEN e.key IS NOT NULL AND a.key IS NOT NULL THEN 'matched'
+                  WHEN e.key IS NOT NULL THEN 'missing' ELSE 'extra' END AS status
+      FROM expected e FULL OUTER JOIN actual a USING (key, ordinal)),
+    poll_soft_state AS (
+      SELECT tbl, pk, after_val AS val, after_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY poll_window DESC) AS rn
+            FROM poll) WHERE rn = 1 AND op_code <> 'd'),
+    smism AS (
+      SELECT count(*) AS m FROM state_final l FULL OUTER JOIN poll_soft_state r
+        ON l.tbl = r.tbl AND l.pk = r.pk
+      WHERE l.tbl IS NULL OR r.tbl IS NULL
+         OR (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)),
+    inv AS (
+      SELECT count(CASE WHEN src_lsn < run_max THEN 1 END) AS n FROM (
+        SELECT src_lsn, max(src_lsn) OVER (ORDER BY atime, src_lsn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        FROM actual)),
+    agg AS (
+      SELECT
+        (SELECT count(*) FROM pairs WHERE status = 'matched') AS matched,
+        (SELECT count(*) FROM pairs WHERE status = 'missing') AS missing,
+        (SELECT count(*) FROM pairs WHERE status = 'extra') AS extra,
+        (SELECT count(*) FROM ops WHERE op = 'delete') AS deletes_expected,
+        (SELECT count(*) FROM poll WHERE op_code = 'd') AS deletes_captured,
+        (SELECT n FROM inv) AS ordering_issues,
+        (SELECT m FROM smism) AS state_mismatches)
+    SELECT metric, value FROM (
+      SELECT unnest(['matched','missing','extra','deletes_expected','deletes_captured',
+                     'ordering_issues','state_mismatches','pass']) AS metric,
+             unnest([matched, missing, extra, deletes_expected, deletes_captured,
+                     ordering_issues, state_mismatches,
+                     CASE WHEN missing = 0 AND ordering_issues = 0 AND state_mismatches = 0
+                          THEN 1 ELSE 0 END]) AS value
+      FROM agg)
+    ORDER BY metric"""
+
+  /** Broker per-tick delivery schedule (`src/changefeed/model.ts:246-274`):
+    * deliver_tick = max(availability tick, queue-position / per-tick cap). */
+  val cdcBrokerDelivery: String = s"""WITH $opsCte,
+    routed AS (
+      SELECT lsn, ${h31("pk", 9973)} % 3 AS part,
+             t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 AS available_at
+      FROM ops),
+    q AS (
+      SELECT part, lsn, available_at,
+             row_number() OVER (PARTITION BY part ORDER BY available_at, lsn) AS queue_pos
+      FROM routed)
+    SELECT part, lsn, available_at, queue_pos,
+      greatest(CAST(ceil(available_at / 50.0) AS BIGINT),
+               CAST(ceil(queue_pos / 4.0) AS BIGINT)) AS deliver_tick,
+      greatest(CAST(ceil(available_at / 50.0) AS BIGINT),
+               CAST(ceil(queue_pos / 4.0) AS BIGINT)) * 50 AS deliver_ms
+    FROM q ORDER BY part, queue_pos"""
+
+  /** Stable row hash of the final destination state (canonical concat form;
+    * the verifier's stable-equality machinery, `index.js:78-136`). */
+  val cdcStateHash: String = s"""WITH $stateCte, $stateFinalCte
+    SELECT tbl, pk,
+      sha256(tbl || '|' || pk || '|' ||
+             coalesce(CAST(val AS VARCHAR), '') || '|' ||
+             coalesce(CAST(k AS VARCHAR), '') || '|' ||
+             CAST(version AS VARCHAR) || '|' || CAST(updated_at AS VARCHAR)) AS row_hash
+    FROM state_final ORDER BY tbl, pk"""
+
+  val qLineitemOrdersJoin: String = """
+    SELECT o_orderpriority, count(*) AS cnt,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val qEventsUserTopk: String = """
+    SELECT user_id, count(*) AS cnt FROM events
+    GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"""
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
+    "cdc_evaluate" -> cdcEvaluate,
+    "cdc_broker_delivery" -> cdcBrokerDelivery,
+    "cdc_state_hash" -> cdcStateHash,
+    "q_lineitem_orders_join" -> qLineitemOrdersJoin,
+    "q_events_user_topk" -> qEventsUserTopk,
     "cdc_log_capture" -> cdcLogCapture,
     "cdc_trigger_capture" -> cdcTriggerCapture,
     "cdc_poll_capture" -> cdcPollCapture,

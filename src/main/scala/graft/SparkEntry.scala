@@ -194,7 +194,67 @@ object SparkEntry {
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")))
+      Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ------------------------------------------------ evaluate / consumer / hash
+    "cdc_evaluate" -> ((s, dir) => {
+      val state = st(s, dir)
+      val poll = Capture.poll(state)
+      val actual = poll.select(
+        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
+        col("poll_ts").as("time"), col("src_lsn").as("ord"),
+        col("op_code"), col("tbl"), col("pk"))
+      val w = Window.partitionBy("tbl", "pk").orderBy(col("poll_window").desc)
+      val pollState = poll
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op_code") =!= "d")
+        .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
+      Evaluate.lane(ops(s, dir), state, actual, pollState).orderBy("metric")
+    }),
+    "cdc_broker_delivery" -> ((s, dir) => {
+      val drifted = Broker.withDrift(
+        ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))
+        .withColumn("part", graft.functions.GraftFunctions.partitionForKey(col("pk"), 3))
+      Consumer.brokerDelivery(drifted, "lsn")
+        .select("part", "lsn", "available_at", "queue_pos", "deliver_tick", "deliver_ms")
+        .orderBy("part", "queue_pos")
+    }),
+    "cdc_state_hash" -> ((s, dir) => {
+      val state = ApplyEngine.applyState(ops(s, dir))
+      state.select(
+        col("tbl"), col("pk"),
+        sha2(concat_ws("|",
+          col("tbl"), col("pk"),
+          coalesce(col("val").cast("string"), lit("")),
+          coalesce(col("k").cast("string"), lit("")),
+          col("version").cast("string"), col("updated_at").cast("string")), 256).as("row_hash"))
+        .orderBy("tbl", "pk")
+    }),
+    "cdc_throttle_drain" -> ((s, dir) => {
+      // no SQL oracle (sequential token-bucket fold) → driver rows-only check
+      import s.implicits._
+      val lane = Capture.log(st(s, dir))
+      Consumer.throttleDrain(
+        lane.select(lit("log").as("method"), col("lsn").as("seq"),
+          col("emitted_ts").as("availableAt")).as[Consumer.DeliveryIn],
+        rate = 200.0)
+        .toDF().orderBy("method", "drainTick", "seq")
+    }),
+
+    // ------------------------------------------------ more analytics
+    "q_lineitem_orders_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")),
+    "q_events_user_topk" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(10)))
 
   /** DuckDB oracle SQL per query (same keys as `queries`). */
   def oracleSql: Map[String, String] = Oracles.all

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Consumer-side delivery mechanics
+  * (`web/App.tsx:2102-2248`, `src/changefeed/model.ts:246-274`):
+  * token-bucket throttling and per-tick broker delivery with caps.
+  *
+  * These are inherently sequential *per consumer lane*, so they run as a
+  * per-partition fold after partitioning by lane (method) — the same
+  * secondary-sort shape as the apply engine: shuffle on the lane key, sort
+  * within partition, O(1) state. One lane's drain order never depends on
+  * another lane's, so lanes parallelize.
+  */
+object Consumer {
+
+  case class DeliveryIn(method: String, seq: Long, availableAt: Long)
+  case class DeliveryOut(method: String, seq: Long, availableAt: Long, drainTick: Long, drainMs: Long)
+
+  /** Token-bucket drain (`web/App.tsx:2106-2113,2185-2201`): every `stepMs`
+    * tick, `allowance += rate * stepMs / 1000` capped at `5 * rate`; the
+    * consumer drains `min(floor(allowance), batchCap)` available events.
+    * Returns each event's drain tick (and its wall time).
+    */
+  def throttleDrain(
+      events: Dataset[DeliveryIn],
+      rate: Double,
+      stepMs: Long = 50L,
+      batchCap: Int = 50): Dataset[DeliveryOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("method"))
+      .sortWithinPartitions("method", "availableAt", "seq")
+      .mapPartitions { it =>
+        var method: String = null
+        var tick = 0L
+        var allowance = 0.0
+        val cap = 5 * rate
+        val pending = scala.collection.mutable.Queue[DeliveryIn]()
+        val out = scala.collection.mutable.ArrayBuffer[DeliveryOut]()
+        def drainAll(): Unit = {
+          while (pending.nonEmpty) {
+            tick += 1
+            allowance = math.min(allowance + rate * stepMs / 1000.0, cap)
+            var budget = math.min(math.floor(allowance).toLong, batchCap.toLong)
+            while (budget > 0 && pending.nonEmpty &&
+              pending.head.availableAt <= tick * stepMs) {
+              val e = pending.dequeue()
+              out += DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
+              allowance -= 1; budget -= 1
+            }
+            // nothing deliverable yet: advance the clock to the next event
+            if (budget == 0 || (pending.nonEmpty && pending.head.availableAt > tick * stepMs)) ()
+          }
+        }
+        def flush(): Iterator[DeliveryOut] = {
+          drainAll()
+          val r = out.toList.iterator
+          out.clear()
+          r
+        }
+        val results = scala.collection.mutable.ArrayBuffer[DeliveryOut]()
+        it.foreach { e =>
+          if (method != null && e.method != method) {
+            results ++= flush()
+            tick = 0L; allowance = 0.0 // each lane has its own clock/bucket
+          }
+          method = e.method
+          pending.enqueue(e)
+        }
+        results ++= flush()
+        results.iterator
+      }
+  }
+
+  /** Broker poll delivery (`model.ts:246-274`): per tick, deliver from each
+    * partition's queue head while `availableAt <= clock`, at most
+    * `maxApplyPerTick` per partition per tick. Batch form: computes each
+    * event's delivery tick from its position in the partition queue.
+    * `ceil(pos / maxApplyPerTick)`-th eligible tick after availability.
+    */
+  def brokerDelivery(
+      routed: DataFrame, // part, seq/lsn col, available_at
+      seqCol: String,
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part").orderBy(col("available_at"), col(seqCol))
+    routed
+      .withColumn("queue_pos", row_number().over(w))
+      // earliest tick where the event is available
+      .withColumn("avail_tick", ceil(col("available_at").cast("double") / tickMs).cast("long"))
+      // per-partition throughput cap: position in queue bounds the tick
+      .withColumn("cap_tick", ceil(col("queue_pos").cast("double") / maxApplyPerTick).cast("long"))
+      .withColumn("deliver_tick", greatest(col("avail_tick"), col("cap_tick")))
+      .withColumn("deliver_ms", col("deliver_tick") * tickMs)
+  }
+
+  /** Pause/resume gate for `foreachBatch` consumers
+    * (`web/App.tsx:2103`; SIGUSR1/2 pause in `consumer.mjs:453-461`):
+    * batches processed only while open; closed batches are skipped (the
+    * backlog builds in the source, exactly like a paused consumer). */
+  final class PauseGate extends Serializable {
+    @volatile private var open = true
+    def pause(): Unit = open = false
+    def resume(): Unit = open = true
+    def isOpen: Boolean = open
+    /** Wrap a foreachBatch body. */
+    def guard[T](body: (Dataset[T], Long) => Unit): (Dataset[T], Long) => Unit =
+      (ds, id) => if (open) body(ds, id)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scenario fixture scan + normaliser.
+  *
+  * Fixtures are the reference's scenario JSON shape
+  * (`src/features/shared-scenarios.ts:33-48`: `{id, name, seed, table,
+  * schema[], rows[], ops[]}` with ops `{t, table?, op, pk?, after?, txn?}`).
+  * The normaliser reproduces `shared-scenario-normaliser.ts:224-400`:
+  *   - op-code normalisation: c/create/r/read/s/snapshot → insert, u →
+  *     update, d → delete (`:262-271`);
+  *   - pk derivation: explicit pk, else from `after[pkColumn]` (`:224-260`);
+  *   - fallback table and timestamps (cumulative index when `t` missing);
+  *   - ops without a derivable pk are dropped;
+  *   - ops sorted by `t` (`harness/generator/generator.js:11-13`).
+  */
+object ScenarioSource {
+
+  /** Read one scenario fixture (multi-line JSON). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** `pk` may be a `{id}` struct (inferred) or absent/null. */
+  private def explicitPk(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("pk").dataType match {
+      case _: org.apache.spark.sql.types.StructType => col("pk.id").cast("string")
+      case _ => col("pk").cast("string")
+    }
+
+  private def normalisedSchemaOf(df: DataFrame): DataFrame = df
+
+  /** Normalise the `ops` array of a scenario into the canonical op stream:
+    * (t, tbl, pk, op, after_json). `pkColumn` names the pk field inside
+    * `after` payloads (the fixture schema's pk column, default "id"). */
+  def normaliseOps(scenario: DataFrame, pkColumn: String = "id", fallbackTable: String = "data"): DataFrame = {
+    val ops = scenario
+      .select(coalesce(col("table"), lit(fallbackTable)).as("scenario_table"), explode(col("ops")).as("op"))
+      .select(col("scenario_table"), col("op.*"))
+    // ops may omit per-op fields entirely (schema inferred from JSON)
+    val withOptional = Seq("table", "pk", "t").foldLeft(ops) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+    }
+    val normalised = withOptional
+      .withColumn("op_norm",
+        when(lower(col("op")).isin("c", "create", "r", "read", "s", "snapshot", "insert"), "insert")
+          .when(lower(col("op")).isin("u", "update"), "update")
+          .when(lower(col("op")).isin("d", "delete"), "delete"))
+      .filter(col("op_norm").isNotNull)
+      .withColumn("tbl", coalesce(col("table"), col("scenario_table")))
+      .withColumn("pk_norm", coalesce(
+        explicitPk(normalisedSchemaOf(withOptional)),
+        get_json_object(to_json(col("after")), s"$$.$pkColumn")))
+      .filter(col("pk_norm").isNotNull)
+    val withT = normalised.withColumn("t_norm",
+      coalesce(col("t").cast("long"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tbl").orderBy(monotonically_increasing_id())) * 10).cast("long")))
+    withT
+      .select(
+        col("t_norm").as("t"), col("tbl"), col("pk_norm").as("pk"),
+        col("op_norm").as("op"), to_json(col("after")).as("after_json"))
+      .orderBy("t", "pk")
+  }
+}

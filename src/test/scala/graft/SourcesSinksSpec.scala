@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.{DebeziumSource, ScenarioSource, WorkloadGen}
+
+/** Scenario fixture IO + normaliser, Debezium envelope decode, NDJSON export,
+  * idempotent upsert, workload generators. */
+class SourcesSinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("scenario fixture scan + normaliser: op codes, pk derivation, sort by t") {
+    val fixture = """{
+      "id": "crud-basic", "name": "CRUD basics", "seed": 7, "table": "customers",
+      "ops": [
+        {"t": 300, "op": "d", "pk": {"id": "c1"}},
+        {"t": 100, "op": "c", "after": {"id": "c1", "name": "Ada"}},
+        {"t": 200, "op": "u", "after": {"id": "c1", "name": "Ada L."}},
+        {"t": 250, "op": "noop", "after": {"id": "c9"}},
+        {"t": 260, "op": "u", "after": {"name": "no-pk, dropped"}},
+        {"t": 280, "op": "snapshot", "after": {"id": "c2"}}
+      ]}"""
+    val dir = Files.createTempDirectory("scenario").toFile
+    val path = new java.io.File(dir, "s.json")
+    Files.writeString(path.toPath, fixture)
+    val ops = ScenarioSource.normaliseOps(ScenarioSource.read(spark, path.getPath)).collect()
+    assert(ops.map(_.getAs[String]("op")).toSeq ===
+      Seq("insert", "update", "insert", "delete")) // sorted by t; noop+no-pk dropped
+    assert(ops.forall(_.getAs[String]("tbl") == "customers"))
+    assert(ops.map(_.getAs[String]("pk")).toSeq === Seq("c1", "c1", "c2", "c1"))
+  }
+
+  test("debezium envelope decode: op normalisation, payload unwrap, allowlist") {
+    val envelopes = Seq(
+      """{"op":"c","after":"{\"id\":\"1\",\"v\":5}","ts_ms":100,"source":{"table":"users","lsn":1}}""",
+      """{"op":"r","after":"{\"id\":\"2\"}","ts_ms":110,"source":{"table":"users","lsn":2}}""",
+      """{"op":"d","before":"{\"id\":\"1\"}","ts_ms":120,"source":{"table":"users","lsn":3},"tx":{"id":"t1","index":0,"total":1,"last":true}}""",
+      """{"payload":"{\"op\":\"u\",\"after\":\"{\\\"id\\\":\\\"3\\\"}\",\"ts_ms\":130,\"source\":{\"table\":\"users\",\"lsn\":4}}"}""",
+      """{"op":"c","after":"{\"id\":\"9\"}","ts_ms":140,"source":{"table":"other","lsn":5}}"""
+    ).toDF("value")
+    val out = DebeziumSource.decode(envelopes, col("value"), tableAllowlist = Seq("users"))
+      .orderBy("lsn").collect()
+    assert(out.length === 4) // 'other' filtered
+    assert(out.map(_.getAs[String]("op")).toSeq === Seq("insert", "insert", "delete", "update"))
+    assert(out.map(_.getAs[String]("pk")).toSeq === Seq("1", "2", "1", "3")) // delete pk from before
+    assert(out(2).getAs[String]("tx_id") === "t1")
+    assert(out.forall(_.getAs[Boolean]("tx_last")))
+  }
+
+  test("ndjson export: stable field order, coercions") {
+    val events = Seq((2L, "u", " padded ", "7.5"), (1L, "c", "x", "oops"))
+      .toDF("seq", "op", "s", "num")
+      .select(col("seq"), col("op"),
+        Sinks.coerceString(col("s")).as("s"),
+        Sinks.coerceNumber(col("num")).as("num"))
+    val lines = Sinks.ndjsonLines(events.orderBy("seq"), Seq("seq", "op", "s", "num"))
+      .as[String].collect()
+    assert(lines(0) === """{"seq":1,"op":"c","s":"x"}""") // non-numeric num dropped (null omitted)
+    assert(lines(1) === """{"seq":2,"op":"u","s":"padded","num":7.5}""")
+  }
+
+  test("idempotent upsert: applying the same batch twice is a no-op") {
+    val current = Seq(("t0", "1", 1.0), ("t0", "2", 2.0)).toDF("tbl", "pk", "v")
+    val batch = Seq(
+      ("t0", "1", "u", 10.0, 5L), // update
+      ("t0", "2", "d", 0.0, 6L), // delete
+      ("t0", "3", "c", 3.0, 7L), // insert
+      ("t0", "3", "u", 30.0, 8L) // later update wins within batch
+    ).toDF("tbl", "pk", "op_code", "v", "seq")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val once = Sinks.idempotentUpsert(current, batch, "seq", Seq("v"))
+    val twice = Sinks.idempotentUpsert(once, batch, "seq", Seq("v"))
+    val expected = Set(("t0", "1", 10.0), ("t0", "3", 30.0))
+    assert(state(once) === expected)
+    assert(state(twice) === expected)
+  }
+
+  test("workload generators are deterministic and honor their contracts") {
+    val a = WorkloadGen.randomScenario(7, "t0")
+    val b = WorkloadGen.randomScenario(7, "t0")
+    assert(a === b, "same seed, same scenario")
+    assert(a.size >= 6 && a.exists(_._4 == "delete"))
+    assert(WorkloadGen.randomScenario(8, "t0") !== a)
+
+    val live = WorkloadGen.liveWorkload(12, 42, "t0")
+    assert(live.size === 12)
+    assert(live.head._4 === "insert") // nothing live yet on cycle 0
+    assert(live.map(_._1) === live.map(_._1).sorted, "time increases")
+    val df = WorkloadGen.toOpsDf(spark, live)
+    assert(df.count() === 12)
+  }
+}
