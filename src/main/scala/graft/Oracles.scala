@@ -530,6 +530,26 @@ object Oracles {
       FROM agg)
     ORDER BY metric"""
 
+  /** Apply-on-commit commit-floor (`src/changefeed/model.ts:169-244`):
+    * applied_at = running max of txn delivery-completion over commit order. */
+  val cdcCommitFloor: String = s"""WITH $opsCte,
+    drifted AS (
+      SELECT *, t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 AS available_at
+      FROM ops),
+    txns AS (
+      SELECT event_id // 3 AS tx_num,
+             max(t) + 100 AS commit_ts,
+             min(lsn) AS first_lsn,
+             max(available_at) AS ready_at
+      FROM drifted GROUP BY 1)
+    SELECT 'tx-' || CAST(tx_num AS VARCHAR) AS tx_id, commit_ts, first_lsn, ready_at,
+      row_number() OVER (ORDER BY commit_ts, first_lsn) AS apply_order,
+      max(ready_at) OVER (ORDER BY commit_ts, first_lsn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS applied_at,
+      max(ready_at) OVER (ORDER BY commit_ts, first_lsn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ready_at AS held_ms
+    FROM txns ORDER BY apply_order"""
+
   /** Broker per-tick delivery schedule (`src/changefeed/model.ts:246-274`):
     * deliver_tick = max(availability tick, queue-position / per-tick cap). */
   val cdcBrokerDelivery: String = s"""WITH $opsCte,
@@ -571,6 +591,7 @@ object Oracles {
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
+    "cdc_commit_floor" -> cdcCommitFloor,
     "cdc_broker_delivery" -> cdcBrokerDelivery,
     "cdc_state_hash" -> cdcStateHash,
     "q_lineitem_orders_join" -> qLineitemOrdersJoin,

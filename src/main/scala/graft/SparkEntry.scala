@@ -211,6 +211,22 @@ object SparkEntry {
         .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
       Evaluate.lane(ops(s, dir), state, actual, pollState).orderBy("metric")
     }),
+    "cdc_commit_floor" -> ((s, dir) => {
+      val drifted = Broker.withDrift(
+        ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))
+      val txns = drifted
+        .withColumn("tx_num", expr("event_id div 3"))
+        .groupBy("tx_num")
+        .agg(
+          (max(col("t")) + 100L).as("commit_ts"),
+          min(col("lsn")).as("first_lsn"),
+          max(col("available_at")).as("ready_at"))
+        .withColumn("tx_id", concat(lit("tx-"), col("tx_num").cast("string")))
+      Txn.applyOnCommit(txns)
+        .select("tx_id", "commit_ts", "first_lsn", "ready_at",
+          "apply_order", "applied_at", "held_ms")
+        .orderBy("apply_order")
+    }),
     "cdc_broker_delivery" -> ((s, dir) => {
       val drifted = Broker.withDrift(
         ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))

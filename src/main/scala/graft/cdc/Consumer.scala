@@ -38,12 +38,20 @@ object Consumer {
         var tick = 0L
         var allowance = 0.0
         val cap = 5 * rate
+        val perTick = rate * stepMs / 1000.0
         val pending = scala.collection.mutable.Queue[DeliveryIn]()
         val out = scala.collection.mutable.ArrayBuffer[DeliveryOut]()
         def drainAll(): Unit = {
           while (pending.nonEmpty) {
-            tick += 1
-            allowance = math.min(allowance + rate * stepMs / 1000.0, cap)
+            // jump the clock straight to the next tick at which the head
+            // event is available — ticking 50 ms at a time through absolute
+            // epoch timestamps would spin forever; idle ticks only accrue
+            // allowance, which the cap bounds, so the jump is lossless
+            val needTick = Math.floorDiv(pending.head.availableAt - 1, stepMs) + 1
+            val nextTick = math.max(tick + 1, needTick)
+            val idleTicks = nextTick - tick
+            allowance = math.min(allowance + perTick * idleTicks, cap)
+            tick = nextTick
             var budget = math.min(math.floor(allowance).toLong, batchCap.toLong)
             while (budget > 0 && pending.nonEmpty &&
               pending.head.availableAt <= tick * stepMs) {
@@ -51,8 +59,6 @@ object Consumer {
               out += DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
               allowance -= 1; budget -= 1
             }
-            // nothing deliverable yet: advance the clock to the next event
-            if (budget == 0 || (pending.nonEmpty && pending.head.availableAt > tick * stepMs)) ()
           }
         }
         def flush(): Iterator[DeliveryOut] = {

@@ -41,4 +41,27 @@ object Txn {
       .withColumn("tx_id", concat(lit("tx-"), col("tx_num").cast("string")))
       .select("tx_id", "tx_num", "n_events", "n_tables", "commit_ts", "first_lsn", "apply_order")
   }
+
+  /** Apply-on-commit with the commit-floor barrier
+    * (`src/changefeed/model.ts:169-244`): a completed transaction applies
+    * only once the commit floor — the min commitTs over everything still
+    * in flight — has passed it, and txns apply in `(commitTs, lsn)` order.
+    *
+    * Batch closed form: with per-txn delivery-completion time `ready_at`
+    * (max broker delivery time of its events, possibly drift-reordered), a
+    * txn's `applied_at` is the running max of `ready_at` over commit order —
+    * it can never apply before a commit-earlier txn is complete, which is
+    * exactly what the floor enforces. Atomicity under drift falls out: a
+    * drifted event delays its whole txn and every commit-later txn.
+    *
+    * Input: one row per txn with (tx_id, commit_ts, first_lsn, ready_at).
+    */
+  def applyOnCommit(txns: DataFrame): DataFrame = {
+    val commitOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
+    txns
+      .withColumn("apply_order", row_number().over(commitOrder))
+      .withColumn("applied_at",
+        max(col("ready_at")).over(commitOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("held_ms", col("applied_at") - col("ready_at"))
+  }
 }

@@ -77,6 +77,57 @@ object Streams {
         })
   }
 
+  /** Apply-on-commit with the commit floor as an event-time watermark
+    * (`src/changefeed/model.ts:169-244`, SURVEY §2.9: the floor — min
+    * commitTs over in-flight events — IS the watermark). Transactions
+    * assemble per txId; a *complete* transaction is held in state until the
+    * watermark passes its commitTs (drifted stragglers keep the watermark —
+    * and therefore every commit-later txn — back), then emits. Incomplete
+    * txns are dropped when the watermark passes them by `lateness`.
+    */
+  def applyOnCommitStream(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 seconds"): Dataset[AssembledTxn] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val watermarked = events
+      .withColumn("event_time", timestamp_millis(col("commitTs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    watermarked
+      .groupByKey(_.txId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (txId: String, incoming: Iterator[Event], state: GroupState[TxnBuf]) => {
+          def assembled(buf: Seq[Event]): AssembledTxn = {
+            val sorted = buf.sortBy(e => (e.txIndex, e.lsn)).toList
+            AssembledTxn(txId, sorted.size, sorted.map(_.commitTs).max,
+              sorted.map(_.lsn).min, sorted)
+          }
+          if (state.hasTimedOut) {
+            val buf = state.getOption.map(_.events).getOrElse(Seq.empty)
+            state.remove()
+            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
+            val complete = buf.size >= total || buf.exists(_.last)
+            if (complete) Iterator.single(assembled(buf)) else Iterator.empty
+          } else {
+            val buf = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming).toList
+            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
+            val complete = buf.size >= total || buf.exists(_.last)
+            val commitTs = buf.map(_.commitTs).max
+            if (complete && state.getCurrentWatermarkMs() >= commitTs) {
+              state.remove()
+              Iterator.single(assembled(buf))
+            } else {
+              state.update(TxnBuf(buf))
+              // hold until the floor (watermark) passes the commit
+              state.setTimeoutTimestamp(math.max(commitTs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+        })
+  }
+
   /** Materialized destination row emitted by the streaming apply. */
   case class RowState(
       tbl: String, pk: String, valV: Option[Double], kV: Option[Long],

@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("commit-floor apply holds complete txns until the watermark passes their commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.applyOnCommitStream(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("floor_txns")
+      .outputMode("append").start()
+
+    // tx-a completes with commitTs ~ 1100+2 — but the watermark is still 0
+    input.addData(
+      ev("tx-a", 0, 2, "t0", "a", "c", 1, v = Some(1.0)),
+      ev("tx-a", 1, 2, "t0", "a", "u", 2, k = Some(2L)))
+    q.processAllAvailable()
+    assert(spark.table("floor_txns").count() === 0,
+      "complete txn must be held while the floor is behind its commit")
+
+    // a much later event advances the watermark past tx-a's commit
+    input.addData(ev("tx-b", 0, 9, "t1", "b", "c", 1000000L))
+    q.processAllAvailable()
+    // one more batch so the new watermark takes effect for timeouts
+    input.addData(ev("tx-b", 1, 9, "t1", "b", "u", 1000001L))
+    q.processAllAvailable()
+    val emitted = spark.table("floor_txns").as[AssembledTxn].collect()
+    assert(emitted.map(_.txId).toSeq === Seq("tx-a"), "floor passed ⇒ tx-a applies; tx-b incomplete")
+    assert(emitted.head.events.map(_.txIndex) === Seq(0, 1))
+    q.stop()
+  }
+
   test("offset dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -26,4 +26,18 @@ class TxnSpec extends SparkSpec {
     assert(second.getAs[Long]("n_events") === 2L)
     assert(second.getAs[Long]("commit_ts") === 310L)
   }
+
+  test("commit-floor: a late txn holds back every commit-later txn (atomic under drift)") {
+    import spark.implicits._
+    val txns = Seq(
+      // tx1 commits first but its last event is drifted until t=500
+      ("tx-1", 100L, 1L, 500L),
+      ("tx-2", 200L, 4L, 250L), // ready before tx-1 — must still wait
+      ("tx-3", 300L, 7L, 600L)
+    ).toDF("tx_id", "commit_ts", "first_lsn", "ready_at")
+    val out = graft.cdc.Txn.applyOnCommit(txns).orderBy("apply_order").collect()
+    assert(out.map(_.getAs[Long]("applied_at")).toSeq === Seq(500L, 500L, 600L))
+    assert(out(1).getAs[Long]("held_ms") === 250L, "tx-2 held behind drifted tx-1")
+    assert(out.map(_.getAs[String]("tx_id")).toSeq === Seq("tx-1", "tx-2", "tx-3"))
+  }
 }
