@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.cdc.ApplyEngine
+import graft.cdc.ApplyEngine.OpIn
+import graft.functions.Hash31
+
+/** ScalaCheck-generator randomized properties (sampled with fixed seeds for
+  * reproducibility — no scalatestplus bridge in the offline cache):
+  * hash31 against an independently written model of the reference algorithm,
+  * and the distributed merge-fold against a naive single-threaded reference
+  * fold over arbitrary op sequences.
+  */
+class GenPropertiesSpec extends SparkSpec {
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // independent reimplementation of src/changefeed/model.ts:92-98
+  private def modelHash(s: String, mod: Long): Long =
+    s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % mod)
+
+  test("hash31 matches the reference model on random ASCII strings") {
+    val gen = Gen.zip(Gen.asciiPrintableStr, Gen.oneOf(9973L, 65521L, 104729L, 1000003L))
+    samples(gen, 200).foreach { case (s, mod) =>
+      assert(Hash31.eval(s, mod) === modelHash(s, mod))
+      assert(Hash31.eval(s, mod) >= 0 && Hash31.eval(s, mod) < mod)
+    }
+  }
+
+  test("hash31 matches on random unicode strings (UTF-16 code units)") {
+    val gen = Gen.listOf(Gen.choose(1, 0xFFFF).map(_.toChar)).map(_.mkString)
+    samples(gen, 100).foreach { s =>
+      assert(Hash31.eval(s, 9973L) === modelHash(s, 9973L))
+    }
+  }
+
+  /** Naive reference fold: the semantics of `src/domain/storage.ts:137-164`
+    * applied sequentially in memory. */
+  private def naiveFold(ops: Seq[OpIn]): Map[(String, String), (Option[Double], Option[Long], Long, Long)] = {
+    var state = Map.empty[(String, String), (Option[Double], Option[Long], Long, Long)]
+    ops.sortBy(_.lsn).foreach { op =>
+      val key = (op.tbl, op.pk)
+      if (op.op == "delete") state -= key
+      else {
+        val (v, k, ver, _) = state.getOrElse(key, (None, None, 0L, 0L))
+        state += key -> (
+          if (op.setsVal) op.valV else v,
+          if (op.setsK) op.kV else k,
+          ver + 1, op.t)
+      }
+    }
+    state
+  }
+
+  private val opsGen: Gen[Seq[OpIn]] = {
+    val one = for {
+      tbl <- Gen.oneOf("t0", "t1")
+      pk <- Gen.oneOf("1", "2", "3")
+      kind <- Gen.frequency(4 -> "insert", 4 -> "update", 2 -> "delete")
+      sv <- Gen.oneOf(true, false)
+      sk <- Gen.oneOf(true, false)
+      v <- Gen.choose(0.0, 100.0)
+      k <- Gen.choose(0L, 100L)
+    } yield (tbl, pk, kind, sv, sk, v, k)
+    Gen.listOfN(30, one).map { raw =>
+      raw.zipWithIndex.map { case ((tbl, pk, kind, sv0, sk, v, k), i) =>
+        val isDel = kind == "delete"
+        val sv = sv0 || !sk // non-delete ops must set something
+        OpIn(tbl, pk, i + 1L, (i + 1) * 10L, kind,
+          setsVal = !isDel && sv, if (!isDel && sv) Some(v) else None,
+          setsK = !isDel && sk, if (!isDel && sk) Some(k) else None)
+      }
+    }
+  }
+
+  test("distributed merge-fold equals the naive reference fold on random op sequences") {
+    import spark.implicits._
+    samples(opsGen, 8).foreach { ops =>
+      val df = ops.toDS().toDF()
+        .withColumnRenamed("setsVal", "sets_val")
+        .withColumnRenamed("valV", "val")
+        .withColumnRenamed("setsK", "sets_k")
+        .withColumnRenamed("kV", "k")
+      val folded = ApplyEngine.applyState(df).collect().map { r =>
+        (r.getString(0), r.getString(1)) -> ((
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4), r.getLong(5)))
+      }.toMap
+      assert(folded === naiveFold(ops))
+    }
+  }
+}
