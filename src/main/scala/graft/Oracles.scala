@@ -588,6 +588,68 @@ object Oracles {
     SELECT user_id, count(*) AS cnt FROM events
     GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"""
 
+  /** Event op-set + term search over the haystack (`web/App.tsx:1420-1465`). */
+  val cdcEventSearch: String = s"""WITH $stateCte, $logLaneCte
+    SELECT op_code, count(*) AS cnt
+    FROM log_lane
+    WHERE op_code IN ('c', 'd')
+      AND lower(tbl || ' ' || op_code || ' ' || pk) LIKE '%7%'
+    GROUP BY op_code ORDER BY op_code"""
+
+  /** Aggregate bus totals across lanes (`web/App.tsx:2783-2802`). */
+  val cdcBusTotals: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte,
+    lanes AS (
+      SELECT 'log' AS method, count(*) AS produced FROM log_lane
+      UNION ALL SELECT 'poll', count(*) FROM poll
+      UNION ALL SELECT 'trigger', count(*) FROM trig_lane)
+    SELECT method, produced FROM lanes
+    UNION ALL
+    SELECT 'total', CAST(sum(produced) AS BIGINT) FROM lanes
+    ORDER BY method"""
+
+  val qPartPushdown: String = """
+    SELECT p_brand, count(*) AS cnt,
+      CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail
+    FROM part WHERE p_size > 25 AND p_type = 'ECONOMY'
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** IVF ANN: deterministic centroids (vec_id < 16), nProbe=4, exact top-3
+    * within probed lists — mirrors `Similarity.ivfTopK`. */
+  val annIvfTopK: String = s"""WITH
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
+    ranked AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS c_rank
+      FROM n, cents c),
+    assigned AS (
+      SELECT vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm, c_id AS list_id
+      FROM ranked WHERE c_rank = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id AS list_id
+      FROM ranked WHERE c_rank <= 4 AND vec_id < 10),
+    scored AS (
+      SELECT q_id, n_id,
+        ${dotSql("q_emb", "n_emb")} / (q_nrm * n_nrm) AS cos
+      FROM probes JOIN assigned USING (list_id)
+      WHERE q_id <> n_id),
+    topk AS (
+      SELECT q_id, n_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos_sim
+    FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
+  /** Frame sampling over stubbed media metadata. */
+  val mmFrameSample: String = """
+    SELECT doc_id, frame_idx,
+      md5(text) || ':' || CAST(frame_idx AS VARCHAR) AS frame_id
+    FROM (SELECT doc_id, text,
+            unnest(range(0, 1 + octet_length(encode(text)) % 120, 10)) AS frame_idx
+          FROM documents)
+    ORDER BY doc_id, frame_idx"""
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -596,6 +658,11 @@ object Oracles {
     "cdc_state_hash" -> cdcStateHash,
     "q_lineitem_orders_join" -> qLineitemOrdersJoin,
     "q_events_user_topk" -> qEventsUserTopk,
+    "cdc_event_search" -> cdcEventSearch,
+    "cdc_bus_totals" -> cdcBusTotals,
+    "q_part_pushdown" -> qPartPushdown,
+    "ann_ivf_topk" -> annIvfTopK,
+    "mm_frame_sample" -> mmFrameSample,
     "cdc_log_capture" -> cdcLogCapture,
     "cdc_trigger_capture" -> cdcTriggerCapture,
     "cdc_poll_capture" -> cdcPollCapture,

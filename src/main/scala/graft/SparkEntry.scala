@@ -270,7 +270,41 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("user_id"))
-        .limit(10)))
+        .limit(10)),
+    "cdc_event_search" -> ((s, dir) => {
+      val lane = Capture.log(st(s, dir))
+      val hay = Canonical.haystack(Seq(col("tbl"), col("op_code"), col("pk")))
+      lane
+        .filter(col("op_code").isin("c", "d") && Canonical.matchesAllTerms(hay, Seq("7")))
+        .groupBy("op_code").agg(count(lit(1)).as("cnt"))
+        .orderBy("op_code")
+    }),
+    "cdc_bus_totals" -> ((s, dir) => {
+      val state = st(s, dir)
+      val lanes =
+        Capture.log(state).groupBy().agg(count(lit(1)).as("produced"))
+          .select(lit("log").as("method"), col("produced"))
+          .unionAll(Capture.poll(state).groupBy().agg(count(lit(1)).as("produced"))
+            .select(lit("poll").as("method"), col("produced")))
+          .unionAll(Capture.trigger(state).groupBy().agg(count(lit(1)).as("produced"))
+            .select(lit("trigger").as("method"), col("produced")))
+      lanes
+        .unionAll(lanes.groupBy().agg(sum("produced").as("produced"))
+          .select(lit("total").as("method"), col("produced")))
+        .orderBy("method")
+    }),
+    "q_part_pushdown" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_size") > 25 && col("p_type") === "ECONOMY")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double").as("retail"))
+        .orderBy("p_brand")),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")))
 
   /** DuckDB oracle SQL per query (same keys as `queries`). */
   def oracleSql: Map[String, String] = Oracles.all

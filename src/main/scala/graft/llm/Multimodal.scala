@@ -27,6 +27,19 @@ object Multimodal {
     (640 + n % 640, 360 + n % 360, 1 + n % 120)
   }
 
+  /** Deterministic frame sampling over the (stubbed) decoded media: every
+    * `stride`-th frame index up to the fake frame count — the batch shape a
+    * video pipeline uses (explode frames, process per frame, regroup).
+    * Returns one row per sampled frame with a content-addressed frame id. */
+  def frameSample(docs: org.apache.spark.sql.DataFrame, stride: Int = 10): org.apache.spark.sql.DataFrame = {
+    val meta = binaryMeta(docs)
+    meta
+      .select(col("doc_id"), col("content_hash"), col("fake_frames"),
+        explode(sequence(lit(0), col("fake_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
+  }
+
   /** Build a binary media column from text (placeholder payload), then
     * extract metadata partition-parallel in typed batches. */
   def binaryMeta(docs: DataFrame): DataFrame = {

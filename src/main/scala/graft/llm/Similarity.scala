@@ -74,6 +74,50 @@ object Similarity {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer assigns every vector to its nearest centroid ("list"); a
+    * query probes only the `nProbe` nearest lists and scores exactly within
+    * them. Centroids here are deterministic (the first `nLists` corpus
+    * vectors) so the oracle reproduces the index bit-for-bit; a production
+    * build would k-means them — the query path is identical.
+    *
+    * Scale shape: centroids broadcast (tiny); assignment is one codegen'd
+    * projection over the corpus; the probe is an equality join on list id.
+    * Corpus is never collected; per-list candidate sets shrink the scored
+    * set by ~nLists/nProbe versus brute force.
+    */
+  def ivfTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < nLists)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          norm(col("embedding")).as("c_nrm")))
+    val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // rank centroids per vector by cosine; rank 1 = assignment, ranks ≤ nProbe = probe set
+    def ranked(df: DataFrame, idCol: String): DataFrame = {
+      val scored = df.join(centroids,
+          col(idCol).isNotNull) // cross vs broadcast centroid table
+        .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("c_id"))
+      scored.withColumn("c_rank", row_number().over(w))
+    }
+    val assigned = ranked(withNorm, "vec_id")
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("c_id").as("list_id"))
+    val probes = ranked(withNorm.filter(col("vec_id") < nQueries), "vec_id")
+      .filter(col("c_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id").as("list_id"))
+    val scored = probes.join(assigned, "list_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`: LSH-bucketed
     * candidate generation (equality self-join on bucket) + exact re-check.
     * At 100 TB the bucket join replaces the quadratic scan; recall is tuned
