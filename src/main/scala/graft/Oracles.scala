@@ -641,6 +641,22 @@ object Oracles {
     SELECT q_id, rnk, n_id, round(cos, 4) AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
+  /** Source↔sink verify counts via both-direction anti-joins
+    * (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`). */
+  val cdcVerifyCounts: String = """WITH
+    source AS (SELECT c_custkey AS id FROM customer),
+    sink AS (
+      SELECT id FROM source WHERE id % 50 <> 0
+      UNION ALL SELECT id + 1000000 FROM source WHERE id < 5)
+    SELECT metric, cnt FROM (
+      SELECT 'source_rows' AS metric, count(*) AS cnt FROM source
+      UNION ALL SELECT 'sink_rows', count(*) FROM sink
+      UNION ALL SELECT 'missing_in_sink', count(*) FROM source
+        WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.id = source.id)
+      UNION ALL SELECT 'orphans_in_sink', count(*) FROM sink
+        WHERE NOT EXISTS (SELECT 1 FROM source WHERE source.id = sink.id))
+    ORDER BY metric"""
+
   /** Frame sampling over stubbed media metadata. */
   val mmFrameSample: String = """
     SELECT doc_id, frame_idx,
@@ -663,6 +679,7 @@ object Oracles {
     "q_part_pushdown" -> qPartPushdown,
     "ann_ivf_topk" -> annIvfTopK,
     "mm_frame_sample" -> mmFrameSample,
+    "cdc_verify_counts" -> cdcVerifyCounts,
     "cdc_log_capture" -> cdcLogCapture,
     "cdc_trigger_capture" -> cdcTriggerCapture,
     "cdc_poll_capture" -> cdcPollCapture,

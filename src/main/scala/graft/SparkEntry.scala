@@ -304,7 +304,15 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")))
+      Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")),
+    "cdc_verify_counts" -> ((s, dir) => {
+      // source↔sink verify: sink := source minus every 50th key, plus a few
+      // synthetic orphans — deterministic drift for the anti-join check
+      val source = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      val sink = source.filter(col("id") % 50 =!= 0)
+        .unionAll(source.filter(col("id") < 5).select((col("id") + 1000000L).as("id")))
+      Diff.verifyCounts(source, sink, Seq("id")).orderBy("metric")
+    }))
 
   /** DuckDB oracle SQL per query (same keys as `queries`). */
   def oracleSql: Map[String, String] = Oracles.all

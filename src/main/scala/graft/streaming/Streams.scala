@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming forms of the stateful CDC operators.
@@ -177,6 +177,35 @@ object Streams {
             Iterator.single(next)
           }
         })
+  }
+
+  /** Streaming polling capture (`sim/engines/PollingEngine.ts:59-84` as an
+    * unbounded stream): tumbling event-time windows of `pollIntervalMs` per
+    * key, emitting only the latest state per (key, window) once the
+    * watermark closes the window — the poll's lossy-by-design semantics
+    * (intermediate versions never leave the aggregation). Uses windowed
+    * `max_by` on event time, so state per key-window is O(1).
+    */
+  def pollStream(
+      events: Dataset[Event],
+      pollIntervalMs: Long = 1000L,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val interval = s"$pollIntervalMs milliseconds"
+    events
+      .withColumn("event_time", timestamp_millis(col("commitTs")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), interval), col("tbl"), col("pk"))
+      .agg(
+        max_by(struct(col("opCode"), col("valV"), col("kV"), col("lsn")), col("lsn")).as("latest"),
+        count(lit(1)).as("ops_in_window"))
+      .select(
+        col("tbl"), col("pk"),
+        col("window.end").as("poll_ts"),
+        col("latest.opCode").as("op_code"),
+        col("latest.valV").as("after_val"),
+        col("latest.kV").as("after_k"),
+        col("ops_in_window"))
   }
 
   /** Exactly-once ingestion dedup (`consumer.mjs:122-143` offset-dedup):

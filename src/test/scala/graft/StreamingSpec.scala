@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming poll emits only the latest state per key per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.pollStream(input.toDS(), pollIntervalMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("poll_stream")
+      .outputMode("append").start()
+    // three ops on one key inside window [0, 1000): only the last survives
+    input.addData(
+      Event("tx", 0, 1, true, "t0", "a", "c", true, Some(1.0), false, None, 100L, 1L),
+      Event("tx", 0, 1, true, "t0", "a", "u", true, Some(2.0), false, None, 300L, 2L),
+      Event("tx", 0, 1, true, "t0", "a", "u", false, None, true, Some(9L), 700L, 3L))
+    q.processAllAvailable()
+    // advance the watermark past the window with a later event
+    input.addData(Event("tx", 0, 1, true, "t0", "b", "c", true, Some(5.0), false, None, 5000L, 4L))
+    q.processAllAvailable()
+    input.addData(Event("tx", 0, 1, true, "t0", "c", "c", true, Some(6.0), false, None, 9000L, 5L))
+    q.processAllAvailable()
+    val rows = spark.table("poll_stream").collect()
+    val a = rows.filter(_.getAs[String]("pk") == "a")
+    assert(a.length === 1, "one emission per key-window, intermediates lost")
+    assert(a.head.getAs[Long]("ops_in_window") === 3L)
+    assert(a.head.getAs[String]("op_code") === "u")
+    assert(a.head.isNullAt(a.head.fieldIndex("after_val")), "latest op set only k")
+    assert(a.head.getAs[Long]("after_k") === 9L)
+    q.stop()
+  }
+
   test("offset dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
