@@ -21,9 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force FULL evaluation of every output column: a bare count() lets
+    // Catalyst prune projection-only query bodies down to a parquet row
+    // count, which would systematically understate the work. The noop v2
+    // writer consumes every row on the executors without collecting.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // Warm up the JVM/codegen paths once so the first measured query does
     // not absorb all of class-loading + codegen compilation.
-    try SparkEntry.queries.head._2(spark, sfDir).count()
+    try exec(SparkEntry.queries.head._2(spark, sfDir))
     catch { case _: Throwable => () }
 
     // Optional comma-separated subset for local iteration.
@@ -34,7 +41,7 @@ object Bench {
     val results = selected.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        exec(fn(spark, sfDir))
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case _: Throwable =>

@@ -346,6 +346,31 @@ object Oracles {
     SELECT doc_id, $bitVal AS simhash FROM sums ORDER BY doc_id"""
   }
 
+  /** Distinct 3-gram shingles per doc — mirrors `Dedup.shingles(n=3)`. */
+  val shingles3Cte: String = """sh3 AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                    || ' ' || string_split(text, ' ')[i+2])) AS shingle
+      FROM documents))"""
+
+  def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT a_id, b_id,
+        CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM j
+    WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
+
   def dedupJaccard(threshold: Double): String = s"""WITH $shinglesCte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -704,7 +729,7 @@ object Oracles {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_jaccard" -> dedupJaccard(0.85),
+    "dedup_jaccard" -> dedupJaccard3(0.8),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,

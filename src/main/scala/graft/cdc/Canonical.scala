@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
 object Canonical {
 
   /** Canonical comparable form of a scalar column: trimmed; numeric strings
-    * become plain numbers (`coerceComparable`). */
+    * normalize through an actual numeric round-trip — `'1.50'→'1.5'`,
+    * `'007'→'7'`, `'1e3'→'1000'` — matching the reference's `Number()`
+    * coercion (`coerceComparable`, `index.js:84-87`). */
   def coerceComparable(c: Column): Column = {
     val t = trim(c.cast("string"))
-    when(t.rlike("^-?[0-9]+(\\.[0-9]+)?$"), regexp_replace(t, "\\.0+$", ""))
-      .otherwise(t)
+    val numeric = t.rlike("^-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$")
+    // double round-trip canonicalizes; integers print as "N.0" → strip
+    val canon = regexp_replace(t.cast("double").cast("string"), "\\.0+$", "")
+    when(numeric, canon).otherwise(t)
   }
 
   /** Deterministic JSON of selected columns — field order fixed by sorting

@@ -34,58 +34,51 @@ object Consumer {
       .repartition(col("method"))
       .sortWithinPartitions("method", "availableAt", "seq")
       .mapPartitions { it =>
+        // Streaming fold: drain order equals input order (FIFO per lane),
+        // so each event's drain tick is computable one event at a time with
+        // O(1) state — no lane-sized buffering. The clock jumps straight to
+        // the next relevant tick (idle ticks only accrue allowance, which
+        // the cap bounds, so the jump is lossless; ticking 50 ms at a time
+        // through absolute epoch timestamps would spin forever).
+        val cap = 5 * rate
+        val perTick = rate * stepMs / 1000.0
         var method: String = null
         var tick = 0L
         var allowance = 0.0
-        val cap = 5 * rate
-        val perTick = rate * stepMs / 1000.0
-        val pending = scala.collection.mutable.Queue[DeliveryIn]()
-        val out = scala.collection.mutable.ArrayBuffer[DeliveryOut]()
-        def drainAll(): Unit = {
-          while (pending.nonEmpty) {
-            // jump the clock straight to the next tick at which the head
-            // event is available — ticking 50 ms at a time through absolute
-            // epoch timestamps would spin forever; idle ticks only accrue
-            // allowance, which the cap bounds, so the jump is lossless
-            val needTick = Math.floorDiv(pending.head.availableAt - 1, stepMs) + 1
-            val nextTick = math.max(tick + 1, needTick)
-            val idleTicks = nextTick - tick
-            allowance = math.min(allowance + perTick * idleTicks, cap)
-            tick = nextTick
-            var budget = math.min(math.floor(allowance).toLong, batchCap.toLong)
-            while (budget > 0 && pending.nonEmpty &&
-              pending.head.availableAt <= tick * stepMs) {
-              val e = pending.dequeue()
-              out += DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
-              allowance -= 1; budget -= 1
-            }
+        var usedThisTick = 0
+        it.map { e =>
+          if (e.method != method) {
+            method = e.method
+            tick = 0L; allowance = 0.0; usedThisTick = 0 // per-lane bucket
           }
-        }
-        def flush(): Iterator[DeliveryOut] = {
-          drainAll()
-          val r = out.toList.iterator
-          out.clear()
-          r
-        }
-        val results = scala.collection.mutable.ArrayBuffer[DeliveryOut]()
-        it.foreach { e =>
-          if (method != null && e.method != method) {
-            results ++= flush()
-            tick = 0L; allowance = 0.0 // each lane has its own clock/bucket
+          val needTick = Math.floorDiv(e.availableAt - 1, stepMs) + 1
+          if (needTick > tick) {
+            allowance = math.min(allowance + perTick * (needTick - tick), cap)
+            tick = needTick
+            usedThisTick = 0
           }
-          method = e.method
-          pending.enqueue(e)
+          while (allowance < 1.0 || usedThisTick >= batchCap) {
+            tick += 1
+            allowance = math.min(allowance + perTick, cap)
+            usedThisTick = 0
+          }
+          allowance -= 1
+          usedThisTick += 1
+          DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
         }
-        results ++= flush()
-        results.iterator
       }
   }
 
-  /** Broker poll delivery (`model.ts:246-274`): per tick, deliver from each
-    * partition's queue head while `availableAt <= clock`, at most
-    * `maxApplyPerTick` per partition per tick. Batch form: computes each
-    * event's delivery tick from its position in the partition queue.
-    * `ceil(pos / maxApplyPerTick)`-th eligible tick after availability.
+  /** Broker delivery schedule bound (`model.ts:246-274` computes this with
+    * a per-tick loop; here it is the closed form
+    * `max(availability tick, ⌈queue position / maxApplyPerTick⌉)`).
+    *
+    * Exact when the queue is saturated (events available from the start);
+    * after an idle gap it is a *lower bound* — the tick loop would spread
+    * the backlog over subsequent ticks, the closed form schedules it at
+    * availability. The exact sequential semantics, when needed, are what
+    * `throttleDrain` computes (per-lane fold); this operator is the
+    * embarrassingly-parallel schedule used for backlog/shape analysis.
     */
   def brokerDelivery(
       routed: DataFrame, // part, seq/lsn col, available_at

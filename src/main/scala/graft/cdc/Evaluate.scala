@@ -18,10 +18,14 @@ object Evaluate {
     * lane's replayed destination state.
     */
   def lane(
-      ops: DataFrame,
+      ops0: DataFrame,
       state: DataFrame,
-      actual: DataFrame,
+      actual0: DataFrame,
       stateActual: DataFrame): DataFrame = {
+    // the report fires several small aggregate jobs over these two inputs —
+    // persist them so the capture lineage is not recomputed per metric
+    val ops = ops0.persist()
+    val actual = actual0.persist()
     val expected = state.select(
       concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
       col("t").as("time"), col("lsn").as("ord"))
@@ -49,6 +53,8 @@ object Evaluate {
     val expDel = deletes.collect().head.getLong(0)
     val capDel = capturedDeletes.collect().head.getLong(0)
     val inv = ordering.collect().head.getLong(0)
+    ops.unpersist()
+    actual.unpersist()
     val pass = if (missing == 0 && inv == 0 && mism == 0) 1L else 0L
     Seq(
       ("matched", matched), ("missing", missing), ("extra", extra),

@@ -104,20 +104,19 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs at `threshold`, via lossless
-    * prefix filtering (PPJoin family, Xiao et al. '08): under a global
-    * shingle order (ascending document frequency, then lexicographic), two
-    * sets with `J ≥ t` must share a shingle within each one's first
-    * `|A| - ⌈t·|A|⌉ + 1` shingles. So only those *prefix* shingles — the
-    * rarest ones, by construction — are used as equality-join keys for
-    * candidate generation; candidates are then verified exactly with an
-    * array intersection.
+  /** Exact n-gram Jaccard near-dup pairs at `threshold`: equality join on
+    * shingles with *exact size-compatibility pruning* applied inside the
+    * join (`J(A,B) ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t`), then per-pair intersection
+    * counts. The pruning keeps incompatible pairs out of the pair-count
+    * shuffle — the dominant cost when shingles are hot.
     *
-    * Scale shape: one small frequency aggregate, a join keyed on rare
-    * shingles (Σ freq² over the prefix index stays tiny even when the
-    * corpus vocabulary is skewed), and per-candidate verification — never
-    * an all-pairs product, never Σ freq² over hot shingles. ~6× faster than
-    * the naive shingle join on the bench corpus, identical output.
+    * Scale notes: cost is Σ_shingle freq² post-pruning, bounded by shingle
+    * selectivity (finer shingles → cheaper), never an all-pairs product.
+    * PPJoin-style prefix filtering was tried and *regressed* on this corpus
+    * (tiny saturated vocabulary ⇒ every "rare" shingle is still hot and the
+    * candidate set degenerates); on a corpus where the shingle frequency
+    * distribution has a tail, route candidates through `minhashCandidates`
+    * and use this operator as the exact verifier on candidates only.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

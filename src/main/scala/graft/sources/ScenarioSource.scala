@@ -29,7 +29,13 @@ object ScenarioSource {
       case _ => col("pk").cast("string")
     }
 
-  private def normalisedSchemaOf(df: DataFrame): DataFrame = df
+  /** `after` is a struct when any op carries a payload, else the null
+    * string placeholder (to_json on a non-struct would fail analysis). */
+  private def afterJson(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("after").dataType match {
+      case _: org.apache.spark.sql.types.StructType => to_json(col("after"))
+      case _ => col("after").cast("string")
+    }
 
   /** Normalise the `ops` array of a scenario into the canonical op stream:
     * (t, tbl, pk, op, after_json). `pkColumn` names the pk field inside
@@ -38,8 +44,9 @@ object ScenarioSource {
     val ops = scenario
       .select(coalesce(col("table"), lit(fallbackTable)).as("scenario_table"), explode(col("ops")).as("op"))
       .select(col("scenario_table"), col("op.*"))
-    // ops may omit per-op fields entirely (schema inferred from JSON)
-    val withOptional = Seq("table", "pk", "t").foldLeft(ops) { (df, c) =>
+    // ops may omit per-op fields entirely (schema inferred from JSON) — a
+    // delete-only fixture, for instance, has no `after` anywhere
+    val withOptional = Seq("table", "pk", "t", "after").foldLeft(ops) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
     }
     val normalised = withOptional
@@ -50,8 +57,8 @@ object ScenarioSource {
       .filter(col("op_norm").isNotNull)
       .withColumn("tbl", coalesce(col("table"), col("scenario_table")))
       .withColumn("pk_norm", coalesce(
-        explicitPk(normalisedSchemaOf(withOptional)),
-        get_json_object(to_json(col("after")), s"$$.$pkColumn")))
+        explicitPk(withOptional),
+        get_json_object(afterJson(withOptional), s"$$.$pkColumn")))
       .filter(col("pk_norm").isNotNull)
     val withT = normalised.withColumn("t_norm",
       coalesce(col("t").cast("long"),
@@ -60,7 +67,7 @@ object ScenarioSource {
     withT
       .select(
         col("t_norm").as("t"), col("tbl"), col("pk_norm").as("pk"),
-        col("op_norm").as("op"), to_json(col("after")).as("after_json"))
+        col("op_norm").as("op"), afterJson(withOptional).as("after_json"))
       .orderBy("t", "pk")
   }
 }

@@ -23,6 +23,18 @@ object Streams {
       setsVal: Boolean, valV: Option[Double], setsK: Boolean, kV: Option[Long],
       commitTs: Long, lsn: Long)
 
+  /** Txn completion (`src/changefeed/model.ts:176-205`): complete when the
+    * declared event count has arrived. The `last` flag alone is NOT
+    * completion — under broker drift the last-indexed event can arrive
+    * first, and trusting it would emit a truncated transaction and orphan
+    * its late siblings. `last` only decides when the total is unknown
+    * (unknowable-total streams mark completion explicitly). */
+  private[streaming] def txnComplete(buf: Seq[Event]): Boolean = {
+    val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
+    if (total > 0 && total != Int.MaxValue) buf.size >= total
+    else buf.exists(_.last)
+  }
+
   /** An assembled transaction ready to apply atomically. */
   case class AssembledTxn(
       txId: String, nEvents: Int, commitTs: Long, firstLsn: Long,
@@ -58,9 +70,7 @@ object Streams {
             Iterator.empty
           } else {
             val buf = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming).toList
-            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
-            val complete = buf.size >= total || buf.exists(_.last)
-            if (complete) {
+            if (Streams.txnComplete(buf)) {
               state.remove()
               val sorted = buf.sortBy(e => (e.txIndex, e.lsn))
               Iterator.single(AssembledTxn(
@@ -107,15 +117,11 @@ object Streams {
           if (state.hasTimedOut) {
             val buf = state.getOption.map(_.events).getOrElse(Seq.empty)
             state.remove()
-            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
-            val complete = buf.size >= total || buf.exists(_.last)
-            if (complete) Iterator.single(assembled(buf)) else Iterator.empty
+            if (Streams.txnComplete(buf)) Iterator.single(assembled(buf)) else Iterator.empty
           } else {
             val buf = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming).toList
-            val total = buf.headOption.map(_.txTotal).getOrElse(Int.MaxValue)
-            val complete = buf.size >= total || buf.exists(_.last)
             val commitTs = buf.map(_.commitTs).max
-            if (complete && state.getCurrentWatermarkMs() >= commitTs) {
+            if (Streams.txnComplete(buf) && state.getCurrentWatermarkMs() >= commitTs) {
               state.remove()
               Iterator.single(assembled(buf))
             } else {
