@@ -137,7 +137,7 @@ object Streams {
   /** Materialized destination row emitted by the streaming apply. */
   case class RowState(
       tbl: String, pk: String, valV: Option[Double], kV: Option[Long],
-      version: Long, deleted: Boolean)
+      version: Long, deleted: Boolean, lastLsn: Long = 0L)
 
   /** Streaming merge-upsert apply keyed by (tbl, pk) — the unbounded form of
     * `ApplyEngine.applyState`: delete clears, partial payloads merge
@@ -165,14 +165,15 @@ object Streams {
               RowState(key._1, key._2, None, None, 0L, deleted = true))
             val next = incoming.toSeq.sortBy(_.lsn).foldLeft(start) { (cur, e) =>
               if (e.opCode == "d")
-                RowState(key._1, key._2, None, None, 0L, deleted = true)
+                RowState(key._1, key._2, None, None, 0L, deleted = true, lastLsn = e.lsn)
               else {
                 val base = if (cur.deleted) RowState(key._1, key._2, None, None, 0L, deleted = false) else cur
                 base.copy(
                   valV = if (e.setsVal) e.valV else base.valV,
                   kV = if (e.setsK) e.kV else base.kV,
                   version = base.version + 1,
-                  deleted = false)
+                  deleted = false,
+                  lastLsn = e.lsn)
               }
             }
             if (next.deleted) state.remove()

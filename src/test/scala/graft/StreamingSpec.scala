@@ -130,6 +130,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming apply converges to the batch merge-fold state (cross-layer parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one deterministic scenario, split across three micro-batches
+    val opTuples = graft.sources.WorkloadGen.randomScenario(11, "t0")
+    val events = opTuples.zipWithIndex.map { case ((t, tbl, pk, op, sv, v, sk, k), i) =>
+      Event(s"tx-$i", 0, 1, last = true, tbl, pk,
+        if (op == "insert") "c" else if (op == "delete") "d" else "u",
+        sv, v, sk, k, commitTs = t, lsn = i + 1L)
+    }
+    val input = MemoryStream[Event]
+    val q = Streams.applyStream(input.toDS(), ttlMs = 0L)
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("append").start()
+    events.grouped(math.max(events.size / 3, 1)).foreach { batch =>
+      input.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    // final streamed state: emission with the highest applied lsn per key,
+    // tombstones = absent
+    val streamed = spark.table("parity").as[RowState].collect()
+      .groupBy(r => (r.tbl, r.pk))
+      .map { case (k, rs) => k -> rs.maxBy(_.lastLsn) }
+      .filter(!_._2.deleted)
+      .map { case (k, r) => k -> ((r.valV, r.kV)) }
+    val batchState = graft.cdc.ApplyEngine.applyState(
+      graft.sources.WorkloadGen.toOpsDf(spark, opTuples)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(streamed === batchState)
+    q.stop()
+  }
+
   test("offset dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
