@@ -28,9 +28,9 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // Warm up the JVM/codegen paths once so the first measured query does
-    // not absorb all of class-loading + codegen compilation.
-    try exec(SparkEntry.queries.head._2(spark, sfDir))
+    // Warm up the JVM/codegen paths once (cheap, deterministic query) so
+    // the first measured query does not absorb class-loading + codegen.
+    try exec(SparkEntry.queries.getOrElse("q_top_orders", SparkEntry.queries.head._2)(spark, sfDir))
     catch { case _: Throwable => () }
 
     // Optional comma-separated subset for local iteration.

@@ -368,22 +368,7 @@ object Oracles {
       FROM inter
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id)
-    SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM j
-    WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
-
-  def dedupJaccard(threshold: Double): String = s"""WITH $shinglesCte,
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    j AS (
-      SELECT a_id, b_id,
-        CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = a_id
-      JOIN sizes sb ON sb.doc_id = b_id)
-    SELECT a_id, b_id, round(jaccard, 4) AS jaccard FROM j
+    SELECT a_id, b_id, jaccard FROM j
     WHERE jaccard >= $threshold ORDER BY a_id, b_id"""
 
   /** Deterministic left-to-right double fold of a 64-dim dot product. */
@@ -407,7 +392,7 @@ object Oracles {
       SELECT q_id, n_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
       FROM scored)
-    SELECT q_id, rnk, n_id, round(cos, 4) AS cos_sim
+    SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** LSH bucket id in SQL — mirrors `Similarity.lshBucket`. */
@@ -435,7 +420,7 @@ object Oracles {
       SELECT x.vec_id AS a_id, y.vec_id AS b_id,
         ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-    SELECT DISTINCT a_id, b_id, round(cos, 4) AS cos_sim
+    SELECT DISTINCT a_id, b_id, cos AS cos_sim
     FROM cand WHERE cos >= 0.45 ORDER BY a_id, b_id"""
 
   // ------------------------------------------------------------ text analysis
@@ -449,12 +434,12 @@ object Oracles {
         len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
       FROM documents)
     SELECT doc_id, n_chars_obs, n_tokens, n_distinct,
-      round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-      round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
-      round(CAST(n_chars_obs - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-      round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+      CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      CAST(n_chars_obs - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
             (CAST(n_distinct AS DOUBLE) / n_tokens) *
-            (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality_score
+            (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
     FROM t ORDER BY doc_id"""
 
   val textTokens: String = """
@@ -663,7 +648,7 @@ object Oracles {
       SELECT q_id, n_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
       FROM scored)
-    SELECT q_id, rnk, n_id, round(cos, 4) AS cos_sim
+    SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
   /** Source↔sink verify counts via both-direction anti-joins

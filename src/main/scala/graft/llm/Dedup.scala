@@ -140,6 +140,6 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("a_sh") + col("b_sh") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 }

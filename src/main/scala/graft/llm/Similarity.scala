@@ -49,7 +49,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("q_id"), col("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
   /** Deterministic pseudo-random projection direction component for plane
@@ -115,7 +115,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("q_id"), col("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`: LSH-bucketed
@@ -135,7 +135,7 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
       .distinct()
   }
 }

@@ -39,14 +39,17 @@ object TextAnalysis {
       nChars.as("n_chars_obs"),
       nToks.as("n_tokens"),
       nDistinct.as("n_distinct"),
-      round(nStop.cast("double") / nToks, 4).as("stopword_ratio"),
-      round(nDistinct.cast("double") / nToks, 4).as("ttr"),
-      round((nChars - nToks + 1).cast("double") / nToks, 4).as("avg_token_len"),
+      // raw doubles, deliberately un-rounded: each is one deterministic
+      // division/product, bit-identical in Spark and DuckDB — rounding is
+      // what diverges (Spark rounds the shortest decimal string HALF_UP,
+      // DuckDB rounds the binary value; exact ties like 0.25375 split)
+      (nStop.cast("double") / nToks).as("stopword_ratio"),
+      (nDistinct.cast("double") / nToks).as("ttr"),
+      ((nChars - nToks + 1).cast("double") / nToks).as("avg_token_len"),
       // Composite quality: long enough, lexically diverse, not stopword soup.
-      round(
-        least(nToks.cast("double") / 100.0, lit(1.0)) *
-          (nDistinct.cast("double") / nToks) *
-          (lit(1.0) - nStop.cast("double") / nToks), 4).as("quality_score"))
+      (least(nToks.cast("double") / 100.0, lit(1.0)) *
+        (nDistinct.cast("double") / nToks) *
+        (lit(1.0) - nStop.cast("double") / nToks)).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish sub-token estimate
