@@ -343,7 +343,7 @@ object Oracles {
     s"""WITH $shinglesCte,
     hashed AS (SELECT doc_id, ${h31("shingle", 65521L)} AS h FROM sh),
     sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
-    SELECT doc_id, $bitVal AS simhash FROM sums ORDER BY doc_id"""
+    SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash FROM sums ORDER BY doc_id"""
   }
 
   /** Distinct 3-gram shingles per doc — mirrors `Dedup.shingles(n=3)`. */
@@ -409,7 +409,7 @@ object Oracles {
 
   val annLshBuckets: String = s"""
     SELECT bucket, count(*) AS n_vecs
-    FROM (SELECT ${lshBucketSql("embedding", 8)} AS bucket FROM embeddings)
+    FROM (SELECT CAST(${lshBucketSql("embedding", 8)} AS BIGINT) AS bucket FROM embeddings)
     GROUP BY bucket ORDER BY bucket"""
 
   val annNearDup: String = s"""WITH

@@ -88,7 +88,7 @@ object Consumer {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("part").orderBy(col("available_at"), col(seqCol))
     routed
-      .withColumn("queue_pos", row_number().over(w))
+      .withColumn("queue_pos", row_number().over(w).cast("long"))
       // earliest tick where the event is available
       .withColumn("avail_tick", ceil(col("available_at").cast("double") / tickMs).cast("long"))
       // per-partition throughput cap: position in queue bounds the tick

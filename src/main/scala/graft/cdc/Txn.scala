@@ -37,7 +37,7 @@ object Txn {
     // materializing the explicit position here is for the verifiable replay.
     val applyOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
     grouped
-      .withColumn("apply_order", row_number().over(applyOrder))
+      .withColumn("apply_order", row_number().over(applyOrder).cast("long"))
       .withColumn("tx_id", concat(lit("tx-"), col("tx_num").cast("string")))
       .select("tx_id", "tx_num", "n_events", "n_tables", "commit_ts", "first_lsn", "apply_order")
   }
@@ -59,7 +59,7 @@ object Txn {
   def applyOnCommit(txns: DataFrame): DataFrame = {
     val commitOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
     txns
-      .withColumn("apply_order", row_number().over(commitOrder))
+      .withColumn("apply_order", row_number().over(commitOrder).cast("long"))
       .withColumn("applied_at",
         max(col("ready_at")).over(commitOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("held_ms", col("applied_at") - col("ready_at"))

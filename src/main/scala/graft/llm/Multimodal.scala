@@ -18,7 +18,7 @@ object Multimodal {
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(
       doc_id: Long, n_bytes: Long, content_hash: String,
-      fake_width: Int, fake_height: Int, fake_frames: Int)
+      fake_width: Long, fake_height: Long, fake_frames: Long)
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
     * A real implementation would decode the container header here. */
@@ -35,7 +35,7 @@ object Multimodal {
     val meta = binaryMeta(docs)
     meta
       .select(col("doc_id"), col("content_hash"), col("fake_frames"),
-        explode(sequence(lit(0), col("fake_frames") - 1, lit(stride))).as("frame_idx"))
+        explode(sequence(lit(0L), col("fake_frames") - 1, lit(stride.toLong))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
   }
@@ -54,7 +54,7 @@ object Multimodal {
         md.reset()
         val hash = md.digest(m.payload).map("%02x".format(_)).mkString
         val (w, h, f) = fakeDecode(m.payload)
-        MediaMeta(m.doc_id, m.payload.length.toLong, hash, w, h, f)
+        MediaMeta(m.doc_id, m.payload.length.toLong, hash, w.toLong, h.toLong, f.toLong)
       }
     }.toDF()
   }

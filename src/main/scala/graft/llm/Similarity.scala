@@ -49,7 +49,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("cos").as("cos_sim"))
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
   /** Deterministic pseudo-random projection direction component for plane
@@ -115,7 +115,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("cos").as("cos_sim"))
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`: LSH-bucketed

@@ -36,9 +36,9 @@ object TextAnalysis {
     val nChars = length(col("text"))
     docs.select(
       col("doc_id"),
-      nChars.as("n_chars_obs"),
-      nToks.as("n_tokens"),
-      nDistinct.as("n_distinct"),
+      nChars.cast("long").as("n_chars_obs"),
+      nToks.cast("long").as("n_tokens"),
+      nDistinct.cast("long").as("n_distinct"),
       // raw doubles, deliberately un-rounded: each is one deterministic
       // division/product, bit-identical in Spark and DuckDB — rounding is
       // what diverges (Spark rounds the shortest decimal string HALF_UP,
@@ -58,9 +58,9 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(toks).as("ws_tokens"),
+      size(toks).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
-        .as("re_tokens"),
+        .cast("long").as("re_tokens"),
       // crude BPE budget: ~1 token per 4 chars, ceil
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
 

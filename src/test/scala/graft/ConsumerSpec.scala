@@ -42,7 +42,7 @@ class ConsumerSpec extends SparkSpec {
     val routed = (1 to 9).map(i => (0L, i.toLong, 0L))
       .toDF("part", "lsn", "available_at")
     val out = Consumer.brokerDelivery(routed, "lsn", tickMs = 50L, maxApplyPerTick = 4)
-      .collect().sortBy(_.getAs[Int]("queue_pos"))
+      .collect().sortBy(_.getAs[Long]("queue_pos"))
     // 9 immediately-available events, cap 4/tick → ticks 1,1,1,1,2,2,2,2,3
     assert(out.map(_.getAs[Long]("deliver_tick")).toSeq ===
       Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 2L, 3L))

@@ -21,7 +21,7 @@ class TxnSpec extends SparkSpec {
     assert(first.getAs[Long]("n_events") === 3L)
     assert(first.getAs[Long]("n_tables") === 2L) // multi-table txn
     assert(first.getAs[Long]("commit_ts") === 220L) // max(t)+100
-    assert(first.getAs[Int]("apply_order") === 1)
+    assert(first.getAs[Long]("apply_order") === 1L)
     val second = txns(1)
     assert(second.getAs[Long]("n_events") === 2L)
     assert(second.getAs[Long]("commit_ts") === 310L)
