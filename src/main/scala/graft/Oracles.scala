@@ -676,6 +676,46 @@ object Oracles {
           FROM documents)
     ORDER BY doc_id, frame_idx"""
 
+  /** Token-bucket throttle drain (`web/App.tsx:2106-2113,2185-2201`,
+    * mirrors `Consumer.throttleDrain` with rate=200, step=50ms, cap 5×rate,
+    * batchCap=50): a recursive CTE carries each lane's (tick, allowance,
+    * used) state and advances every lane by one event per iteration — the
+    * 32 pk-sharded lanes keep the iteration count at maxLaneLen, not total
+    * events. The reference's catch-up `while` collapses to a single
+    * conditional advance because perTick = rate·step/1000 = 10 ≥ 1 (one
+    * tick always replenishes enough for the next drain) — exact, not an
+    * approximation, for these parameters. All allowance arithmetic stays on
+    * integer-valued doubles (±10, ±1, cap 1000), so Spark and DuckDB agree
+    * bit-for-bit. */
+  def cdcThrottleDrain: String = {
+    val need = """(e."availableAt" - 1) // 50 + 1"""
+    val t1 = s"greatest(d.tick, $need)"
+    val a1 = s"CASE WHEN $t1 > d.tick THEN least(d.allowance + 10.0 * ($t1 - d.tick), 1000.0) ELSE d.allowance END"
+    val u1 = s"CASE WHEN $t1 > d.tick THEN 0 ELSE d.used END"
+    val adv = s"CASE WHEN ($a1) < 1.0 OR ($u1) >= 50 THEN 1 ELSE 0 END"
+    val tick2 = s"($t1) + ($adv)"
+    val allow2 = s"CASE WHEN ($adv) = 1 THEN least(($a1) + 10.0, 1000.0) ELSE ($a1) END - 1.0"
+    val used2 = s"(CASE WHEN ($adv) = 1 THEN 0 ELSE ($u1) END) + 1"
+    s"""WITH RECURSIVE $stateCte, $logLaneCte,
+    ev AS (
+      SELECT 'lane-' || lpad(CAST(CAST(pk AS BIGINT) % 32 AS VARCHAR), 2, '0') AS method,
+             lsn AS seq, emitted_ts AS "availableAt",
+             row_number() OVER (
+               PARTITION BY CAST(pk AS BIGINT) % 32 ORDER BY emitted_ts, lsn) AS i
+      FROM log_lane),
+    drain AS (
+      SELECT method, 0::BIGINT AS i, CAST(NULL AS BIGINT) AS seq,
+             CAST(NULL AS BIGINT) AS "availableAt",
+             0::BIGINT AS tick, 0.0::DOUBLE AS allowance, 0::BIGINT AS used
+      FROM (SELECT DISTINCT method FROM ev)
+      UNION ALL
+      SELECT e.method, e.i, e.seq, e."availableAt",
+        CAST($tick2 AS BIGINT), CAST($allow2 AS DOUBLE), CAST($used2 AS BIGINT)
+      FROM drain d JOIN ev e ON e.method = d.method AND e.i = d.i + 1)
+    SELECT method, seq, "availableAt", tick AS "drainTick", tick * 50 AS "drainMs"
+    FROM drain WHERE i > 0 ORDER BY method, "drainTick", seq"""
+  }
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -722,5 +762,6 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
-    "mm_binary_meta" -> mmBinaryMeta)
+    "mm_binary_meta" -> mmBinaryMeta,
+    "cdc_throttle_drain" -> cdcThrottleDrain)
 }

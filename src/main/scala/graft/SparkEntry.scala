@@ -201,8 +201,10 @@ object SparkEntry {
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {
-      val state = st(s, dir)
-      val poll = Capture.poll(state)
+      // the enriched op-state and poll lane each feed several report
+      // subtrees — persist so the single-job report computes them once
+      val state = st(s, dir).persist()
+      val poll = Capture.poll(state).persist()
       val actual = poll.select(
         concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
         col("poll_ts").as("time"), col("src_lsn").as("ord"),
@@ -250,11 +252,17 @@ object SparkEntry {
         .orderBy("tbl", "pk")
     }),
     "cdc_throttle_drain" -> ((s, dir) => {
-      // no SQL oracle (sequential token-bucket fold) → driver rows-only check
+      // 32 consumer lanes sharded by pk — lanes drain independently (the
+      // parallelism axis of the per-lane sequential fold); the DuckDB oracle
+      // replays the same token bucket as a recursive CTE advancing all lane
+      // states one event per iteration
       import s.implicits._
       val lane = Capture.log(st(s, dir))
       Consumer.throttleDrain(
-        lane.select(lit("log").as("method"), col("lsn").as("seq"),
+        lane.select(
+          concat(lit("lane-"),
+            lpad(pmod(col("pk").cast("long"), lit(32)).cast("string"), 2, "0")).as("method"),
+          col("lsn").as("seq"),
           col("emitted_ts").as("availableAt")).as[Consumer.DeliveryIn],
         rate = 200.0)
         .toDF().orderBy("method", "drainTick", "seq")

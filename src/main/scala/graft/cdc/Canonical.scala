@@ -16,12 +16,26 @@ object Canonical {
   /** Canonical comparable form of a scalar column: trimmed; numeric strings
     * normalize through an actual numeric round-trip — `'1.50'→'1.5'`,
     * `'007'→'7'`, `'1e3'→'1000'` — matching the reference's `Number()`
-    * coercion (`coerceComparable`, `index.js:84-87`). */
+    * coercion (`coerceComparable`, `index.js:84-87`).
+    *
+    * JS `String(Number(x))` renders plain decimal notation for magnitudes in
+    * roughly [1e-6, 1e21), while Spark's double→string cast switches to
+    * scientific notation outside [1e-3, 1e7) — so the canonical form goes
+    * through DECIMAL(38,18) plain-string rendering (trailing zeros trimmed)
+    * whenever the value fits; only beyond ±1e20 / below 1e-18 does it fall
+    * back to the double's scientific form. */
   def coerceComparable(c: Column): Column = {
     val t = trim(c.cast("string"))
     val numeric = t.rlike("^-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$")
-    // double round-trip canonicalizes; integers print as "N.0" → strip
-    val canon = regexp_replace(t.cast("double").cast("string"), "\\.0+$", "")
+    val d = t.cast("double")
+    // DECIMAL(38,18) always renders plain notation with a decimal point, so
+    // trimming trailing zeros then a dangling point is lossless; -0 → 0
+    val fits = d.isNotNull && abs(d) < lit(1e20) // ANSI decimal cast throws past DECIMAL(38,18)
+    val dec = when(fits, d).otherwise(lit(null)).cast("decimal(38,18)")
+    val plain = regexp_replace(
+      regexp_replace(regexp_replace(dec.cast("string"), "0+$", ""), "\\.$", ""),
+      "^-0$", "0")
+    val canon = coalesce(plain, regexp_replace(d.cast("string"), "\\.0+$", ""))
     when(numeric, canon).otherwise(t)
   }
 

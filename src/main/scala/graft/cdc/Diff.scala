@@ -93,17 +93,25 @@ object Diff {
   }
 
   /** Source↔sink verify (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`):
-    * anti-joins both directions + counts. Returns one summary row per side. */
+    * both-direction anti-join accounting in ONE job — per-key row counts on
+    * each side, a single full-outer join of the (already tiny) aggregates,
+    * and conditional sums. Summing the per-key counts keeps exact anti-join
+    * row semantics under duplicate keys, and one pass replaces the four
+    * separate count actions the naive form needs. */
   def verifyCounts(source: DataFrame, sink: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val missingInSink = source.join(sink, keyCols, "left_anti").count()
-    val orphansInSink = sink.join(source, keyCols, "left_anti").count()
-    val spark = source.sparkSession
-    import spark.implicits._
-    Seq(
-      ("source_rows", source.count()),
-      ("sink_rows", sink.count()),
-      ("missing_in_sink", missingInSink),
-      ("orphans_in_sink", orphansInSink)
-    ).toDF("metric", "cnt")
+    val s = source.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n_src"))
+    val k = sink.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n_snk"))
+    s.join(k, keyCols, "full_outer")
+      .agg(
+        coalesce(sum("_n_src"), lit(0L)).as("source_rows"),
+        coalesce(sum("_n_snk"), lit(0L)).as("sink_rows"),
+        coalesce(sum(when(col("_n_snk").isNull, col("_n_src"))), lit(0L)).as("missing_in_sink"),
+        coalesce(sum(when(col("_n_src").isNull, col("_n_snk"))), lit(0L)).as("orphans_in_sink"))
+      .selectExpr(
+        """stack(4,
+          |  'source_rows', source_rows,
+          |  'sink_rows', sink_rows,
+          |  'missing_in_sink', missing_in_sink,
+          |  'orphans_in_sink', orphans_in_sink) AS (metric, cnt)""".stripMargin)
   }
 }

@@ -16,50 +16,58 @@ object Evaluate {
     *
     * `actual` needs (key, time, ord, op_code, tbl, pk); `stateActual` the
     * lane's replayed destination state.
+    *
+    * Single-job report: every counter is a 1-row aggregate; they combine via
+    * broadcast cross-joins into one row, `pass` is derived as an expression,
+    * and `stack` unpivots to (metric, value) — so the whole report is ONE
+    * Spark action regardless of how many metrics it carries. `ops` and
+    * `actual` feed multiple aggregate subtrees, so they are persisted (and
+    * stay cached for the action that consumes the returned frame — the
+    * inputs are capture-lane-sized, and the caller's session owns eviction).
     */
   def lane(
       ops0: DataFrame,
       state: DataFrame,
       actual0: DataFrame,
       stateActual: DataFrame): DataFrame = {
-    // the report fires several small aggregate jobs over these two inputs —
-    // persist them so the capture lineage is not recomputed per metric
     val ops = ops0.persist()
     val actual = actual0.persist()
     val expected = state.select(
       concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
       col("t").as("time"), col("lsn").as("ord"))
-    val pairs = Diff.lanePairs(expected, actual.select("key", "time", "ord"), "ord")
-    val statusCounts = pairs.groupBy("status").agg(count(lit(1)).as("cnt"))
+    val pairCounts = Diff.lanePairs(expected, actual.select("key", "time", "ord"), "ord")
+      .agg(
+        count(when(col("status") === "matched", 1)).as("matched"),
+        count(when(col("status") === "missing", 1)).as("missing"),
+        count(when(col("status") === "extra", 1)).as("extra"))
     val truth = ApplyEngine.applyState(ops)
     val stateDiff = Diff.diffStates(truth, stateActual, Seq("val", "k"))
-      .filter(col("status") =!= "match")
-      .agg(count(lit(1)).as("mismatches"))
+      .agg(count(when(col("status") =!= "match", 1)).as("state_mismatches"))
     val deletes = ops.agg(
-      count(when(col("op") === "delete", 1)).as("expected_deletes"))
+      count(when(col("op") === "delete", 1)).as("deletes_expected"))
     val capturedDeletes = actual.agg(
       count(when(col("op_code") === "d", 1)).as("captured_deletes"))
     val ordering = Diff.orderingInversions(
       actual, Seq.empty, Seq(col("time"), col("ord")), "ord")
       .agg(count(when(col("inverted"), 1)).as("inversions"))
 
-    val spark = ops.sparkSession
-    import spark.implicits._
-    val sc = statusCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = sc.getOrElse("missing", 0L)
-    val extra = sc.getOrElse("extra", 0L)
-    val matched = sc.getOrElse("matched", 0L)
-    val mism = stateDiff.collect().head.getLong(0)
-    val expDel = deletes.collect().head.getLong(0)
-    val capDel = capturedDeletes.collect().head.getLong(0)
-    val inv = ordering.collect().head.getLong(0)
-    ops.unpersist()
-    actual.unpersist()
-    val pass = if (missing == 0 && inv == 0 && mism == 0) 1L else 0L
-    Seq(
-      ("matched", matched), ("missing", missing), ("extra", extra),
-      ("deletes_expected", expDel), ("deletes_captured", capDel),
-      ("ordering_issues", inv), ("state_mismatches", mism), ("pass", pass)
-    ).toDF("metric", "value")
+    pairCounts
+      .crossJoin(stateDiff)
+      .crossJoin(deletes)
+      .crossJoin(capturedDeletes)
+      .crossJoin(ordering)
+      .withColumn("pass",
+        when(col("missing") === 0 && col("inversions") === 0 &&
+          col("state_mismatches") === 0, 1L).otherwise(0L))
+      .selectExpr(
+        """stack(8,
+          |  'matched', matched,
+          |  'missing', missing,
+          |  'extra', extra,
+          |  'deletes_expected', deletes_expected,
+          |  'deletes_captured', captured_deletes,
+          |  'ordering_issues', inversions,
+          |  'state_mismatches', state_mismatches,
+          |  'pass', pass) AS (metric, value)""".stripMargin)
   }
 }

@@ -1,0 +1,86 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering: rank (and optionally running max) over a
+  * total order WITHOUT a single-partition window.
+  *
+  * Spark executes `Window.orderBy(...)` with no partition key as one task —
+  * the whole input funnels through a single core, which is fine at 10k rows
+  * and fatal at 100×. The scalable shape (the classic zipWithIndex layout,
+  * kept declarative here so codegen applies):
+  *
+  *   1. range-partition on the sort key — partition ids are then monotone in
+  *      the global order (AQE may coalesce, but only adjacent ranges, which
+  *      preserves monotonicity);
+  *   2. per-partition local rank / running max (ordinary partitioned window);
+  *   3. per-partition counts/maxima — a #partitions-row aggregate — combined
+  *      into prefix offsets with a tiny triangular self-join (no
+  *      single-partition exchange anywhere, not even on the 32-row side);
+  *   4. broadcast the offsets back and add.
+  *
+  * Requires `sortCols` to be a total order (unique keys) for deterministic
+  * ranks — the same requirement the single-partition window had.
+  */
+object GlobalOrder {
+
+  /** Add a global 1-based rank column (and, if `runningMax` = Some(src, dst),
+    * a running max of `src` over the global order as `dst`) ordered by
+    * `sortCols`. All original columns are preserved. */
+  def rank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String,
+      runningMax: Option[(String, String)] = None): DataFrame = {
+    val pid = "_go_pid"
+    val localRank = "_go_rn"
+    val localMax = "_go_runmax"
+
+    val ranged = df.repartitionByRange(sortCols: _*).withColumn(pid, spark_partition_id())
+    val w = Window.partitionBy(pid).orderBy(sortCols: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = ranged.withColumn(localRank, row_number().over(w).cast("long"))
+    // persisted: (a) the partition-summary branches below reuse the ranked
+    // data instead of re-executing its lineage, and (b) the sampled range
+    // boundaries (and hence pid assignment) are pinned once — the same
+    // cache-for-determinism rule RDD.zipWithIndex callers follow. Sized at
+    // one row per input row; the consuming action populates it lazily.
+    val local = (runningMax match {
+      case Some((src, _)) => local0.withColumn(localMax, max(col(src)).over(cum))
+      case None => local0
+    }).persist()
+
+    val parts = runningMax match {
+      case Some((src, _)) =>
+        local.groupBy(pid).agg(count(lit(1)).as("_go_cnt"), max(col(src)).as("_go_max"))
+      case None =>
+        local.groupBy(pid).agg(count(lit(1)).as("_go_cnt"))
+    }
+    // prefix combine over partition summaries: offsets[p] = Σ cnt[q<p],
+    // prevMax[p] = max over q<p — triangular join of two tiny aggregates
+    val a = parts.select(col(pid).as("_go_p"))
+    val b = parts.withColumnRenamed(pid, "_go_q")
+    val prefixAggs = runningMax match {
+      case Some(_) => Seq(
+        coalesce(sum("_go_cnt"), lit(0L)).as("_go_offset"),
+        max("_go_max").as("_go_prev_max"))
+      case None => Seq(coalesce(sum("_go_cnt"), lit(0L)).as("_go_offset"))
+    }
+    val offsets = a.join(b, col("_go_q") < col("_go_p"), "left")
+      .groupBy("_go_p")
+      .agg(prefixAggs.head, prefixAggs.tail: _*)
+
+    val joined = local.join(broadcast(offsets), col(pid) === col("_go_p"))
+      .withColumn(rankCol, col("_go_offset") + col(localRank))
+    val withMax = runningMax match {
+      case Some((_, dst)) =>
+        joined.withColumn(dst,
+          when(col("_go_prev_max").isNull, col(localMax))
+            .otherwise(greatest(col(localMax), col("_go_prev_max"))))
+      case None => joined
+    }
+    withMax.drop(pid, localRank, localMax, "_go_p", "_go_offset", "_go_prev_max")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.cdc
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Transaction assembly + apply-on-commit (`src/changefeed/model.ts:169-244`):
@@ -32,12 +31,10 @@ object Txn {
         min(col("lsn")).as("first_lsn"),
         countDistinct(col("tbl")).as("n_tables"))
     // Ordered apply log: (commitTs, first lsn) — `model.ts:215-227`. The
-    // apply log is inherently a total order; at scale it stays an ordering
-    // *key* (sortWithinPartitions per consumer) rather than a global sort —
-    // materializing the explicit position here is for the verifiable replay.
-    val applyOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
-    grouped
-      .withColumn("apply_order", row_number().over(applyOrder).cast("long"))
+    // apply log is inherently a total order, but the *position* is computed
+    // scalably: range-partition + local rank + prefix offsets
+    // (`GlobalOrder.rank`) — no single-partition window anywhere in the plan.
+    GlobalOrder.rank(grouped, Seq(col("commit_ts"), col("first_lsn")), "apply_order")
       .withColumn("tx_id", concat(lit("tx-"), col("tx_num").cast("string")))
       .select("tx_id", "tx_num", "n_events", "n_tables", "commit_ts", "first_lsn", "apply_order")
   }
@@ -56,12 +53,11 @@ object Txn {
     *
     * Input: one row per txn with (tx_id, commit_ts, first_lsn, ready_at).
     */
-  def applyOnCommit(txns: DataFrame): DataFrame = {
-    val commitOrder = Window.orderBy(col("commit_ts"), col("first_lsn"))
-    txns
-      .withColumn("apply_order", row_number().over(commitOrder).cast("long"))
-      .withColumn("applied_at",
-        max(col("ready_at")).over(commitOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def applyOnCommit(txns: DataFrame): DataFrame =
+    // position AND running-max floor computed distributively: per-partition
+    // scan + tiny cross-partition prefix combine (`GlobalOrder.rank`)
+    GlobalOrder.rank(
+      txns, Seq(col("commit_ts"), col("first_lsn")), "apply_order",
+      runningMax = Some("ready_at" -> "applied_at"))
       .withColumn("held_ms", col("applied_at") - col("ready_at"))
-  }
 }

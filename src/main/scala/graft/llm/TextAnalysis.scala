@@ -28,28 +28,36 @@ object TextAnalysis {
 
   /** Quality scoring: token stats, stopword ratio, alpha ratio, and a
     * composite score — the usual pre-training corpus filters (length,
-    * repetition, symbol density). */
+    * repetition, symbol density).
+    *
+    * Staged projections: the token array and the integer counts are each
+    * named once and referenced many times — the aliases are non-cheap, so
+    * `CollapseProject` keeps the stages separate and each split/HOF runs
+    * once per row instead of once per use site. */
   def quality(docs: DataFrame): DataFrame = {
-    val nToks = size(toks)
-    val nDistinct = size(array_distinct(toks))
-    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-    val nChars = length(col("text"))
-    docs.select(
+    val tokenized = docs.select(col("doc_id"), col("text"), toks.as("_toks"))
+    val counted = tokenized.select(
       col("doc_id"),
-      nChars.cast("long").as("n_chars_obs"),
-      nToks.cast("long").as("n_tokens"),
-      nDistinct.cast("long").as("n_distinct"),
+      length(col("text")).as("_n_chars"),
+      size(col("_toks")).as("_n_toks"),
+      size(array_distinct(col("_toks"))).as("_n_dist"),
+      size(filter(col("_toks"), t => t.isin(Stopwords.map(lit(_)): _*))).as("_n_stop"))
+    counted.select(
+      col("doc_id"),
+      col("_n_chars").cast("long").as("n_chars_obs"),
+      col("_n_toks").cast("long").as("n_tokens"),
+      col("_n_dist").cast("long").as("n_distinct"),
       // raw doubles, deliberately un-rounded: each is one deterministic
       // division/product, bit-identical in Spark and DuckDB — rounding is
       // what diverges (Spark rounds the shortest decimal string HALF_UP,
       // DuckDB rounds the binary value; exact ties like 0.25375 split)
-      (nStop.cast("double") / nToks).as("stopword_ratio"),
-      (nDistinct.cast("double") / nToks).as("ttr"),
-      ((nChars - nToks + 1).cast("double") / nToks).as("avg_token_len"),
+      (col("_n_stop").cast("double") / col("_n_toks")).as("stopword_ratio"),
+      (col("_n_dist").cast("double") / col("_n_toks")).as("ttr"),
+      ((col("_n_chars") - col("_n_toks") + 1).cast("double") / col("_n_toks")).as("avg_token_len"),
       // Composite quality: long enough, lexically diverse, not stopword soup.
-      (least(nToks.cast("double") / 100.0, lit(1.0)) *
-        (nDistinct.cast("double") / nToks) *
-        (lit(1.0) - nStop.cast("double") / nToks)).as("quality_score"))
+      (least(col("_n_toks").cast("double") / 100.0, lit(1.0)) *
+        (col("_n_dist").cast("double") / col("_n_toks")) *
+        (lit(1.0) - col("_n_stop").cast("double") / col("_n_toks"))).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish sub-token estimate
@@ -65,17 +73,24 @@ object TextAnalysis {
       ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
 
   /** Heuristic language ID: score = count of function-word hits per language;
-    * predicted language = argmax (ties broken by language code order). */
+    * predicted language = argmax (ties broken by language code order).
+    *
+    * The token array and the winning (score, lang) struct are each projected
+    * once — the 5 per-language HOF scans and the `greatest` run once per row,
+    * not once per output column. */
   def langScores(docs: DataFrame): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), col("lang"), toks.as("_toks"))
     val scores = FunctionWords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      val hits = size(filter(col("_toks"), t => t.isin(words.map(lit(_)): _*)))
       struct(hits.cast("long").as("score"), lit(lang).as("lang"))
     }
-    docs.select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      greatest(scores: _*).getField("lang").as("pred_lang"),
-      greatest(scores: _*).getField("score").as("pred_score"))
+    tokenized
+      .select(col("doc_id"), col("lang"), greatest(scores: _*).as("_best"))
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        col("_best").getField("lang").as("pred_lang"),
+        col("_best").getField("score").as("pred_score"))
   }
 
   /** Document fingerprinting: whole-document rolling hash plus a winnowing

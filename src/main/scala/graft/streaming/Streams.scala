@@ -93,7 +93,13 @@ object Streams {
     * assemble per txId; a *complete* transaction is held in state until the
     * watermark passes its commitTs (drifted stragglers keep the watermark —
     * and therefore every commit-later txn — back), then emits. Incomplete
-    * txns are dropped when the watermark passes them by `lateness`.
+    * txns are dropped as soon as the watermark passes their max buffered
+    * commitTs — no extra lateness beyond `watermarkDelay` is granted (the
+    * event-time timeout is `max(commitTs, watermark + 1)`).
+    *
+    * Note: `txnComplete` counts duplicate deliveries toward `total`
+    * (reference-faithful, `model.ts:178-186`), so at-least-once sources must
+    * run `dedupOffsets` upstream of assembly.
     */
   def applyOnCommitStream(
       events: Dataset[Event],

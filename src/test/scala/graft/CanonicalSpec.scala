@@ -23,6 +23,18 @@ class CanonicalSpec extends SparkSpec {
     assert(r.getString(3) === "abc")
   }
 
+  test("coerceComparable renders large/small magnitudes plain, like JS String(Number))") {
+    val df = Seq(("10000000", "1e3", "0.0001", "-0.0", "20000000000000000000000000000000000000000"))
+      .toDF("a", "b", "c", "d", "e")
+      .select(Seq("a", "b", "c", "d", "e").map(n => Canonical.coerceComparable(col(n)).as(n)): _*)
+    val r = df.collect().head
+    assert(r.getString(0) === "10000000") // JS: "10000000"; bare double cast would say "1.0E7"
+    assert(r.getString(1) === "1000")
+    assert(r.getString(2) === "0.0001") // bare double cast would say "1.0E-4"
+    assert(r.getString(3) === "0") // JS String(Number("-0")) === "0"
+    assert(r.getString(4) === "2.0E40") // beyond DECIMAL(38) → double sci-notation fallback
+  }
+
   test("stableJson sorts keys; rowHash is deterministic and order-insensitive") {
     val df1 = Seq((1.5, "a", 2L)).toDF("zcol", "acol", "mcol")
     val df2 = Seq((1.5, "a", 2L)).toDF("zcol", "acol", "mcol").select("mcol", "zcol", "acol")
