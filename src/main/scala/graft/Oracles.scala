@@ -687,7 +687,7 @@ object Oracles {
     * approximation, for these parameters. All allowance arithmetic stays on
     * integer-valued doubles (±10, ±1, cap 1000), so Spark and DuckDB agree
     * bit-for-bit. */
-  def cdcThrottleDrain: String = {
+  private def throttleDrainCtes: String = {
     val need = """(e."availableAt" - 1) // 50 + 1"""
     val t1 = s"greatest(d.tick, $need)"
     val a1 = s"CASE WHEN $t1 > d.tick THEN least(d.allowance + 10.0 * ($t1 - d.tick), 1000.0) ELSE d.allowance END"
@@ -711,10 +711,64 @@ object Oracles {
       UNION ALL
       SELECT e.method, e.i, e.seq, e."availableAt",
         CAST($tick2 AS BIGINT), CAST($allow2 AS DOUBLE), CAST($used2 AS BIGINT)
-      FROM drain d JOIN ev e ON e.method = d.method AND e.i = d.i + 1)
+      FROM drain d JOIN ev e ON e.method = d.method AND e.i = d.i + 1)"""
+  }
+
+  def cdcThrottleDrain: String = s"""$throttleDrainCtes
     SELECT method, seq, "availableAt", tick AS "drainTick", tick * 50 AS "drainMs"
     FROM drain WHERE i > 0 ORDER BY method, "drainTick", seq"""
-  }
+
+  /** Backlog/consumed time series (`src/engine/metrics.ts:23-46`, backlog
+    * derivation `src/changefeed/model.ts:375-382`): produced vs drained per
+    * 50ms tick per lane, with the running backlog = Σ(produced − drained). */
+  def cdcBacklogSeries: String = s"""$throttleDrainCtes,
+    prod AS (
+      SELECT method, ("availableAt" - 1) // 50 + 1 AS tick, count(*) AS produced
+      FROM drain WHERE i > 0 GROUP BY 1, 2),
+    cons AS (
+      SELECT method, tick, count(*) AS drained
+      FROM drain WHERE i > 0 GROUP BY 1, 2),
+    merged AS (
+      SELECT coalesce(p.method, c.method) AS method,
+             coalesce(p.tick, c.tick) AS tick,
+             coalesce(p.produced, 0) AS produced,
+             coalesce(c.drained, 0) AS drained
+      FROM prod p FULL OUTER JOIN cons c ON p.method = c.method AND p.tick = c.tick)
+    SELECT method, tick, tick * 50 AS tick_ms, produced, drained,
+      sum(produced - drained) OVER (PARTITION BY method ORDER BY tick) AS backlog
+    FROM merged ORDER BY method, tick"""
+
+  /** Per-lane schema-change capture timing — mirrors
+    * `SchemaEvolution.captureLanes`: log emits at commitTs (bypasses fetch
+    * buffer), polling at the next poll boundary, trigger at the next
+    * extract tick after commitTs+overhead; version transitions identical
+    * across lanes. */
+  val cdcSchemaCapture: String = s"""WITH $opsCte,
+    chg AS (
+      SELECT tbl,
+        CASE WHEN event_id % 500 = 0 THEN 'ADD_COLUMN' ELSE 'DROP_COLUMN' END AS action,
+        'c' || CAST(event_id % 7 AS VARCHAR) AS col_name,
+        t AS src_ts
+      FROM ops WHERE event_id % 250 = 0),
+    ver AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY tbl ORDER BY src_ts, col_name) + 1 AS BIGINT)
+          AS next_version
+      FROM chg),
+    lanes AS (
+      SELECT tbl, col_name, action,
+        CASE WHEN action = 'ADD_COLUMN' THEN 'SCHEMA_ADD_COL'
+             ELSE 'SCHEMA_DROP_COL' END AS kind,
+        next_version - 1 AS prev_version, next_version, method,
+        CASE WHEN method = 'trigger' THEN src_ts + 5 ELSE src_ts END AS commit_ts,
+        CASE WHEN method = 'log' THEN src_ts
+             WHEN method = 'poll' THEN (src_ts // 1000 + 1) * 1000
+             ELSE (src_ts + 5) - ((src_ts + 5) % 500) + 500 END AS emitted_ts,
+        src_ts
+      FROM ver CROSS JOIN (SELECT unnest(['log', 'poll', 'trigger']) AS method) m)
+    SELECT tbl, col_name, action, kind, prev_version, next_version, method,
+           commit_ts, emitted_ts, emitted_ts - src_ts AS lag_ms
+    FROM lanes ORDER BY tbl, next_version, method"""
 
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
@@ -763,5 +817,7 @@ object Oracles {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
-    "cdc_throttle_drain" -> cdcThrottleDrain)
+    "cdc_throttle_drain" -> cdcThrottleDrain,
+    "cdc_schema_capture" -> cdcSchemaCapture,
+    "cdc_backlog_series" -> cdcBacklogSeries)
 }

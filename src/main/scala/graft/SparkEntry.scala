@@ -268,6 +268,37 @@ object SparkEntry {
         .toDF().orderBy("method", "drainTick", "seq")
     }),
 
+    "cdc_backlog_series" -> ((s, dir) => {
+      // produced − drained per (lane, tick) with running backlog — the
+      // time-series companion to cdc_throttle_drain (same 32-lane drain)
+      import s.implicits._
+      val lane = Capture.log(st(s, dir))
+      val drained = Consumer.throttleDrain(
+        lane.select(
+          concat(lit("lane-"),
+            lpad(pmod(col("pk").cast("long"), lit(32)).cast("string"), 2, "0")).as("method"),
+          col("lsn").as("seq"),
+          col("emitted_ts").as("availableAt")).as[Consumer.DeliveryIn],
+        rate = 200.0)
+      MetricsAgg.backlogSeries(drained.toDF()).orderBy("method", "tick")
+    }),
+
+    "cdc_schema_capture" -> ((s, dir) => {
+      // deterministic DDL stream derived from the op stream: every 250th
+      // event issues a schema change on its table, alternating add/drop
+      import s.implicits._
+      val changes = ops(s, dir)
+        .filter(col("event_id") % 250 === 0)
+        .select(col("tbl"),
+          when(col("event_id") % 500 === 0, "ADD_COLUMN")
+            .otherwise("DROP_COLUMN").as("action"),
+          concat(lit("c"), (col("event_id") % 7).cast("string")).as("column"),
+          col("t").as("commitTs"))
+        .as[SchemaEvolution.SchemaChange]
+      SchemaEvolution.captureLanes(changes)
+        .orderBy("tbl", "next_version", "method")
+    }),
+
     // ------------------------------------------------ more analytics
     "q_lineitem_orders_join" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -116,6 +116,48 @@ object ApplyEngine {
     }
   }
 
+  /** Generic JSON-payload state reduce — the verifier's `reduceState`
+    * (`harness/verifier/index.js:59-76`) over arbitrary fixture schemas:
+    * delete removes the key; insert/update shallow-merge the *sanitized*
+    * partial payload (null-valued fields are dropped by `sanitizeRow`, so an
+    * explicit null never clears a field); an update with a payload creates
+    * the row if absent; an empty `{}` payload still creates an empty row.
+    *
+    * Relational form (one shuffle on the key + one on (key, field)):
+    * drop everything at or before the key's last delete, explode the
+    * surviving payload fields, keep the last non-null value per field, and
+    * reassemble a canonical (name-sorted) JSON row image.
+    *
+    * Input columns: (tbl, pk, op, after_json) + `ordCol`. Output:
+    * (tbl, pk, row_json).
+    */
+  def applyJsonState(ops: DataFrame, ordCol: String = "ord"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val byKey = Window.partitionBy("tbl", "pk")
+    val live = ops
+      .withColumn("_last_del", max(when(col("op") === "delete", col(ordCol))).over(byKey))
+      .filter(col("op") =!= "delete" &&
+        (col("_last_del").isNull || col(ordCol) > col("_last_del")) &&
+        col("after_json").isNotNull)
+    // explode_outer keeps `{}` payloads as a (null field) marker row, so
+    // keys whose only live payloads are empty still materialize as `{}`
+    val fields = live
+      .select(col("tbl"), col("pk"), col(ordCol).as("_ord"),
+        explode_outer(from_json(col("after_json"), MapType(StringType, StringType)))
+          .as(Seq("field", "value")))
+      .filter(col("field").isNull || col("value").isNotNull) // sanitizeRow
+    val lastPerField = fields
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("tbl", "pk", "field").orderBy(col("_ord").desc)))
+      .filter(col("_rn") === 1)
+    lastPerField
+      .groupBy("tbl", "pk")
+      .agg(to_json(map_from_entries(array_sort(collect_list(
+        when(col("field").isNotNull, struct(col("field"), col("value")))))))
+        .as("row_json"))
+  }
+
   /** Replay an *event* feed (capture output) into destination state — the
     * `replayEventsToTables` analogue (`src/domain/storage.ts:245-259`): same
     * fold, but over c/u/d event codes with full-row images, keyed by

@@ -25,6 +25,33 @@ object MetricsAgg {
         col("produced"), col("inserts"), col("updates"), col("deletes"),
         lit((sourceWrites + auxWrites).toDouble / sourceWrites).as("write_amp"))
 
+  /** Backlog/consumed time series (`src/engine/metrics.ts:23-46`; backlog
+    * derivation `src/changefeed/model.ts:375-382`): per consumer lane and
+    * 50ms tick, how many events became available (produced), how many the
+    * throttle drained, and the running backlog Σ(produced − drained).
+    *
+    * Input is `Consumer.throttleDrain` output (method, availableAt,
+    * drainTick). Only active ticks materialize (sparse series); the running
+    * backlog window is partitioned by lane, so the scan parallelizes across
+    * lanes — no global window.
+    */
+  def backlogSeries(drained: DataFrame, stepMs: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val produced = drained
+      .select(col("method"), expr(s"((availableAt - 1) div $stepMs) + 1").as("tick"))
+      .groupBy("method", "tick").agg(count(lit(1)).as("produced"))
+    val consumed = drained
+      .select(col("method"), col("drainTick").as("tick"))
+      .groupBy("method", "tick").agg(count(lit(1)).as("drained"))
+    val perLane = Window.partitionBy("method").orderBy("tick")
+    produced.join(consumed, Seq("method", "tick"), "full_outer")
+      .select(col("method"), col("tick"),
+        (col("tick") * stepMs).as("tick_ms"),
+        coalesce(col("produced"), lit(0L)).as("produced"),
+        coalesce(col("drained"), lit(0L)).as("drained"))
+      .withColumn("backlog", sum(col("produced") - col("drained")).over(perLane))
+  }
+
   /** Exact (linear-interpolation) lag percentiles — matches the reference's
     * `percentile` (`src/engine/metrics.ts:131-139`: `index = (n-1)*p`,
     * interpolate between floor and ceil). Spark's `percentile` aggregate uses

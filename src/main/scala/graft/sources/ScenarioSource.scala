@@ -41,8 +41,12 @@ object ScenarioSource {
     * (t, tbl, pk, op, after_json). `pkColumn` names the pk field inside
     * `after` payloads (the fixture schema's pk column, default "id"). */
   def normaliseOps(scenario: DataFrame, pkColumn: String = "id", fallbackTable: String = "data"): DataFrame = {
+    // shared scenarios carry a top-level `table`; harness fixtures don't
+    val scenarioTable =
+      if (scenario.columns.contains("table")) coalesce(col("table"), lit(fallbackTable))
+      else lit(fallbackTable)
     val ops = scenario
-      .select(coalesce(col("table"), lit(fallbackTable)).as("scenario_table"), explode(col("ops")).as("op"))
+      .select(scenarioTable.as("scenario_table"), explode(col("ops")).as("op"))
       .select(col("scenario_table"), col("op.*"))
     // ops may omit per-op fields entirely (schema inferred from JSON) — a
     // delete-only fixture, for instance, has no `after` anywhere

@@ -44,4 +44,22 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.versionAfter(
       Seq(SchemaChange("t0", "ADD_COLUMN", "a", 1L)), "t0") === 2)
   }
+
+  test("captureLanes: same change, three lanes, reference emission times") {
+    // one change at t=1234: log emits immediately; polling queues it to the
+    // next poll tick (2000); trigger applies at 1234+5 and the extractor
+    // ships it at the next 500ms tick (1500)
+    val changes = Seq(SchemaChange("t0", "ADD_COLUMN", "a", 1234L)).toDS()
+    val lanes = SchemaEvolution.captureLanes(changes).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("commit_ts"), r.getAs[Long]("emitted_ts"), r.getAs[Long]("lag_ms"))))
+      .toMap
+    assert(lanes("log") === ((1234L, 1234L, 0L)))
+    assert(lanes("poll") === ((1234L, 2000L, 766L)))
+    assert(lanes("trigger") === ((1239L, 1500L, 266L)))
+    // version transition identical across lanes
+    val vers = SchemaEvolution.captureLanes(changes).collect()
+      .map(r => (r.getAs[Long]("prev_version"), r.getAs[Long]("next_version"))).toSet
+    assert(vers === Set((1L, 2L)))
+  }
 }
