@@ -623,16 +623,40 @@ object Oracles {
     FROM part WHERE p_size > 25 AND p_type = 'ECONOMY'
     GROUP BY p_brand ORDER BY p_brand"""
 
-  /** IVF ANN: deterministic centroids (vec_id < 16), nProbe=4, exact top-3
-    * within probed lists — mirrors `Similarity.ivfTopK`. */
-  val annIvfTopK: String = s"""WITH
+  /** IVF ANN with quantized-mean Lloyd k-means centroids (2 iterations,
+    * seeded with vec_id < 16), nProbe=4, exact top-3 within probed lists —
+    * mirrors `Similarity.kmeansCentroids` + `ivfTopK`. Centroid means sum
+    * floor(x·2²⁰) as BIGINT (exact, associative, no rounding ties) and
+    * divide back once — bit-identical to Spark's unordered partial aggs. */
+  val annIvfTopK: String = {
+    def assignCte(name: String, cents: String): String = s"""$name AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT n.vec_id, c.c_id,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS r
+        FROM n, $cents c) WHERE r = 1)"""
+    def lloydStep(assign: String, sums: String, cent: String): String = s"""$sums AS (
+      SELECT a.list_id, t.i,
+        sum(CAST(floor(e.embedding[t.i] * 1048576.0) AS BIGINT)) AS s,
+        count(*) AS cnt
+      FROM $assign a JOIN embeddings e USING (vec_id), range(1, 65) t(i)
+      GROUP BY a.list_id, t.i),
+    $cent AS (
+      SELECT list_id AS c_id, list(s::DOUBLE / (1048576.0 * cnt) ORDER BY i) AS c_emb
+      FROM $sums GROUP BY list_id),
+    ${cent}n AS (SELECT c_id, c_emb, ${normSql("c_emb")} AS c_nrm FROM $cent)"""
+    s"""WITH
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-    cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
+    cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
+    ${assignCte("assign1", "cents0")},
+    ${lloydStep("assign1", "sums1", "cent1")},
+    ${assignCte("assign2", "cent1n")},
+    ${lloydStep("assign2", "sums2", "cent2")},
     ranked AS (
       SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
         row_number() OVER (PARTITION BY n.vec_id
           ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS c_rank
-      FROM n, cents c),
+      FROM n, cent2n c),
     assigned AS (
       SELECT vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm, c_id AS list_id
       FROM ranked WHERE c_rank = 1),
@@ -650,6 +674,7 @@ object Oracles {
       FROM scored)
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  }
 
   /** Source↔sink verify counts via both-direction anti-joins
     * (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`). */
@@ -697,7 +722,10 @@ object Oracles {
     val allow2 = s"CASE WHEN ($adv) = 1 THEN least(($a1) + 10.0, 1000.0) ELSE ($a1) END - 1.0"
     val used2 = s"(CASE WHEN ($adv) = 1 THEN 0 ELSE ($u1) END) + 1"
     s"""WITH RECURSIVE $stateCte, $logLaneCte,
-    ev AS (
+    ev AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: the recursive member joins ev every
+      -- iteration, and without it DuckDB re-evaluates the whole upstream
+      -- window chain per iteration (~25x slower at sf0.01)
       SELECT 'lane-' || lpad(CAST(CAST(pk AS BIGINT) % 32 AS VARCHAR), 2, '0') AS method,
              lsn AS seq, emitted_ts AS "availableAt",
              row_number() OVER (

@@ -214,7 +214,9 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("op_code") =!= "d")
         .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
-      Evaluate.lane(ops(s, dir), state, actual, pollState).orderBy("metric")
+      // `state` is a superset of the ops columns — passing it as the op
+      // stream reuses the one cached lineage instead of re-reading parquet
+      Evaluate.lane(state, state, actual, pollState).orderBy("metric")
     }),
     "cdc_commit_floor" -> ((s, dir) => {
       val drifted = Broker.withDrift(

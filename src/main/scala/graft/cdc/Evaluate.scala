@@ -30,8 +30,10 @@ object Evaluate {
       state: DataFrame,
       actual0: DataFrame,
       stateActual: DataFrame): DataFrame = {
-    val ops = ops0.persist()
-    val actual = actual0.persist()
+    def cached(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+    val ops = cached(ops0)
+    val actual = cached(actual0)
     val expected = state.select(
       concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
       col("t").as("time"), col("lsn").as("ord"))

@@ -24,10 +24,17 @@ case class Hash31(child: Expression, modulus: Long) extends UnaryExpression {
   override def prettyName: String = "hash31"
 
   override def nullSafeEval(input: Any): Any =
-    Hash31.eval(input.asInstanceOf[UTF8String].toString, modulus)
+    Hash31.hash(input.asInstanceOf[UTF8String].toString, modulus)
 
+  // NOTE: the static helper must NOT be named `eval` — this class inherits
+  // `eval(InternalRow)` from Expression, and any same-named class method
+  // suppresses Scala's static forwarder for the companion method, so the
+  // generated Java below would fail to compile (Janino resolves
+  // `Hash31.eval(String, long)` against the class and finds only the
+  // InternalRow overload) and the whole stage would silently fall back to
+  // interpreted evaluation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Hash31.eval($c.toString(), ${modulus}L)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash31.hash($c.toString(), ${modulus}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Hash31 =
     copy(child = newChild)
@@ -36,7 +43,7 @@ case class Hash31(child: Expression, modulus: Long) extends UnaryExpression {
 object Hash31 {
 
   /** Reference parity: JS `for (c of s) acc = (acc*31 + charCodeAt) % mod`. */
-  def eval(s: String, mod: Long): Long = {
+  def hash(s: String, mod: Long): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {

@@ -74,37 +74,80 @@ object Similarity {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** Rank all centroids per input vector by cosine (deterministic tie-break
+    * on c_id); rank 1 = assignment, ranks ≤ nProbe = probe set. */
+  private def rankCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.join(broadcast(centroids), col("vec_id").isNotNull)
+      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    scored.withColumn("c_rank", row_number().over(w))
+  }
+
+  /** Lloyd's k-means over the corpus, deterministically seeded with the
+    * first `nLists` vectors. Each iteration: assign every vector to its
+    * nearest (cosine) centroid — one broadcast join + codegen'd projection
+    * over the corpus — then recompute centroids as per-list means.
+    *
+    * The mean is computed over QUANTIZED components: Σ floor(x·2²⁰) as
+    * 64-bit integers, divided back once at the end. Integer sums are exact
+    * and associative, so the result is bit-identical regardless of Spark's
+    * partial-aggregation order AND reproducible in the DuckDB oracle —
+    * float-sum means would make the index nondeterministic across runs.
+    * (floor, not round: rounding has exact .5 ties on dyadic floats where
+    * HALF_UP/HALF_EVEN engines diverge; floor has no ties.) The 2⁻²⁰
+    * quantization error is orders below the float32 input precision.
+    *
+    * Scale shape per iteration: one broadcast of nLists centroids, one
+    * corpus pass, one (list, dim)-keyed partial agg — no collect, no
+    * quadratic term. Empty lists drop out (standard Lloyd behavior).
+    */
+  def kmeansCentroids(emb: DataFrame, nLists: Int = 16, iters: Int = 2): DataFrame = {
+    val q = 1048576.0 // 2^20
+    val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val seed = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val assigned = rankCentroids(withNorm, cents)
+        .filter(col("c_rank") === 1)
+        .select(col("vec_id"), col("c_id").as("list_id"))
+      val comps = assigned.join(emb, "vec_id")
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg(
+          sum(floor(col("x").cast("double") * q)).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("list_id"), col("pos"),
+          (col("s").cast("double") / (lit(q) * col("cnt"))).as("comp"))
+      comps.groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+        .select(col("list_id").as("c_id"),
+          transform(col("pc"), p => p.getField("comp")).as("c_emb"))
+        .withColumn("c_nrm", norm(col("c_emb")))
+    }
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * quantizer assigns every vector to its nearest centroid ("list"); a
     * query probes only the `nProbe` nearest lists and scores exactly within
-    * them. Centroids here are deterministic (the first `nLists` corpus
-    * vectors) so the oracle reproduces the index bit-for-bit; a production
-    * build would k-means them — the query path is identical.
+    * them. Centroids come from `kmeansCentroids` (deterministic seed +
+    * quantized-mean Lloyd, `kmeansIters` rounds; 0 = raw seed vectors), so
+    * the oracle reproduces the index bit-for-bit.
     *
     * Scale shape: centroids broadcast (tiny); assignment is one codegen'd
     * projection over the corpus; the probe is an equality join on list id.
     * Corpus is never collected; per-list candidate sets shrink the scored
     * set by ~nLists/nProbe versus brute force.
     */
-  def ivfTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val centroids = broadcast(
-      emb.filter(col("vec_id") < nLists)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          norm(col("embedding")).as("c_nrm")))
+  def ivfTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4, nQueries: Int = 10, k: Int = 3,
+      kmeansIters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(emb, nLists, kmeansIters)
     val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // rank centroids per vector by cosine; rank 1 = assignment, ranks ≤ nProbe = probe set
-    def ranked(df: DataFrame, idCol: String): DataFrame = {
-      val scored = df.join(centroids,
-          col(idCol).isNotNull) // cross vs broadcast centroid table
-        .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("c_id"))
-      scored.withColumn("c_rank", row_number().over(w))
-    }
-    val assigned = ranked(withNorm, "vec_id")
+    val assigned = rankCentroids(withNorm, centroids)
       .filter(col("c_rank") === 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("c_id").as("list_id"))
-    val probes = ranked(withNorm.filter(col("vec_id") < nQueries), "vec_id")
+    val probes = rankCentroids(withNorm.filter(col("vec_id") < nQueries), centroids)
       .filter(col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id").as("list_id"))

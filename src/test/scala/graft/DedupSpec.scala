@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(top.last.getAs[Double]("cos_sim") === -1.0)
   }
 
+  test("k-means IVF: centroids converge deterministically; recall vs brute force documented") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // deterministic index: two runs produce identical centroids (quantized
+    // integer means — no float-sum order sensitivity)
+    val c1 = Similarity.kmeansCentroids(emb).orderBy("c_id").collect()
+    val c2 = Similarity.kmeansCentroids(emb).orderBy("c_id").collect()
+    assert(c1.map(_.getSeq[Double](1).toVector).toSeq ===
+      c2.map(_.getSeq[Double](1).toVector).toSeq)
+    // recall@3 of IVF (nProbe=4/16 lists) against exact brute force — the
+    // documented quality of the approximate index on this corpus
+    val exact = Similarity.cosineTopK(emb, nQueries = 10, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall@3 degraded to $recall%.2f")
+  }
+
   test("LSH buckets put clones together and candidates avoid full cross product") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),

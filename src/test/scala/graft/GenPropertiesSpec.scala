@@ -25,15 +25,15 @@ class GenPropertiesSpec extends SparkSpec {
   test("hash31 matches the reference model on random ASCII strings") {
     val gen = Gen.zip(Gen.asciiPrintableStr, Gen.oneOf(9973L, 65521L, 104729L, 1000003L))
     samples(gen, 200).foreach { case (s, mod) =>
-      assert(Hash31.eval(s, mod) === modelHash(s, mod))
-      assert(Hash31.eval(s, mod) >= 0 && Hash31.eval(s, mod) < mod)
+      assert(Hash31.hash(s, mod) === modelHash(s, mod))
+      assert(Hash31.hash(s, mod) >= 0 && Hash31.hash(s, mod) < mod)
     }
   }
 
   test("hash31 matches on random unicode strings (UTF-16 code units)") {
     val gen = Gen.listOf(Gen.choose(1, 0xFFFF).map(_.toChar)).map(_.mkString)
     samples(gen, 100).foreach { s =>
-      assert(Hash31.eval(s, 9973L) === modelHash(s, 9973L))
+      assert(Hash31.hash(s, 9973L) === modelHash(s, 9973L))
     }
   }
 

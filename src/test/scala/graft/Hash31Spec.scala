@@ -12,16 +12,16 @@ class Hash31Spec extends SparkSpec {
 
   test("hash31 matches hand-computed reference values") {
     // '4'=52, '2'=50: ((0*31+52)%9973)*31+50 = 1662
-    assert(Hash31.eval("42", 9973) === 1662L)
+    assert(Hash31.hash("42", 9973) === 1662L)
     // 'a'=97
-    assert(Hash31.eval("a", 9973) === 97L)
+    assert(Hash31.hash("a", 9973) === 97L)
     // 'a','b': 97*31+98 = 3105
-    assert(Hash31.eval("ab", 9973) === 3105L)
+    assert(Hash31.hash("ab", 9973) === 3105L)
     // 'abc': 3105*31+99 = 96354 % 9973 = 96354 - 9*9973 = 6597
-    assert(Hash31.eval("abc", 9973) === 6597L)
-    assert(Hash31.eval("", 9973) === 0L)
+    assert(Hash31.hash("abc", 9973) === 6597L)
+    assert(Hash31.hash("", 9973) === 0L)
     // modulus variant used by fingerprints
-    assert(Hash31.eval("a", 1000003) === 97L)
+    assert(Hash31.hash("a", 1000003) === 97L)
   }
 
   test("hash31 expression evaluates in a plan (codegen path)") {
@@ -41,7 +41,7 @@ class Hash31Spec extends SparkSpec {
     val expected = Map(
       "7" -> (55L % 3, 55L % 100 < 10),
       "12" -> (1569L % 3, 1569L % 100 < 10),
-      "99" -> (Hash31.eval("99", 9973) % 3, Hash31.eval("99", 9973) % 100 < 10))
+      "99" -> (Hash31.hash("99", 9973) % 3, Hash31.hash("99", 9973) % 100 < 10))
     df.collect().foreach { r =>
       val (p, d) = expected(r.getString(0))
       assert(r.getLong(1) === p && r.getBoolean(2) === d)
