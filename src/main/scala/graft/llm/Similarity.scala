@@ -141,7 +141,9 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4, nQueries: Int = 10, k: Int = 3,
       kmeansIters: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(emb, nLists, kmeansIters)
+    // nLists rows, but an iterated-aggregation lineage behind them — persist
+    // so the assignment and probe branches build the index once, not twice
+    val centroids = kmeansCentroids(emb, nLists, kmeansIters).persist()
     val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val assigned = rankCentroids(withNorm, centroids)
       .filter(col("c_rank") === 1)
