@@ -190,10 +190,8 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langScores(Tables.documents(s, dir)).orderBy("doc_id")),
-    "text_fingerprint" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
-    }),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

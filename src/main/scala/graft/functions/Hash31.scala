@@ -73,6 +73,11 @@ object GraftFunctions {
   def partitionForKey(pk: Column, partitions: Int): Column =
     hash31(pk) % partitions.toLong
 
+  /** Winnowing fingerprint: min hash31 over all `window`-char substrings,
+    * single-pass rolling hash (see `WinnowMin`). */
+  def winnowMin(c: Column, window: Int, modulus: Long): Column =
+    GraftBridge.column(WinnowMin(GraftBridge.expression(c), window, modulus))
+
   /** Make `hash31(str, modulus)` callable from SQL / `expr(...)` lambdas
     * (needed inside higher-order functions like `transform`). Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -95,14 +95,13 @@ object TextAnalysis {
 
   /** Document fingerprinting: whole-document rolling hash plus a winnowing
     * -style minimum over all 8-char window hashes (Schleimer et al. '03,
-    * "local" fingerprint that survives small edits). Requires
-    * `GraftFunctions.register(spark)` (uses hash31 inside a SQL lambda). */
+    * "local" fingerprint that survives small edits). The window minimum is
+    * the native `WinnowMin` expression — a single rolling-hash pass instead
+    * of re-hashing every window (O(len) vs O(len·8) + a substring
+    * allocation per shift). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       graft.functions.GraftFunctions.hash31(col("text"), 1000003L).as("fp_full"),
-      expr(
-        """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-          |  i -> hash31(substring(text, i, 8), 1000003)))""".stripMargin)
-        .as("fp_winnow"))
+      graft.functions.GraftFunctions.winnowMin(col("text"), 8, 1000003L).as("fp_winnow"))
 }

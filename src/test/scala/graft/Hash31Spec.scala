@@ -48,6 +48,24 @@ class Hash31Spec extends SparkSpec {
     }
   }
 
+  test("winnowMin rolling hash equals re-hashing every window") {
+    import graft.functions.WinnowMin
+    def brute(s: String, w: Int, m: Long): Long =
+      if (s.length <= w) Hash31.hash(s, m)
+      else (0 to s.length - w).map(i => Hash31.hash(s.substring(i, i + w), m)).min
+    val samples = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghij",
+      "the quick brown fox jumps over the lazy dog", "aaaaaaaaaaaaaaa", "zyxw vut 123 %$#")
+    for (s <- samples; m <- Seq(9973L, 1000003L)) {
+      assert(WinnowMin.minHash(s, 8, m) === brute(s, 8, m), s"mismatch for '$s' mod $m")
+    }
+    // and through a plan (codegen path)
+    import spark.implicits._
+    val viaPlan = samples.toDF("s")
+      .select(GraftFunctions.winnowMin(col("s"), 8, 1000003L).as("w"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPlan === samples.map(brute(_, 8, 1000003L)))
+  }
+
   test("SQL registration makes hash31 usable inside lambdas") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT array_min(transform(array('ab','abc'), x -> hash31(x, 9973))) v")
