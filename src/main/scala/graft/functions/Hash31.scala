@@ -78,6 +78,10 @@ object GraftFunctions {
   def winnowMin(c: Column, window: Int, modulus: Long): Column =
     GraftBridge.column(WinnowMin(GraftBridge.expression(c), window, modulus))
 
+  /** Codegen'd left-to-right array dot product (see `ArrayDot`). */
+  def arrayDot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Make `hash31(str, modulus)` callable from SQL / `expr(...)` lambdas
     * (needed inside higher-order functions like `transform`). Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -23,15 +23,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sum of element-wise products as double — deterministic left-to-right
-    * array fold, identical evaluation order in Spark and the oracle. */
+    * fold, identical evaluation order in Spark and the oracle. Native
+    * codegen'd expression (`functions.ArrayDot`): higher-order functions
+    * are CodegenFallback, which made every scoring row pay interpreted
+    * lambda dispatch per dimension. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.arrayDot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact cosine top-`k` neighbors for the `nQueries` lowest vec_ids. */
   def cosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -52,18 +51,20 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random projection direction component for plane
-    * `j`, dim `i`: Knuth multiplicative lattice → uniform in [-0.5, 0.5). */
-  private def planeComponent(j: Int, i: Column): Column =
-    (((lit(j * 64) + i + 1) * lit(2654435761L)) % 1000L).cast("double") / 1000.0 - 0.5
+  /** Deterministic pseudo-random projection direction for plane `j`: Knuth
+    * multiplicative lattice → uniform in [-0.5, 0.5). Computed once in
+    * Scala and embedded as a LITERAL array, so each per-row projection is a
+    * single codegen'd `ArrayDot` instead of a per-element interpreted
+    * lambda regenerating the lattice. Same integers, same doubles as the
+    * oracle's formula. */
+  private def planeVector(j: Int, dims: Int): Seq[Double] =
+    Seq.tabulate(dims)(i =>
+      (((j * dims + i + 1).toLong * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5)
 
   /** Signed-random-projection bucket id (one bit per plane). */
   def lshBucket(embCol: Column, nPlanes: Int = 8, dims: Int = 64): Column =
     (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(embCol, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x.cast("double") * planeComponent(j, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(embCol, typedlit(planeVector(j, dims)))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -66,6 +66,26 @@ class Hash31Spec extends SparkSpec {
     assert(viaPlan === samples.map(brute(_, 8, 1000003L)))
   }
 
+  test("arrayDot matches the higher-order zip_with/aggregate fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array.tabulate(64)(i => math.sin(i + 1).toFloat),
+        Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)))
+      .toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val r = df.select(
+      GraftFunctions.arrayDot(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect().head
+    assert(r.getDouble(0) === r.getDouble(1)) // exact, not approximate
+    // mixed float/double inputs (kmeans centroids are double arrays)
+    val mixed = df.select(GraftFunctions.arrayDot(
+      col("a"), transform(col("b"), x => x.cast("double") * 2.0)).as("d"))
+      .collect().head.getDouble(0)
+    assert(mixed === r.getDouble(0) * 2.0) // scaling by 2 commutes with rounding
+  }
+
   test("SQL registration makes hash31 usable inside lambdas") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT array_min(transform(array('ab','abc'), x -> hash31(x, 9973))) v")
