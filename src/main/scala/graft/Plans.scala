@@ -12,7 +12,8 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("cdc_apply_state", "cdc_difflane", "q1_lineitem_agg",
-        "q_region_revenue", "dedup_jaccard", "ann_cosine_topk")
+        "q_region_revenue", "dedup_jaccard", "ann_cosine_topk",
+        "cdc_evaluate", "cdc_txn_apply", "cdc_commit_floor", "ann_ivf_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

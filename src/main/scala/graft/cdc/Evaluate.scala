@@ -14,6 +14,9 @@ object Evaluate {
     * (metric, value) rows: produced, matched/missing/extra, deletes
     * expected/captured, ordering issues, state mismatches, pass (0/1).
     *
+    * `ops` is the source op stream (delete accounting); `state` the
+    * `CdcOps.withState` enrichment of the same stream (expected lane keys
+    * AND — via its `cur_*` merged images — the expected final state);
     * `actual` needs (key, time, ord, op_code, tbl, pk); `stateActual` the
     * lane's replayed destination state.
     *
@@ -42,7 +45,15 @@ object Evaluate {
         count(when(col("status") === "matched", 1)).as("matched"),
         count(when(col("status") === "missing", 1)).as("missing"),
         count(when(col("status") === "extra", 1)).as("extra"))
-    val truth = ApplyEngine.applyState(ops)
+    // expected final state = last enriched row per key (the `state` input
+    // already carries the merged images `cur_val`/`cur_k`) — equivalent to
+    // `ApplyEngine.applyState(ops)` without re-running the merge fold
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl", "pk").orderBy(col("lsn").desc)
+    val truth = state
+      .withColumn("_rn", row_number().over(lastW))
+      .filter(col("_rn") === 1 && col("op") =!= "delete")
+      .select(col("tbl"), col("pk"), col("cur_val").as("val"), col("cur_k").as("k"))
     val stateDiff = Diff.diffStates(truth, stateActual, Seq("val", "k"))
       .agg(count(when(col("status") =!= "match", 1)).as("state_mismatches"))
     val deletes = ops.agg(
