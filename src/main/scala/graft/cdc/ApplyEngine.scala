@@ -133,7 +133,6 @@ object ApplyEngine {
     */
   def applyJsonState(ops: DataFrame, ordCol: String = "ord"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{MapType, StringType}
     val byKey = Window.partitionBy("tbl", "pk")
     val live = ops
       .withColumn("_last_del", max(when(col("op") === "delete", col(ordCol))).over(byKey))
@@ -141,11 +140,20 @@ object ApplyEngine {
         (col("_last_del").isNull || col(ordCol) > col("_last_del")) &&
         col("after_json").isNotNull)
     // explode_outer keeps `{}` payloads as a (null field) marker row, so
-    // keys whose only live payloads are empty still materialize as `{}`
+    // keys whose only live payloads are empty still materialize as `{}`.
+    // Fields come from json_object_keys + get_json_object (not a
+    // Map<String,String> parse): nested-object values — the reference's
+    // implicit schema-evolution fixtures carry them — survive as their raw
+    // JSON text instead of parsing to null and being dropped.
     val fields = live
-      .select(col("tbl"), col("pk"), col(ordCol).as("_ord"),
-        explode_outer(from_json(col("after_json"), MapType(StringType, StringType)))
-          .as(Seq("field", "value")))
+      .select(col("tbl"), col("pk"), col(ordCol).as("_ord"), col("after_json"),
+        explode_outer(json_object_keys(col("after_json"))).as("field"))
+      .withColumn("value",
+        when(col("field").isNotNull,
+          // bracket-quoted dynamic path (the Column API overload only takes
+          // literal paths; the underlying expression accepts any)
+          expr("get_json_object(after_json, concat('$[''', field, ''']'))")))
+      .drop("after_json")
       .filter(col("field").isNull || col("value").isNotNull) // sanitizeRow
     val lastPerField = fields
       .withColumn("_rn", row_number().over(

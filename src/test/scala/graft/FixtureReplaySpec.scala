@@ -73,6 +73,15 @@ class FixtureReplaySpec extends SparkSpec {
     totalEvents
   }
 
+  test("EVERY reference harness fixture passes the verifier gate") {
+    val dir = new java.io.File("/root/reference/harness/fixtures")
+    val fixtures = dir.listFiles().filter(_.getName.endsWith(".json")).map(_.getPath).sorted
+    assert(fixtures.length >= 15, "fixture directory unexpectedly small")
+    fixtures.foreach { path =>
+      withClue(s"fixture $path: ") { assert(replayGate(path) > 0L) }
+    }
+  }
+
   test("crud-basic fixture passes the verifier gate (delete ends empty)") {
     assert(replayGate("/root/reference/harness/fixtures/crud-basic.json") === 3L)
     // trailing delete ⇒ final state empty
@@ -80,6 +89,22 @@ class FixtureReplaySpec extends SparkSpec {
     val ops = ScenarioSource.normaliseOps(scen)
       .withColumn("ord", row_number().over(Window.orderBy("t", "tbl", "pk")).cast("long"))
     assert(ApplyEngine.applyJsonState(ops).count() === 0L)
+  }
+
+  test("schema-evolution fixture: implicit widening + nested payloads survive the gate") {
+    assert(replayGate("/root/reference/harness/fixtures/schema-evolution.json") === 4L)
+    val scen = ScenarioSource.read(
+      spark, "/root/reference/harness/fixtures/schema-evolution.json")
+    val ops = ScenarioSource.normaliseOps(scen)
+      .withColumn("ord", row_number().over(Window.orderBy("t", "tbl", "pk")).cast("long"))
+    val state = ApplyEngine.applyJsonState(ops).collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[String]("row_json")).toMap
+    // the update introduced columns the insert never had (implicit schema
+    // evolution); nested objects kept as their raw JSON text
+    val c880 = state("C-880")
+    assert(c880.contains("\"loyalty_tier\":\"gold\"")) // updated over insert
+    assert(c880.contains("\"name\":\"Mira\"")) // merged from insert
+    assert(c880.contains("marketing_opt_in")) // nested payload survived
   }
 
   test("orders-items-transactions fixture passes the verifier gate with merged state") {
