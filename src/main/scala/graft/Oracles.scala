@@ -540,6 +540,56 @@ object Oracles {
       FROM agg)
     ORDER BY metric"""
 
+  /** The evaluate() report over the LOG lane — lossless capture, so the
+    * report must come out all-zero with pass = 1 (computed, not assumed). */
+  val cdcEvaluateLog: String = s"""WITH $stateCte, $stateFinalCte, $logLaneCte,
+    expected AS (
+      SELECT tbl || '::' || $opCodeExpr || '::' || pk AS key, t AS etime,
+             row_number() OVER (PARTITION BY tbl || '::' || $opCodeExpr || '::' || pk
+                                ORDER BY lsn) AS ordinal
+      FROM st),
+    actual AS (
+      SELECT tbl || '::' || op_code || '::' || pk AS key, emitted_ts AS atime, lsn,
+             row_number() OVER (PARTITION BY tbl || '::' || op_code || '::' || pk
+                                ORDER BY lsn) AS ordinal
+      FROM log_lane),
+    pairs AS (
+      SELECT CASE WHEN e.key IS NOT NULL AND a.key IS NOT NULL THEN 'matched'
+                  WHEN e.key IS NOT NULL THEN 'missing' ELSE 'extra' END AS status
+      FROM expected e FULL OUTER JOIN actual a USING (key, ordinal)),
+    log_state AS (
+      SELECT tbl, pk, after_val AS val, after_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+            FROM log_lane) WHERE rn = 1 AND op_code <> 'd'),
+    smism AS (
+      SELECT count(*) AS m FROM state_final l FULL OUTER JOIN log_state r
+        ON l.tbl = r.tbl AND l.pk = r.pk
+      WHERE l.tbl IS NULL OR r.tbl IS NULL
+         OR (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)),
+    inv AS (
+      SELECT count(CASE WHEN lsn < run_max THEN 1 END) AS n FROM (
+        SELECT lsn, max(lsn) OVER (ORDER BY atime, lsn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        FROM actual)),
+    agg AS (
+      SELECT
+        (SELECT count(*) FROM pairs WHERE status = 'matched') AS matched,
+        (SELECT count(*) FROM pairs WHERE status = 'missing') AS missing,
+        (SELECT count(*) FROM pairs WHERE status = 'extra') AS extra,
+        (SELECT count(*) FROM ops WHERE op = 'delete') AS deletes_expected,
+        (SELECT count(*) FROM log_lane WHERE op_code = 'd') AS deletes_captured,
+        (SELECT n FROM inv) AS ordering_issues,
+        (SELECT m FROM smism) AS state_mismatches)
+    SELECT metric, value FROM (
+      SELECT unnest(['matched','missing','extra','deletes_expected','deletes_captured',
+                     'ordering_issues','state_mismatches','pass']) AS metric,
+             unnest([matched, missing, extra, deletes_expected, deletes_captured,
+                     ordering_issues, state_mismatches,
+                     CASE WHEN missing = 0 AND ordering_issues = 0 AND state_mismatches = 0
+                          THEN 1 ELSE 0 END]) AS value
+      FROM agg)
+    ORDER BY metric"""
+
   /** Apply-on-commit commit-floor (`src/changefeed/model.ts:169-244`):
     * applied_at = running max of txn delivery-completion over commit order. */
   val cdcCommitFloor: String = s"""WITH $opsCte,
@@ -798,6 +848,39 @@ object Oracles {
            commit_ts, emitted_ts, emitted_ts - src_ts AS lag_ms
     FROM lanes ORDER BY tbl, next_version, method"""
 
+  /** Exact broker per-tick delivery (`model.ts:246-263` `pollBroker`):
+    * FIFO in enqueue (lsn) order with head-of-line blocking; ≤4 consumed
+    * per tick per partition, drops consuming quota. Recursive CTE advances
+    * all 32 partition queues one event per iteration — mirrors
+    * `Consumer.brokerDeliverExact`. */
+  def cdcBrokerExact: String = {
+    val availTick = """(e."availableAt" - 1) // 50 + 1"""
+    val t1 = s"greatest(d.tick, $availTick)"
+    val u1 = s"CASE WHEN $t1 > d.tick THEN 0 ELSE d.used END"
+    val adv = s"CASE WHEN ($u1) >= 4 THEN 1 ELSE 0 END"
+    val tick2 = s"($t1) + ($adv)"
+    val used2 = s"(CASE WHEN ($adv) = 1 THEN 0 ELSE ($u1) END) + 1"
+    s"""WITH RECURSIVE $opsCte,
+    ev AS MATERIALIZED (
+      SELECT ${h31("pk", 9973)} % 32 AS part, lsn,
+             t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 AS "availableAt",
+             ${h31("CAST(lsn AS VARCHAR)", 9973)} % 100 < 10 AS dropped,
+             row_number() OVER (PARTITION BY ${h31("pk", 9973)} % 32 ORDER BY lsn) AS i
+      FROM ops),
+    q AS (
+      SELECT part, 0::BIGINT AS i, CAST(NULL AS BIGINT) AS lsn,
+             CAST(NULL AS BIGINT) AS "availableAt", CAST(NULL AS BOOLEAN) AS dropped,
+             0::BIGINT AS tick, 0::BIGINT AS used
+      FROM (SELECT DISTINCT part FROM ev)
+      UNION ALL
+      SELECT e.part, e.i, e.lsn, e."availableAt", e.dropped,
+        CAST($tick2 AS BIGINT), CAST($used2 AS BIGINT)
+      FROM q d JOIN ev e ON e.part = d.part AND e.i = d.i + 1)
+    SELECT part, lsn, "availableAt", dropped,
+           tick AS "deliverTick", tick * 50 AS "deliverMs"
+    FROM q WHERE i > 0 ORDER BY part, lsn"""
+  }
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -847,5 +930,7 @@ object Oracles {
     "mm_binary_meta" -> mmBinaryMeta,
     "cdc_throttle_drain" -> cdcThrottleDrain,
     "cdc_schema_capture" -> cdcSchemaCapture,
-    "cdc_backlog_series" -> cdcBacklogSeries)
+    "cdc_backlog_series" -> cdcBacklogSeries,
+    "cdc_evaluate_log" -> cdcEvaluateLog,
+    "cdc_broker_exact" -> cdcBrokerExact)
 }

@@ -216,6 +216,20 @@ object SparkEntry {
       // stream reuses the one cached lineage instead of re-reading parquet
       Evaluate.lane(state, state, actual, pollState).orderBy("metric")
     }),
+    "cdc_evaluate_log" -> ((s, dir) => {
+      // the same harness report over the LOG lane: lossless capture must
+      // report zero missing/extra/mismatches and pass = 1 — the lane-generic
+      // counterpart to the polling-lane cdc_evaluate
+      val state = st(s, dir).persist()
+      val lane = Capture.log(state).persist()
+      val actual = lane.select(
+        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
+        col("emitted_ts").as("time"), col("lsn").as("ord"),
+        col("op_code"), col("tbl"), col("pk"))
+      val replayed = ApplyEngine.replayEvents(lane, "lsn")
+      Evaluate.lane(state, state, actual, replayed).orderBy("metric")
+    }),
+
     "cdc_commit_floor" -> ((s, dir) => {
       val drifted = Broker.withDrift(
         ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))
@@ -240,6 +254,23 @@ object SparkEntry {
         .select("part", "lsn", "available_at", "queue_pos", "deliver_tick", "deliver_ms")
         .orderBy("part", "queue_pos")
     }),
+    "cdc_broker_exact" -> ((s, dir) => {
+      // exact FIFO-queue per-tick delivery (head-of-line blocking, drops
+      // consuming quota) over 32 hash-routed partitions — the sequential
+      // counterpart to cdc_broker_delivery's closed-form schedule
+      import s.implicits._
+      val routed = Broker.route(
+        Broker.withDrift(ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t")),
+        col("pk"), col("lsn"), 32, 0.1)
+      Consumer.brokerDeliverExact(
+        routed.select(col("part").cast("int").as("part"), col("lsn"),
+          col("available_at").as("availableAt"), col("dropped")).as[Consumer.BrokerIn])
+        .toDF()
+        .select(col("part").cast("long").as("part"), col("lsn"),
+          col("availableAt"), col("dropped"), col("deliverTick"), col("deliverMs"))
+        .orderBy("part", "lsn")
+    }),
+
     "cdc_state_hash" -> ((s, dir) => {
       val state = ApplyEngine.applyState(ops(s, dir))
       state.select(

@@ -69,6 +69,50 @@ object Consumer {
       }
   }
 
+  case class BrokerIn(part: Int, lsn: Long, availableAt: Long, dropped: Boolean)
+  case class BrokerOut(
+      part: Int, lsn: Long, availableAt: Long, dropped: Boolean,
+      deliverTick: Long, deliverMs: Long)
+
+  /** EXACT broker per-tick delivery (`model.ts:246-263` `pollBroker`):
+    * each partition queue is FIFO in ENQUEUE (lsn) order — an unavailable
+    * head blocks everything behind it — and each tick consumes at most
+    * `maxApplyPerTick` from the front, with dropped events consuming quota
+    * without being delivered. (The reference's cross-partition
+    * `maxToDeliver = maxApply·(partitions+1)` cap can never bind — per-tick
+    * consumption is already ≤ maxApply·partitions — so partitions fold
+    * independently and in parallel, exactly.)
+    *
+    * Same secondary-sort shape as [[throttleDrain]]: shuffle on the
+    * partition, sort by lsn, O(1) state per queue. This is the exact
+    * counterpart to [[brokerDelivery]]'s closed form (which sorts by
+    * availability and is a lower bound after idle gaps).
+    */
+  def brokerDeliverExact(
+      events: Dataset[BrokerIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4): Dataset[BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "lsn")
+      .mapPartitions { it =>
+        var part = Int.MinValue
+        var tick = 0L
+        var used = 0
+        it.map { e =>
+          if (e.part != part) { part = e.part; tick = 0L; used = 0 }
+          // first tick whose clock (tick·tickMs) has reached availableAt
+          val availTick = Math.floorDiv(e.availableAt - 1, tickMs) + 1
+          if (availTick > tick) { tick = availTick; used = 0 }
+          if (used >= maxApplyPerTick) { tick += 1; used = 0 }
+          used += 1
+          BrokerOut(e.part, e.lsn, e.availableAt, e.dropped, tick, tick * tickMs)
+        }
+      }
+  }
+
   /** Broker delivery schedule bound (`model.ts:246-274` computes this with
     * a per-tick loop; here it is the closed form
     * `max(availability tick, ⌈queue position / maxApplyPerTick⌉)`).

@@ -32,6 +32,28 @@ class ConsumerSpec extends SparkSpec {
     assert(byLane("b").map(_.drainTick).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("exact broker delivery: FIFO head-of-line blocking, drops consume quota") {
+    import graft.cdc.Consumer.BrokerIn
+    val events = Seq(
+      // head of queue not available until 500ms — lsn 2 is available at 0
+      // but must wait behind it (enqueue-order FIFO, model.ts:251-253)
+      BrokerIn(0, 1L, 500L, dropped = false),
+      BrokerIn(0, 2L, 0L, dropped = false),
+      // a full tick: cap 2 → lsns 3,4 at tick 11; 5 dropped consumes quota
+      BrokerIn(1, 3L, 501L, dropped = false),
+      BrokerIn(1, 4L, 501L, dropped = false),
+      BrokerIn(1, 5L, 501L, dropped = true),
+      BrokerIn(1, 6L, 501L, dropped = false)).toDS()
+    val out = Consumer.brokerDeliverExact(events, tickMs = 50L, maxApplyPerTick = 2)
+      .collect().map(e => e.lsn -> e).toMap
+    assert(out(1L).deliverTick === 10L) // ceil(500/50)
+    assert(out(2L).deliverTick === 10L, "blocked behind head, same tick once head moves")
+    assert(out(3L).deliverTick === 11L && out(4L).deliverTick === 11L)
+    assert(out(5L).deliverTick === 12L && out(5L).dropped)
+    assert(out(6L).deliverTick === 12L,
+      "dropped event consumed quota; 6 shares tick 12 with the drop")
+  }
+
   test("throttle waits for availability") {
     val events = Seq(DeliveryIn("m", 1L, 5000L)).toDS()
     val out = Consumer.throttleDrain(events, rate = 100.0, stepMs = 1000L).collect().head
