@@ -228,4 +228,44 @@ object Streams {
     */
   def dedupOffsets[T](ds: Dataset[T], cols: Seq[String]): Dataset[T] =
     ds.dropDuplicatesWithinWatermark(cols)
+
+  /** A schema change with its version transition assigned. */
+  case class VersionedSchemaChange(
+      tbl: String, action: String, column: String, commitTs: Long,
+      prevVersion: Int, nextVersion: Int, kind: String)
+
+  /** Per-table version counter state (public for the state encoder). */
+  case class SchemaVersionState(version: Int)
+
+  /** Streaming schema-change capture: the unbounded form of
+    * `SchemaEvolution.capture` — a per-table monotone version counter
+    * (`bumpSchemaVersion`, `src/modes/logBased.ts:210-217`;
+    * destination max rule `storage.ts:144-146`) carried in keyed state, so
+    * version transitions continue correctly across micro-batches. Within a
+    * batch, changes apply in the batch form's deterministic
+    * (commitTs, column) order. Per-lane emission timing is a stateless
+    * projection on top (`SchemaEvolution.captureLanes`' lane explode works
+    * unchanged on a streaming frame).
+    */
+  def schemaCaptureStream(
+      changes: Dataset[graft.cdc.SchemaEvolution.SchemaChange]): Dataset[VersionedSchemaChange] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.tbl)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (tbl: String, incoming: Iterator[graft.cdc.SchemaEvolution.SchemaChange],
+         state: GroupState[SchemaVersionState]) => {
+          var v = state.getOption.map(_.version).getOrElse(1)
+          val out = incoming.toSeq.sortBy(c => (c.commitTs, c.column)).map { c =>
+            val prev = v
+            v += 1
+            VersionedSchemaChange(
+              c.tbl, c.action, c.column, c.commitTs, prev, v,
+              if (c.action == "ADD_COLUMN") "SCHEMA_ADD_COL" else "SCHEMA_DROP_COL")
+          }
+          state.update(SchemaVersionState(v))
+          out.iterator
+        })
+  }
 }

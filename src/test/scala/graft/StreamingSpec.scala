@@ -180,4 +180,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
     q.stop()
   }
+
+  test("streaming schema capture continues version transitions across batches") {
+    import spark.implicits._
+    import graft.cdc.SchemaEvolution.SchemaChange
+    import graft.streaming.Streams.VersionedSchemaChange
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SchemaChange]
+    val q = Streams.schemaCaptureStream(input.toDS())
+      .writeStream.format("memory").queryName("schema_stream")
+      .outputMode("append").start()
+
+    input.addData(
+      SchemaChange("t0", "ADD_COLUMN", "a", 100L),
+      SchemaChange("t1", "ADD_COLUMN", "z", 150L),
+      SchemaChange("t0", "DROP_COLUMN", "a", 200L))
+    q.processAllAvailable()
+    input.addData(SchemaChange("t0", "ADD_COLUMN", "b", 300L)) // next batch
+    q.processAllAvailable()
+    val out = spark.table("schema_stream").as[VersionedSchemaChange].collect()
+      .map(c => (c.tbl, c.column, c.prevVersion, c.nextVersion, c.kind)).toSet
+    assert(out === Set(
+      ("t0", "a", 1, 2, "SCHEMA_ADD_COL"),
+      ("t0", "a", 2, 3, "SCHEMA_DROP_COL"),
+      ("t0", "b", 3, 4, "SCHEMA_ADD_COL"), // state carried the counter over
+      ("t1", "z", 1, 2, "SCHEMA_ADD_COL")))
+    // matches the batch form on the same changes (t0 lane)
+    val batch = graft.cdc.SchemaEvolution.capture(Seq(
+      SchemaChange("t0", "ADD_COLUMN", "a", 100L),
+      SchemaChange("t0", "DROP_COLUMN", "a", 200L),
+      SchemaChange("t0", "ADD_COLUMN", "b", 300L)).toDS()).collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[Int]("prev_version"),
+        r.getAs[Int]("next_version"))).toSet
+    assert(batch === out.filter(_._1 == "t0").map(c => (c._2, c._3, c._4)))
+    q.stop()
+  }
 }
