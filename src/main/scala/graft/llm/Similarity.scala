@@ -76,13 +76,31 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
 
   /** Rank all centroids per input vector by cosine (deterministic tie-break
-    * on c_id); rank 1 = assignment, ranks ≤ nProbe = probe set. */
+    * on c_id); ranks ≤ nProbe = probe set. Sort-window shape — use only on
+    * small inputs (the query set); assignment over the corpus goes through
+    * [[assignNearest]]. */
   private def rankCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = vectors.join(broadcast(centroids), col("vec_id").isNotNull)
       .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
     val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
     scored.withColumn("c_rank", row_number().over(w))
   }
+
+  /** Nearest centroid per vector as a hash AGGREGATION (`max_by` over the
+    * (cos, −c_id) struct — same argmax and tie-break as rank 1 of
+    * [[rankCentroids]]), not a sort-window: over the full corpus this is a
+    * partial-aggregating single shuffle with no per-group sort, and the
+    * vector's own embedding/norm ride through the agg buffer so no rejoin
+    * is needed. Returns (vec_id, list_id, embedding, nrm). */
+  private def assignNearest(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids), col("vec_id").isNotNull)
+      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("c_id"), col("embedding"), col("nrm")),
+        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"),
+        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
 
   /** Lloyd's k-means over the corpus, deterministically seeded with the
     * first `nLists` vectors. Each iteration: assign every vector to its
@@ -109,10 +127,8 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
     (1 to iters).foldLeft(seed) { (cents, _) =>
-      val assigned = rankCentroids(withNorm, cents)
-        .filter(col("c_rank") === 1)
-        .select(col("vec_id"), col("c_id").as("list_id"))
-      val comps = assigned.join(emb, "vec_id")
+      val assigned = assignNearest(withNorm, cents)
+      val comps = assigned
         .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos")
         .agg(
@@ -146,10 +162,9 @@ object Similarity {
     // so the assignment and probe branches build the index once, not twice
     val centroids = kmeansCentroids(emb, nLists, kmeansIters).persist()
     val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val assigned = rankCentroids(withNorm, centroids)
-      .filter(col("c_rank") === 1)
+    val assigned = assignNearest(withNorm, centroids)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("c_id").as("list_id"))
+        col("nrm").as("n_nrm"), col("list_id"))
     val probes = rankCentroids(withNorm.filter(col("vec_id") < nQueries), centroids)
       .filter(col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
