@@ -54,6 +54,46 @@ class ConsumerSpec extends SparkSpec {
       "dropped event consumed quota; 6 shares tick 12 with the drop")
   }
 
+  test("invariants on testdata: throttle conserves events, broker-exact is FIFO-monotone, backlog drains to zero") {
+    import graft.cdc.{Broker, Capture, CdcOps, MetricsAgg}
+    import graft.cdc.Consumer.BrokerIn
+    val ops = CdcOps.ops(spark, "/root/testdata/sf0.001")
+    val lane = Capture.log(CdcOps.withState(ops)).persist()
+
+    // throttle: every event drains exactly once; per-(lane, tick) ≤ batchCap
+    val drained = Consumer.throttleDrain(
+      lane.select(lit("m").as("method"), col("lsn").as("seq"),
+        col("emitted_ts").as("availableAt")).as[DeliveryIn],
+      rate = 200.0).toDF().persist()
+    assert(drained.count() === lane.count())
+    assert(drained.groupBy("method", "drainTick").count()
+      .filter(col("count") > 50).count() === 0L)
+
+    // backlog series: running backlog never negative, ends at zero per lane
+    val series = MetricsAgg.backlogSeries(drained).persist()
+    assert(series.filter(col("backlog") < 0).count() === 0L)
+    val finals = series
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("method").orderBy(col("tick").desc)))
+      .filter(col("rn") === 1)
+    assert(finals.filter(col("backlog") =!= 0).count() === 0L, "all produced events drain")
+
+    // broker exact: FIFO ⇒ deliverTick non-decreasing in lsn per partition;
+    // per-(part, tick) consumption ≤ maxApplyPerTick
+    val routed = Broker.route(
+      Broker.withDrift(ops, concat(lit("tx-"), col("lsn").cast("string")), col("t")),
+      col("pk"), col("lsn"), 32, 0.1)
+    val exact = Consumer.brokerDeliverExact(
+      routed.select(col("part").cast("int").as("part"), col("lsn"),
+        col("available_at").as("availableAt"), col("dropped")).as[BrokerIn]).toDF().persist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("part").orderBy("lsn")
+    assert(exact.withColumn("prev", lag(col("deliverTick"), 1).over(w))
+      .filter(col("prev") > col("deliverTick")).count() === 0L, "head-of-line order violated")
+    assert(exact.groupBy("part", "deliverTick").count()
+      .filter(col("count") > 4).count() === 0L, "per-tick cap violated")
+    Seq(lane, drained, series, exact).foreach(_.unpersist())
+  }
+
   test("throttle waits for availability") {
     val events = Seq(DeliveryIn("m", 1L, 5000L)).toDS()
     val out = Consumer.throttleDrain(events, rate = 100.0, stepMs = 1000L).collect().head
