@@ -278,6 +278,12 @@ object Oracles {
     SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS o_date_ms
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
+  val qSupplierNation: String = """
+    SELECT n_name, count(*) AS n_suppliers,
+      CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
   val qEventsHourly: String = """
     SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, count(*) AS cnt,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -932,5 +938,6 @@ object Oracles {
     "cdc_schema_capture" -> cdcSchemaCapture,
     "cdc_backlog_series" -> cdcBacklogSeries,
     "cdc_evaluate_log" -> cdcEvaluateLog,
-    "cdc_broker_exact" -> cdcBrokerExact)
+    "cdc_broker_exact" -> cdcBrokerExact,
+    "q_supplier_nation" -> qSupplierNation)
 }

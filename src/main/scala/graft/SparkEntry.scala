@@ -57,14 +57,16 @@ object SparkEntry {
 
     // ------------------------------------------------ diff / verification
     "cdc_difflane" -> ((s, dir) => {
+      // multi-column diff key (no string-concat key to build or hash)
       val state = st(s, dir)
       val expected = state.select(
-        concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
+        col("tbl"), CdcOps.opCode(col("op")).as("opc"), col("pk"),
         col("t").as("time"), col("lsn").as("ord"))
       val actual = Capture.poll(state).select(
-        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
+        col("tbl"), col("op_code").as("opc"), col("pk"),
         col("poll_ts").as("time"), col("src_lsn").as("ord"))
-      Diff.laneTotals(Diff.lanePairs(expected, actual, "ord")).orderBy("status")
+      Diff.laneTotals(Diff.lanePairs(expected, actual, "ord", Seq("tbl", "opc", "pk")))
+        .orderBy("status")
     }),
     "cdc_lag_topk" -> ((s, dir) =>
       Capture.trigger(st(s, dir))
@@ -148,6 +150,14 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
+    "q_supplier_nation" -> ((s, dir) =>
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_acctbal"))
+        .orderBy("n_name")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -204,7 +214,6 @@ object SparkEntry {
       val state = st(s, dir).persist()
       val poll = Capture.poll(state).persist()
       val actual = poll.select(
-        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
         col("poll_ts").as("time"), col("src_lsn").as("ord"),
         col("op_code"), col("tbl"), col("pk"))
       val w = Window.partitionBy("tbl", "pk").orderBy(col("poll_window").desc)
@@ -223,7 +232,6 @@ object SparkEntry {
       val state = st(s, dir).persist()
       val lane = Capture.log(state).persist()
       val actual = lane.select(
-        concat_ws("::", col("tbl"), col("op_code"), col("pk")).as("key"),
         col("emitted_ts").as("time"), col("lsn").as("ord"),
         col("op_code"), col("tbl"), col("pk"))
       val replayed = ApplyEngine.replayEvents(lane, "lsn")

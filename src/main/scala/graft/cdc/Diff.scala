@@ -21,22 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  /** Ordinal-matched lane diff. Inputs need columns (key, time) and a
-    * deterministic per-key order column. Returns per-pair rows with status. */
+  /** Ordinal-matched lane diff. Inputs need `keyCols` + a `time` column and
+    * a deterministic per-key order column. Returns per-pair rows with
+    * status. The key stays multi-column end to end (window partition AND
+    * join) — no concatenated string key to build, hash, or collide on a
+    * separator. */
   def lanePairs(
-      expected: DataFrame, // key, time, ord source col
+      expected: DataFrame, // keyCols, time, ord source col
       actual: DataFrame,
-      orderCol: String): DataFrame = {
+      orderCol: String,
+      keyCols: Seq[String] = Seq("key")): DataFrame = {
     def ordinal(df: DataFrame, prefix: String): DataFrame = {
-      val w = Window.partitionBy("key").orderBy(orderCol)
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
       df.select(
-        col("key"),
-        col("time").as(s"${prefix}_time"),
-        row_number().over(w).as("ordinal"))
+        keyCols.map(col) :+
+          col("time").as(s"${prefix}_time") :+
+          row_number().over(w).as("ordinal"): _*)
     }
     val e = ordinal(expected, "expected")
     val a = ordinal(actual, "actual")
-    e.join(a, Seq("key", "ordinal"), "full_outer")
+    e.join(a, keyCols :+ "ordinal", "full_outer")
       .withColumn("status",
         when(col("expected_time").isNotNull && col("actual_time").isNotNull, "matched")
           .when(col("expected_time").isNotNull, "missing")

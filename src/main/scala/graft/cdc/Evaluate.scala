@@ -17,7 +17,7 @@ object Evaluate {
     * `ops` is the source op stream (delete accounting); `state` the
     * `CdcOps.withState` enrichment of the same stream (expected lane keys
     * AND — via its `cur_*` merged images — the expected final state);
-    * `actual` needs (key, time, ord, op_code, tbl, pk); `stateActual` the
+    * `actual` needs (tbl, op_code, pk, time, ord); `stateActual` the
     * lane's replayed destination state.
     *
     * Single-job report: every counter is a 1-row aggregate; they combine via
@@ -38,9 +38,11 @@ object Evaluate {
     val ops = cached(ops0)
     val actual = cached(actual0)
     val expected = state.select(
-      concat_ws("::", col("tbl"), CdcOps.opCode(col("op")), col("pk")).as("key"),
+      col("tbl"), CdcOps.opCode(col("op")).as("opc"), col("pk"),
       col("t").as("time"), col("lsn").as("ord"))
-    val pairCounts = Diff.lanePairs(expected, actual.select("key", "time", "ord"), "ord")
+    val actualKeyed = actual.select(
+      col("tbl"), col("op_code").as("opc"), col("pk"), col("time"), col("ord"))
+    val pairCounts = Diff.lanePairs(expected, actualKeyed, "ord", Seq("tbl", "opc", "pk"))
       .agg(
         count(when(col("status") === "matched", 1)).as("matched"),
         count(when(col("status") === "missing", 1)).as("missing"),
