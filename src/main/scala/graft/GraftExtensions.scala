@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{ArrayDot, Hash31, WinnowMin}
+
+/** Standard `SparkSessionExtensions` injector: add
+  * `spark.sql.extensions=graft.GraftExtensions` and the graft native
+  * expressions become SQL-callable in every session built with that conf —
+  * the idiomatic integration point for users who own session construction.
+  * (The driver harness builds its own sessions, so the per-session
+  * `GraftFunctions.register` path exists too; both routes register the
+  * same builders.)
+  *
+  *   - `hash31(str, modLiteral)` — reference routing hash
+  *   - `winnow_min(str, windowLiteral, modLiteral)` — rolling fingerprint
+  *   - `array_dot(a, b)` — codegen'd left-to-right dot product
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hash31"),
+      new ExpressionInfo("graft.functions", "hash31"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "hash31(str, modulus) takes 2 arguments")
+        Hash31(exprs.head, longLit(exprs(1), "hash31 modulus"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_min"),
+      new ExpressionInfo("graft.functions", "winnow_min"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3, "winnow_min(str, window, modulus) takes 3 arguments")
+        WinnowMin(exprs.head, longLit(exprs(1), "winnow window").toInt,
+          longLit(exprs(2), "winnow modulus"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo("graft.functions", "array_dot"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "array_dot(a, b) takes 2 arguments")
+        ArrayDot(exprs.head, exprs(1))
+      }))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `spark.sql.extensions=graft.GraftExtensions` makes the native
+  * expressions SQL-callable in a session built with that conf. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions-built session exposes hash31 / winnow_min / array_dot in SQL") {
+    val base = spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions = the programmatic form of spark.sql.extensions
+      // (the conf route needs a fresh SparkContext — static conf — which a
+      // shared test JVM cannot provide)
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = ext.sql(
+        """SELECT hash31('ab', 9973) AS h,
+          |       winnow_min('abcdefghij', 8, 1000003) AS w,
+          |       array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+        .collect().head
+      assert(r.getLong(0) === 3105L)
+      assert(r.getLong(1) === graft.functions.WinnowMin.minHash("abcdefghij", 8, 1000003L))
+      assert(r.getDouble(2) === 11.0)
+    } finally {
+      // restore the shared session for the rest of the suite run
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
