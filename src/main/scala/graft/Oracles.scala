@@ -278,6 +278,22 @@ object Oracles {
     SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS o_date_ms
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
+  val qOrdersReturned: String = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val qCustomerTopOrder: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
   val qSupplierNation: String = """
     SELECT n_name, count(*) AS n_suppliers,
       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -939,5 +955,7 @@ object Oracles {
     "cdc_backlog_series" -> cdcBacklogSeries,
     "cdc_evaluate_log" -> cdcEvaluateLog,
     "cdc_broker_exact" -> cdcBrokerExact,
-    "q_supplier_nation" -> qSupplierNation)
+    "q_supplier_nation" -> qSupplierNation,
+    "q_orders_returned" -> qOrdersReturned,
+    "q_customer_top_order" -> qCustomerTopOrder)
 }

@@ -150,6 +150,29 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
+    "q_orders_returned" -> ((s, dir) =>
+      // LEFT SEMI shape: orders having at least one returned line item —
+      // the EXISTS predicate stays a semi join, never a row-multiplying one
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("returned_value"))
+        .orderBy("o_orderpriority")),
+    "q_customer_top_order" -> ((s, dir) => {
+      // per-group top-1 via keyed window (rank partitions by customer — no
+      // global sort until the bounded 10-row output ordering)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
     "q_supplier_nation" -> ((s, dir) =>
       Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
