@@ -229,6 +229,56 @@ object Streams {
   def dedupOffsets[T](ds: Dataset[T], cols: Seq[String]): Dataset[T] =
     ds.dropDuplicatesWithinWatermark(cols)
 
+  /** Token-bucket carry-over state for the streaming throttle. */
+  case class ThrottleState(tick: Long, allowance: Double, usedThisTick: Int)
+
+  /** Streaming consumer throttle — the unbounded form of
+    * `Consumer.throttleDrain` (`web/App.tsx:2106-2113,2185-2201`): the
+    * per-lane token bucket (tick, allowance, used) lives in keyed state and
+    * carries across micro-batches, so a lane's drain schedule is identical
+    * no matter how the stream is chopped into batches. Within a batch,
+    * events drain in (availableAt, seq) order — the same order the batch
+    * fold consumes. State is O(1) per lane; lanes shard with the shuffle.
+    */
+  def throttleStream(
+      events: Dataset[graft.cdc.Consumer.DeliveryIn],
+      rate: Double,
+      stepMs: Long = 50L,
+      batchCap: Int = 50): Dataset[graft.cdc.Consumer.DeliveryOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cap = 5 * rate
+    val perTick = rate * stepMs / 1000.0
+    events
+      .groupByKey(_.method)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (method: String, incoming: Iterator[graft.cdc.Consumer.DeliveryIn],
+         state: GroupState[ThrottleState]) => {
+          var st = state.getOption.getOrElse(ThrottleState(0L, 0.0, 0))
+          var tick = st.tick
+          var allowance = st.allowance
+          var used = st.usedThisTick
+          val out = incoming.toSeq.sortBy(e => (e.availableAt, e.seq)).map { e =>
+            val needTick = Math.floorDiv(e.availableAt - 1, stepMs) + 1
+            if (needTick > tick) {
+              allowance = math.min(allowance + perTick * (needTick - tick), cap)
+              tick = needTick
+              used = 0
+            }
+            while (allowance < 1.0 || used >= batchCap) {
+              tick += 1
+              allowance = math.min(allowance + perTick, cap)
+              used = 0
+            }
+            allowance -= 1
+            used += 1
+            graft.cdc.Consumer.DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
+          }
+          state.update(ThrottleState(tick, allowance, used))
+          out.iterator
+        })
+  }
+
   /** A schema change with its version transition assigned. */
   case class VersionedSchemaChange(
       tbl: String, action: String, column: String, commitTs: Long,

@@ -181,6 +181,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming throttle carries the token bucket across batches (== batch fold)") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{DeliveryIn, DeliveryOut}
+    implicit val sqlCtx = spark.sqlContext
+    // rate 2/s at 1000ms steps → 2 tokens/tick; 6 events available at t=0
+    val batch1 = (1 to 4).map(i => DeliveryIn("m", i.toLong, 0L))
+    val batch2 = (5 to 6).map(i => DeliveryIn("m", i.toLong, 0L))
+    val input = MemoryStream[DeliveryIn]
+    val q = Streams.throttleStream(input.toDS(), rate = 2.0, stepMs = 1000L)
+      .writeStream.format("memory").queryName("throttle_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("throttle_stream").as[DeliveryOut].collect()
+      .map(e => e.seq -> e.drainTick).toMap
+    val batch = Consumer.throttleDrain((batch1 ++ batch2).toDS(), rate = 2.0, stepMs = 1000L)
+      .collect().map(e => e.seq -> e.drainTick).toMap
+    assert(streamed === batch, "bucket state must survive the batch boundary")
+    assert(streamed(5L) === 3L && streamed(6L) === 3L) // 2/tick → ticks 1,1,2,2,3,3
+    q.stop()
+  }
+
   test("streaming schema capture continues version transitions across batches") {
     import spark.implicits._
     import graft.cdc.SchemaEvolution.SchemaChange
