@@ -279,6 +279,44 @@ object Streams {
         })
   }
 
+  /** Per-partition queue state for the streaming broker delivery. */
+  case class BrokerQueueState(tick: Long, usedThisTick: Int)
+
+  /** Streaming exact broker delivery — the unbounded form of
+    * `Consumer.brokerDeliverExact` (`model.ts:246-263` `pollBroker`): each
+    * partition's (tick, used) queue state is keyed state, so per-tick caps
+    * and head-of-line FIFO order carry across micro-batches. Within a
+    * batch, events process in enqueue (lsn) order — the queue order the
+    * reference maintains. Exactly-once FIFO requires lsn-ordered arrival
+    * per partition (the broker's own guarantee).
+    */
+  def brokerDeliverStream(
+      events: Dataset[graft.cdc.Consumer.BrokerIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4): Dataset[graft.cdc.Consumer.BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.part)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (part: Int, incoming: Iterator[graft.cdc.Consumer.BrokerIn],
+         state: GroupState[BrokerQueueState]) => {
+          var st = state.getOption.getOrElse(BrokerQueueState(0L, 0))
+          var tick = st.tick
+          var used = st.usedThisTick
+          val out = incoming.toSeq.sortBy(_.lsn).map { e =>
+            val availTick = Math.floorDiv(e.availableAt - 1, tickMs) + 1
+            if (availTick > tick) { tick = availTick; used = 0 }
+            if (used >= maxApplyPerTick) { tick += 1; used = 0 }
+            used += 1
+            graft.cdc.Consumer.BrokerOut(
+              e.part, e.lsn, e.availableAt, e.dropped, tick, tick * tickMs)
+          }
+          state.update(BrokerQueueState(tick, used))
+          out.iterator
+        })
+  }
+
   /** A schema change with its version transition assigned. */
   case class VersionedSchemaChange(
       tbl: String, action: String, column: String, commitTs: Long,

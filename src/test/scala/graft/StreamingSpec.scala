@@ -206,6 +206,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming broker delivery carries queue state across batches (== batch fold)") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{BrokerIn, BrokerOut}
+    implicit val sqlCtx = spark.sqlContext
+    // cap 2/tick; 5 events available at 40ms (tick 1) split across batches
+    val batch1 = (1 to 3).map(i => BrokerIn(0, i.toLong, 40L, dropped = i == 2))
+    val batch2 = (4 to 5).map(i => BrokerIn(0, i.toLong, 40L, dropped = false))
+    val input = MemoryStream[BrokerIn]
+    val q = Streams.brokerDeliverStream(input.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+      .writeStream.format("memory").queryName("broker_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("broker_stream").as[BrokerOut].collect()
+      .map(e => e.lsn -> e.deliverTick).toMap
+    val batch = Consumer.brokerDeliverExact((batch1 ++ batch2).toDS(),
+      tickMs = 50L, maxApplyPerTick = 2)
+      .collect().map(e => e.lsn -> e.deliverTick).toMap
+    assert(streamed === batch, "queue state must survive the batch boundary")
+    // ticks: (1,1), (2,2), (3) — the drop at lsn 2 consumed tick-1 quota
+    assert(streamed === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    q.stop()
+  }
+
   test("streaming schema capture continues version transitions across batches") {
     import spark.implicits._
     import graft.cdc.SchemaEvolution.SchemaChange
