@@ -521,7 +521,7 @@ object Oracles {
                                 ORDER BY lsn) AS ordinal
       FROM st),
     actual AS (
-      SELECT tbl || '::' || op_code || '::' || pk AS key, poll_ts AS atime, src_lsn,
+      SELECT tbl, tbl || '::' || op_code || '::' || pk AS key, poll_ts AS atime, src_lsn,
              row_number() OVER (PARTITION BY tbl || '::' || op_code || '::' || pk
                                 ORDER BY src_lsn) AS ordinal
       FROM poll),
@@ -540,7 +540,7 @@ object Oracles {
          OR (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)),
     inv AS (
       SELECT count(CASE WHEN src_lsn < run_max THEN 1 END) AS n FROM (
-        SELECT src_lsn, max(src_lsn) OVER (ORDER BY atime, src_lsn
+        SELECT src_lsn, max(src_lsn) OVER (PARTITION BY tbl ORDER BY atime, src_lsn
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
         FROM actual)),
     agg AS (
@@ -571,7 +571,7 @@ object Oracles {
                                 ORDER BY lsn) AS ordinal
       FROM st),
     actual AS (
-      SELECT tbl || '::' || op_code || '::' || pk AS key, emitted_ts AS atime, lsn,
+      SELECT tbl, tbl || '::' || op_code || '::' || pk AS key, emitted_ts AS atime, lsn,
              row_number() OVER (PARTITION BY tbl || '::' || op_code || '::' || pk
                                 ORDER BY lsn) AS ordinal
       FROM log_lane),
@@ -590,7 +590,7 @@ object Oracles {
          OR (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)),
     inv AS (
       SELECT count(CASE WHEN lsn < run_max THEN 1 END) AS n FROM (
-        SELECT lsn, max(lsn) OVER (ORDER BY atime, lsn
+        SELECT lsn, max(lsn) OVER (PARTITION BY tbl ORDER BY atime, lsn
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
         FROM actual)),
     agg AS (
@@ -835,7 +835,7 @@ object Oracles {
              coalesce(c.drained, 0) AS drained
       FROM prod p FULL OUTER JOIN cons c ON p.method = c.method AND p.tick = c.tick)
     SELECT method, tick, tick * 50 AS tick_ms, produced, drained,
-      sum(produced - drained) OVER (PARTITION BY method ORDER BY tick) AS backlog
+      CAST(sum(produced - drained) OVER (PARTITION BY method ORDER BY tick) AS BIGINT) AS backlog
     FROM merged ORDER BY method, tick"""
 
   /** Per-lane schema-change capture timing — mirrors

@@ -62,8 +62,12 @@ object Evaluate {
       count(when(col("op") === "delete", 1)).as("deletes_expected"))
     val capturedDeletes = actual.agg(
       count(when(col("op_code") === "d", 1)).as("captured_deletes"))
+    // Per-table running-max scan, matching the harness verifier's per-table
+    // ordering bookkeeping (`harness/verifier/diff.js:153-179`). Partitioning
+    // by tbl keeps the window distributed — no single-partition WindowExec on
+    // the capture lane (each table's scan runs in its own task).
     val ordering = Diff.orderingInversions(
-      actual, Seq.empty, Seq(col("time"), col("ord")), "ord")
+      actual, Seq("tbl"), Seq(col("time"), col("ord")), "ord")
       .agg(count(when(col("inverted"), 1)).as("inversions"))
 
     pairCounts
