@@ -213,6 +213,29 @@ object Oracles {
     FROM trig_lane
     ORDER BY method"""
 
+  /** Rolling-2000 lag percentiles — the ring-buffer window of
+    * `src/engine/metrics.ts:42-44`: per lane, only the last 2000 samples in
+    * delivery order feed p50/p95. */
+  val cdcLagRolling: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte,
+    lanes AS (
+      SELECT 'log' AS method, emitted_ts AS ord1, lsn AS ord2, lag_ms FROM log_lane
+      UNION ALL
+      SELECT 'poll', poll_ts, src_lsn, poll_ts - src_t FROM poll
+      UNION ALL
+      SELECT 'trigger', emitted_ts, audit_seq, lag_ms FROM trig_lane),
+    tail AS (
+      SELECT method, lag_ms FROM (
+        SELECT method, lag_ms, row_number() OVER (
+          PARTITION BY method ORDER BY ord1 DESC, ord2 DESC) AS rn
+        FROM lanes)
+      WHERE rn <= 2000)
+    SELECT method,
+      round(quantile_cont(lag_ms, 0.5), 3) AS p50,
+      round(quantile_cont(lag_ms, 0.95), 3) AS p95,
+      max(lag_ms) AS max_lag,
+      CAST(count(*) AS BIGINT) AS window_n
+    FROM tail GROUP BY method ORDER BY method"""
+
   val cdcTxnApply: String = s"""WITH $opsCte,
     txn AS (
       SELECT event_id // 3 AS tx_num, count(*) AS n_events,
@@ -928,6 +951,7 @@ object Oracles {
     "cdc_diffstates" -> cdcDiffStates,
     "cdc_metrics_lane" -> cdcMetricsLane,
     "cdc_lag_percentiles" -> cdcLagPercentiles,
+    "cdc_lag_rolling" -> cdcLagRolling,
     "cdc_txn_apply" -> cdcTxnApply,
     "cdc_broker_route" -> cdcBrokerRoute,
     "cdc_ordering_drift" -> cdcOrderingDrift,

@@ -110,6 +110,19 @@ object SparkEntry {
         .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger"))
         .orderBy("method")
     }),
+    "cdc_lag_rolling" -> ((s, dir) => {
+      val state = st(s, dir)
+      val lanes = Capture.log(state)
+        .select(lit("log").as("method"), col("emitted_ts").as("ord1"),
+          col("lsn").as("ord2"), col("lag_ms"))
+        .unionAll(Capture.poll(state)
+          .select(lit("poll").as("method"), col("poll_ts").as("ord1"),
+            col("src_lsn").as("ord2"), (col("poll_ts") - col("src_t")).as("lag_ms")))
+        .unionAll(Capture.trigger(state)
+          .select(lit("trigger").as("method"), col("emitted_ts").as("ord1"),
+            col("audit_seq").as("ord2"), col("lag_ms")))
+      MetricsAgg.lagPercentilesRolling(lanes).orderBy("method")
+    }),
 
     // ------------------------------------------------ txn + broker
     "cdc_txn_apply" -> ((s, dir) =>

@@ -64,4 +64,37 @@ object MetricsAgg {
         expr(s"round(percentile($lagCol, 0.95), 3)").as("p95"),
         max(col(lagCol)).as("max_lag"))
       .select(lit(method).as("method"), col("p50"), col("p95"), col("max_lag"))
+
+  /** Rolling-window lag percentiles — the reference's MetricsStore keeps only
+    * the LAST 2000 lag samples per lane in a ring buffer
+    * (`src/engine/metrics.ts:42-44`) and computes p50/p95 over that window, so
+    * a long-running feed's dashboard tracks recent lag, not lifetime lag.
+    *
+    * Input is a union of lanes: (method, ord1, ord2, lagCol) where
+    * (ord1, ord2) is the lane's delivery order (unique per event). The last-N
+    * slice is exact and never sorts a whole lane: phase 1 prunes each input
+    * partition to its own top-N by delivery order (window keyed by
+    * (method, input partition) — parallel in the number of partitions), so
+    * phase 2's per-lane ranking sorts at most N × numPartitions survivors.
+    * A ring buffer of 2000 makes both sorts trivially bounded at any corpus
+    * size; the lane partitioning keeps every window distributed.
+    */
+  def lagPercentilesRolling(lanes: DataFrame, lastN: Int = 2000, lagCol: String = "lag_ms"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("ord1").desc, col("ord2").desc)
+    val localW = Window.partitionBy(col("method"), col("_pid")).orderBy(order: _*)
+    val laneW = Window.partitionBy(col("method")).orderBy(order: _*)
+    lanes
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(localW))
+      .filter(col("_lrn") <= lastN)
+      .withColumn("_rn", row_number().over(laneW))
+      .filter(col("_rn") <= lastN)
+      .groupBy("method")
+      .agg(
+        expr(s"round(percentile($lagCol, 0.5), 3)").as("p50"),
+        expr(s"round(percentile($lagCol, 0.95), 3)").as("p95"),
+        max(col(lagCol)).as("max_lag"),
+        count(lit(1)).as("window_n"))
+  }
 }
