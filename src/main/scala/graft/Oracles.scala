@@ -926,6 +926,70 @@ object Oracles {
     FROM q WHERE i > 0 ORDER BY part, lsn"""
   }
 
+  /** EXACT drift-on broker delivery (`src/changefeed/model.ts:141-149,246-263`):
+    * with commit drift, every event is spliced into the FRONT of its partition
+    * queue, so pending events form a LIFO stack and a drifted head blocks
+    * older events beneath it. Mirrors `Consumer.brokerDeliverDriftExact`.
+    *
+    * Tick-stepped recursion with LIST state: one state row per partition per
+    * visited tick, carrying the pending stack head-first. Each step (a) pushes
+    * the next arrival group (lsn DESC so the newest sits at the head), then
+    * (b) pops up to 4 head events whose avail tick has passed. The clock jumps
+    * between relevant ticks (next arrival / next drain), so iterations are
+    * O(events), not O(ticks); 32 partitions advance per iteration.
+    * NOTE DuckDB's `list_position` returns 0 (not NULL) for not-found.
+    */
+  def cdcBrokerDriftExact: String = {
+    val INF = "9223372036854775807"
+    val drainT = s"CASE WHEN len(d.stack) > 0 THEN greatest(d.tick + 1, d.stack[1].avail_tick) ELSE $INF END"
+    val arrives = s"g.arr_tick IS NOT NULL AND g.arr_tick <= ($drainT)"
+    val firstBlocked = "list_position(list_transform(s.stack2[1:4], x -> x.avail_tick <= s.T), false)"
+    s"""WITH RECURSIVE $opsCte,
+    ev AS MATERIALIZED (
+      SELECT ${h31("pk", 9973)} % 32 AS part, lsn, t,
+             t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 AS avail,
+             ${h31("CAST(lsn AS VARCHAR)", 9973)} % 100 < 10 AS dropped,
+             (t - 1) // 50 + 1 AS arr_tick,
+             (t + (${h31("'tx-' || CAST(lsn AS VARCHAR)", 9973)} % 2) * 50 - 1) // 50 + 1 AS avail_tick
+      FROM ops),
+    arr AS MATERIALIZED (
+      SELECT part, arr_tick,
+             list(struct_pack(lsn := lsn, avail_tick := avail_tick) ORDER BY lsn DESC) AS evs,
+             row_number() OVER (PARTITION BY part ORDER BY arr_tick) AS gi
+      FROM ev GROUP BY part, arr_tick),
+    parts AS (SELECT part, count(*) AS gmax FROM arr GROUP BY part),
+    q AS (
+      SELECT p.part, 0::BIGINT AS gi,
+             CAST([] AS STRUCT(lsn BIGINT, avail_tick BIGINT)[]) AS stack,
+             0::BIGINT AS tick,
+             CAST([] AS STRUCT(lsn BIGINT, avail_tick BIGINT)[]) AS just,
+             p.gmax
+      FROM parts p
+      UNION ALL
+      SELECT part, gi2, stack3, T, just2, gmax FROM (
+        SELECT d.part,
+          CASE WHEN $arrives THEN d.gi + 1 ELSE d.gi END AS gi2,
+          CASE WHEN $arrives THEN g.evs || d.stack ELSE d.stack END AS stack2,
+          least(coalesce(g.arr_tick, $INF), $drainT) AS T,
+          d.gmax
+        FROM q d LEFT JOIN arr g ON g.part = d.part AND g.gi = d.gi + 1
+        WHERE d.gi < d.gmax OR len(d.stack) > 0
+      ) s, LATERAL (
+        SELECT CASE WHEN coalesce($firstBlocked, 0) = 0
+                    THEN least(4, len(s.stack2))
+                    ELSE $firstBlocked - 1 END AS k
+      ) kk, LATERAL (
+        SELECT s.stack2[kk.k + 1:] AS stack3, s.stack2[1:kk.k] AS just2
+      ) fin),
+    delivered AS (
+      SELECT part, u.x.lsn AS lsn, tick AS deliver_tick
+      FROM q, LATERAL unnest(q.just) AS u(x))
+    SELECT e.part, e.lsn, e.avail AS "availableAt", e.dropped,
+           d.deliver_tick AS "deliverTick", d.deliver_tick * 50 AS "deliverMs"
+    FROM delivered d JOIN ev e ON e.part = d.part AND e.lsn = d.lsn
+    ORDER BY e.part, e.lsn"""
+  }
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -979,6 +1043,7 @@ object Oracles {
     "cdc_backlog_series" -> cdcBacklogSeries,
     "cdc_evaluate_log" -> cdcEvaluateLog,
     "cdc_broker_exact" -> cdcBrokerExact,
+    "cdc_broker_drift_exact" -> cdcBrokerDriftExact,
     "q_supplier_nation" -> qSupplierNation,
     "q_orders_returned" -> qOrdersReturned,
     "q_customer_top_order" -> qCustomerTopOrder)

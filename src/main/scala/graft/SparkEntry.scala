@@ -314,6 +314,23 @@ object SparkEntry {
           col("availableAt"), col("dropped"), col("deliverTick"), col("deliverMs"))
         .orderBy("part", "lsn")
     }),
+    "cdc_broker_drift_exact" -> ((s, dir) => {
+      // exact drift-on delivery trace: queue-FRONT insertion per
+      // `model.ts:141-149` makes each partition queue a LIFO stack; a
+      // drifted head blocks older events beneath it
+      import s.implicits._
+      val routed = Broker.route(
+        Broker.withDrift(ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t")),
+        col("pk"), col("lsn"), 32, 0.1)
+      Consumer.brokerDeliverDriftExact(
+        routed.select(col("part").cast("int").as("part"), col("lsn"),
+          col("t"), col("available_at").as("availableAt"), col("dropped"))
+          .as[Consumer.DriftIn])
+        .toDF()
+        .select(col("part").cast("long").as("part"), col("lsn"),
+          col("availableAt"), col("dropped"), col("deliverTick"), col("deliverMs"))
+        .orderBy("part", "lsn")
+    }),
 
     "cdc_state_hash" -> ((s, dir) => {
       val state = ApplyEngine.applyState(ops(s, dir))

@@ -23,7 +23,14 @@ object Broker {
 
   /** Commit drift (`model.ts:140-149`): delay availability of half the
     * events (by txn-derived hash parity) by `driftMs`, producing late /
-    * reordered arrivals. Returns `available_at`. */
+    * reordered arrivals. Returns `available_at`.
+    *
+    * Drift also changes the ENQUEUE POSITION in the reference: drifted mode
+    * `splice`s every event into the front of its partition queue
+    * (`model.ts:144` — `insertAt = 0`), turning the queue LIFO. That
+    * delivery-order consequence is modeled exactly by
+    * [[graft.cdc.Consumer.brokerDeliverDriftExact]]; the FIFO trace (drift
+    * off) by [[graft.cdc.Consumer.brokerDeliverExact]]. */
   def withDrift(events: DataFrame, txKeyCol: Column, commitTsCol: Column, driftMs: Long = 50L): DataFrame =
     events.withColumn("available_at",
       commitTsCol + (hash31(txKeyCol.cast("string")) % 2L) * driftMs)

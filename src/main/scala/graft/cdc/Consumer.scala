@@ -113,6 +113,77 @@ object Consumer {
       }
   }
 
+  case class DriftIn(part: Int, lsn: Long, t: Long, availableAt: Long, dropped: Boolean)
+
+  /** EXACT broker delivery under commit drift (`model.ts:140-149,246-263`):
+    * with `commitDrift` on, the reference `splice`s every event into the
+    * FRONT of its partition queue (`insertAt = 0`), so the queue is a LIFO
+    * stack over pending events — the newest enqueued event delivers first,
+    * and a drifted head (`availableAt = enqueueClock + 50`) blocks every
+    * older event beneath it for a tick. [[brokerDeliverExact]] models the
+    * no-drift FIFO queue; this operator reproduces the drift-on trace.
+    *
+    * Event-driven per-partition fold: arrivals (sorted by lsn — enqueue
+    * order) are pushed front-first at their arrival tick, then each visited
+    * tick pops at most `maxApplyPerTick` available events off the head. The
+    * clock jumps between relevant ticks (next arrival / next drain), so work
+    * is O(events), not O(ticks). Dropped events consume delivery quota
+    * without delivery (`model.ts:256-259`), exactly like the FIFO form.
+    *
+    * Same shuffle shape as the other exact folds: repartition on the broker
+    * partition, sort by lsn, fold. State is the pending stack — bounded by
+    * the per-partition backlog, the same bound the reference's in-memory
+    * queue carries.
+    */
+  def brokerDeliverDriftExact(
+      events: Dataset[DriftIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4): Dataset[BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def simulate(evts: scala.collection.Seq[DriftIn]): Iterator[BrokerOut] = {
+      def tickOf(x: Long) = Math.floorDiv(x - 1, tickMs) + 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[BrokerOut]
+      val stack = scala.collection.mutable.ArrayDeque.empty[DriftIn]
+      var i = 0
+      var tick = 0L
+      while (i < evts.length || stack.nonEmpty) {
+        val nextArr = if (i < evts.length) tickOf(evts(i).t) else Long.MaxValue
+        val nextDrain =
+          if (stack.nonEmpty) math.max(tick + 1, tickOf(stack.head.availableAt))
+          else Long.MaxValue
+        val T = math.min(nextArr, nextDrain)
+        while (i < evts.length && tickOf(evts(i).t) <= T) { stack.prepend(evts(i)); i += 1 }
+        var used = 0
+        while (stack.nonEmpty && used < maxApplyPerTick &&
+            tickOf(stack.head.availableAt) <= T) {
+          val e = stack.removeHead()
+          out += BrokerOut(e.part, e.lsn, e.availableAt, e.dropped, T, T * tickMs)
+          used += 1
+        }
+        tick = T
+      }
+      out.iterator
+    }
+    events
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "lsn")
+      .mapPartitions { it =>
+        // consecutive runs of the same part (input is sorted): buffer one
+        // queue's events, simulate, emit, move on
+        new Iterator[Iterator[BrokerOut]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[BrokerOut] = {
+            val part = buf.head.part
+            val q = scala.collection.mutable.ArrayBuffer.empty[DriftIn]
+            while (buf.hasNext && buf.head.part == part) q += buf.next()
+            simulate(q)
+          }
+        }.flatten
+      }
+  }
+
   /** Broker delivery schedule bound (`model.ts:246-274` computes this with
     * a per-tick loop; here it is the closed form
     * `max(availability tick, ⌈queue position / maxApplyPerTick⌉)`).

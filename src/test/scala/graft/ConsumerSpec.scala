@@ -94,6 +94,47 @@ class ConsumerSpec extends SparkSpec {
     Seq(lane, drained, series, exact).foreach(_.unpersist())
   }
 
+  test("drift-exact broker delivery: queue-front insertion is LIFO, drifted head blocks") {
+    import graft.cdc.Consumer.DriftIn
+    val events = Seq(
+      // three events enqueued at distinct ticks; each new arrival is spliced
+      // to the queue FRONT (model.ts:141-149), so pending events pop
+      // newest-first once available
+      DriftIn(0, 1L, 10L, 10L, dropped = false),   // arrives tick 1, available tick 1
+      DriftIn(0, 2L, 60L, 110L, dropped = false),  // arrives tick 2, DRIFTED → avail tick 3
+      DriftIn(0, 3L, 70L, 70L, dropped = false),   // arrives tick 2, available tick 2
+      // partition 1: LIFO among same-tick arrivals, cap 2/tick
+      DriftIn(1, 10L, 10L, 10L, dropped = false),
+      DriftIn(1, 11L, 12L, 12L, dropped = false),
+      DriftIn(1, 12L, 14L, 14L, dropped = false)).toDS()
+    val out = Consumer.brokerDeliverDriftExact(events, tickMs = 50L, maxApplyPerTick = 2)
+      .collect().map(e => e.lsn -> e).toMap
+    // part 0: lsn 1 pops alone at tick 1. At tick 2 the stack is [3, 2... no:
+    // arrivals in lsn order 2 then 3 → head is 3; 3 is available → pops at
+    // tick 2; 2 (drifted, avail tick 3) pops at tick 3.
+    assert(out(1L).deliverTick === 1L)
+    assert(out(3L).deliverTick === 2L, "newest available arrival pops first")
+    assert(out(2L).deliverTick === 3L, "drifted event waits its tick")
+    // part 1: all arrive tick 1, stack head-first [12,11,10], cap 2 →
+    // 12,11 at tick 1; 10 at tick 2 (oldest starved behind newer arrivals)
+    assert(out(12L).deliverTick === 1L && out(11L).deliverTick === 1L)
+    assert(out(10L).deliverTick === 2L, "LIFO pops the oldest last")
+  }
+
+  test("drift-exact head-of-line: unavailable head blocks older available events") {
+    import graft.cdc.Consumer.DriftIn
+    val events = Seq(
+      DriftIn(0, 1L, 10L, 10L, dropped = false),  // arrives tick 1, available
+      DriftIn(0, 2L, 20L, 70L, dropped = false)   // arrives tick 1 ON TOP, drifted → avail tick 2
+    ).toDS()
+    val out = Consumer.brokerDeliverDriftExact(events, tickMs = 50L, maxApplyPerTick = 4)
+      .collect().map(e => e.lsn -> e).toMap
+    // head (lsn 2) unavailable at tick 1 → blocks lsn 1 beneath it even
+    // though lsn 1 is available; both pop at tick 2, newest first
+    assert(out(2L).deliverTick === 2L)
+    assert(out(1L).deliverTick === 2L, "older event blocked behind drifted head")
+  }
+
   test("throttle waits for availability") {
     val events = Seq(DeliveryIn("m", 1L, 5000L)).toDS()
     val out = Consumer.throttleDrain(events, rate = 100.0, stepMs = 1000L).collect().head
