@@ -160,16 +160,59 @@ object Similarity {
       kmeansIters: Int = 2): DataFrame = {
     // nLists rows, but an iterated-aggregation lineage behind them — persist
     // so the assignment and probe branches build the index once, not twice
+    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    ivfProbe(emb.filter(col("vec_id") < nQueries), centroids, assigned, nProbe, k)
+  }
+
+  /** Build half of the IVF index: the k-means centroid table (tiny —
+    * `nLists` rows) and the per-vector inverted-list assignment (one row per
+    * corpus vector). Centroids are persisted in memory (iterated-aggregation
+    * lineage; every consumer would otherwise rebuild the Lloyd rounds).
+    *
+    * A real pipeline builds this ONCE and amortizes it across every probe
+    * batch — that is [[ivfIndexWrite]] / [[ivfIndexLoad]]: written as
+    * parquet, the assignment side is `partitionBy(list_id)`, so a probe
+    * reading `nProbe` of `nLists` lists prunes the scan to the probed
+    * partitions (partition pruning on the equality join key) instead of
+    * re-scoring the corpus.
+    */
+  def ivfIndexBuild(emb: DataFrame, nLists: Int = 16, kmeansIters: Int = 2): (DataFrame, DataFrame) = {
     val centroids = kmeansCentroids(emb, nLists, kmeansIters).persist()
     val withNorm = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val assigned = assignNearest(withNorm, centroids)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("list_id"))
-    val probes = rankCentroids(withNorm.filter(col("vec_id") < nQueries), centroids)
+    (centroids, assignNearest(withNorm, centroids))
+  }
+
+  /** Build the IVF index and write it under `path` (`centroids/` +
+    * `lists/` partitioned by list id). */
+  def ivfIndexWrite(emb: DataFrame, path: String, nLists: Int = 16, kmeansIters: Int = 2): Unit = {
+    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroids.unpersist()
+  }
+
+  /** Load a prebuilt IVF index written by [[ivfIndexWrite]]. */
+  def ivfIndexLoad(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists"))
+
+  /** Probe half of IVF: rank centroids per query (sort-window over the tiny
+    * query×centroid cross — fine), keep the `nProbe` nearest lists, equality
+    * join into the inverted lists, score exactly, per-query top-`k`.
+    * `queries` needs (vec_id, embedding); `centroids`/`assigned` come from
+    * [[ivfIndexBuild]] or [[ivfIndexLoad]] — with a loaded index the
+    * `list_id` equality join prunes to the probed parquet partitions.
+    */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, assigned: DataFrame,
+      nProbe: Int = 4, k: Int = 3): DataFrame = {
+    val qNorm = queries.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val probes = rankCentroids(qNorm, centroids)
       .filter(col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("c_id").as("list_id"))
-    val scored = probes.join(assigned, "list_id")
+    val lists = assigned.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("nrm").as("n_nrm"), col("list_id"))
+    val scored = probes.join(lists, "list_id")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))

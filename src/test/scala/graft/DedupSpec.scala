@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF recall@3 degraded to $recall%.2f")
   }
 
+  test("persisted IVF index: write once, load, probe — identical to the in-memory path") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Similarity.ivfIndexWrite(emb, dir)
+      val (centroids, lists) = Similarity.ivfIndexLoad(spark, dir)
+      val probed = Similarity.ivfProbe(emb.filter(col("vec_id") < 10), centroids, lists)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("n_id"))).toSet
+      val direct = Similarity.ivfTopK(emb).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("n_id"))).toSet
+      assert(probed === direct, "prebuilt-index probe must match the one-shot query")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("LSH buckets put clones together and candidates avoid full cross product") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
