@@ -18,25 +18,49 @@ object Canonical {
     * `'007'→'7'`, `'1e3'→'1000'` — matching the reference's `Number()`
     * coercion (`coerceComparable`, `index.js:84-87`).
     *
-    * JS `String(Number(x))` renders plain decimal notation for magnitudes in
-    * roughly [1e-6, 1e21), while Spark's double→string cast switches to
-    * scientific notation outside [1e-3, 1e7) — so the canonical form goes
-    * through DECIMAL(38,18) plain-string rendering (trailing zeros trimmed)
-    * whenever the value fits; only beyond ±1e20 / below 1e-18 does it fall
-    * back to the double's scientific form. */
+    * Rendering mirrors ECMAScript `Number::toString` (the reference compares
+    * `String(Number(x))` forms): plain decimal notation exactly for
+    * magnitudes in [1e-6, 1e21), exponential outside it, formatted JS-style
+    * (`1e-7`, `2e+40` — lowercase `e`, explicit `+`, no trailing `.0`
+    * mantissa). Spark's bare double→string cast switches to Java scientific
+    * notation outside [1e-3, 1e7), so the plain range goes through DECIMAL
+    * plain-string rendering (trailing zeros trimmed; scale tiered by
+    * magnitude so every shortest-repr digit fits), and the exponential
+    * range reformats Java's `E`-notation. Residual caveat: the
+    * mantissa digits come from Java's `Double.toString`, whose
+    * shortest-representation algorithm (pre-JDK-19) can very rarely emit
+    * more digits than V8's — both round-trip to the same double. */
   def coerceComparable(c: Column): Column = {
     val t = trim(c.cast("string"))
     val numeric = t.rlike("^-?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$")
     val d = t.cast("double")
-    // DECIMAL(38,18) always renders plain notation with a decimal point, so
-    // trimming trailing zeros then a dangling point is lossless; -0 → 0
-    val fits = d.isNotNull && abs(d) < lit(1e20) // ANSI decimal cast throws past DECIMAL(38,18)
-    val dec = when(fits, d).otherwise(lit(null)).cast("decimal(38,18)")
-    val plain = regexp_replace(
-      regexp_replace(regexp_replace(dec.cast("string"), "0+$", ""), "\\.$", ""),
-      "^-0$", "0")
-    val canon = coalesce(plain, regexp_replace(d.cast("string"), "\\.0+$", ""))
-    when(numeric, canon).otherwise(t)
+    val absd = abs(d)
+    // DECIMAL always renders plain notation with a decimal point, so
+    // trimming trailing zeros then a dangling point is lossless; -0 → 0.
+    // The scale tiers by magnitude: just above 1e-6 a double's ~17
+    // significant digits sit up to 23 places after the point (needs scale
+    // 23), while magnitudes past 1e15 need integer digits instead (scale 18,
+    // then 0 — by 1e18 the ulp is ≫ 1 and doubles are integral).
+    def trimPlain(s: Column): Column = regexp_replace(
+      regexp_replace(regexp_replace(s, "0+$", ""), "\\.$", ""), "^-0$", "0")
+    val tinyPlain = d === 0 || (absd >= lit(1e-6) && absd < lit(1e15))
+    val plain23 = trimPlain(
+      when(tinyPlain, d).otherwise(lit(null)).cast("decimal(38,23)").cast("string"))
+    val midPlain = absd >= lit(1e15) && absd < lit(1e18)
+    val plain18 = trimPlain(
+      when(midPlain, d).otherwise(lit(null)).cast("decimal(38,18)").cast("string"))
+    val bigPlain = absd >= lit(1e18) && absd < lit(1e21)
+    val dec0 = when(bigPlain, d).otherwise(lit(null)).cast("decimal(38,0)")
+    // JS exponential form from Java's E-notation (these ranges always render
+    // E-notation in Java: |d| ≥ 1e21 > 1e7, 0 < |d| < 1e-6 < 1e-3)
+    val s = d.cast("string")
+    val mant = regexp_replace(
+      regexp_extract(s, "^(-?[0-9]+(\\.[0-9]+)?)[eE]", 1), "\\.0$", "")
+    val ex = regexp_extract(s, "[eE]([+-]?[0-9]+)$", 1)
+    val sci = concat(mant, lit("e"),
+      when(ex.startsWith("-"), ex).otherwise(concat(lit("+"), ex)))
+    val canon = coalesce(plain23, plain18, dec0.cast("string"), sci)
+    when(numeric && d.isNotNull, canon).otherwise(t)
   }
 
   /** Deterministic JSON of selected columns — field order fixed by sorting

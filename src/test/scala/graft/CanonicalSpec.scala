@@ -23,16 +23,49 @@ class CanonicalSpec extends SparkSpec {
     assert(r.getString(3) === "abc")
   }
 
-  test("coerceComparable renders large/small magnitudes plain, like JS String(Number))") {
-    val df = Seq(("10000000", "1e3", "0.0001", "-0.0", "20000000000000000000000000000000000000000"))
-      .toDF("a", "b", "c", "d", "e")
-      .select(Seq("a", "b", "c", "d", "e").map(n => Canonical.coerceComparable(col(n)).as(n)): _*)
-    val r = df.collect().head
-    assert(r.getString(0) === "10000000") // JS: "10000000"; bare double cast would say "1.0E7"
-    assert(r.getString(1) === "1000")
-    assert(r.getString(2) === "0.0001") // bare double cast would say "1.0E-4"
-    assert(r.getString(3) === "0") // JS String(Number("-0")) === "0"
-    assert(r.getString(4) === "2.0E40") // beyond DECIMAL(38) → double sci-notation fallback
+  test("coerceComparable renders numerics exactly like JS String(Number(x))") {
+    // expected values are V8's String(Number(input)) — plain notation in
+    // [1e-6, 1e21), JS-style exponential outside it
+    val cases = Seq(
+      "10000000" -> "10000000", // bare double cast would say "1.0E7"
+      "1e3" -> "1000",
+      "0.0001" -> "0.0001", // bare double cast would say "1.0E-4"
+      "-0.0" -> "0", // JS String(Number("-0")) === "0"
+      "0.000001" -> "0.000001", // last plain magnitude
+      "0.0000001" -> "1e-7", // first exponential magnitude
+      "9.99e-7" -> "9.99e-7",
+      "-2.5e-8" -> "-2.5e-8",
+      "150000000000000000000" -> "150000000000000000000", // 1.5e20 still plain
+      "1e21" -> "1e+21", // first exponential magnitude upward
+      "999999999999999999999" -> "1e+21", // rounds to 1e21 as a double
+      "1.2345678901234567e22" -> "1.2345678901234568e+22",
+      "2e40" -> "2e+40")
+    val df = cases.map(_._1).toDF("v")
+      .select(Canonical.coerceComparable(col("v")).as("c"))
+    val got = df.as[String].collect().toSeq
+    got.zip(cases).foreach { case (actual, (in, expected)) =>
+      assert(actual === expected, s"input $in")
+    }
+  }
+
+  test("property: canonical numeric form round-trips and respects JS plain/sci ranges") {
+    val rng = new scala.util.Random(42)
+    val doubles = Seq.tabulate(200) { i =>
+      val mag = i % 50 - 25 // exponents -25..24
+      (rng.nextDouble() * 2 - 1) * math.pow(10, mag)
+    }.filter(_ != 0.0)
+    val df = doubles.map(d => Tuple1(d.toString)).toDF("v")
+      .select(col("v"), Canonical.coerceComparable(col("v")).as("c"))
+    df.collect().foreach { r =>
+      val in = r.getString(0).toDouble
+      val canon = r.getString(1)
+      assert(canon.toDouble === in, s"round-trip broke for $in → $canon")
+      val m = math.abs(in)
+      if (m >= 1e-6 && m < 1e21)
+        assert(!canon.contains("e"), s"plain range rendered sci: $in → $canon")
+      else
+        assert(canon.contains("e"), s"sci range rendered plain: $in → $canon")
+    }
   }
 
   test("stableJson sorts keys; rowHash is deterministic and order-insensitive") {
