@@ -213,6 +213,19 @@ object Oracles {
     FROM trig_lane
     ORDER BY method"""
 
+  /** Data-contract assertion — mirrors `CdcOps.contractViolations`: set-ops
+    * with null payloads and per-key lsn/t order inversions, both 0 on
+    * conforming input. */
+  val cdcContracts: String = s"""WITH $opsCte,
+    seq AS (
+      SELECT *, lag(t) OVER (PARTITION BY tbl, pk ORDER BY event_id) AS prev_t
+      FROM ops)
+    SELECT
+      count(CASE WHEN (sets_val AND val IS NULL) OR (sets_k AND k IS NULL) THEN 1 END)
+        AS null_set_payloads,
+      count(CASE WHEN prev_t > t THEN 1 END) AS lsn_t_inversions
+    FROM seq"""
+
   /** Rolling-2000 lag percentiles — the ring-buffer window of
     * `src/engine/metrics.ts:42-44`: per lane, only the last 2000 samples in
     * delivery order feed p50/p95. */
@@ -1016,6 +1029,7 @@ object Oracles {
     "cdc_metrics_lane" -> cdcMetricsLane,
     "cdc_lag_percentiles" -> cdcLagPercentiles,
     "cdc_lag_rolling" -> cdcLagRolling,
+    "cdc_contracts" -> cdcContracts,
     "cdc_txn_apply" -> cdcTxnApply,
     "cdc_broker_route" -> cdcBrokerRoute,
     "cdc_ordering_drift" -> cdcOrderingDrift,

@@ -45,6 +45,11 @@ object SparkEntry {
         .orderBy("tbl", "pk", "poll_window")),
     "cdc_poll_loss" -> ((s, dir) =>
       Capture.pollLoss(st(s, dir)).orderBy("tbl")),
+    "cdc_contracts" -> ((s, dir) =>
+      // ingestion-time data-contract assertion: both counters must be 0 on
+      // conforming input (null set-payloads would diverge the sentinel scan
+      // from the merge fold; lsn/t inversions would reorder the fold)
+      CdcOps.contractViolations(CdcOps.ops(s, dir))),
     "cdc_snapshot" -> ((s, dir) =>
       Capture.snapshot(Tables.customer(s, dir), "customer", "c_custkey", Seq("c_name", "c_mktsegment"))
         .orderBy(col("pk").cast("bigint"))),
