@@ -317,6 +317,108 @@ object Streams {
         })
   }
 
+  /** A pending drift-broker stack entry (public for the state encoder). */
+  case class DriftEntry(lsn: Long, t: Long, availableAt: Long, dropped: Boolean)
+
+  /** Drift-broker queue state: the simulation clock plus the pending LIFO
+    * stack (head first). Stack size is bounded by the partition backlog —
+    * the same bound the reference's in-memory queue carries. */
+  case class DriftQueueState(tick: Long, stack: Seq[DriftEntry])
+
+  /** Streaming exact drift-on broker delivery — the unbounded form of
+    * `Consumer.brokerDeliverDriftExact` (`model.ts:141-149,246-263`): with
+    * commit drift every event is spliced into the queue FRONT, so pending
+    * events form a LIFO stack and a drifted head blocks older events. The
+    * per-partition (clock, stack) carries in keyed state across
+    * micro-batches.
+    *
+    * A batch can only simulate ticks strictly BEFORE its own latest arrival
+    * tick — a later micro-batch may still deliver arrivals for that tick,
+    * and they would stack on top and change what pops — so the final tick's
+    * arrivals are pushed pending and its drain defers to the next batch.
+    * That makes the fold exact under ARBITRARY micro-batch boundaries (the
+    * only requirement is per-partition lsn-ordered arrival, the broker's
+    * own guarantee — same as [[brokerDeliverStream]]). The tail of the
+    * stream stays pending until either (a) `ttlMs` fires with no new
+    * arrivals — the processing-time timeout drains the stack to empty — or
+    * (b) a bounded replay appends a flush sentinel (an event with `t` past
+    * every real arrival); tests use (b) so no timer wall-clock enters the
+    * assertion.
+    */
+  def brokerDeliverDriftStream(
+      events: Dataset[graft.cdc.Consumer.DriftIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4,
+      ttlMs: Long = 0L): Dataset[graft.cdc.Consumer.BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def tickOf(x: Long) = Math.floorDiv(x - 1, tickMs) + 1
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.part)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (part: Int, incoming: Iterator[graft.cdc.Consumer.DriftIn],
+         state: GroupState[DriftQueueState]) => {
+          val st = state.getOption.getOrElse(DriftQueueState(0L, Seq.empty))
+          val stack = scala.collection.mutable.ArrayDeque.from(st.stack)
+          var tick = st.tick
+          val out = scala.collection.mutable.ArrayBuffer.empty[graft.cdc.Consumer.BrokerOut]
+          // simulate ticks ≤ maxTick; returns how many arrivals were consumed
+          def drainUpTo(maxTick: Long, arrivals: IndexedSeq[graft.cdc.Consumer.DriftIn]): Int = {
+            var i = 0
+            var continue = true
+            while (continue) {
+              val nextArr = if (i < arrivals.length) tickOf(arrivals(i).t) else Long.MaxValue
+              val nextDrain =
+                if (stack.nonEmpty) math.max(tick + 1, tickOf(stack.head.availableAt))
+                else Long.MaxValue
+              val T = math.min(nextArr, nextDrain)
+              if (T > maxTick) continue = false
+              else {
+                while (i < arrivals.length && tickOf(arrivals(i).t) <= T) {
+                  val e = arrivals(i)
+                  stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
+                  i += 1
+                }
+                var used = 0
+                while (stack.nonEmpty && used < maxApplyPerTick &&
+                    tickOf(stack.head.availableAt) <= T) {
+                  val e = stack.removeHead()
+                  out += graft.cdc.Consumer.BrokerOut(
+                    part, e.lsn, e.availableAt, e.dropped, T, T * tickMs)
+                  used += 1
+                }
+                tick = T
+              }
+            }
+            i
+          }
+          if (state.hasTimedOut) {
+            // no more arrivals coming: drain to empty
+            drainUpTo(Long.MaxValue - 1, IndexedSeq.empty)
+            state.remove()
+            out.iterator
+          } else {
+            val arrivals = incoming.toIndexedSeq.sortBy(_.lsn)
+            if (arrivals.nonEmpty) {
+              val consumed = drainUpTo(arrivals.map(e => tickOf(e.t)).max - 1, arrivals)
+              // the final tick's arrivals were not consumed by the loop:
+              // push them pending in lsn order (each lands on top, newest at
+              // the head); their drain belongs to the next batch, which may
+              // still add same-tick arrivals above them
+              arrivals.drop(consumed).foreach { e =>
+                stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
+              }
+            }
+            state.update(DriftQueueState(tick, stack.toSeq))
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** A schema change with its version transition assigned. */
   case class VersionedSchemaChange(
       tbl: String, action: String, column: String, commitTs: Long,

@@ -233,6 +233,53 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming drift broker: LIFO stack state carries across batches (== batch fold)") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{BrokerOut, DriftIn}
+    implicit val sqlCtx = spark.sqlContext
+    // two partitions, arrivals over several ticks, half drifted (+50ms),
+    // cap 2/tick; the mid-tick batch split (lsn 3 | 4 share tick 2) is the
+    // deferral case: a batch must not drain its own newest arrival tick
+    val all = Seq(
+      DriftIn(0, 1L, 10L, 10L, dropped = false),  // tick 1
+      DriftIn(0, 2L, 20L, 70L, dropped = false),  // tick 1, drifted → tick 2
+      DriftIn(0, 3L, 60L, 60L, dropped = true),   // tick 2 (drop uses quota)
+      DriftIn(0, 4L, 70L, 120L, dropped = false), // tick 2, drifted → tick 3
+      DriftIn(0, 5L, 160L, 160L, dropped = false), // tick 4
+      DriftIn(1, 10L, 10L, 10L, dropped = false),
+      DriftIn(1, 11L, 12L, 62L, dropped = false), // drifted → tick 2
+      DriftIn(1, 12L, 110L, 110L, dropped = false)) // tick 3
+    val (batch1, batch2) = all.splitAt(3) // splits partition 0 inside tick 2
+    // flush sentinels: one per partition, far past every real arrival
+    val flush = Seq(
+      DriftIn(0, 9000L, 100000L, 100000L, dropped = true),
+      DriftIn(1, 9001L, 100000L, 100000L, dropped = true))
+    val input = MemoryStream[DriftIn]
+    val q = Streams.brokerDeliverDriftStream(input.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    input.addData(flush: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("drift_stream").as[BrokerOut].collect()
+      .filter(_.lsn < 9000L).map(e => e.lsn -> e.deliverTick).toMap
+    val batch = Consumer.brokerDeliverDriftExact(all.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+      .collect().map(e => e.lsn -> e.deliverTick).toMap
+    assert(streamed === batch, "stack state must survive the batch boundary")
+    // partition 0 trace: tick 1 pushes [2,1] but head 2 is drifted (avail
+    // tick 2) → blocks 1; tick 2 pushes [4,3,2,1], head 4 drifted (avail
+    // tick 3) → blocks everything; tick 3 pops 4 then 3 (drop uses quota);
+    // tick 4 pushes 5 → pops 5 then 2; tick 5 pops 1 — the oldest event
+    // starves longest, the LIFO signature
+    assert(streamed(4L) === 3L && streamed(3L) === 3L)
+    assert(streamed(5L) === 4L && streamed(2L) === 4L && streamed(1L) === 5L)
+    q.stop()
+  }
+
   test("streaming schema capture continues version transitions across batches") {
     import spark.implicits._
     import graft.cdc.SchemaEvolution.SchemaChange
