@@ -419,6 +419,66 @@ object Streams {
         })
   }
 
+  /** A consumed-lag sample in lane delivery order. */
+  case class LagSample(method: String, ord1: Long, ord2: Long, lagMs: Long)
+
+  /** Rolling-percentile snapshot emitted after each micro-batch per lane. */
+  case class LagSnapshot(method: String, p50: Double, p95: Double, maxLag: Long, windowN: Int)
+
+  /** Ring-buffer state: the last ≤ N lag samples in delivery order. */
+  case class LagRingState(samples: Seq[Long])
+
+  /** Exact interpolating percentile over a sorted sample array — the
+    * reference's `percentile` (`src/engine/metrics.ts:131-139`:
+    * `index = (n-1)·p`, linear interpolation between floor and ceil; same
+    * definition as Spark's `percentile` and DuckDB's `quantile_cont`). */
+  private[streaming] def percentile(sorted: IndexedSeq[Long], p: Double): Double = {
+    val idx = (sorted.length - 1) * p
+    val lo = math.floor(idx).toInt
+    val hi = math.ceil(idx).toInt
+    if (lo == hi) sorted(lo).toDouble
+    else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  /** Streaming rolling lag percentiles — the live form of the reference's
+    * MetricsStore (`src/engine/metrics.ts:42-44,97-139`): a per-lane ring
+    * buffer of the LAST `lastN` lag samples carried in keyed state, with a
+    * p50/p95/max snapshot emitted after every micro-batch — the number the
+    * dashboard actually shows on a long-running feed. Batch counterpart
+    * (same slice, same interpolation): `MetricsAgg.lagPercentilesRolling`.
+    * Within a batch, samples append in delivery order (ord1, ord2); state
+    * is O(lastN) per lane and lanes shard with the shuffle.
+    */
+  def lagRollingStream(
+      samples: Dataset[LagSample],
+      lastN: Int = 2000): Dataset[LagSnapshot] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .groupByKey(_.method)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (method: String, incoming: Iterator[LagSample], state: GroupState[LagRingState]) => {
+          val arrived = incoming.toSeq.sortBy(s => (s.ord1, s.ord2)).map(_.lagMs)
+          val ring = (state.getOption.map(_.samples).getOrElse(Seq.empty) ++ arrived)
+            .takeRight(lastN).toIndexedSeq
+          if (ring.isEmpty) Iterator.empty
+          else {
+            state.update(LagRingState(ring))
+            val sorted = ring.sorted
+            // HALF_UP to 3 places — same rounding as the batch form's
+            // `round(percentile(...), 3)`
+            def r3(x: Double): Double =
+              BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single(LagSnapshot(
+              method,
+              r3(percentile(sorted, 0.5)),
+              r3(percentile(sorted, 0.95)),
+              sorted.last,
+              ring.length))
+          }
+        })
+  }
+
   /** A schema change with its version transition assigned. */
   case class VersionedSchemaChange(
       tbl: String, action: String, column: String, commitTs: Long,

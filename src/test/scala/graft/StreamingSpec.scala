@@ -280,6 +280,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming rolling lag ring buffer: final snapshot equals the batch window") {
+    import spark.implicits._
+    import graft.streaming.Streams.{LagSample, LagSnapshot}
+    implicit val sqlCtx = spark.sqlContext
+    // lane "a": 10 samples, ring of 4 → final window = lags of ord 7..10;
+    // lane "b" stays under N
+    val all = (1L to 10L).map(i => LagSample("a", i, i, i * 10)) ++
+      Seq(LagSample("b", 1L, 1L, 500L), LagSample("b", 2L, 2L, 100L))
+    val (batch1, batch2) = all.splitAt(7)
+    val input = MemoryStream[LagSample]
+    val q = Streams.lagRollingStream(input.toDS(), lastN = 4)
+      .writeStream.format("memory").queryName("lag_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val snaps = spark.table("lag_stream").as[LagSnapshot].collect()
+    // last snapshot per lane == batch rolling window over the full feed
+    val lastByLane = snaps.groupBy(_.method).view.mapValues(_.last).toMap
+    val batch = graft.cdc.MetricsAgg.lagPercentilesRolling(
+      all.toDF("method", "ord1", "ord2", "lag_ms"), lastN = 4)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+          r.getAs[Long]("max_lag"), r.getAs[Long]("window_n"))).toMap
+    assert(lastByLane("a").windowN === 4)
+    assert((lastByLane("a").p50, lastByLane("a").p95,
+      lastByLane("a").maxLag, lastByLane("a").windowN.toLong) === batch("a"))
+    assert((lastByLane("b").p50, lastByLane("b").p95,
+      lastByLane("b").maxLag, lastByLane("b").windowN.toLong) === batch("b"))
+    // the ring moved: after batch 1 lane "a" held lags {40..70}, after
+    // batch 2 it holds {70..100}
+    val aSnaps = snaps.filter(_.method == "a")
+    assert(aSnaps.head.maxLag === 70L && aSnaps.last.maxLag === 100L)
+    q.stop()
+  }
+
   test("streaming schema capture continues version transitions across batches") {
     import spark.implicits._
     import graft.cdc.SchemaEvolution.SchemaChange
