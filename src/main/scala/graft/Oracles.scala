@@ -376,6 +376,30 @@ object Oracles {
   val dedupMinhash: String = s"""WITH $minhashSigCte
     SELECT * FROM sigs ORDER BY doc_id"""
 
+  /** Near-dup cluster keep-best — mirrors `Dedup.keepBestByQuality`:
+    * cluster by full MinHash signature, keep max quality (tie min doc_id). */
+  def dedupKeepBest: String = {
+    val sigCols = (0 until 8).map(i => s"m$i").mkString(", ")
+    s"""WITH $minhashSigCte,
+    q AS (
+      SELECT doc_id,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality_score
+      FROM documents),
+    j AS (SELECT s.doc_id, s.m0, s.m1, s.m2, s.m3, s.m4, s.m5, s.m6, s.m7, q.quality_score
+          FROM sigs s JOIN q USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, quality_score,
+        row_number() OVER (PARTITION BY $sigCols ORDER BY quality_score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY $sigCols) AS cluster_size
+      FROM j)
+    SELECT doc_id AS keep_id, cluster_size, quality_score
+    FROM ranked WHERE rn = 1 ORDER BY keep_id"""
+  }
+
   val dedupMinhashPairs: String = s"""WITH $minhashSigCte,
     banded AS (
       SELECT doc_id, band, band_key FROM (
@@ -1042,6 +1066,7 @@ object Oracles {
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "ann_cosine_topk" -> annCosineTopK,

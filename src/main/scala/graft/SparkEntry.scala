@@ -218,6 +218,8 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     // 3-gram shingles: on this 31-word vocabulary 2-grams are saturated

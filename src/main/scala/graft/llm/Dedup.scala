@@ -84,6 +84,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup cluster "keep best by quality" — the standard corpus-dedup
+    * retention policy: cluster documents by FULL MinHash signature
+    * (signature equality ⇒ near-identical shingle sets at `numHashes`
+    * resolution) and keep the highest-quality document per cluster
+    * (tie → min doc_id), recording the cluster size.
+    *
+    * This composes the two pipeline stages a real pretraining-corpus build
+    * runs back to back (near-dup clustering, then quality-ranked
+    * retention). Shape: one signature aggregation (explode→groupBy with
+    * map-side partial min), a doc_id-keyed join to the quality scores
+    * (pure projection side), and a cluster-keyed `max_by` aggregation that
+    * carries the winner through the agg buffer — no rejoin, no window
+    * sort, never all-pairs.
+    */
+  def keepBestByQuality(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    sigs.join(q, "doc_id")
+      .groupBy((0 until numHashes).map(i => col(s"m$i")): _*)
+      .agg(
+        max_by(
+          struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(
+        col("best.doc_id").as("keep_id"),
+        col("cluster_size"),
+        col("best.quality_score").as("quality_score"))
+  }
+
   /** SimHash (Charikar '02) over distinct shingles, `bits`-wide: bit b of the
     * fingerprint is the sign of `sum(±1)` across shingle hashes' bit b.
     * Near-dups share fingerprints (or low Hamming distance — `bit_count(xor)`).

@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming $hamming too high")
   }
 
+  test("keep-best retains the highest-quality doc per near-dup cluster") {
+    // docs 4 and 5 share the 2-gram shingle set {w1 w2, w2 w3, w3 w1} →
+    // identical MinHash signature → one cluster; both are past the
+    // 100-token length saturation, so TTR decides: the tighter doc 4 wins
+    val trip = "w1 w2 w3 "
+    val docs = Seq(
+      (1L, "the same exact text"),
+      (2L, "the same exact text"), // exact dup of 1 → tie → min doc_id
+      (3L, "completely different words here"),
+      (4L, (trip * 34).trim), // 102 tokens, ttr 3/102
+      (5L, (trip * 50).trim) // 150 tokens, ttr 3/150 — lower quality
+    ).toDF("doc_id", "text")
+    val kept = Dedup.keepBestByQuality(docs).orderBy("keep_id").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(kept === Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
+    // 1 beat 2 on the doc_id tie-break; 4 beat 5 on quality (higher TTR)
+  }
+
   test("ANN top-k ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
