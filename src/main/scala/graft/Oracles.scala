@@ -249,6 +249,34 @@ object Oracles {
       CAST(count(*) AS BIGINT) AS window_n
     FROM tail GROUP BY method ORDER BY method"""
 
+  /** Deterministic-sample per-column compare — mirrors `Diff.verifySample`
+    * over truth (merge-fold state) vs the log-lane replay: first 10 common
+    * keys in md5(tbl|pk) order, canonical values compared per column.
+    * The canonical form is the JS `String(Number(x))` rendering, which for
+    * these money-valued doubles differs from DuckDB's VARCHAR cast only in
+    * the integral `.0` suffix. */
+  val cdcVerifySample: String = s"""WITH $stateCte, $stateFinalCte, $logLaneCte,
+    log_state AS (
+      SELECT tbl, pk, after_val AS val, after_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+            FROM log_lane) WHERE rn = 1 AND op_code <> 'd'),
+    canon AS (
+      SELECT f.tbl, f.pk,
+        regexp_replace(CAST(f.val AS VARCHAR), '\\.0$$', '') AS src_val,
+        CAST(f.k AS VARCHAR) AS src_k,
+        regexp_replace(CAST(l.val AS VARCHAR), '\\.0$$', '') AS snk_val,
+        CAST(l.k AS VARCHAR) AS snk_k,
+        md5(f.tbl || '|' || f.pk) AS _ord
+      FROM state_final f JOIN log_state l ON f.tbl = l.tbl AND f.pk = l.pk),
+    sampled AS (SELECT * FROM canon ORDER BY _ord LIMIT 10)
+    SELECT tbl, pk, col_name, src_val, snk_val,
+           src_val IS NOT DISTINCT FROM snk_val AS matches
+    FROM (
+      SELECT tbl, pk, 'val' AS col_name, src_val, snk_val FROM sampled
+      UNION ALL
+      SELECT tbl, pk, 'k', src_k, snk_k FROM sampled)
+    ORDER BY tbl, pk, col_name"""
+
   val cdcTxnApply: String = s"""WITH $opsCte,
     txn AS (
       SELECT event_id // 3 AS tx_num, count(*) AS n_events,
@@ -1041,6 +1069,7 @@ object Oracles {
     "ann_ivf_topk" -> annIvfTopK,
     "mm_frame_sample" -> mmFrameSample,
     "cdc_verify_counts" -> cdcVerifyCounts,
+    "cdc_verify_sample" -> cdcVerifySample,
     "cdc_log_capture" -> cdcLogCapture,
     "cdc_trigger_capture" -> cdcTriggerCapture,
     "cdc_poll_capture" -> cdcPollCapture,

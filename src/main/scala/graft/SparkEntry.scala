@@ -50,6 +50,14 @@ object SparkEntry {
       // conforming input (null set-payloads would diverge the sentinel scan
       // from the merge fold; lsn/t inversions would reorder the fold)
       CdcOps.contractViolations(CdcOps.ops(s, dir))),
+    "cdc_verify_sample" -> ((s, dir) => {
+      // deterministic-sample per-column compare of truth vs replayed state
+      // (verify.mjs:82-126); log replay is lossless so every field matches
+      val truth = ApplyEngine.applyState(ops(s, dir))
+      val replayed = ApplyEngine.replayEvents(Capture.log(st(s, dir)), "lsn")
+      Diff.verifySample(truth, replayed, Seq("val", "k"))
+        .orderBy("tbl", "pk", "col_name")
+    }),
     "cdc_snapshot" -> ((s, dir) =>
       Capture.snapshot(Tables.customer(s, dir), "customer", "c_custkey", Seq("c_name", "c_mktsegment"))
         .orderBy(col("pk").cast("bigint"))),

@@ -96,6 +96,38 @@ object Diff {
         .otherwise("match"))
   }
 
+  /** Sampled per-column compare
+    * (`scenarios/01-canonical-reference/verifier/verify.mjs:82-126`): take a
+    * bounded sample of keys PRESENT ON BOTH sides, compare the configured
+    * columns one by one in canonical form, report per-field match rows. The
+    * reference samples randomly; here the sample is the first `n` common
+    * keys in md5(tbl|pk) order — "random-looking" but deterministic, so the
+    * check is reproducible and oracle-able (the nondeterministic
+    * `ORDER BY rand()` form would defeat both). The inner join runs on the
+    * already-aggregated states and the sort is a bounded top-n
+    * (TakeOrdered), so sampling cost is independent of table width.
+    */
+  def verifySample(
+      source: DataFrame, sink: DataFrame,
+      valCols: Seq[String], n: Int = 10): DataFrame = {
+    val s = source.select(
+      (Seq(col("tbl"), col("pk")) ++
+        valCols.map(c => Canonical.coerceComparable(col(c)).as(s"src_$c"))): _*)
+    val k = sink.select(
+      (Seq(col("tbl"), col("pk")) ++
+        valCols.map(c => Canonical.coerceComparable(col(c)).as(s"snk_$c"))): _*)
+    val sampled = s.join(k, Seq("tbl", "pk"))
+      .withColumn("_ord", md5(concat_ws("|", col("tbl"), col("pk"))))
+      .orderBy("_ord")
+      .limit(n)
+    val stacked = valCols
+      .map(c => s"'$c', src_$c, snk_$c")
+      .mkString(s"stack(${valCols.length}, ", ", ", ") AS (col_name, src_val, snk_val)")
+    sampled
+      .selectExpr("tbl", "pk", stacked)
+      .withColumn("matches", col("src_val") <=> col("snk_val"))
+  }
+
   /** Source↔sink verify (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`):
     * both-direction anti-join accounting in ONE job — per-key row counts on
     * each side, a single full-outer join of the (already tiny) aggregates,

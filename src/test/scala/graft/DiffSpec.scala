@@ -11,6 +11,32 @@ class DiffSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("sampled verify compares columns canonically and flags the planted mismatch") {
+    val source = Seq(
+      ("t0", "1", Some(12.5), Some(7L)),
+      ("t0", "2", Some(42.0), None: Option[Long]),
+      ("t0", "3", None: Option[Double], Some(9L))
+    ).toDF("tbl", "pk", "val", "k")
+    val sink = Seq(
+      ("t0", "1", Some(12.5), Some(7L)),
+      ("t0", "2", Some(42.0), Some(8L)), // planted: k differs (None vs 8)
+      ("t0", "3", None: Option[Double], Some(9L))
+    ).toDF("tbl", "pk", "val", "k")
+    val rows = Diff.verifySample(source, sink, Seq("val", "k"), n = 10)
+      .collect()
+    assert(rows.length === 6, "3 sampled keys x 2 columns")
+    val bad = rows.filter(!_.getAs[Boolean]("matches"))
+    assert(bad.map(r => (r.getAs[String]("pk"), r.getAs[String]("col_name"))).toSeq
+      === Seq(("2", "k")))
+    // canonical form: 42.0 renders as "42" on both sides (JS Number parity)
+    val v2 = rows.find(r => r.getAs[String]("pk") == "2" &&
+      r.getAs[String]("col_name") == "val").get
+    assert(v2.getAs[String]("src_val") === "42" && v2.getAs[Boolean]("matches"))
+    // nulls compare null-safe: pk 3 val (None == None) matches
+    assert(rows.find(r => r.getAs[String]("pk") == "3" &&
+      r.getAs[String]("col_name") == "val").get.getAs[Boolean]("matches"))
+  }
+
   test("ordinal match pairs i-th with i-th; surplus classified") {
     val expected = Seq(
       ("k1", 10L, 1L), ("k1", 20L, 2L), ("k1", 30L, 3L), // 3 expected k1
