@@ -428,6 +428,21 @@ object Oracles {
     FROM ranked WHERE rn = 1 ORDER BY keep_id"""
   }
 
+  /** Deterministic stratified sampling summary — mirrors
+    * `Sampling.stratifiedSummary` (en 0.5, de 0.25, default 0.1; selection
+    * is the reference `shouldDrop` primitive over doc ids). */
+  def sampleStratified: String = s"""WITH d AS (
+      SELECT lang, ${h31("CAST(doc_id AS VARCHAR)", 9973)} % 100 AS h
+      FROM documents),
+    k AS (
+      SELECT lang,
+        CASE WHEN h < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END)
+             THEN 1 END AS kept
+      FROM d)
+    SELECT lang, count(*) AS n_docs, count(kept) AS n_kept,
+      CAST(count(kept) AS DOUBLE) / count(*) AS kept_frac
+    FROM k GROUP BY lang ORDER BY lang"""
+
   val dedupMinhashPairs: String = s"""WITH $minhashSigCte,
     banded AS (
       SELECT doc_id, band, band_key FROM (
@@ -1096,6 +1111,7 @@ object Oracles {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_keep_best" -> dedupKeepBest,
+    "sample_stratified" -> sampleStratified,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "ann_cosine_topk" -> annCosineTopK,

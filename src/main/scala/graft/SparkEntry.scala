@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -228,6 +228,9 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSummary(
+        Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.25), 0.1).orderBy("lang")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     // 3-gram shingles: on this 31-word vocabulary 2-grams are saturated

@@ -135,6 +135,27 @@ class ConsumerSpec extends SparkSpec {
     assert(out(1L).deliverTick === 2L, "older event blocked behind drifted head")
   }
 
+  test("drift-exact invariants on testdata: conservation, caps, availability") {
+    import graft.cdc.{Broker, CdcOps}
+    import graft.cdc.Consumer.DriftIn
+    val ops = CdcOps.ops(spark, "/root/testdata/sf0.001")
+    val routed = Broker.route(
+      Broker.withDrift(ops, concat(lit("tx-"), col("lsn").cast("string")), col("t")),
+      col("pk"), col("lsn"), 32, 0.1)
+    val in = routed.select(col("part").cast("int").as("part"), col("lsn"),
+      col("t"), col("available_at").as("availableAt"), col("dropped")).as[DriftIn]
+    val out = Consumer.brokerDeliverDriftExact(in).toDF().persist()
+    // conservation: every routed event is delivered exactly once
+    assert(out.count() === routed.count())
+    assert(out.select("lsn").distinct().count() === out.count())
+    // per-(partition, tick) consumption respects the cap
+    assert(out.groupBy("part", "deliverTick").count()
+      .filter(col("count") > 4).count() === 0L)
+    // no event delivers before it is available
+    assert(out.filter(col("deliverMs") < col("availableAt")).count() === 0L)
+    out.unpersist()
+  }
+
   test("throttle waits for availability") {
     val events = Seq(DeliveryIn("m", 1L, 5000L)).toDS()
     val out = Consumer.throttleDrain(events, rate = 100.0, stepMs = 1000L).collect().head

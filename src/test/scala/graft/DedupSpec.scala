@@ -74,6 +74,31 @@ class DedupSpec extends SparkSpec {
     // 1 beat 2 on the doc_id tie-break; 4 beat 5 on quality (higher TTR)
   }
 
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    import graft.llm.Sampling
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val s1 = Sampling.stratifiedSummary(docs, Map("en" -> 0.5, "de" -> 0.1))
+      .orderBy("lang").collect()
+    val s2 = Sampling.stratifiedSummary(docs, Map("en" -> 0.5, "de" -> 0.1))
+      .orderBy("lang").collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq, "same docs every run")
+    val byLang = s1.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(byLang("en")._1 === 500L && byLang("de")._1 === 500L)
+    // hash31 % 100 is close to uniform: keep counts land near the rates
+    assert(math.abs(byLang("en")._2 - 250L) < 75, s"en kept ${byLang("en")._2}")
+    assert(math.abs(byLang("de")._2 - 50L) < 40, s"de kept ${byLang("de")._2}")
+    // per-doc decisions are stable: the kept set is a fixed function of id
+    val kept = docs.filter(
+      Sampling.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 0.5, "de" -> 0.1)))
+      .select("doc_id").as[Long].collect().sorted
+    val keptAgain = docs.orderBy(col("doc_id").desc).filter(
+      Sampling.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 0.5, "de" -> 0.1)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === keptAgain.toSeq)
+  }
+
   test("ANN top-k ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
