@@ -130,8 +130,16 @@ object ApplyEngine {
     *
     * Input columns: (tbl, pk, op, after_json) + `ordCol`. Output:
     * (tbl, pk, row_json).
+    *
+    * `dropColumns` is the consumer-side schema-drift projection
+    * (`applyRowChange`, `src/changefeed/model.ts:110-120`: with
+    * `projectSchemaDrift` off the drifted column is deleted from every
+    * merged row) — fields in the list never reach destination rows.
     */
-  def applyJsonState(ops: DataFrame, ordCol: String = "ord"): DataFrame = {
+  def applyJsonState(
+      ops: DataFrame,
+      ordCol: String = "ord",
+      dropColumns: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy("tbl", "pk")
     val live = ops
@@ -155,6 +163,14 @@ object ApplyEngine {
           expr("get_json_object(after_json, concat('$[''', field, ''']'))")))
       .drop("after_json")
       .filter(col("field").isNull || col("value").isNotNull) // sanitizeRow
+      // drift projection: demote dropped fields to empty-payload markers
+      // (not filtered rows) so a key whose only field was the drifted
+      // column still materializes as `{}` — the reference deletes the
+      // field, never the row
+      .withColumn("field",
+        if (dropColumns.isEmpty) col("field")
+        else when(col("field").isin(dropColumns: _*), lit(null)).otherwise(col("field")))
+      .withColumn("value", when(col("field").isNull, lit(null)).otherwise(col("value")))
     val lastPerField = fields
       .withColumn("_rn", row_number().over(
         Window.partitionBy("tbl", "pk", "field").orderBy(col("_ord").desc)))

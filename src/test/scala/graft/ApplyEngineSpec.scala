@@ -62,4 +62,26 @@ class ApplyEngineSpec extends SparkSpec {
     assert(st(("t0", "1")).getDouble(2) === 1.0)
     assert(st(("t1", "1")).getDouble(2) === 2.0)
   }
+
+  test("schema-drift projection drops the drifted column, never the row") {
+    // mirrors `changefeed-playground.test.ts` "handles schema drift by
+    // projecting or ignoring the extra column" (applyRowChange,
+    // model.ts:110-120)
+    import spark.implicits._
+    val ops = Seq(
+      ("t0", "1", 1L, "insert", """{"name":"ada","priority_flag":"1"}"""),
+      ("t0", "1", 2L, "update", """{"city":"x"}"""),
+      ("t0", "2", 3L, "insert", """{"priority_flag":"1"}""") // drift-only row
+    ).toDF("tbl", "pk", "ord", "op", "after_json")
+    // projected (drift visible): flag survives
+    val visible = ApplyEngine.applyJsonState(ops)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(visible("1") === """{"city":"x","name":"ada","priority_flag":"1"}""")
+    // ignored (projectSchemaDrift off): flag deleted from every row; the
+    // drift-only row still exists as {}
+    val dropped = ApplyEngine.applyJsonState(ops, dropColumns = Seq("priority_flag"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(dropped("1") === """{"city":"x","name":"ada"}""")
+    assert(dropped("2") === "{}", "row survives with its drifted column removed")
+  }
 }
