@@ -93,4 +93,61 @@ class GenPropertiesSpec extends SparkSpec {
       assert(folded === naiveFold(ops))
     }
   }
+
+  /** Naive tick-BY-tick simulator of the drift-on broker
+    * (`model.ts:141-149,246-263`): walks every tick from 1 without clock
+    * jumps — an independent implementation validating the event-driven
+    * fold's jump logic. */
+  private def naiveDriftSim(
+      evts: Seq[graft.cdc.Consumer.DriftIn],
+      tickMs: Long, cap: Int): Map[Long, Long] = {
+    def tickOf(x: Long) = (x - 1) / tickMs + 1
+    val byArr = evts.sortBy(_.lsn)
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    val stack = scala.collection.mutable.ListBuffer.empty[graft.cdc.Consumer.DriftIn]
+    var i = 0
+    val maxTick = (evts.map(e => tickOf(e.availableAt)).max + evts.length / cap + 2)
+    var t = 1L
+    while (t <= maxTick && (i < byArr.length || stack.nonEmpty)) {
+      while (i < byArr.length && tickOf(byArr(i).t) <= t) {
+        stack.prepend(byArr(i)); i += 1
+      }
+      var used = 0
+      while (stack.nonEmpty && used < cap && tickOf(stack.head.availableAt) <= t) {
+        out(stack.remove(0).lsn) = t
+        used += 1
+      }
+      t += 1
+    }
+    out.toMap
+  }
+
+  private def driftGen: Gen[Seq[graft.cdc.Consumer.DriftIn]] = {
+    val one = for {
+      part <- Gen.choose(0, 2)
+      gap <- Gen.choose(0L, 120L)
+      drifted <- Gen.oneOf(0L, 50L)
+      dropped <- Gen.oneOf(true, false)
+    } yield (part, gap, drifted, dropped)
+    Gen.listOfN(40, one).map { raw =>
+      var t = 0L
+      raw.zipWithIndex.map { case ((part, gap, drifted, dropped), i) =>
+        t += gap
+        graft.cdc.Consumer.DriftIn(part, 1000L + i, math.max(t, 1L),
+          math.max(t, 1L) + drifted, dropped)
+      }
+    }
+  }
+
+  test("drift broker fold equals a naive tick-by-tick simulation on random feeds") {
+    import spark.implicits._
+    samples(driftGen, 8).foreach { evts =>
+      val folded = graft.cdc.Consumer
+        .brokerDeliverDriftExact(evts.toDS(), tickMs = 50L, maxApplyPerTick = 3)
+        .collect().map(e => e.lsn -> e.deliverTick).toMap
+      val naive = evts.groupBy(_.part).values
+        .map(g => naiveDriftSim(g.toSeq, 50L, 3)).reduce(_ ++ _)
+      assert(folded === naive)
+    }
+  }
 }
