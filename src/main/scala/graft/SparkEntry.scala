@@ -264,8 +264,13 @@ object SparkEntry {
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {
       // the enriched op-state and poll lane each feed several report
-      // subtrees — persist so the single-job report computes them once
-      val state = st(s, dir).persist()
+      // subtrees — persist so the single-job report computes them once.
+      // Project to the columns the report reads BEFORE persisting: the
+      // cached frame (scanned by five subtrees) drops the unused
+      // before-images/payload columns the window stage had to compute
+      val state = st(s, dir)
+        .select("tbl", "pk", "op", "lsn", "t", "ver", "cur_val", "cur_k")
+        .persist()
       val poll = Capture.poll(state).persist()
       val actual = poll.select(
         col("poll_ts").as("time"), col("src_lsn").as("ord"),
@@ -283,7 +288,9 @@ object SparkEntry {
       // the same harness report over the LOG lane: lossless capture must
       // report zero missing/extra/mismatches and pass = 1 — the lane-generic
       // counterpart to the polling-lane cdc_evaluate
-      val state = st(s, dir).persist()
+      val state = st(s, dir)
+        .select("tbl", "pk", "op", "lsn", "t", "prev_val", "prev_k", "cur_val", "cur_k")
+        .persist()
       val lane = Capture.log(state).persist()
       val actual = lane.select(
         col("emitted_ts").as("time"), col("lsn").as("ord"),
