@@ -213,9 +213,16 @@ object Consumer {
   }
 
   /** Pause/resume gate for `foreachBatch` consumers
-    * (`web/App.tsx:2103`; SIGUSR1/2 pause in `consumer.mjs:453-461`):
-    * batches processed only while open; closed batches are skipped (the
-    * backlog builds in the source, exactly like a paused consumer). */
+    * (`web/App.tsx:2103`; SIGUSR1/2 pause in `consumer.mjs:453-461` pauses
+    * the Kafka consumer — fetching stops, nothing is dropped).
+    *
+    * The guard HOLDS the in-flight micro-batch while paused (backpressure):
+    * the batch does not complete, its offsets are not committed, and the
+    * backlog builds in the source — a lossless pause, like the reference's.
+    * Skipping the body instead would silently DROP the paused batches: a
+    * skipped `foreachBatch` still commits its offsets, so the data would
+    * never be reprocessed. Resume (or a controller stop, which reopens the
+    * gate before stopping the query) releases the held batch. */
   final class PauseGate extends Serializable {
     @volatile private var open = true
     def pause(): Unit = open = false
@@ -223,6 +230,9 @@ object Consumer {
     def isOpen: Boolean = open
     /** Wrap a foreachBatch body. */
     def guard[T](body: (Dataset[T], Long) => Unit): (Dataset[T], Long) => Unit =
-      (ds, id) => if (open) body(ds, id)
+      (ds, id) => {
+        while (!open) Thread.sleep(25) // hold: offsets must not commit
+        body(ds, id)
+      }
   }
 }

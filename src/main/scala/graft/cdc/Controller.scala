@@ -67,14 +67,17 @@ final class CdcController[E](
   }
 
   /** `stateMachine.ts:62-68`: from any state — stop the tail (handler stops
-    * the StreamingQuery), reset the topic queue and the counters. */
+    * the StreamingQuery), reset the topic queue and the counters. The gate
+    * reopens FIRST so a micro-batch held by a paused consumer drains before
+    * the query stops (stopping with the gate closed would interrupt the
+    * held batch mid-flight). */
   def stop(): Unit = synchronized {
     state = Idle
+    gate.resume()
     handlers.stop()
     queue.clear()
     producedN = 0L
     consumedN = 0L
-    gate.resume()
   }
 
   /** `stateMachine.ts:70-75` + `eventBus.ts:11-20`: assign monotone

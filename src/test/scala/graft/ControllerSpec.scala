@@ -69,17 +69,63 @@ class ControllerSpec extends AnyFunSuite {
     assert(c.currentState === Idle, "stop returns to IDLE from any state")
   }
 
-  test("gate guard skips batches while paused") {
+  test("controller drives a real StreamingQuery: tail, pause, resume, stop") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String]
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val c = new CdcController[String]("LOG_BASED", Some("cdc.stream"),
+      ModeHandlers[String](
+        startTailing = _ => (), // query started below once the gate exists
+        stop = () => if (query != null) query.stop()))
+    query = input.toDS().writeStream
+      .outputMode("append")
+      .foreachBatch(c.gate.guard[String]((ds, _) => ds.collect().foreach(applied.add)))
+      .start()
+    c.startTailing()
+
+    input.addData("a", "b")
+    query.processAllAvailable()
+    assert(applied.size === 2)
+
+    // pause is LOSSLESS: the gate holds the in-flight batch (offsets not
+    // committed) until resume — nothing applies while paused, nothing drops
+    c.pause()
+    input.addData("c")
+    val resumer = new Thread(() => {
+      Thread.sleep(400)
+      assert(applied.size === 2, "held batch must not apply while paused")
+      c.resume()
+    })
+    resumer.start()
+    query.processAllAvailable() // blocks on the held batch until resume
+    resumer.join()
+    assert(applied.toArray.toSet === Set("a", "b", "c"),
+      "the paused batch applied after resume — no data lost")
+
+    c.stop()
+    assert(!query.isActive, "stop() handler stopped the StreamingQuery")
+    assert(c.currentState === Idle)
+  }
+
+  test("gate guard holds batches while paused, releases them on resume") {
     val c = new CdcController[String]("LOG_BASED")
-    var applied = 0
+    @volatile var applied = 0
     val body: (org.apache.spark.sql.Dataset[String], Long) => Unit = (_, _) => applied += 1
     val guarded = c.gate.guard(body)
     c.startTailing()
     guarded(null, 0L)
+    assert(applied === 1)
     c.pause()
-    guarded(null, 1L)
+    val t = new Thread(() => guarded(null, 1L)) // held, not dropped
+    t.start()
+    Thread.sleep(200)
+    assert(applied === 1, "batch must wait while the gate is closed")
     c.resume()
-    guarded(null, 2L)
-    assert(applied === 2, "the paused batch was skipped")
+    t.join(2000)
+    assert(applied === 2, "held batch ran after resume")
   }
 }
