@@ -226,6 +226,22 @@ object Oracles {
       count(CASE WHEN prev_t > t THEN 1 END) AS lsn_t_inversions
     FROM seq"""
 
+  /** Cross-lane summary (`web/App.tsx:985-1020`) — mirrors the Spark
+    * min_by/max_by aggregate over the 3-lane percentile+write-amp table. */
+  val cdcLaneSummary: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte,
+    lanes AS (
+      SELECT 'log' AS method, round(quantile_cont(lag_ms, 0.95), 3) AS p95, 1.0::DOUBLE AS wa
+      FROM log_lane
+      UNION ALL
+      SELECT 'poll', round(quantile_cont(poll_ts - src_t, 0.95), 3), 1.0::DOUBLE FROM poll
+      UNION ALL
+      SELECT 'trigger', round(quantile_cont(lag_ms, 0.95), 3), 2.0::DOUBLE FROM trig_lane)
+    SELECT arg_min(method, p95) AS best_lag_lane,
+           arg_max(method, p95) AS worst_lag_lane,
+           max(p95) - min(p95) AS lag_spread,
+           arg_max(method, wa) AS top_write_amp_lane
+    FROM lanes"""
+
   /** Rolling-2000 lag percentiles — the ring-buffer window of
     * `src/engine/metrics.ts:42-44`: per lane, only the last 2000 samples in
     * delivery order feed p50/p95. */
@@ -1097,6 +1113,7 @@ object Oracles {
     "cdc_metrics_lane" -> cdcMetricsLane,
     "cdc_lag_percentiles" -> cdcLagPercentiles,
     "cdc_lag_rolling" -> cdcLagRolling,
+    "cdc_lane_summary" -> cdcLaneSummary,
     "cdc_contracts" -> cdcContracts,
     "cdc_txn_apply" -> cdcTxnApply,
     "cdc_broker_route" -> cdcBrokerRoute,

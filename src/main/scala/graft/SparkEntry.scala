@@ -123,6 +123,23 @@ object SparkEntry {
         .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger"))
         .orderBy("method")
     }),
+    "cdc_lane_summary" -> ((s, dir) => {
+      // cross-lane comparison (`web/App.tsx:985-1020`): best/worst lag
+      // lanes, lag spread, argmax write amplification — min_by/max_by over
+      // the 3-row lane table (no sort, no self-join)
+      val state = st(s, dir)
+      val pollLag = Capture.poll(state).withColumn("lag_ms", col("poll_ts") - col("src_t"))
+      val lanes = MetricsAgg.lagPercentiles(Capture.log(state), "log")
+        .withColumn("write_amp", lit(1.0))
+        .unionAll(MetricsAgg.lagPercentiles(pollLag, "poll").withColumn("write_amp", lit(1.0)))
+        .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger")
+          .withColumn("write_amp", lit(2.0)))
+      lanes.agg(
+        min_by(col("method"), col("p95")).as("best_lag_lane"),
+        max_by(col("method"), col("p95")).as("worst_lag_lane"),
+        (max(col("p95")) - min(col("p95"))).as("lag_spread"),
+        max_by(col("method"), col("write_amp")).as("top_write_amp_lane"))
+    }),
     "cdc_lag_rolling" -> ((s, dir) => {
       val state = st(s, dir)
       val lanes = Capture.log(state)
