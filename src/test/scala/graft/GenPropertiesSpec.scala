@@ -139,6 +139,36 @@ class GenPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("rolling lag window equals a naive ring buffer on random feeds") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf("log", "poll"), Gen.choose(0L, 500L)))
+    samples(gen, 6).foreach { raw =>
+      val samplesIn = raw.zipWithIndex.map { case ((m, lag), i) =>
+        (m, i.toLong, i.toLong, lag) // delivery order = index
+      }
+      val df = samplesIn.toDF("method", "ord1", "ord2", "lag_ms")
+      val n = 16
+      val out = graft.cdc.MetricsAgg.lagPercentilesRolling(df, lastN = n)
+        .collect().map(r => r.getAs[String]("method") ->
+          (r.getAs[Double]("p50"), r.getAs[Long]("max_lag"), r.getAs[Long]("window_n"))).toMap
+      // naive: last n lags per lane in arrival order
+      samplesIn.groupBy(_._1).foreach { case (m, s) =>
+        val ring = s.sortBy(_._2).takeRight(n).map(_._4)
+        val sorted = ring.sorted.toIndexedSeq
+        // independent interpolating percentile (src/engine/metrics.ts:131-139)
+        val idx = (sorted.length - 1) * 0.5
+        val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+        val p50 =
+          if (lo == hi) sorted(lo).toDouble
+          else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+        val expected = (BigDecimal(p50).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          ring.max, ring.length.toLong)
+        assert(out(m) === expected, s"lane $m")
+      }
+    }
+  }
+
   test("drift broker fold equals a naive tick-by-tick simulation on random feeds") {
     import spark.implicits._
     samples(driftGen, 8).foreach { evts =>
