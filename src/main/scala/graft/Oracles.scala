@@ -621,6 +621,17 @@ object Oracles {
         i -> ${h31("substr(text, i, 8)", 1000003L)})) AS fp_winnow
     FROM documents ORDER BY doc_id"""
 
+  /** Winnowing-fingerprint dedup candidates — mirrors
+    * `Dedup.winnowCandidates` over the `fp_winnow` minimizer. */
+  val dedupWinnow: String = s"""WITH f AS (
+      SELECT doc_id,
+        list_min(list_transform(range(1, greatest(length(text) - 6, 2)),
+          i -> ${h31("substr(text, i, 8)", 1000003L)})) AS fp_winnow
+      FROM documents)
+    SELECT fp_winnow, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM f GROUP BY fp_winnow HAVING count(*) >= 2
+    ORDER BY fp_winnow"""
+
   val mmBinaryMeta: String = """
     SELECT doc_id,
       octet_length(encode(text)) AS n_bytes,
@@ -1129,6 +1140,7 @@ object Oracles {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
+    "dedup_winnow" -> dedupWinnow,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "ann_cosine_topk" -> annCosineTopK,

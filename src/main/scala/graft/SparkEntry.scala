@@ -248,6 +248,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSummary(
         Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.25), 0.1).orderBy("lang")),
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     // 3-gram shingles: on this 31-word vocabulary 2-grams are saturated

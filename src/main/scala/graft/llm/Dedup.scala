@@ -84,6 +84,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing-fingerprint dedup candidates (Schleimer et al. '03 — the
+    * MOSS local fingerprinting scheme; our `fp_winnow` is the document
+    * minimizer: the min rolling hash over 8-char windows, computed by the
+    * native codegen'd [[graft.functions.WinnowMin]] in one pass). Documents
+    * sharing a minimizer share at least one 8-gram with the minimal hash —
+    * near-dup candidates at character granularity, catching boilerplate
+    * overlap that word-shingle MinHash misses. Shape: pure projection →
+    * hash-groupBy on the fingerprint; clusters of ≥ 2 are the candidate
+    * sets (verify stage at corpus scale: [[jaccardPairs]] on candidates).
+    */
+  def winnowCandidates(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprints(docs)
+      .groupBy("fp_winnow")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+
   /** Near-dup cluster "keep best by quality" — the standard corpus-dedup
     * retention policy: cluster documents by FULL MinHash signature
     * (signature equality ⇒ near-identical shingle sets at `numHashes`

@@ -74,6 +74,18 @@ class DedupSpec extends SparkSpec {
     // 1 beat 2 on the doc_id tie-break; 4 beat 5 on quality (higher TTR)
   }
 
+  test("winnow candidates cluster docs sharing the minimal 8-gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "zzzz entirely unrelated content zzzz")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.winnowCandidates(docs).collect()
+    assert(clusters.length === 1, "only the duplicated text clusters")
+    assert(clusters.head.getAs[Long]("n_docs") === 2L)
+    assert(clusters.head.getAs[Long]("keep_id") === 1L)
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     import graft.llm.Sampling
     val docs = (1L to 1000L).map(i =>
