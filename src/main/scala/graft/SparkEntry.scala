@@ -129,11 +129,17 @@ object SparkEntry {
       // the 3-row lane table (no sort, no self-join)
       val state = st(s, dir)
       val pollLag = Capture.poll(state).withColumn("lag_ms", col("poll_ts") - col("src_t"))
+      // write_amp comes from the measured laneMix rows (audit writes per
+      // captured op), not asserted literals — same 3-row frame the
+      // cdc_metrics_lane query reports, broadcast onto the lag lanes.
+      val mix = MetricsAgg.laneMix(Capture.log(state), "log", 1, 0)
+        .unionAll(MetricsAgg.laneMix(Capture.poll(state), "poll", 1, 0))
+        .unionAll(MetricsAgg.laneMix(Capture.trigger(state), "trigger", 1, 1))
+        .select(col("method"), col("write_amp"))
       val lanes = MetricsAgg.lagPercentiles(Capture.log(state), "log")
-        .withColumn("write_amp", lit(1.0))
-        .unionAll(MetricsAgg.lagPercentiles(pollLag, "poll").withColumn("write_amp", lit(1.0)))
-        .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger")
-          .withColumn("write_amp", lit(2.0)))
+        .unionAll(MetricsAgg.lagPercentiles(pollLag, "poll"))
+        .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger"))
+        .join(broadcast(mix), Seq("method"))
       lanes.agg(
         min_by(col("method"), col("p95")).as("best_lag_lane"),
         max_by(col("method"), col("p95")).as("worst_lag_lane"),

@@ -59,7 +59,12 @@ object Canonical {
     val ex = regexp_extract(s, "[eE]([+-]?[0-9]+)$", 1)
     val sci = concat(mant, lit("e"),
       when(ex.startsWith("-"), ex).otherwise(concat(lit("+"), ex)))
-    val canon = coalesce(plain23, plain18, dec0.cast("string"), sci)
+    // Overflowing numeric strings ('1e999') parse to ±Infinity: every plain
+    // branch is null and the sci regexes don't match Java's 'Infinity', so
+    // guard on finiteness — Java prints 'Infinity'/'-Infinity', exactly
+    // JS `String(Number('1e999'))`.
+    val inf = when(absd === lit(Double.PositiveInfinity), d.cast("string"))
+    val canon = coalesce(inf, plain23, plain18, dec0.cast("string"), sci)
     when(numeric && d.isNotNull, canon).otherwise(t)
   }
 

@@ -66,6 +66,13 @@ object Evaluate {
     // ordering bookkeeping (`harness/verifier/diff.js:153-179`). Partitioning
     // by tbl keeps the window distributed — no single-partition WindowExec on
     // the capture lane (each table's scan runs in its own task).
+    // Intentionally STRICTER than the reference on faulty lanes: diff.js
+    // resets its baseline whenever the table changes in the interleaved
+    // delivery sequence, so it only flags inversions between *consecutive*
+    // same-table events; the running max here flags an inversion against any
+    // earlier event of the table. Conforming lanes score 0 under both, and
+    // the oracle encodes the same running-max rule, so the gate agrees —
+    // the stricter form just never under-reports a real ordering violation.
     val ordering = Diff.orderingInversions(
       actual, Seq("tbl"), Seq(col("time"), col("ord")), "ord")
       .agg(count(when(col("inverted"), 1)).as("inversions"))

@@ -39,7 +39,10 @@ class CanonicalSpec extends SparkSpec {
       "1e21" -> "1e+21", // first exponential magnitude upward
       "999999999999999999999" -> "1e+21", // rounds to 1e21 as a double
       "1.2345678901234567e22" -> "1.2345678901234568e+22",
-      "2e40" -> "2e+40")
+      "2e40" -> "2e+40",
+      // overflow to ±Infinity: JS String(Number('1e999')) === 'Infinity'
+      "1e999" -> "Infinity",
+      "-1e999" -> "-Infinity")
     val df = cases.map(_._1).toDF("v")
       .select(Canonical.coerceComparable(col("v")).as("c"))
     val got = df.as[String].collect().toSeq

@@ -95,14 +95,20 @@ class ControllerSpec extends AnyFunSuite {
     // committed) until resume — nothing applies while paused, nothing drops
     c.pause()
     input.addData("c")
+    // Observe from the helper thread, assert from the main thread: a failed
+    // assert inside the thread would skip c.resume() and leave
+    // processAllAvailable() blocked forever (suite hang, not a red test).
+    val sizeWhilePaused = new java.util.concurrent.atomic.AtomicInteger(-1)
     val resumer = new Thread(() => {
-      Thread.sleep(400)
-      assert(applied.size === 2, "held batch must not apply while paused")
-      c.resume()
+      try {
+        Thread.sleep(400)
+        sizeWhilePaused.set(applied.size)
+      } finally c.resume()
     })
     resumer.start()
     query.processAllAvailable() // blocks on the held batch until resume
     resumer.join()
+    assert(sizeWhilePaused.get === 2, "held batch must not apply while paused")
     assert(applied.toArray.toSet === Set("a", "b", "c"),
       "the paused batch applied after resume — no data lost")
 
