@@ -564,6 +564,35 @@ object Oracles {
     SELECT DISTINCT a_id, b_id, cos AS cos_sim
     FROM cand WHERE cos >= 0.45 ORDER BY a_id, b_id"""
 
+  /** Band `band`'s bucket key: AND of `bits` hyperplane sign bits, plane
+    * index band·bits+i into the same lattice as `lshBucketSql`. */
+  def lshBandKeySql(emb: String, band: Int, bits: Int): String = {
+    val terms = (0 until bits).map { i =>
+      val j = band * bits + i
+      val proj = s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(0, 64), i -> $emb[i+1]::DOUBLE *
+          ((((${j * 64} + i + 1) * 2654435761) % 1000)::DOUBLE / 1000.0 - 0.5))),
+        (acc, x) -> acc + x)"""
+      s"CASE WHEN $proj >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    terms.mkString(" + ")
+  }
+
+  val annNearDupBanded: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${lshBandKeySql("embedding", b, 8)} AS key FROM base")
+      .mkString("\n      UNION ALL ")
+    s"""WITH
+    base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    keys AS ($bandSelects),
+    cand AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+      FROM keys x JOIN keys y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+    SELECT DISTINCT a_id, b_id, cos AS cos_sim
+    FROM cand WHERE cos >= 0.4 ORDER BY a_id, b_id"""
+  }
+
   // ------------------------------------------------------------ text analysis
 
   private val stopList = "('the','a','of','and','to')"
@@ -1146,6 +1175,7 @@ object Oracles {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,
+    "ann_near_dup_banded" -> annNearDupBanded,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,

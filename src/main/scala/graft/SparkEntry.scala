@@ -271,6 +271,8 @@ object SparkEntry {
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("bucket")),
     "ann_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
+    "ann_near_dup_banded" -> ((s, dir) =>
+      Similarity.nearDupPairsBanded(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
 
     // ------------------------------------------------ text analysis
     "text_quality" -> ((s, dir) =>

@@ -173,4 +173,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.toSeq === Seq((0L, 1L)))
   }
+
+  test("banded near-dup: fewer comparisons than the single bucket at equal-or-better recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val th = 0.4
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact truth set: brute-force all pairs >= th
+    val withNrm = emb.selectExpr("vec_id", "embedding",
+      "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), 0D, (a, x) -> a + x)) AS nrm")
+    val exact = pairSet(withNrm.as("x").join(withNrm.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(x.embedding, y.embedding, (p, q) -> double(p) * double(q)), 0D, (a, v) -> a + v) / (x.nrm * y.nrm)"))
+      .filter(col("cos") >= th)
+      .select(col("x.vec_id"), col("y.vec_id")))
+    val single = pairSet(Similarity.nearDupPairs(emb, threshold = th, nPlanes = 4)
+      .select("a_id", "b_id"))
+    val banded = pairSet(Similarity.nearDupPairsBanded(emb, threshold = th)
+      .select("a_id", "b_id"))
+    assert(single.subsetOf(exact) && banded.subsetOf(exact),
+      "exact recheck keeps precision 1 in both schemes")
+    assert(banded.size >= single.size,
+      s"banded recall (${banded.size}) must not trail the single bucket (${single.size})")
+    // comparison budget: the banded scheme must pay FEWER exact rechecks
+    // than the single 16-bucket join (8 bands / 256 buckets each ≍ n²/32
+    // vs n²/16)
+    val singleCand = Similarity.lshBuckets(emb, nPlanes = 4)
+      .selectExpr("sum(n_vecs * (n_vecs - 1) div 2) AS c").collect()(0).getLong(0)
+    val bandedCand = Similarity.bandedCandidatePairs(emb).count()
+    assert(bandedCand < singleCand,
+      s"banded comparisons ($bandedCand) must undercut the single bucket ($singleCand)")
+  }
 }
