@@ -126,6 +126,57 @@ object Oracles {
   val cdcApplyState: String = s"""WITH $stateCte, $stateFinalCte
     SELECT * FROM state_final ORDER BY tbl, pk"""
 
+  /** JSON partial-payload feed + its generic reduce — mirrors
+    * `CdcOps.jsonOps` → `ApplyEngine.applyJsonState`. All JSON values are
+    * strings with integer content, so the merged row image reassembles by
+    * plain concatenation (keys name-sorted: id < k < ts < v), exactly the
+    * `to_json(map_from_entries(array_sort(...)))` output byte-for-byte. */
+  val jsonFeedCte: String = s"""$opsCte,
+  feed AS (
+    SELECT tbl, pk, op, t, lsn, event_id,
+      CASE WHEN sets_k THEN CAST(k AS VARCHAR) END AS f_k,
+      CAST(t AS VARCHAR) AS f_ts,
+      CASE WHEN sets_val THEN CAST(CAST(floor(val * 1000) AS BIGINT) AS VARCHAR) END AS f_v
+    FROM ops),
+  json_live AS (
+    SELECT * FROM (
+      SELECT f.*, max(CASE WHEN op = 'delete' THEN lsn END)
+        OVER (PARTITION BY tbl, pk) AS last_del
+      FROM feed f)
+    WHERE op <> 'delete' AND (last_del IS NULL OR lsn > last_del)),
+  json_state AS (
+    SELECT tbl, pk,
+      '{' || concat_ws(',',
+        '"id":"' || pk || '"',
+        CASE WHEN vk IS NOT NULL THEN '"k":"' || vk || '"' END,
+        '"ts":"' || vts || '"',
+        CASE WHEN vv IS NOT NULL THEN '"v":"' || vv || '"' END) || '}' AS row_json
+    FROM (
+      SELECT tbl, pk,
+        last_value(f_k IGNORE NULLS) OVER w AS vk,
+        last_value(f_ts IGNORE NULLS) OVER w AS vts,
+        last_value(f_v IGNORE NULLS) OVER w AS vv,
+        row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+      FROM json_live
+      WINDOW w AS (PARTITION BY tbl, pk ORDER BY lsn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    WHERE rn = 1)"""
+
+  val cdcApplyJson: String = s"""WITH $jsonFeedCte
+    SELECT tbl, pk, row_json FROM json_state ORDER BY tbl, pk"""
+
+  /** Closed form of the envelope round-trip: encode → decode → assemble →
+    * apply is lossless, so keys match the direct JSON reduce, every op
+    * lands in a txn, and txns count the distinct event-id groups. */
+  val cdcDebeziumE2e: String = s"""WITH $jsonFeedCte
+    SELECT metric, value FROM (
+      SELECT 'keys_match' AS metric,
+        (SELECT count(*) FROM (SELECT DISTINCT tbl, pk FROM json_live)) AS value
+      UNION ALL SELECT 'keys_mismatch', 0
+      UNION ALL SELECT 'tx_events', (SELECT count(*) FROM ops)
+      UNION ALL SELECT 'txns', (SELECT count(DISTINCT event_id // 3) FROM ops))
+    ORDER BY metric"""
+
   val cdcReplayEvents: String = s"""WITH $stateCte, $logLaneCte
     SELECT tbl, pk, after_val AS val, after_k AS k
     FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
@@ -1146,6 +1197,8 @@ object Oracles {
     "cdc_poll_capture" -> cdcPollCapture,
     "cdc_poll_loss" -> cdcPollLoss,
     "cdc_apply_state" -> cdcApplyState,
+    "cdc_apply_json" -> cdcApplyJson,
+    "cdc_debezium_e2e" -> cdcDebeziumE2e,
     "cdc_replay_events" -> cdcReplayEvents,
     "cdc_difflane" -> cdcDiffLane,
     "cdc_lag_topk" -> cdcLagTopK,

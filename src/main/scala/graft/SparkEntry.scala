@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.cdc._
 import graft.functions.GraftFunctions
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB oracle in
@@ -67,6 +67,45 @@ object SparkEntry {
       ApplyEngine.applyState(ops(s, dir)).orderBy("tbl", "pk")),
     "cdc_replay_events" -> ((s, dir) =>
       ApplyEngine.replayEvents(Capture.log(st(s, dir)), "lsn").orderBy("tbl", "pk")),
+    // open-schema apply: the generic JSON reduce over the partial-payload
+    // feed — the operator real fixture schemas drive (index.js:59-76)
+    "cdc_apply_json" -> ((s, dir) =>
+      ApplyEngine.applyJsonState(CdcOps.jsonOps(ops(s, dir)), "lsn")
+        .orderBy("tbl", "pk")),
+    // Debezium end-to-end without a broker: encode the op feed as envelope
+    // JSON (payload-wrapped evens, r-snapshot inserts, before-only deletes)
+    // → decode → txn assembly → JSON apply, diffed against the state built
+    // directly from the feed — the verifier pipeline
+    // (harness/verifier/index.js:254-283,169-205) as one oracled query
+    "cdc_debezium_e2e" -> ((s, dir) => {
+      val feed = CdcOps.jsonOps(ops(s, dir))
+      val dec = DebeziumSource.decode(
+        DebeziumSource.encode(feed), col("value"))
+      // lsn = t·10⁶ + event_id is invertible, so the decoded stream
+      // re-derives the txn grouping key without a side channel
+      val recOps = dec.select(
+        col("ts_ms").as("t"),
+        (col("lsn") - col("ts_ms") * lit(1000000L)).as("event_id"),
+        col("tbl"), col("pk"), col("op"), col("lsn"), col("after_json"))
+      val txns = Txn.assemble(recOps)
+      val actual = ApplyEngine.applyJsonState(recOps, "lsn")
+      val truth = ApplyEngine.applyJsonState(feed, "lsn")
+      val diff = Diff.diffStates(truth, actual, Seq("row_json"))
+        .agg(
+          count(when(col("status") === "match", 1)).as("keys_match"),
+          count(when(col("status") =!= "match", 1)).as("keys_mismatch"))
+      val txAgg = txns.agg(
+        count(lit(1)).as("txns"),
+        sum(col("n_events")).cast("long").as("tx_events"))
+      diff.crossJoin(txAgg)
+        .selectExpr(
+          """stack(4,
+            |  'keys_match', keys_match,
+            |  'keys_mismatch', keys_mismatch,
+            |  'tx_events', tx_events,
+            |  'txns', txns) AS (metric, value)""".stripMargin)
+        .orderBy("metric")
+    }),
 
     // ------------------------------------------------ diff / verification
     "cdc_difflane" -> ((s, dir) => {

@@ -121,6 +121,27 @@ object CdcOps {
       .drop("rn", "last_del_rn")
   }
 
+  /** Open-schema twin of [[ops]]: the same op stream with its partial
+    * payload rendered as a JSON document (`after_json`, null for deletes) —
+    * the shape real fixture schemas arrive in
+    * (`harness/verifier/index.js:59-76`) and the input contract of
+    * `ApplyEngine.applyJsonState` and the Debezium envelope encoder.
+    *
+    * Every JSON value is a STRING and the numeric payload is quantized to
+    * an integer (`floor(val·1000)`), so the DuckDB oracle can reassemble
+    * the merged row images by plain string concatenation — no JSON
+    * printer differences can leak into the hash compare. Field names sort
+    * `id < k < ts < v`, matching `applyJsonState`'s name-sorted output. */
+  def jsonOps(ops: DataFrame): DataFrame =
+    ops.select(
+      col("tbl"), col("pk"), col("op"), col("t"), col("lsn"), col("event_id"),
+      when(col("op") =!= "delete", to_json(struct(
+        col("pk").as("id"),
+        when(col("sets_k"), col("k").cast("string")).as("k"),
+        col("t").cast("string").as("ts"),
+        when(col("sets_val"), floor(col("val") * 1000).cast("string")).as("v"))))
+        .as("after_json"))
+
   /** One-row diagnostic for the data contracts above: count of set-ops with
     * a null payload (would diverge sentinel-scan vs merge-fold semantics)
     * and of ops where lsn order inverts (t, event_id) order (would silently

@@ -64,4 +64,38 @@ object DebeziumSource {
     if (tableAllowlist.isEmpty) decoded
     else decoded.filter(col("tbl").isin(tableAllowlist: _*)) // index.js:265-267
   }
+
+  /** Inverse of [[decode]] — render a JSON op feed (`CdcOps.jsonOps` shape:
+    * tbl, pk, op, t, lsn, event_id, after_json) as Debezium envelope
+    * strings, the way the canonical scenario's generator emits them
+    * (`scenarios/01-canonical-reference/source/generator.mjs`). Used for
+    * replay into a sink and to drive the decode path end-to-end without a
+    * broker.
+    *
+    * Deliberately exercises the decoder's normalisation branches
+    * deterministically: every 7th insert is emitted as a snapshot read
+    * (`r`), and every even event id wraps the envelope in the optional
+    * `{"payload": ...}` layer (`index.js:258-262`). Deletes carry only a
+    * `before` image, so pk derivation must fall back to `before.id`.
+    * Transactions: `txSize` consecutive event ids share a tx envelope
+    * block with index/total metadata (`model.ts:169-244`). */
+  def encode(jsonOps: DataFrame, txSize: Int = 3): DataFrame = {
+    val inner = to_json(struct(
+      when(col("op") === "insert",
+        when(col("event_id") % 7 === 0, "r").otherwise("c"))
+        .when(col("op") === "update", lit("u"))
+        .otherwise(lit("d")).as("op"),
+      when(col("op") === "delete", to_json(struct(col("pk").as("id"))))
+        .as("before"),
+      col("after_json").as("after"),
+      col("t").as("ts_ms"),
+      struct(col("tbl").as("table"), col("lsn").as("lsn")).as("source"),
+      struct(
+        concat(lit("tx-"), expr(s"event_id div $txSize").cast("string")).as("id"),
+        (col("event_id") % txSize).as("index"),
+        lit(txSize.toLong).as("total")).as("tx")))
+    jsonOps.select(
+      when(col("event_id") % 2 === 0, to_json(struct(inner.as("payload"))))
+        .otherwise(inner).as("value"))
+  }
 }

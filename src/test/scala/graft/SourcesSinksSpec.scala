@@ -49,6 +49,30 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("tx_last")))
   }
 
+  test("debezium encode→decode round-trip across wrapper/snapshot/delete branches") {
+    // event ids chosen to hit every encoder branch: 0 (wrapped + r-snapshot),
+    // 7 (odd, r-snapshot), 2 (wrapped update), 3 (odd delete: before-only pk)
+    val feed = Seq(
+      (0L, "t0", "1", "insert", 100L, """{"id":"1","v":"5"}"""),
+      (7L, "t1", "2", "insert", 110L, """{"id":"2","k":"9"}"""),
+      (2L, "t0", "1", "update", 120L, """{"id":"1","v":"6"}"""),
+      (3L, "t0", "1", "delete", 130L, null: String))
+      .toDF("event_id", "tbl", "pk", "op", "t", "after_json")
+      .withColumn("lsn", col("t") * 1000000L + col("event_id"))
+    val decoded = DebeziumSource.decode(DebeziumSource.encode(feed), col("value"))
+      .orderBy("lsn").collect()
+    assert(decoded.map(_.getAs[String]("op")).toSeq ===
+      Seq("insert", "insert", "update", "delete")) // r-snapshots normalize to insert
+    assert(decoded.map(_.getAs[String]("pk")).toSeq === Seq("1", "2", "1", "1"))
+    assert(decoded.map(_.getAs[Long]("lsn")).toSeq ===
+      feed.orderBy("lsn").collect().map(_.getAs[Long]("lsn")).toSeq)
+    assert(decoded.map(_.getAs[String]("after_json")).toSeq ===
+      Seq("""{"id":"1","v":"5"}""", """{"id":"2","k":"9"}""",
+        """{"id":"1","v":"6"}""", null)) // payload unwrap is lossless
+    assert(decoded.map(_.getAs[String]("tx_id")).toSeq ===
+      Seq("tx-0", "tx-2", "tx-0", "tx-1")) // event_id div 3
+  }
+
   test("ndjson export: stable field order, coercions") {
     val events = Seq((2L, "u", " padded ", "7.5"), (1L, "c", "x", "oops"))
       .toDF("seq", "op", "s", "num")
