@@ -165,6 +165,27 @@ object Oracles {
   val cdcApplyJson: String = s"""WITH $jsonFeedCte
     SELECT tbl, pk, row_json FROM json_state ORDER BY tbl, pk"""
 
+  /** Snapshot-at-cut ∪ tail-after-cut with continuous offsets — mirrors
+    * `cdc_snapshot_tail`. The st CTE's windows are cumulative, so filtering
+    * it to t ≤ cut and taking the last row per key IS the state at the
+    * cut. */
+  val cdcSnapshotTail: String = s"""WITH $stateCte, $logLaneCte,
+    cut AS (SELECT (min(t) + max(t)) // 2 AS cut FROM ops),
+    seed AS (
+      SELECT tbl, pk, cur_val AS val, cur_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+            FROM st WHERE t <= (SELECT cut FROM cut))
+      WHERE rn = 1 AND op <> 'delete'),
+    snap AS (
+      SELECT row_number() OVER (ORDER BY tbl, pk) AS "offset", 'snapshot' AS phase,
+             tbl, pk, 'r' AS op_code, val, k
+      FROM seed),
+    tail AS (
+      SELECT (SELECT count(*) FROM seed) + row_number() OVER (ORDER BY lsn) AS "offset",
+             'tail' AS phase, tbl, pk, op_code, after_val AS val, after_k AS k
+      FROM log_lane WHERE commit_ts > (SELECT cut FROM cut))
+    SELECT * FROM snap UNION ALL SELECT * FROM tail ORDER BY "offset""""
+
   /** Closed form of the envelope round-trip: encode → decode → assemble →
     * apply is lossless, so keys match the direct JSON reduce, every op
     * lands in a txn, and txns count the distinct event-id groups. */
@@ -1198,6 +1219,7 @@ object Oracles {
     "cdc_poll_loss" -> cdcPollLoss,
     "cdc_apply_state" -> cdcApplyState,
     "cdc_apply_json" -> cdcApplyJson,
+    "cdc_snapshot_tail" -> cdcSnapshotTail,
     "cdc_debezium_e2e" -> cdcDebeziumE2e,
     "cdc_replay_events" -> cdcReplayEvents,
     "cdc_difflane" -> cdcDiffLane,

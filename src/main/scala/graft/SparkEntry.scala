@@ -72,6 +72,31 @@ object SparkEntry {
     "cdc_apply_json" -> ((s, dir) =>
       ApplyEngine.applyJsonState(CdcOps.jsonOps(ops(s, dir)), "lsn")
         .orderBy("tbl", "pk")),
+    // snapshot → tailing composition (logBased.ts:147-187): seed-row read
+    // events emitted AHEAD of the tail with CONTINUOUS offsets — snapshot
+    // rows rank 1..S by (tbl, pk), tail events continue S+1.. in lsn order.
+    // Both ranks via GlobalOrder (no single-partition window); the dense
+    // offset sequence in the oracle hash IS the continuity check.
+    "cdc_snapshot_tail" -> ((s, dir) => {
+      val o = ops(s, dir)
+      val cut = o.agg(expr("(min(t) + max(t)) div 2").as("cut"))
+      val seed = ApplyEngine.applyState(
+        o.crossJoin(broadcast(cut)).filter(col("t") <= col("cut")))
+      val snap = GlobalOrder.rank(
+        Capture.snapshotAll(seed, Seq("val", "k")),
+        Seq(col("tbl"), col("pk")), "offset")
+        .select(col("offset"), lit("snapshot").as("phase"), col("tbl"),
+          col("pk"), col("op_code"), col("val"), col("k"))
+      val nSnap = seed.agg(count(lit(1)).as("n_snap"))
+      val tail0 = Capture.log(st(s, dir)).crossJoin(broadcast(cut))
+        .filter(col("commit_ts") > col("cut"))
+      val tail = GlobalOrder.rank(tail0, Seq(col("lsn")), "tail_rank")
+        .crossJoin(broadcast(nSnap))
+        .select((col("tail_rank") + col("n_snap")).as("offset"),
+          lit("tail").as("phase"), col("tbl"), col("pk"), col("op_code"),
+          col("after_val").as("val"), col("after_k").as("k"))
+      snap.unionAll(tail).orderBy("offset")
+    }),
     // Debezium end-to-end without a broker: encode the op feed as envelope
     // JSON (payload-wrapped evens, r-snapshot inserts, before-only deletes)
     // → decode → txn assembly → JSON apply, diffed against the state built

@@ -127,4 +127,16 @@ object Capture {
       payloadHash.as("payload_hash"),
       lit("snapshot-0").as("tx_id"))
   }
+
+  /** Multi-table form of [[snapshot]] over a state frame keyed (tbl, pk):
+    * one read event per live row, table taken from the seed's own `tbl`
+    * column, payload columns riding along so the snapshot can be replayed
+    * downstream (the reference seeds `after` with the full stored row,
+    * `logBased.ts:167-180`). */
+  def snapshotAll(seed: DataFrame, payloadCols: Seq[String]): DataFrame =
+    seed.select(
+      (Seq(
+        lit("r").as("op_code"), col("tbl"), col("pk"),
+        md5(concat_ws("|", payloadCols.map(col): _*)).as("payload_hash"),
+        lit("snapshot-0").as("tx_id")) ++ payloadCols.map(col)): _*)
 }

@@ -93,4 +93,31 @@ class CaptureSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(diff === Map("match" -> 1L))
   }
+
+  test("snapshot→tail: offsets are continuous and the replay equals the full-history state") {
+    // real op stream so the cut lands mid-history across keys/tables
+    val o = CdcOps.ops(spark, "/root/testdata/sf0.001")
+    val log = SparkEntry.queries("cdc_snapshot_tail")(spark, "/root/testdata/sf0.001")
+      .persist()
+    try {
+      val offsets = log.select("offset").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      assert(offsets.head === 1L && offsets.last === offsets.length.toLong,
+        "offsets must be dense 1..N across the snapshot/tail boundary")
+      val phaseEdge = log.groupBy("phase").agg(
+        min("offset").as("lo"), max("offset").as("hi")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(phaseEdge("snapshot")._2 + 1 === phaseEdge("tail")._1,
+        "tail offsets must continue exactly where the snapshot stopped")
+      // replaying snapshot ∪ tail by offset reproduces the full-history fold
+      val replayed = ApplyEngine.replayEvents(log, "offset",
+        afterValCol = "val", afterKCol = "k")
+      val truth = ApplyEngine.applyState(o)
+      val diff = Diff.diffStates(truth, replayed, Seq("val", "k"))
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(diff.keySet === Set("match"),
+        s"snapshot+tail replay diverged from the direct fold: $diff")
+    } finally log.unpersist()
+  }
 }
