@@ -351,4 +351,80 @@ class StreamingSpec extends SparkSpec {
     assert(batch === out.filter(_._1 == "t0").map(c => (c._2, c._3, c._4)))
     q.stop()
   }
+
+  /** transformWithState needs the RocksDB state store provider; scope it to
+    * the query and restore the session default afterwards. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState txn assembly: parity with the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.StreamsV2.assembleTxns(input.toDS(), ttlMs = 0L)
+        .writeStream.format("memory").queryName("txns_tws")
+        .outputMode("append").start()
+      input.addData(
+        ev("tx-1", 0, 3, "t0", "a", "c", 1, v = Some(1.0)),
+        ev("tx-2", 0, 2, "t0", "b", "c", 2, v = Some(2.0)),
+        ev("tx-2", 1, 2, "t1", "b", "u", 3, k = Some(5L)),
+        ev("tx-1", 1, 3, "t1", "a", "u", 4, k = Some(9L)))
+      q.processAllAvailable()
+      val after1 = spark.table("txns_tws").as[AssembledTxn].collect()
+      assert(after1.map(_.txId).toSet === Set("tx-2"),
+        "incomplete tx-1 must stay buffered in ListState")
+      input.addData(ev("tx-1", 2, 3, "t2", "a", "u", 5, v = Some(3.0)))
+      q.processAllAvailable()
+      val after2 = spark.table("txns_tws").as[AssembledTxn].collect()
+      assert(after2.map(_.txId).toSet === Set("tx-1", "tx-2"))
+      val tx1 = after2.find(_.txId == "tx-1").get
+      assert((tx1.nEvents, tx1.events.map(_.txIndex), tx1.commitTs, tx1.firstLsn) ===
+        ((3, Seq(0, 1, 2), tx1.events.map(_.commitTs).max, 1L)))
+      q.stop()
+    }
+  }
+
+  test("transformWithState rolling lag ring: parity with batch window and v1 stream") {
+    import spark.implicits._
+    import graft.streaming.Streams.{LagSample, LagSnapshot}
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1L to 10L).map(i => LagSample("a", i, i, i * 10)) ++
+      Seq(LagSample("b", 1L, 1L, 500L), LagSample("b", 2L, 2L, 100L))
+    val (batch1, batch2) = all.splitAt(7)
+    withRocksDb {
+      val input = MemoryStream[LagSample]
+      val q = graft.streaming.StreamsV2.lagRollingStream(input.toDS(), lastN = 4)
+        .writeStream.format("memory").queryName("lag_tws")
+        .outputMode("append").start()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("lag_tws").as[LagSnapshot].collect()
+      val lastByLane = snaps.groupBy(_.method).view.mapValues(_.last).toMap
+      val batch = graft.cdc.MetricsAgg.lagPercentilesRolling(
+        all.toDF("method", "ord1", "ord2", "lag_ms"), lastN = 4)
+        .collect().map(r => r.getAs[String]("method") ->
+          (r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+            r.getAs[Long]("max_lag"), r.getAs[Long]("window_n"))).toMap
+      assert((lastByLane("a").p50, lastByLane("a").p95,
+        lastByLane("a").maxLag, lastByLane("a").windowN.toLong) === batch("a"))
+      assert((lastByLane("b").p50, lastByLane("b").p95,
+        lastByLane("b").maxLag, lastByLane("b").windowN.toLong) === batch("b"))
+      // the ring slid exactly as the v1 stream's did
+      val aSnaps = snaps.filter(_.method == "a")
+      assert(aSnaps.head.maxLag === 70L && aSnaps.last.maxLag === 100L)
+      q.stop()
+    }
+  }
 }
