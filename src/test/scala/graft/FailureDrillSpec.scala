@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{ApplyEngine, Capture, CdcController, CdcOps}
+import graft.cdc.CdcController.ModeHandlers
+import graft.sinks.Sinks
+import graft.testutil.Scenarios
+
+/** Named replays of the canonical scenario's failure drills
+  * (`scenarios/01-canonical-reference/failures/` — duplicate.sh, restart.sh,
+  * backfill.sql, lag.sh) against the engine's operators — each test encodes
+  * the drill's EXPECTED BEHAVIOR block.
+  */
+class FailureDrillSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** `failures/duplicate.sh` — re-snapshot: every existing row is re-emitted
+    * as an 'r' read; with upsert semantics the sink state must not change,
+    * and row counts must stay correct (the drill's stated failure mode is
+    * naive INSERT doubling the counts). */
+  test("duplicate drill: full re-snapshot replay is a no-op on an upsert sink") {
+    val ops = Scenarios.opsDf(spark, Seq(
+      (100L, "t0", "1", "insert", true, Some(1.0), true, Some(10L)),
+      (200L, "t0", "2", "insert", true, Some(2.0), true, Some(20L)),
+      (300L, "t0", "1", "update", true, Some(1.5), false, None),
+      (400L, "t1", "9", "insert", true, Some(9.0), true, Some(90L))))
+    val sink = ApplyEngine.applyState(ops).select("tbl", "pk", "val", "k")
+    // the connector re-reads the whole source: one 'r' per live row, with
+    // NEW offsets strictly after everything already applied
+    val resnap = Capture.snapshotAll(sink, Seq("val", "k"))
+      .withColumn("seq", lit(1000L) + monotonically_increasing_id())
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("pk"),
+        r.getAs[Double]("val"), r.getAs[Long]("k"))).toSet
+    val after = Sinks.idempotentUpsert(sink, resnap, "seq", Seq("val", "k"))
+    assert(asSet(after) === asSet(sink),
+      "re-snapshot must leave an upsert sink byte-identical")
+    // and replaying the re-snapshot twice is still a no-op
+    val again = Sinks.idempotentUpsert(after, resnap, "seq", Seq("val", "k"))
+    assert(asSet(again) === asSet(sink))
+  }
+
+  /** `failures/restart.sh` — connector crash + restart: events accumulate at
+    * the source while down; on restart the stream resumes from the last
+    * committed offset — nothing already applied is re-delivered, nothing
+    * accumulated is lost. */
+  test("restart drill: checkpoint resume applies accumulated events exactly once") {
+    val root = Files.createTempDirectory("restart_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val schema = "lsn LONG, tbl STRING, pk STRING, op_code STRING"
+    def startQuery() = spark.readStream.schema(schema)
+      .json(srcDir.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        df.orderBy("lsn").collect().foreach(r => applied.add(r.getAs[Long]("lsn"))))
+      .start()
+    def writeBatch(name: String, lsns: Range): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        lsns.map(i => s"""{"lsn":$i,"tbl":"t0","pk":"${i % 3}","op_code":"u"}""")
+          .mkString("\n"))
+
+    writeBatch("wal-1.json", 1 to 5)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    assert(applied.toArray.toSeq === (1L to 5L),
+      "pre-crash events applied once, in order")
+    // source keeps writing while the connector is down
+    writeBatch("wal-2.json", 6 to 9)
+    val q2 = startQuery() // same checkpoint → resume from committed offset
+    q2.processAllAvailable()
+    q2.stop()
+    val seen = applied.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(seen === (1L to 9L),
+      s"resume must deliver exactly the accumulated suffix, once: $seen")
+  }
+
+  /** `failures/backfill.sql` — historical rows arrive with OLD business
+    * timestamps but NEW offsets: the sink applies them in offset order, so
+    * backfill values win over "newer" business data already present (the
+    * drill's merge-vs-replace point), and the capture assigns them monotone
+    * offsets at the tail of the feed. */
+  test("backfill drill: offset order beats business time at the sink") {
+    // organic history: key 1 updated to 2.0 at business time t=500; then a
+    // legacy migration (t >= 600 = "now") re-inserts key 1 with its
+    // HISTORICAL value and adds a purely historical key 7 — arriving at the
+    // tail of the feed, business created_at long past
+    val feed = Scenarios.opsDf(spark, Seq(
+      (100L, "t0", "1", "insert", true, Some(1.0), true, Some(10L)),
+      (500L, "t0", "1", "update", true, Some(2.0), false, None),
+      (600L, "t0", "1", "insert", true, Some(1.0), true, Some(10L)),
+      (610L, "t0", "7", "insert", true, Some(7.0), true, Some(70L))))
+    val log = Capture.log(CdcOps.withState(feed))
+    // capture stamps the backfill at the tail: its lsns exceed every organic lsn
+    val maxOrganic = log.filter(col("commit_ts") < 600L)
+      .agg(max("lsn")).collect()(0).getLong(0)
+    val backfillLsns = log.filter(col("commit_ts") >= 600L)
+      .select("lsn").as[Long].collect()
+    assert(backfillLsns.nonEmpty && backfillLsns.forall(_ > maxOrganic))
+    // sink applies in offset order → backfill's historical value wins
+    val state = ApplyEngine.replayEvents(log, "lsn").collect()
+      .map(r => (r.getAs[String]("pk"), r.getAs[Double]("val"))).toMap
+    assert(state("1") === 1.0,
+      "last offset must win even though its business value is historical")
+    assert(state("7") === 7.0, "purely historical rows appear as new inserts")
+  }
+
+  /** `failures/lag.sh` — consumer pause: the sink stops consuming while the
+    * source keeps writing; backlog builds; on resume the consumer catches
+    * up losslessly and in order (offsets uncommitted while paused — the
+    * lossless-hold contract of the pause gate). */
+  test("lag drill: pause builds backlog, resume catches up losslessly in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val c = new CdcController[String]("LOG_BASED", Some("cdc.stream"),
+      ModeHandlers[String](
+        startTailing = _ => (),
+        stop = () => if (query != null) query.stop()))
+    query = input.toDS().writeStream
+      .outputMode("append")
+      .foreachBatch(c.gate.guard[String](
+        (ds, _) => ds.collect().sorted.foreach(applied.add)))
+      .start()
+    c.startTailing()
+    input.addData("e1", "e2")
+    query.processAllAvailable()
+    assert(applied.size === 2)
+
+    c.pause() // consumer down — source keeps writing (lag builds)
+    input.addData("e3", "e4")
+    input.addData("e5")
+    val backlogWhilePaused = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val resumer = new Thread(() => {
+      try {
+        Thread.sleep(400)
+        backlogWhilePaused.set(applied.size)
+      } finally c.resume()
+    })
+    resumer.start()
+    query.processAllAvailable() // catch-up drains the whole backlog
+    resumer.join()
+    assert(backlogWhilePaused.get === 2,
+      "nothing may apply while paused — lag accumulates at the source")
+    assert(applied.toArray.toSeq === Seq("e1", "e2", "e3", "e4", "e5"),
+      "catch-up must deliver the backlog losslessly, in order")
+    c.stop()
+  }
+}
