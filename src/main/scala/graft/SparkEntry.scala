@@ -366,11 +366,16 @@ object SparkEntry {
       val actual = poll.select(
         col("poll_ts").as("time"), col("src_lsn").as("ord"),
         col("op_code"), col("tbl"), col("pk"))
-      val w = Window.partitionBy("tbl", "pk").orderBy(col("poll_window").desc)
+      // last polled row per key: argmax by poll_window (unique per key) as
+      // a hash aggregation — no per-key sort stage on the cached lane
       val pollState = poll
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op_code") =!= "d")
-        .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
+        .groupBy("tbl", "pk")
+        .agg(max_by(
+          struct(col("op_code"), col("after_val"), col("after_k")),
+          col("poll_window")).as("last"))
+        .filter(col("last.op_code") =!= "d")
+        .select(col("tbl"), col("pk"),
+          col("last.after_val").as("val"), col("last.after_k").as("k"))
       // `state` is a superset of the ops columns — passing it as the op
       // stream reuses the one cached lineage instead of re-reading parquet
       Evaluate.lane(state, state, actual, pollState).orderBy("metric")

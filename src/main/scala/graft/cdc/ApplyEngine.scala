@@ -193,14 +193,17 @@ object ApplyEngine {
       seqCol: String,
       afterValCol: String = "after_val",
       afterKCol: String = "after_k",
-      opCol: String = "op_code"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("tbl", "pk").orderBy(col(seqCol).desc)
+      opCol: String = "op_code"): DataFrame =
+    // last event per key as an argmax AGGREGATION (`max_by` over the seq
+    // column — unique per key, so the winner is exact), not a sort-window
+    // rank-1: a partial-aggregating single shuffle with no per-key sort,
+    // and the payload rides through the agg buffer so no rejoin is needed.
     events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .filter(col(opCol) =!= "d")
+      .groupBy("tbl", "pk")
+      .agg(max_by(
+        struct(col(opCol).as("op"), col(afterValCol).as("v"),
+          col(afterKCol).as("kk")), col(seqCol)).as("last"))
+      .filter(col("last.op") =!= "d")
       .select(col("tbl"), col("pk"),
-        col(afterValCol).as("val"), col(afterKCol).as("k"))
-  }
+        col("last.v").as("val"), col("last.kk").as("k"))
 }

@@ -37,25 +37,40 @@ object Evaluate {
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
     val ops = cached(ops0)
     val actual = cached(actual0)
-    val expected = state.select(
-      col("tbl"), CdcOps.opCode(col("op")).as("opc"), col("pk"),
-      col("t").as("time"), col("lsn").as("ord"))
-    val actualKeyed = actual.select(
-      col("tbl"), col("op_code").as("opc"), col("pk"), col("time"), col("ord"))
-    val pairCounts = Diff.lanePairs(expected, actualKeyed, "ord", Seq("tbl", "opc", "pk"))
+    // Pair accounting in CLOSED FORM: `Diff.lanePairs` matches the k-th
+    // expected event of a (tbl, opc, pk) group to the k-th actual, so the
+    // per-group tallies determine the statuses exactly — matched =
+    // min(e, a), missing = e − matched, extra = a − matched. The report
+    // only reads the tallies, so the two per-row ordinal windows and the
+    // row-level full-outer join collapse into two partial-aggregating
+    // count shuffles and a group-level join (per-pair `lag_ms` consumers —
+    // cdc_difflane, cdc_lag_topk — still use lanePairs itself).
+    val eCnt = state.groupBy(
+      col("tbl"), CdcOps.opCode(col("op")).as("opc"), col("pk"))
+      .agg(count(lit(1)).as("n_e"))
+    val aCnt = actual.groupBy(
+      col("tbl"), col("op_code").as("opc"), col("pk"))
+      .agg(count(lit(1)).as("n_a"))
+    val pairCounts = eCnt.join(aCnt, Seq("tbl", "opc", "pk"), "full_outer")
+      .select(coalesce(col("n_e"), lit(0L)).as("n_e"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"))
       .agg(
-        count(when(col("status") === "matched", 1)).as("matched"),
-        count(when(col("status") === "missing", 1)).as("missing"),
-        count(when(col("status") === "extra", 1)).as("extra"))
+        sum(least(col("n_e"), col("n_a"))).cast("long").as("matched"),
+        sum(greatest(col("n_e") - col("n_a"), lit(0L))).cast("long").as("missing"),
+        sum(greatest(col("n_a") - col("n_e"), lit(0L))).cast("long").as("extra"))
     // expected final state = last enriched row per key (the `state` input
     // already carries the merged images `cur_val`/`cur_k`) — equivalent to
-    // `ApplyEngine.applyState(ops)` without re-running the merge fold
-    val lastW = org.apache.spark.sql.expressions.Window
-      .partitionBy("tbl", "pk").orderBy(col("lsn").desc)
+    // `ApplyEngine.applyState(ops)` without re-running the merge fold.
+    // Argmax by lsn as a hash aggregation (`max_by` over the needed
+    // columns), not a sort-window rank-1: partial aggregation, no per-key
+    // sort stage.
     val truth = state
-      .withColumn("_rn", row_number().over(lastW))
-      .filter(col("_rn") === 1 && col("op") =!= "delete")
-      .select(col("tbl"), col("pk"), col("cur_val").as("val"), col("cur_k").as("k"))
+      .groupBy("tbl", "pk")
+      .agg(max_by(
+        struct(col("op"), col("cur_val"), col("cur_k")), col("lsn")).as("last"))
+      .filter(col("last.op") =!= "delete")
+      .select(col("tbl"), col("pk"),
+        col("last.cur_val").as("val"), col("last.cur_k").as("k"))
     val stateDiff = Diff.diffStates(truth, stateActual, Seq("val", "k"))
       .agg(count(when(col("status") =!= "match", 1)).as("state_mismatches"))
     val deletes = ops.agg(
