@@ -78,17 +78,31 @@ object SparkEntry {
     // Both ranks via GlobalOrder (no single-partition window); the dense
     // offset sequence in the oracle hash IS the continuity check.
     "cdc_snapshot_tail" -> ((s, dir) => {
-      val o = ops(s, dir)
-      val cut = o.agg(expr("(min(t) + max(t)) div 2").as("cut"))
-      val seed = ApplyEngine.applyState(
-        o.crossJoin(broadcast(cut)).filter(col("t") <= col("cut")))
+      // ONE enriched lineage feeds both phases: the seed is the state at
+      // the cut, read off the cumulative window images (argmax by lsn over
+      // rows at or before the cut) — no second merge fold, no second
+      // parquet scan. Projected before persisting; both phases and the cut
+      // aggregate scan the same cache.
+      val state = st(s, dir)
+        .select("tbl", "pk", "op", "lsn", "t", "prev_val", "prev_k",
+          "cur_val", "cur_k")
+        .persist()
+      val cut = state.agg(expr("(min(t) + max(t)) div 2").as("cut"))
+      val seed = state.crossJoin(broadcast(cut))
+        .filter(col("t") <= col("cut"))
+        .groupBy("tbl", "pk")
+        .agg(max_by(
+          struct(col("op"), col("cur_val"), col("cur_k")), col("lsn")).as("last"))
+        .filter(col("last.op") =!= "delete")
+        .select(col("tbl"), col("pk"),
+          col("last.cur_val").as("val"), col("last.cur_k").as("k"))
       val snap = GlobalOrder.rank(
         Capture.snapshotAll(seed, Seq("val", "k")),
         Seq(col("tbl"), col("pk")), "offset")
         .select(col("offset"), lit("snapshot").as("phase"), col("tbl"),
           col("pk"), col("op_code"), col("val"), col("k"))
       val nSnap = seed.agg(count(lit(1)).as("n_snap"))
-      val tail0 = Capture.log(st(s, dir)).crossJoin(broadcast(cut))
+      val tail0 = Capture.log(state).crossJoin(broadcast(cut))
         .filter(col("commit_ts") > col("cut"))
       val tail = GlobalOrder.rank(tail0, Seq(col("lsn")), "tail_rank")
         .crossJoin(broadcast(nSnap))
@@ -103,7 +117,10 @@ object SparkEntry {
     // directly from the feed — the verifier pipeline
     // (harness/verifier/index.js:254-283,169-205) as one oracled query
     "cdc_debezium_e2e" -> ((s, dir) => {
-      val feed = CdcOps.jsonOps(ops(s, dir))
+      // the feed drives both the envelope round-trip and the direct truth
+      // fold; the decoded stream drives txn assembly and the JSON apply —
+      // persist each so the JSON print/parse work runs once per row
+      val feed = CdcOps.jsonOps(ops(s, dir)).persist()
       val dec = DebeziumSource.decode(
         DebeziumSource.encode(feed), col("value"))
       // lsn = t·10⁶ + event_id is invertible, so the decoded stream
@@ -112,6 +129,7 @@ object SparkEntry {
         col("ts_ms").as("t"),
         (col("lsn") - col("ts_ms") * lit(1000000L)).as("event_id"),
         col("tbl"), col("pk"), col("op"), col("lsn"), col("after_json"))
+        .persist()
       val txns = Txn.assemble(recOps)
       val actual = ApplyEngine.applyJsonState(recOps, "lsn")
       val truth = ApplyEngine.applyJsonState(feed, "lsn")

@@ -171,10 +171,11 @@ object ApplyEngine {
         if (dropColumns.isEmpty) col("field")
         else when(col("field").isin(dropColumns: _*), lit(null)).otherwise(col("field")))
       .withColumn("value", when(col("field").isNull, lit(null)).otherwise(col("value")))
+    // last write per field: argmax by _ord (unique per row) as a hash
+    // aggregation — no per-(key, field) sort stage
     val lastPerField = fields
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("tbl", "pk", "field").orderBy(col("_ord").desc)))
-      .filter(col("_rn") === 1)
+      .groupBy("tbl", "pk", "field")
+      .agg(max_by(col("value"), col("_ord")).as("value"))
     lastPerField
       .groupBy("tbl", "pk")
       .agg(to_json(map_from_entries(array_sort(collect_list(

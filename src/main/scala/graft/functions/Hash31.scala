@@ -82,6 +82,11 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** All LSH band keys of an embedding in one fused pass (see
+    * `LshBandKeys`). */
+  def lshBandKeys(emb: Column, nBands: Int, bitsPerBand: Int, dims: Int = 64): Column =
+    GraftBridge.column(LshBandKeys(GraftBridge.expression(emb), nBands, bitsPerBand, dims))
+
   /** Make `hash31(str, modulus)` callable from SQL / `expr(...)` lambdas
     * (needed inside higher-order functions like `transform`). Idempotent. */
   def register(spark: SparkSession): Unit =

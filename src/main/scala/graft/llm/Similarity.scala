@@ -259,8 +259,11 @@ object Similarity {
     * (band, key): the banded candidate frame, carrying both embeddings for
     * the exact recheck. */
   private def bandedJoin(emb: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame = {
-    val keys = array((0 until nBands).map(b =>
-      lshBandKey(col("embedding"), b, bitsPerBand)): _*)
+    // all band keys in one fused pass over the embedding (the composed
+    // per-band form walks the vector nBands·bits times) — bit-identical to
+    // array(lshBandKey(b) for b), asserted in DedupSpec
+    val keys = graft.functions.GraftFunctions.lshBandKeys(
+      col("embedding"), nBands, bitsPerBand)
     val banded = emb
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), posexplode(keys))

@@ -174,6 +174,18 @@ class DedupSpec extends SparkSpec {
     assert(dups.toSeq === Seq((0L, 1L)))
   }
 
+  test("fused lsh_band_keys equals the composed per-band projection keys") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val composed = array((0 until 8).map(b =>
+      Similarity.lshBandKey(col("embedding"), b, bitsPerBand = 8)): _*)
+    val fused = graft.functions.GraftFunctions.lshBandKeys(col("embedding"), 8, 8)
+    val mismatches = emb
+      .select(composed.as("c"), fused.as("f"))
+      .filter(not(col("c") === col("f")))
+      .count()
+    assert(mismatches === 0L, "one-pass fused keys must be bit-identical")
+  }
+
   test("banded near-dup: fewer comparisons than the single bucket at equal-or-better recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val th = 0.4
