@@ -115,6 +115,50 @@ class FailureDrillSpec extends SparkSpec {
     assert(state("7") === 7.0, "purely historical rows appear as new inserts")
   }
 
+  /** `failures/schema-evolution.sql` — ADD COLUMN mid-stream: a schema
+    * change event is captured with a version bump; events before the change
+    * don't carry the column (null handling at the sink), events after do;
+    * the sink merges both gracefully — and the backward-compatibility
+    * escape hatch (drop the drifted column at the consumer) projects it
+    * out of every merged row. */
+  test("schema-evolution drill: mid-stream ADD COLUMN handled gracefully at the sink") {
+    import graft.cdc.SchemaEvolution
+    import graft.cdc.SchemaEvolution.SchemaChange
+    // the drill's sequence: two customers exist, then ALTER TABLE ADD
+    // COLUMN tier, then an update backfills one tier and an insert uses it
+    val feed = Seq(
+      ("customers", "c1", "insert", 1L, """{"id":"c1","name":"Ada"}"""),
+      ("customers", "c2", "insert", 2L, """{"id":"c2","name":"Bob"}"""),
+      ("customers", "c2", "update", 3L, """{"id":"c2","tier":"premium"}"""),
+      ("customers", "c3", "insert", 4L, """{"id":"c3","name":"Eve","tier":"gold"}"""))
+      .toDF("tbl", "pk", "op", "ord", "after_json")
+    val state = ApplyEngine.applyJsonState(feed, "ord").collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[String]("row_json")).toMap
+    assert(state("c1") === """{"id":"c1","name":"Ada"}""",
+      "pre-change rows must not grow the column")
+    assert(state("c2") === """{"id":"c2","name":"Bob","tier":"premium"}""",
+      "post-change partial update merges the new column into the old row")
+    assert(state("c3") === """{"id":"c3","name":"Eve","tier":"gold"}""")
+    // the schema change itself is captured with a monotone version bump
+    val change = SchemaChange("customers", "ADD_COLUMN", "tier", 500L)
+    val captured = SchemaEvolution.capture(Seq(change).toDS()).collect()
+    assert(captured.length === 1)
+    assert(captured.head.getAs[Int]("prev_version") === 1 &&
+      captured.head.getAs[Int]("next_version") === 2)
+    // destination DDL: existing rows get the column null-filled
+    val dest = SchemaEvolution.applyChanges(
+      Seq(("c1", "Ada"), ("c2", "Bob")).toDF("id", "name"), Seq(change))
+    assert(dest.columns.toSeq === Seq("id", "name", "tier"))
+    assert(dest.filter(col("tier").isNotNull).count() === 0)
+    // backward-compat escape hatch: project the drifted column back out
+    val rolledBack = ApplyEngine.applyJsonState(feed, "ord",
+      dropColumns = Seq("tier")).collect()
+      .map(r => r.getAs[String]("pk") -> r.getAs[String]("row_json")).toMap
+    assert(!rolledBack.values.exists(_.contains("tier")),
+      "dropColumns must remove the field from every merged row")
+    assert(rolledBack("c2") === """{"id":"c2","name":"Bob"}""")
+  }
+
   /** `failures/lag.sh` — consumer pause: the sink stops consuming while the
     * source keeps writing; backlog builds; on resume the consumer catches
     * up losslessly and in order (offsets uncommitted while paused — the
