@@ -224,14 +224,32 @@ object Consumer {
     * never be reprocessed. Resume (or a controller stop, which reopens the
     * gate before stopping the query) releases the held batch. */
   final class PauseGate extends Serializable {
+    // monitor-based hold: the guarded thread parks on the gate's monitor
+    // instead of burning its task slot polling; resume/stop notify it.
+    // (transient + re-init on deserialize: foreachBatch runs driver-side,
+    // so in practice the original instance is used — this is belt and
+    // braces for closure serialization round-trips.)
+    @transient private var lock = new Object
     @volatile private var open = true
+    private def monitor: Object = {
+      if (lock == null) synchronized { if (lock == null) lock = new Object }
+      lock
+    }
     def pause(): Unit = open = false
-    def resume(): Unit = open = true
+    def resume(): Unit = {
+      val m = monitor
+      // flip + notify under the monitor: guard's check-then-wait runs under
+      // the same lock, so the wakeup cannot fall between them
+      m.synchronized { open = true; m.notifyAll() }
+    }
     def isOpen: Boolean = open
     /** Wrap a foreachBatch body. */
     def guard[T](body: (Dataset[T], Long) => Unit): (Dataset[T], Long) => Unit =
       (ds, id) => {
-        while (!open) Thread.sleep(25) // hold: offsets must not commit
+        val m = monitor
+        m.synchronized {
+          while (!open) m.wait() // hold: offsets must not commit
+        }
         body(ds, id)
       }
   }
