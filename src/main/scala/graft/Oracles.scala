@@ -478,6 +478,24 @@ object Oracles {
     SELECT min(doc_id) AS keep_id, count(*) AS copies
     FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
+  /** Distinct word n-grams per doc — mirrors `Dedup.shingles(n)` for n > 2. */
+  def ngramCte(n: Int): String = s"""grams AS (
+    SELECT DISTINCT doc_id, gram FROM (
+      SELECT doc_id,
+        unnest(list_transform(
+          CASE WHEN len(string_split(text, ' ')) >= $n
+               THEN range(1, len(string_split(text, ' ')) - $n + 2)
+               ELSE [] END,
+          i -> array_to_string(string_split(text, ' ')[i:i+$n-1], ' '))) AS gram
+      FROM documents))"""
+
+  val textDecontaminate: String = s"""WITH ${ngramCte(13)}
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0) b USING (gram)
+    WHERE g.doc_id % 17 <> 0
+    GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   private val minhashP = 104729L
 
   def minhashSigCte: String = {
@@ -1255,6 +1273,7 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_decontaminate" -> textDecontaminate,
     "mm_binary_meta" -> mmBinaryMeta,
     "cdc_throttle_drain" -> cdcThrottleDrain,
     "cdc_schema_capture" -> cdcSchemaCapture,

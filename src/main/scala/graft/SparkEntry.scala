@@ -346,6 +346,16 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8).orderBy("a_id", "b_id")),
 
+    // benchmark decontamination: eval set = every 17th doc; flag corpus
+    // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),

@@ -30,6 +30,26 @@ object Dedup {
       )).as("shingle"))
   }
 
+  /** Benchmark decontamination — the 13-gram overlap filter of GPT-3's
+    * training-set construction (Brown et al. 2020, appendix C), the
+    * standard eval-leakage check in LLM data pipelines: flag every corpus
+    * document sharing any word n-gram with the benchmark/eval set.
+    *
+    * Scale shape: the benchmark side is tiny by construction, so its
+    * distinct grams BROADCAST against the corpus gram stream — the corpus
+    * is never shuffled on gram; the only shuffle is the per-doc hit-count
+    * partial aggregation. Returns (doc_id, n_hits) for contaminated docs
+    * (n_hits = distinct overlapping grams; anti-join against this frame =
+    * the decontaminated corpus). */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    val corpusGrams = shingles(docs, n)
+    val benchGrams = shingles(benchmark, n).select("shingle").distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact duplicate stats per lang: hash-groupBy on md5(text) — the 100 TB
     * shape for exact dedup (shuffle on the content hash, no comparisons). */
   def exactStats(docs: DataFrame): DataFrame =

@@ -174,6 +174,22 @@ class DedupSpec extends SparkSpec {
     assert(dups.toSeq === Seq((0L, 1L)))
   }
 
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak of the benchmark sentence inside a longer doc
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog tonight and suffix"),
+      // shares only shorter spans — no full 10-gram overlap
+      (2L, "the quick brown fox sat still"),
+      (3L, "completely unrelated content about spark shuffles")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(corpus, bench, n = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(1L), s"only the verbatim leak flags: $flagged")
+    assert(flagged(1L) === 1L, "one overlapping 10-gram")
+  }
+
   test("fused lsh_band_keys equals the composed per-band projection keys") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val composed = array((0 until 8).map(b =>
