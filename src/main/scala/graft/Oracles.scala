@@ -496,6 +496,23 @@ object Oracles {
     WHERE g.doc_id % 17 <> 0
     GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Context-window packing plan — mirrors `Packing.packPlan(512)`. The
+    * oracle's global window sum is the single-node closed form of the
+    * distributed prefix sum. (Sums over BIGINT are HUGEINT in DuckDB —
+    * cast every derived column back.) */
+  val packPlan: String = """WITH
+    t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT doc_id, n_tokens,
+      CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_start,
+      CAST((cum - 1) // 512 AS BIGINT) AS bin_end,
+      ((cum - 1) // 512) > ((cum - n_tokens) // 512) AS crosses
+    FROM c ORDER BY doc_id"""
+
   private val minhashP = 104729L
 
   def minhashSigCte: String = {
@@ -1274,6 +1291,7 @@ object Oracles {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_decontaminate" -> textDecontaminate,
+    "pack_plan" -> packPlan,
     "mm_binary_meta" -> mmBinaryMeta,
     "cdc_throttle_drain" -> cdcThrottleDrain,
     "cdc_schema_capture" -> cdcSchemaCapture,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -355,6 +355,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 17 === 0))
         .orderBy("doc_id")
     }),
+
+    // context-window packing plan: concat-then-split at 512 tokens via a
+    // distributed prefix sum (GlobalOrder.runningSum — no global window)
+    "pack_plan" -> ((s, dir) =>
+      Packing.packPlan(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>

@@ -83,4 +83,31 @@ object GlobalOrder {
     }
     withMax.drop(pid, localRank, localMax, "_go_p", "_go_offset", "_go_prev_max")
   }
+
+  /** Distributed prefix sum: `dstCol` = Σ `srcCol` over all rows at or
+    * before this one in `sortCols` order — same shape as [[rank]] (range
+    * partition → local cumulative sum → tiny triangular prefix combine →
+    * broadcast back), no single-partition window anywhere. `sortCols` must
+    * be a total order. */
+  def runningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val pid = "_go_pid"
+    val localSum = "_go_lsum"
+    val ranged = df.repartitionByRange(sortCols: _*).withColumn(pid, spark_partition_id())
+    val cum = Window.partitionBy(pid).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn(localSum, sum(col(srcCol)).over(cum)).persist()
+    val parts = local.groupBy(pid).agg(sum(col(srcCol)).as("_go_psum"))
+    val a = parts.select(col(pid).as("_go_p"))
+    val b = parts.withColumnRenamed(pid, "_go_q")
+    val offsets = a.join(b, col("_go_q") < col("_go_p"), "left")
+      .groupBy("_go_p")
+      .agg(coalesce(sum("_go_psum"), lit(0L)).as("_go_offset"))
+    local.join(broadcast(offsets), col(pid) === col("_go_p"))
+      .withColumn(dstCol, col("_go_offset") + col(localSum))
+      .drop(pid, localSum, "_go_p", "_go_offset")
+  }
 }

@@ -1,0 +1,37 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.GlobalOrder
+
+/** Context-window packing plan — the concatenate-then-split batching step
+  * of LLM pretraining (documents concatenate in corpus order, the token
+  * stream splits at fixed window boundaries; GPT-style pipelines pack this
+  * way rather than bin-packing per document).
+  *
+  * The plan needs each document's position in the GLOBAL token stream — a
+  * prefix sum over the whole corpus. Computed with
+  * `GlobalOrder.runningSum` (range partition → local cumulative sum → tiny
+  * triangular prefix combine), so the corpus never funnels through a
+  * single-partition window: the shape that survives 100 TB.
+  */
+object Packing {
+
+  /** Per-document packing plan: whitespace token count (the `text_tokens`
+    * ws definition), the document's start/end window ids in the
+    * concatenated stream, and whether it straddles a boundary (a training
+    * example split across sequences). Deterministic in corpus (doc_id)
+    * order. */
+  def packPlan(docs: DataFrame, windowTokens: Int = 512): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    GlobalOrder.runningSum(toks, Seq(col("doc_id")), "n_tokens", "cum_tokens")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $windowTokens").as("bin_start"),
+        expr(s"(cum_tokens - 1) div $windowTokens").as("bin_end"))
+      .withColumn("crosses", col("bin_end") > col("bin_start"))
+  }
+}
