@@ -750,6 +750,28 @@ object Oracles {
     FROM u WHERE rn = 1 ORDER BY doc_id"""
   }
 
+  /** Gopher-style bigram repetition stats — mirrors
+    * `TextAnalysis.repetitionStats`: bigrams with multiplicity, then the
+    * top-bigram and duplicate-bigram occurrence fractions per doc. Sums of
+    * BIGINT go HUGEINT in DuckDB, so `n_bigrams` is cast back explicitly. */
+  val textRepetition: String = """WITH g AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN range(1, len(string_split(text, ' ')))
+               ELSE [] END,
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+      FROM documents),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    a AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        max(c) AS top_c, count(*) AS n_distinct
+      FROM c GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+      CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams AS dup_bigram_frac
+    FROM a ORDER BY doc_id"""
+
   val textFingerprint: String = s"""
     SELECT doc_id,
       ${h31("text", 1000003L)} AS fp_full,
@@ -1290,6 +1312,7 @@ object Oracles {
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition,
     "text_decontaminate" -> textDecontaminate,
     "pack_plan" -> packPlan,
     "mm_binary_meta" -> mmBinaryMeta,

@@ -380,6 +380,8 @@ object SparkEntry {
       TextAnalysis.langScores(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

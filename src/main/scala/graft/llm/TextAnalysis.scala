@@ -104,4 +104,36 @@ object TextAnalysis {
       col("doc_id"),
       graft.functions.GraftFunctions.hash31(col("text"), 1000003L).as("fp_full"),
       graft.functions.GraftFunctions.winnowMin(col("text"), 8, 1000003L).as("fp_winnow"))
+
+  /** Repetition statistics — the n-gram-repetition family of the Gopher
+    * quality rules (Rae et al. 2021, table A1: "fraction of characters in
+    * the most common n-gram" / duplicate-n-gram fractions), word-bigram
+    * flavor: per document, the share of bigram occurrences taken by the
+    * single most frequent bigram and the share that are repeats of an
+    * earlier bigram. High values ⇒ boilerplate/spam; pipelines threshold
+    * on them. Shape: explode bigrams (with multiplicity — frequency is the
+    * point) → per-(doc, gram) count → per-doc aggregate; both shuffles are
+    * doc-keyed and partial-aggregating. Docs with fewer than 2 tokens have
+    * no bigrams and drop out, like every per-gram operator here. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
+    val idx = when(size(col("_toks")) >= 2, sequence(lit(1), size(col("_toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val grams = tokenized.select(
+      col("doc_id"),
+      explode(transform(idx, i => concat_ws(" ",
+        element_at(col("_toks"), i), element_at(col("_toks"), i + 1)))).as("gram"))
+    grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("_top_c"),
+        count(lit(1)).as("_n_distinct"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        (col("_top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        ((col("n_bigrams") - col("_n_distinct")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
 }

@@ -233,4 +233,19 @@ class DedupSpec extends SparkSpec {
     assert(bandedCand < singleCand,
       s"banded comparisons ($bandedCand) must undercut the single bucket ($singleCand)")
   }
+
+  test("repetition stats: top/dup bigram fractions on planted boilerplate") {
+    val planted = Seq(
+      (0L, "a b a b a b", "en"), // bigrams: "a b"×3, "b a"×2
+      (1L, "x y z", "en"), // 2 bigrams, all distinct
+      (2L, "solo", "en") // no bigrams → drops out
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.llm.TextAnalysis.repetitionStats(planted)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out === Array(
+      (0L, 5L, 3.0 / 5.0, 3.0 / 5.0),
+      (1L, 2L, 0.5, 0.0)))
+  }
 }
