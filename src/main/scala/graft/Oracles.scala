@@ -566,6 +566,26 @@ object Oracles {
       CAST(count(kept) AS DOUBLE) / count(*) AS kept_frac
     FROM k GROUP BY lang ORDER BY lang"""
 
+  /** Temperature-α=1/2 domain-mixture weights — mirrors
+    * `Sampling.mixtureWeights`: exact BIGINT token sums, sqrt quantized to
+    * the 2^20 grid so totals stay exact, one double division per fraction. */
+  val mixWeights: String = """WITH p AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS sq
+      FROM p),
+    t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        CAST(sum(sq) AS BIGINT) AS tot_s
+      FROM s)
+    SELECT source, n_docs, n_tokens,
+      CAST(n_tokens AS DOUBLE) / tot_tokens AS raw_share,
+      CAST(sq AS DOUBLE) / tot_s AS mix_weight,
+      (CAST(sq AS DOUBLE) / tot_s) / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS upsample
+    FROM s, t ORDER BY source"""
+
   val dedupMinhashPairs: String = s"""WITH $minhashSigCte,
     banded AS (
       SELECT doc_id, band, band_key FROM (
@@ -1301,6 +1321,7 @@ object Oracles {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
+    "mix_weights" -> mixWeights,
     "dedup_winnow" -> dedupWinnow,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),

@@ -336,6 +336,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSummary(
         Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.25), 0.1).orderBy("lang")),
+    "mix_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(Tables.documents(s, dir)).orderBy("source")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>

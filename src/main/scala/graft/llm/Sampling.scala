@@ -51,4 +51,39 @@ object Sampling {
       .withColumn("kept_frac",
         col("n_kept").cast("double") / col("n_docs"))
   }
+
+  /** Domain-mixture sampling weights — temperature-scaled source mixing
+    * (the multilingual-sampling / data-mixture recipe: sample domain d with
+    * probability ∝ n_d^α, α < 1 flattening the head so low-resource domains
+    * are upweighted; Conneau & Lample 2019 §3.1 use the same form for
+    * languages). α is fixed at 1/2: `sqrt` is an exactly-rounded IEEE op in
+    * every engine, where a libm `pow(x, 0.7)` may differ in the last ulp
+    * between JVM and C++.
+    *
+    * Oracle-exact at any parallelism: per-source token sums are BIGINT
+    * (associative), the sqrt is quantized to an integer grid
+    * (`floor(sqrt·2^20)` — the same trick as the IVF k-means means) so the
+    * cross-source total is again an exact BIGINT sum, and each output
+    * fraction is ONE double division of two exact integers. No
+    * re-associated floating-point sums anywhere.
+    *
+    * Shape at 100 TB: one scan, one partial-agg shuffle keyed by the
+    * low-cardinality source, then a 1-row broadcast of the totals. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
+      .withColumn("_s",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0)).cast("long"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("_tot_tokens"), sum("_s").as("_tot_s"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_tot_tokens")).as("raw_share"),
+        (col("_s").cast("double") / col("_tot_s")).as("mix_weight"),
+        ((col("_s").cast("double") / col("_tot_s")) /
+          (col("n_tokens").cast("double") / col("_tot_tokens"))).as("upsample"))
+  }
 }

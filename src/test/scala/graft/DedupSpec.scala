@@ -234,6 +234,25 @@ class DedupSpec extends SparkSpec {
       s"banded comparisons ($bandedCand) must undercut the single bucket ($singleCand)")
   }
 
+  test("mixture weights: α=1/2 flattens the head, exact on perfect squares") {
+    // source a: 9 tokens total (sqrt 9 = 3), source b: 16 (sqrt 16 = 4) —
+    // quantization is exact, so the weights are exactly 3/7 and 4/7
+    val planted = Seq(
+      (0L, "t t t t t", "en", "a"),
+      (1L, "t t t t", "en", "a"),
+      (2L, "t t t t t t t t t t t t t t t t", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.Sampling.mixtureWeights(planted)
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out === Array(("a", 2L, 9L, 3.0 / 7.0), ("b", 1L, 16L, 4.0 / 7.0)))
+    // α < 1 upweights the small domain, downweights the big one
+    val up = graft.llm.Sampling.mixtureWeights(planted)
+      .orderBy("source").collect().map(_.getDouble(5))
+    assert(up(0) > 1.0 && up(1) < 1.0)
+  }
+
   test("repetition stats: top/dup bigram fractions on planted boilerplate") {
     val planted = Seq(
       (0L, "a b a b a b", "en"), // bigrams: "a b"×3, "b a"×2
