@@ -601,6 +601,38 @@ object Oracles {
     WHERE a.doc_id < b.doc_id
     ORDER BY a_id, b_id"""
 
+  /** Fuzzy-dedup clusters — transitive closure of the MinHash candidate
+    * pairs. The oracle propagates every reachable label and takes the min
+    * (set-at-a-time recursion; cluster diameters are tiny at oracle SF);
+    * the engine runs Kiveris-style alternating star contraction instead. */
+  val dedupClusters: String = s"""WITH RECURSIVE $minhashSigCte,
+    banded AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id,
+          unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
+                  'b1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR),
+                  'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
+                  'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
+          unnest([0, 1, 2, 3]) AS band
+        FROM sigs)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id AS u, a_id AS v FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lab l JOIN (
+      SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id) s
+      USING (cluster_id)
+    ORDER BY l.doc_id"""
+
   def dedupSimhash: String = {
     val bitSums = (0 until 16)
       .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1319,6 +1351,7 @@ object Oracles {
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
     "mix_weights" -> mixWeights,

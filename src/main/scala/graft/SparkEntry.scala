@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -331,6 +331,10 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Clusters.assign(docs, Dedup.minhashCandidates(docs)).orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
     "sample_stratified" -> ((s, dir) =>

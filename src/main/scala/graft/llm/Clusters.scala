@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-duplicate candidate graph — the
+  * clustering stage of a fuzzy-dedup pipeline. LSH candidates (e.g.
+  * [[Dedup.minhashCandidates]]) are PAIRS; retention policies need
+  * CLUSTERS, and near-duplication is transitive in practice (A~B, B~C ⇒
+  * keep one of {A,B,C} even when the A–C pair was never emitted).
+  *
+  * Algorithm: alternating Large-Star / Small-Star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * shape that holds at 100 TB: every round is two partial-aggregating
+  * shuffles plus an equality join (no all-pairs, no driver-side graph,
+  * nothing proportional to component diameter), and the round count is
+  * O(log n) regardless of chain length, where plain min-label propagation
+  * pays one round per hop of graph diameter. The driver only runs the
+  * convergence test (a count + checksum action per round) — the data
+  * never leaves the executors.
+  */
+object Clusters {
+
+  /** Both orientations of an undirected edge list with columns (u, v). */
+  private def symmetric(e: DataFrame): DataFrame =
+    e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Large-Star: every node connects its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). Emitted edges are
+    * canonical (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val s = symmetric(e)
+    val m = s.groupBy("u").agg(min("v").as("_mn"))
+      .select(col("u"), least(col("_mn"), col("u")).as("m"))
+    s.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-Star: every node connects its smaller-or-equal neighbors (and
+    * itself) to the minimum among them. Each undirected edge is processed
+    * at exactly its larger endpoint, so the union over nodes covers the
+    * whole edge set. Emitted edges are canonical (u > v). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val s = symmetric(e).where(col("v") < col("u"))
+    val m = s.groupBy("u").agg(min("v").as("m"))
+    s.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Star edges (node → component root) for the graph given as candidate
+    * pairs (a_id, b_id). Iterates Large-Star∘Small-Star to a fixed point,
+    * detected by an order-insensitive (count, xor-of-hashes) checksum —
+    * both star outputs are canonical-orientation and distinct, so equal
+    * edge SETS have equal checksums.
+    *
+    * Each round is `localCheckpoint`ed (eager): without lineage
+    * truncation the logical plan grows by a constant factor PER ROUND
+    * (each star references its input several times) and planning itself
+    * blows up long before the data does. Dropped generations are
+    * reclaimed asynchronously by the ContextCleaner once unreferenced.
+    * On a multi-executor cluster, set a checkpoint dir and swap in
+    * reliable `checkpoint()` — localCheckpoint ties blocks to executor
+    * lifetime. */
+  def starEdges(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .distinct().localCheckpoint()
+    var sum = checksum(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSum = checksum(next)
+      converged = nextSum == sum
+      e = next
+      sum = nextSum
+      it += 1
+    }
+    e
+  }
+
+  /** Per-document cluster assignment over `docs` using the near-dup
+    * candidate pairs: (doc_id, cluster_id = min doc_id of the component,
+    * cluster_size). Documents with no candidate pair are singleton
+    * clusters of themselves. The final graph is a star per component, so
+    * the root is just the minimum of each node's closed neighborhood —
+    * one aggregation, no more iteration. */
+  def assign(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val stars = symmetric(starEdges(pairs, maxIter))
+    val roots = stars.groupBy("u").agg(min("v").as("_mn"))
+      .select(col("u").as("doc_id"), least(col("_mn"), col("u")).as("cluster_id"))
+    val all = docs.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+  }
+}

@@ -234,6 +234,31 @@ class DedupSpec extends SparkSpec {
       s"banded comparisons ($bandedCand) must undercut the single bucket ($singleCand)")
   }
 
+  test("connected components: transitive chain collapses to one cluster") {
+    // chain 1–2, 2–3, 3–4 plus isolated pair 10–11 and singleton 20:
+    // components {1,2,3,4}, {10,11}, {20}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val out = graft.llm.Clusters.assign(docs, pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (20L, 20L, 1L)))
+  }
+
+  test("connected components: long path converges within the O(log n) budget") {
+    // a 64-node path is the worst case for label propagation (diameter 63);
+    // alternating stars must still collapse it to a single root-1 cluster
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val docs = (1L to 64L).toDF("doc_id")
+    val out = graft.llm.Clusters.assign(docs, pairs).collect()
+    assert(out.length === 64)
+    assert(out.forall(r => r.getLong(1) == 1L && r.getLong(2) == 64L))
+  }
+
   test("mixture weights: α=1/2 flattens the head, exact on perfect squares") {
     // source a: 9 tokens total (sqrt 9 = 3), source b: 16 (sqrt 16 = 4) —
     // quantization is exact, so the weights are exactly 3/7 and 4/7
