@@ -831,6 +831,54 @@ object Oracles {
         i -> ${h31("substr(text, i, 8)", 1000003L)})) AS fp_winnow
     FROM documents ORDER BY doc_id"""
 
+  /** Corpus vocabulary head — mirrors `TextAnalysis.vocabulary`. */
+  val vocabTopk: String = """WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+    FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 50"""
+
+  /** Filter-funnel verdict per document — mirrors `Corpus.filterFunnel`
+    * (length, quality, repetition, MinHash-signature dedup gates). The
+    * quality and repetition expressions are byte-for-byte the validated
+    * `text_quality` / `text_repetition` forms. */
+  def corpusFilter: String = s"""WITH $minhashSigCte,
+    q AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality_score
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN range(1, len(string_split(text, ' ')))
+               ELSE [] END,
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+      FROM documents),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    r AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
+      FROM c GROUP BY doc_id),
+    k AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS keep_id
+      FROM sigs GROUP BY m0, m1, m2, m3, m4, m5, m6, m7),
+    d AS (
+      SELECT s.doc_id, s.doc_id = k.keep_id AS pass_dedup
+      FROM sigs s JOIN k USING (m0, m1, m2, m3, m4, m5, m6, m7))
+    SELECT q.doc_id,
+      q.n_tokens >= 20 AS pass_length,
+      q.quality_score >= 0.2 AS pass_quality,
+      coalesce(r.top_bigram_frac <= 0.1, true) AS pass_repetition,
+      d.pass_dedup,
+      (q.n_tokens >= 20 AND q.quality_score >= 0.2
+        AND coalesce(r.top_bigram_frac <= 0.1, true) AND d.pass_dedup) AS kept
+    FROM q LEFT JOIN r USING (doc_id) JOIN d USING (doc_id)
+    ORDER BY q.doc_id"""
+
   /** Winnowing-fingerprint dedup candidates — mirrors
     * `Dedup.winnowCandidates` over the `fp_winnow` minimizer. */
   val dedupWinnow: String = s"""WITH f AS (
@@ -1367,6 +1415,8 @@ object Oracles {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
+    "vocab_topk" -> vocabTopk,
+    "corpus_filter" -> corpusFilter,
     "text_decontaminate" -> textDecontaminate,
     "pack_plan" -> packPlan,
     "mm_binary_meta" -> mmBinaryMeta,

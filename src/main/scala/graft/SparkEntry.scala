@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Clusters, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -388,6 +388,11 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir))
+        .orderBy(col("n_occ").desc, col("tok"))),
+    "corpus_filter" -> ((s, dir) =>
+      Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus filtering funnel — the composition a pretraining
+  * build actually runs: length gate, quality gate, repetition gate
+  * (Gopher rules), near-dup representative gate, one verdict per
+  * document with the per-rule flags kept for auditing (every serious
+  * pipeline reports WHY a document dropped, not just that it did).
+  *
+  * Shapes: the gates are the already-scaling operators
+  * ([[TextAnalysis.quality]], [[TextAnalysis.repetitionStats]],
+  * [[Dedup.minhashSignatures]]) composed with doc_id-keyed joins — the
+  * join keys all share the doc_id partitioning family, and the dedup
+  * representative is a signature-keyed partial aggregation (min doc_id
+  * per full MinHash signature), not a window sort. Nothing here adds a
+  * shuffle family the component operators didn't already pay.
+  */
+object Corpus {
+
+  /** Per-document filter verdict: (doc_id, pass_length, pass_quality,
+    * pass_repetition, pass_dedup, kept). `pass_repetition` defaults to
+    * true for documents too short to have bigrams (no signal ≠ spam);
+    * `pass_dedup` keeps the min-doc_id representative of each full
+    * MinHash-signature cluster. */
+  def filterFunnel(
+      docs: DataFrame,
+      minTokens: Long = 20L,
+      minQuality: Double = 0.2,
+      maxTopBigram: Double = 0.1): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = TextAnalysis.repetitionStats(docs)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    val sigCols = (0 until 8).map(i => col(s"m$i"))
+    val sigs = Dedup.minhashSignatures(docs)
+    val keepIds = sigs.groupBy(sigCols: _*).agg(min("doc_id").as("_keep_id"))
+    val dedup = sigs.join(keepIds, (0 until 8).map(i => s"m$i"))
+      .select(col("doc_id"), (col("doc_id") === col("_keep_id")).as("pass_dedup"))
+    val flags = q
+      .join(rep, Seq("doc_id"), "left")
+      .join(dedup, "doc_id")
+      .select(
+        col("doc_id"),
+        (col("n_tokens") >= minTokens).as("pass_length"),
+        (col("quality_score") >= minQuality).as("pass_quality"),
+        coalesce(col("top_bigram_frac") <= maxTopBigram, lit(true)).as("pass_repetition"),
+        col("pass_dedup"))
+    flags.withColumn("kept",
+      col("pass_length") && col("pass_quality") &&
+        col("pass_repetition") && col("pass_dedup"))
+  }
+}

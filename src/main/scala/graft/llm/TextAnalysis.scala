@@ -115,6 +115,20 @@ object TextAnalysis {
     * point) → per-(doc, gram) count → per-doc aggregate; both shuffles are
     * doc-keyed and partial-aggregating. Docs with fewer than 2 tokens have
     * no bigrams and drop out, like every per-gram operator here. */
+  /** Corpus vocabulary head: top-k tokens by total occurrences with
+    * document frequency — the stats table a tokenizer build (BPE corpus
+    * prep) and an idf table both start from. explode → token-keyed
+    * partial-agg shuffle; the top-k is `TakeOrderedAndProject` (per
+    * partition local top-k, then a k-row merge on the driver — never a
+    * global sort). Tie-broken by token so the cut at rank k is total. */
+  def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("tok").asc)
+      .limit(k)
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
     val idx = when(size(col("_toks")) >= 2, sequence(lit(1), size(col("_toks")) - 1))

@@ -234,6 +234,35 @@ class DedupSpec extends SparkSpec {
       s"banded comparisons ($bandedCand) must undercut the single bucket ($singleCand)")
   }
 
+  test("filter funnel: each gate drops its planted offender, flags explain why") {
+    val longText = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val planted = Seq(
+      (1L, longText, "en", "s"), // passes everything
+      (2L, longText, "en", "s"), // exact dup of 1 → fails dedup (same signature)
+      (3L, "a b c d e", "en", "s"), // 5 tokens → fails length
+      (4L, ("spam ham " * 15).trim, "en", "s") // 30 tokens, 2 distinct → repetition + quality
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.Corpus.filterFunnel(planted)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L) === ((1L, true, true, true, true, true)))
+    assert(!byId(2L)._5 && !byId(2L)._6, "dup of 1 must fail the dedup gate")
+    assert(!byId(3L)._2 && !byId(3L)._6, "short doc must fail the length gate")
+    assert(!byId(4L)._4 && !byId(4L)._6, "boilerplate must fail the repetition gate")
+  }
+
+  test("vocabulary: top-k by occurrences with doc frequency, total order at the cut") {
+    val planted = Seq(
+      (1L, "x x x y y z", "en", "s"),
+      (2L, "x y q", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.TextAnalysis.vocabulary(planted, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(("x", 4L, 2L), ("y", 3L, 2L), ("q", 1L, 1L)))
+  }
+
   test("connected components: transitive chain collapses to one cluster") {
     // chain 1–2, 2–3, 3–4 plus isolated pair 10–11 and singleton 20:
     // components {1,2,3,4}, {10,11}, {20}
