@@ -452,6 +452,25 @@ object Oracles {
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name"""
 
+  /** Gap-based sessionization — lag/cumsum formulation of the same
+    * session semantics Spark's native `session_window` implements
+    * (start = first event, end = last event + gap). */
+  val qEventsSessions: String = """WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t FROM events),
+    o AS (
+      SELECT user_id, t,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 28800000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(t) AS session_start, max(t) + 28800000 AS session_end,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   val qEventsHourly: String = """
     SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, count(*) AS cnt,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1395,6 +1414,7 @@ object Oracles {
     "q_region_revenue" -> qRegionRevenue,
     "q_top_orders" -> qTopOrders,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_sessions" -> qEventsSessions,
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,

@@ -312,6 +312,9 @@ object SparkEntry {
           count(lit(1)).as("n_suppliers"),
           sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_acctbal"))
         .orderBy("n_name")),
+    "q_events_sessions" -> ((s, dir) =>
+      graft.operators.Sessions.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_start")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
