@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sessions
@@ -29,5 +30,29 @@ class SessionsSpec extends SparkSpec {
       (1L, 0L, 2400L, 3L), // end = 1400 + 1000
       (1L, 10000L, 11000L, 1L),
       (2L, 200L, 1200L, 1L)))
+  }
+
+  test("the same operator runs under Structured Streaming; sessions merge across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Sessions.sessionize(input.toDF().toDF("user_id", "ts"), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+
+    input.addData((1L, 0L), (1L, 900L * 1000000L))
+    q.processAllAvailable()
+    // batch 2 extends the open session: 1500 is within 1000ms of 900
+    input.addData((1L, 1500L * 1000000L))
+    q.processAllAvailable()
+    val streamed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val batch = Sessions.sessionize(
+      Seq((1L, 0L), (1L, 900L * 1000000L), (1L, 1500L * 1000000L)).toDF("user_id", "ts"),
+      gapMs = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    q.stop()
+    assert(streamed === batch)
+    assert(streamed === Array((1L, 0L, 2500L, 3L)), "one merged session 0..1500+gap")
   }
 }
