@@ -74,13 +74,15 @@ object Clusters {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+    // lazy checkpoints: the checksum action right after is the job that
+    // materializes each round — eager would pay a second, redundant job
     var e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var sum = checksum(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSum = checksum(next)
       converged = nextSum == sum
       e = next
