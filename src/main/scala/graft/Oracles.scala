@@ -898,6 +898,26 @@ object Oracles {
     FROM q LEFT JOIN r USING (doc_id) JOIN d USING (doc_id)
     ORDER BY q.doc_id"""
 
+  /** Per-source quality percentiles — mirrors `Corpus.qualityPercentiles`
+    * (2^20-quantized scores, exact interpolating quantile, the validated
+    * `cdc_lag_percentiles` parity recipe). */
+  def qualityPercentiles: String = s"""WITH t AS (
+      SELECT doc_id, source,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality_score
+      FROM documents),
+    j AS (
+      SELECT source, CAST(floor(quality_score * 1048576.0) AS BIGINT) AS qs FROM t)
+    SELECT source, count(*) AS n_docs,
+      round(quantile_cont(qs, 0.25), 3) AS p25_q20,
+      round(quantile_cont(qs, 0.5), 3) AS p50_q20,
+      round(quantile_cont(qs, 0.75), 3) AS p75_q20,
+      max(qs) AS max_q20
+    FROM j GROUP BY source ORDER BY source"""
+
   /** Winnowing-fingerprint dedup candidates — mirrors
     * `Dedup.winnowCandidates` over the `fp_winnow` minimizer. */
   val dedupWinnow: String = s"""WITH f AS (
@@ -1437,6 +1457,7 @@ object Oracles {
     "text_repetition" -> textRepetition,
     "vocab_topk" -> vocabTopk,
     "corpus_filter" -> corpusFilter,
+    "quality_percentiles" -> qualityPercentiles,
     "text_decontaminate" -> textDecontaminate,
     "pack_plan" -> packPlan,
     "mm_binary_meta" -> mmBinaryMeta,

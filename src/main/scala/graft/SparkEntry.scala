@@ -396,6 +396,8 @@ object SparkEntry {
         .orderBy(col("n_occ").desc, col("tok"))),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
+    "quality_percentiles" -> ((s, dir) =>
+      Corpus.qualityPercentiles(Tables.documents(s, dir)).orderBy("source")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

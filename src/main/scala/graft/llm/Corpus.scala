@@ -51,4 +51,29 @@ object Corpus {
       col("pass_length") && col("pass_quality") &&
         col("pass_repetition") && col("pass_dedup"))
   }
+
+  /** Per-source quality distribution — the monitoring table a corpus build
+    * watches to catch a domain going bad (a crawler regression shows up as
+    * a falling p25 long before the mean moves). Scores are quantized to
+    * the 2^20 integer grid before the exact interpolating percentile:
+    * (a) integer inputs keep the Spark `percentile` ↔ DuckDB
+    * `quantile_cont` interpolation bit-comparable (the validated
+    * `cdc_lag_percentiles` recipe), and (b) the quantization BOUNDS the
+    * percentile aggregation state — `percentile` buffers (value → count)
+    * pairs per group, so distinct values cap at 2^20 entries per source no
+    * matter how many billions of rows a source has. One doc-keyed join +
+    * one source-keyed aggregation. */
+  def qualityPercentiles(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs).select(
+      col("doc_id"),
+      floor(col("quality_score") * lit(1048576.0)).cast("long").as("_qs"))
+    q.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("round(percentile(_qs, 0.25), 3)").as("p25_q20"),
+        expr("round(percentile(_qs, 0.5), 3)").as("p50_q20"),
+        expr("round(percentile(_qs, 0.75), 3)").as("p75_q20"),
+        max(col("_qs")).as("max_q20"))
+  }
 }

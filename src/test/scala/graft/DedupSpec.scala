@@ -253,6 +253,27 @@ class DedupSpec extends SparkSpec {
     assert(!byId(4L)._4 && !byId(4L)._6, "boilerplate must fail the repetition gate")
   }
 
+  test("quality percentiles: quantized grid, exact interpolation per source") {
+    // 3 docs in one source with distinct quality scores: p50 = middle value
+    // exactly, p25/p75 interpolate halfway between neighbors on the grid
+    val planted = Seq(
+      (1L, "b c d e f g h i j k", "en", "s"), // 10 distinct non-stopword tokens
+      (2L, "b b b b b b b b b b", "en", "s"), // 10 tokens, 1 distinct
+      (3L, (1 to 40).map(i => s"t$i").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.llm.Corpus.qualityPercentiles(planted).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "s" && row.getLong(1) === 3L)
+    val qs = Seq(0.1 * 1.0 * 1.0, 0.1 * 0.1 * 1.0, 0.4 * 1.0 * 1.0)
+      .map(q => math.floor(q * 1048576.0))
+      .sorted
+    assert(row.getDouble(3) === qs(1), "p50 is the middle doc's quantized score")
+    assert(row.getDouble(2) === (qs(0) + qs(1)) / 2.0)
+    assert(row.getDouble(4) === (qs(1) + qs(2)) / 2.0)
+    assert(row.getLong(5) === qs(2).toLong)
+  }
+
   test("vocabulary: top-k by occurrences with doc frequency, total order at the cut") {
     val planted = Seq(
       (1L, "x x x y y z", "en", "s"),
