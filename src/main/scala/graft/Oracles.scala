@@ -652,6 +652,21 @@ object Oracles {
       USING (cluster_id)
     ORDER BY l.doc_id"""
 
+  /** Incremental dedup — mirrors `Dedup.incrementalFlags` over the
+    * doc_id%10 corpus/increment split (signature-equality semi-match
+    * against the standing corpus index). */
+  val dedupIncremental: String = s"""WITH $minhashSigCte,
+    idx AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS dup_of
+      FROM sigs WHERE doc_id % 10 <> 0
+      GROUP BY m0, m1, m2, m3, m4, m5, m6, m7)
+    SELECT s.doc_id,
+      idx.dup_of IS NOT NULL AS is_dup,
+      coalesce(idx.dup_of, -1) AS dup_of
+    FROM sigs s LEFT JOIN idx USING (m0, m1, m2, m3, m4, m5, m6, m7)
+    WHERE s.doc_id % 10 = 0
+    ORDER BY s.doc_id"""
+
   def dedupSimhash: String = {
     val bitSums = (0 until 16)
       .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1440,6 +1455,7 @@ object Oracles {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_clusters" -> dedupClusters,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
     "mix_weights" -> mixWeights,

@@ -338,6 +338,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Clusters.assign(docs, Dedup.minhashCandidates(docs)).orderBy("doc_id")
     }),
+    // daily-increment split: every 10th doc arrives as the new batch
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalFlags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
     "sample_stratified" -> ((s, dir) =>

@@ -120,6 +120,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") >= 2)
 
+  /** Incremental dedup — the operational form at 100 TB: a corpus is not
+    * deduped once, it is APPENDED to daily, and each increment must be
+    * checked against the standing corpus without re-clustering it. An
+    * incoming document is flagged `is_dup` when its full MinHash signature
+    * matches any corpus document's (the same near-identical criterion
+    * [[keepBestByQuality]] clusters by).
+    *
+    * Shape: corpus signatures are aggregated to DISTINCT signature tuples
+    * (signature-keyed partial agg — the standing index a real pipeline
+    * persists once and reuses per increment), then an equality join on the
+    * signature columns. The increment is the small side; Spark broadcasts
+    * it against the corpus-index stream. Nothing rescans corpus text. */
+  def incrementalFlags(
+      corpus: DataFrame, incoming: DataFrame,
+      n: Int = 2, numHashes: Int = 8): DataFrame = {
+    val sigCols = (0 until numHashes).map(i => s"m$i")
+    val index = minhashSignatures(corpus, n, numHashes)
+      .groupBy(sigCols.map(col): _*)
+      .agg(min("doc_id").as("dup_of"))
+    minhashSignatures(incoming, n, numHashes)
+      .join(index, sigCols, "left")
+      .select(
+        col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   /** Near-dup cluster "keep best by quality" — the standard corpus-dedup
     * retention policy: cluster documents by FULL MinHash signature
     * (signature equality ⇒ near-identical shingle sets at `numHashes`

@@ -253,6 +253,19 @@ class DedupSpec extends SparkSpec {
     assert(!byId(4L)._4 && !byId(4L)._6, "boilerplate must fail the repetition gate")
   }
 
+  test("incremental dedup: increment flagged against the standing corpus index") {
+    val corpus = Seq((0L, base, "en"), (3L, distinctDoc, "en"))
+      .toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (10L, base, "en"), // verbatim copy of corpus doc 0 → dup
+      (11L, "totally fresh unseen words appear exclusively within this new incoming document text", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.llm.Dedup.incrementalFlags(corpus, incoming)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(out === Array((10L, true, 0L), (11L, false, -1L)))
+  }
+
   test("quality percentiles: quantized grid, exact interpolation per source") {
     // 3 docs in one source with distinct quality scores: p50 = middle value
     // exactly, p25/p75 interpolate halfway between neighbors on the grid
