@@ -232,6 +232,40 @@ object Streams {
   /** Token-bucket carry-over state for the streaming throttle. */
   case class ThrottleState(tick: Long, allowance: Double, usedThisTick: Int)
 
+  /** One micro-batch step of the token-bucket drain: fold `incoming`
+    * (any order; sorted internally) through the bucket, returning the
+    * carried state and the drained events. Shared by the
+    * `flatMapGroupsWithState` and `transformWithState` forms so the two
+    * APIs cannot drift semantically. */
+  def throttleFold(
+      st: ThrottleState,
+      incoming: Seq[graft.cdc.Consumer.DeliveryIn],
+      rate: Double, stepMs: Long, batchCap: Int)
+      : (ThrottleState, Seq[graft.cdc.Consumer.DeliveryOut]) = {
+    val cap = 5 * rate
+    val perTick = rate * stepMs / 1000.0
+    var tick = st.tick
+    var allowance = st.allowance
+    var used = st.usedThisTick
+    val out = incoming.sortBy(e => (e.availableAt, e.seq)).map { e =>
+      val needTick = Math.floorDiv(e.availableAt - 1, stepMs) + 1
+      if (needTick > tick) {
+        allowance = math.min(allowance + perTick * (needTick - tick), cap)
+        tick = needTick
+        used = 0
+      }
+      while (allowance < 1.0 || used >= batchCap) {
+        tick += 1
+        allowance = math.min(allowance + perTick, cap)
+        used = 0
+      }
+      allowance -= 1
+      used += 1
+      graft.cdc.Consumer.DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
+    }
+    (ThrottleState(tick, allowance, used), out)
+  }
+
   /** Streaming consumer throttle — the unbounded form of
     * `Consumer.throttleDrain` (`web/App.tsx:2106-2113,2185-2201`): the
     * per-lane token bucket (tick, allowance, used) lives in keyed state and
@@ -247,34 +281,14 @@ object Streams {
       batchCap: Int = 50): Dataset[graft.cdc.Consumer.DeliveryOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val cap = 5 * rate
-    val perTick = rate * stepMs / 1000.0
     events
       .groupByKey(_.method)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (method: String, incoming: Iterator[graft.cdc.Consumer.DeliveryIn],
          state: GroupState[ThrottleState]) => {
-          var st = state.getOption.getOrElse(ThrottleState(0L, 0.0, 0))
-          var tick = st.tick
-          var allowance = st.allowance
-          var used = st.usedThisTick
-          val out = incoming.toSeq.sortBy(e => (e.availableAt, e.seq)).map { e =>
-            val needTick = Math.floorDiv(e.availableAt - 1, stepMs) + 1
-            if (needTick > tick) {
-              allowance = math.min(allowance + perTick * (needTick - tick), cap)
-              tick = needTick
-              used = 0
-            }
-            while (allowance < 1.0 || used >= batchCap) {
-              tick += 1
-              allowance = math.min(allowance + perTick, cap)
-              used = 0
-            }
-            allowance -= 1
-            used += 1
-            graft.cdc.Consumer.DeliveryOut(e.method, e.seq, e.availableAt, tick, tick * stepMs)
-          }
-          state.update(ThrottleState(tick, allowance, used))
+          val st = state.getOption.getOrElse(ThrottleState(0L, 0.0, 0))
+          val (next, out) = throttleFold(st, incoming.toSeq, rate, stepMs, batchCap)
+          state.update(next)
           out.iterator
         })
   }

@@ -121,4 +121,50 @@ object StreamsV2 {
       .groupByKey(_.method)
       .transformWithState(new LagRingProcessor(lastN), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Token-bucket throttle processor: one small `ValueState` per lane —
+    * the scalar-state counterpart to the ListState buffers above (the
+    * bucket is (tick, allowance, used); RocksDB rewrites one tiny value
+    * per lane per batch). The drain math is [[Streams.throttleFold]],
+    * the SAME function the `flatMapGroupsWithState` form calls — the two
+    * APIs cannot drift. */
+  class ThrottleProcessor(rate: Double, stepMs: Long, batchCap: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, graft.cdc.Consumer.DeliveryIn, graft.cdc.Consumer.DeliveryOut] {
+    @transient private var bucket: org.apache.spark.sql.streaming.ValueState[Streams.ThrottleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getValueState(
+        "bucket", Encoders.product[Streams.ThrottleState], ttl)
+
+    override def handleInputRows(
+        method: String, rows: Iterator[graft.cdc.Consumer.DeliveryIn],
+        timerValues: TimerValues): Iterator[graft.cdc.Consumer.DeliveryOut] = {
+      val st =
+        if (bucket.exists()) bucket.get()
+        else Streams.ThrottleState(0L, 0.0, 0)
+      val (next, out) = Streams.throttleFold(st, rows.toSeq, rate, stepMs, batchCap)
+      bucket.update(next)
+      out.iterator
+    }
+  }
+
+  /** Consumer throttle on `transformWithState` — drop-in for
+    * [[Streams.throttleStream]]. `ttlMs <= 0` disables expiry. */
+  def throttleStream(
+      events: Dataset[graft.cdc.Consumer.DeliveryIn],
+      rate: Double,
+      stepMs: Long = 50L,
+      batchCap: Int = 50,
+      ttlMs: Long = 0L): Dataset[graft.cdc.Consumer.DeliveryOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.method)
+      .transformWithState(
+        new ThrottleProcessor(rate, stepMs, batchCap, ttl), mode, OutputMode.Append())
+  }
 }

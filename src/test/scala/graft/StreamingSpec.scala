@@ -394,6 +394,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState throttle: ValueState bucket == batch fold across batches") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{DeliveryIn, DeliveryOut}
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 4).map(i => DeliveryIn("m", i.toLong, 0L))
+    val batch2 = (5 to 6).map(i => DeliveryIn("m", i.toLong, 0L))
+    withRocksDb {
+      val input = MemoryStream[DeliveryIn]
+      val q = graft.streaming.StreamsV2.throttleStream(input.toDS(), rate = 2.0, stepMs = 1000L)
+        .writeStream.format("memory").queryName("throttle_tws")
+        .outputMode("append").start()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_tws").as[DeliveryOut].collect()
+        .map(e => e.seq -> e.drainTick).toMap
+      val batch = Consumer.throttleDrain((batch1 ++ batch2).toDS(), rate = 2.0, stepMs = 1000L)
+        .collect().map(e => e.seq -> e.drainTick).toMap
+      assert(streamed === batch, "ValueState bucket must survive the batch boundary")
+      assert(streamed(5L) === 3L && streamed(6L) === 3L)
+      q.stop()
+    }
+  }
+
   test("transformWithState rolling lag ring: parity with batch window and v1 stream") {
     import spark.implicits._
     import graft.streaming.Streams.{LagSample, LagSnapshot}
