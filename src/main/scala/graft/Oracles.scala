@@ -477,6 +477,61 @@ object Oracles {
     FROM events GROUP BY event_type, hour_id
     ORDER BY event_type, hour_id"""
 
+  /** DuckDB's native ASOF JOIN vs `operators/AsOfJoin`'s union +
+    * running-last formulation. Build side deduped to one click per
+    * (user, ms) in both engines — equal-ts build rows have no defined
+    * as-of winner anywhere. */
+  val qEventsAsof: String = """WITH
+    p AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_ms(ts) AS click_t, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.user_id, p.event_id, p.t_ms, c.click_id,
+      p.t_ms - c.click_t AS lag_ms
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.t_ms >= c.click_t
+    ORDER BY p.event_id"""
+
+  /** Plain inequality join — the semantics `operators/RangeJoin` must
+    * reproduce through its (key, band) equality-join rewrite. */
+  val qEventsWindowPairs: String = """WITH
+    c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_t
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_t
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+      p.purchase_t - c.click_t AS gap_ms
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.purchase_t - c.click_t BETWEEN 0 AND 3600000
+    ORDER BY c.click_id, p.purchase_id"""
+
+  /** PII scrub over the same deterministic augmentation the Spark query
+    * builds. The three regexes stay inside the java.util.regex ∩ RE2
+    * common subset — keep in sync with `llm.Pii`. */
+  val textPii: String = """WITH aug AS (
+      SELECT doc_id,
+        text || ' contact u' || CAST(doc_id AS VARCHAR)
+             || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || repeat(' tel 555-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0'),
+                  CAST(doc_id % 3 AS INT))
+             || repeat(' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR),
+                  CAST(doc_id % 2 AS INT)) AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r
+      FROM aug)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+      md5(r) AS redacted_md5,
+      CAST(length(r) AS INT) AS redacted_len
+    FROM red ORDER BY doc_id"""
+
   // ------------------------------------------------------------ LLM pipeline
 
   /** Distinct 2-gram shingles per doc — mirrors `Dedup.shingles(n=2)`. */
@@ -1450,6 +1505,9 @@ object Oracles {
     "q_top_orders" -> qTopOrders,
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessions" -> qEventsSessions,
+    "q_events_asof" -> qEventsAsof,
+    "q_events_window_pairs" -> qEventsWindowPairs,
+    "text_pii" -> textPii,
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, RangeJoin, Sessions}
 import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -313,8 +314,45 @@ object SparkEntry {
           sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_acctbal"))
         .orderBy("n_name")),
     "q_events_sessions" -> ((s, dir) =>
-      graft.operators.Sessions.sessionize(Tables.events(s, dir))
+      Sessions.sessionize(Tables.events(s, dir))
         .orderBy("user_id", "session_start")),
+    // As-of join: each purchase attributed to the user's latest click
+    // at-or-before it — one keyed shuffle, no join (operators/AsOfJoin).
+    // Build side deduped to one row per (user, ms) for tie determinism.
+    "q_events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("t_ms"), col("event_type"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t_ms"))
+      val build = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_ms").agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("t_ms"), col("click_id"),
+          col("t_ms").as("click_t"))
+      AsOfJoin.asOf(probe, build, Seq("user_id"), "t_ms")
+        .select(col("user_id"), col("event_id"), col("t_ms"), col("click_id"),
+          (col("t_ms") - col("click_t")).as("lag_ms"))
+        .orderBy("event_id")
+    }),
+    // Banded interval join: click→purchase pairs inside a 1h attribution
+    // window — equality join on (user, band), never a nested-loop theta
+    // join (operators/RangeJoin).
+    "q_events_window_pairs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("t_ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("t_ms").as("click_t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t_ms").as("purchase_t"))
+      RangeJoin.within(clicks, purchases, Seq("user_id"),
+          "click_t", "purchase_t", 3600000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("purchase_t") - col("click_t")).as("gap_ms"))
+        .orderBy("click_id", "purchase_id")
+    }),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -399,6 +437,25 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // PII scrub over deterministically augmented text (the synthetic corpus
+    // carries no PII-shaped tokens, so the query plants a known mix —
+    // identically in the oracle — and the scrubber must count and redact it).
+    "text_pii" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+          repeat(
+            concat(lit(" tel 555-"),
+              lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0")),
+            (col("doc_id") % 3).cast("int")),
+          repeat(
+            concat(lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string")),
+            (col("doc_id") % 2).cast("int"))).as("text"))
+      Pii.scrub(aug, "doc_id", "text").orderBy("doc_id")
+    }),
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir))
         .orderBy(col("n_occ").desc, col("tok"))),
