@@ -532,4 +532,72 @@ object Streams {
           out.iterator
         })
   }
+
+  /** One tagged row of an as-of stream: build rows (`isBuild`) carry the
+    * lookup value, probe rows get enriched. */
+  case class AsOfIn(key: Long, ts: Long, isBuild: Boolean, id: Long)
+
+  /** Enriched probe row: the latest build id/ts at-or-before the probe. */
+  case class AsOfOut(key: Long, ts: Long, id: Long,
+      matchId: Option[Long], matchTs: Option[Long])
+
+  /** Latest build row seen per key. */
+  case class AsOfState(ts: Long, id: Long)
+
+  /** Streaming form of [[graft.operators.AsOfJoin]]: enrich a probe stream
+    * with the latest at-or-before build row per key, both sides arriving on
+    * ONE tagged stream (union the two feeds upstream — the same trick as the
+    * batch form, which makes batch↔streaming parity exact instead of
+    * approximate).
+    *
+    * Within a micro-batch, rows fold in (ts, tag) order with builds first on
+    * ties — identical to the batch window's sort. Across batches the latest
+    * build per key rides in keyed ValueState, so a probe in a later batch
+    * still sees it. The one semantic difference from batch, inherent to
+    * streaming: a build row arriving in a LATER batch than a probe with a
+    * larger ts cannot retro-enrich it (the probe already emitted). Feed
+    * ordering is the source's contract — bound skew with a watermark
+    * upstream if the feeds can interleave across batches.
+    *
+    * State is O(1) per key (one (ts, id) pair) — no TTL needed beyond the
+    * usual key-cardinality bound, but `ttlMs` evicts idle keys anyway.
+    */
+  def asOfStream(rows: Dataset[AsOfIn], ttlMs: Long = 3600000L): Dataset[AsOfOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: Long, incoming: Iterator[AsOfIn], state: GroupState[AsOfState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // builds sort before probes on equal ts — inclusive as-of,
+            // matching the batch form's (ts, tag) window order
+            val ordered = incoming.toSeq.sortBy(r => (r.ts, r.isBuild, r.id))(
+              Ordering.Tuple3(Ordering.Long, Ordering.Boolean.reverse, Ordering.Long))
+            var latest = state.getOption
+            val out = Seq.newBuilder[AsOfOut]
+            ordered.foreach { r =>
+              if (r.isBuild) {
+                // equal-ts builds: larger id wins, same as the batch dedup
+                if (latest.forall(s => r.ts > s.ts || (r.ts == s.ts && r.id >= s.id)))
+                  latest = Some(AsOfState(r.ts, r.id))
+              } else {
+                out += AsOfOut(key, r.ts, r.id,
+                  latest.map(_.id), latest.map(_.ts))
+              }
+            }
+            latest.foreach { s =>
+              state.update(s)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            out.result().iterator
+          }
+        })
+  }
 }

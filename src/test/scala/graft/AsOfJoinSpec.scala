@@ -50,6 +50,57 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2) === ((102L, Some("b20"))), "strictness only moves the tie")
   }
 
+  test("streaming form: build state crosses batches; single-batch == batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    import graft.streaming.Streams.{AsOfIn, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[AsOfIn]
+    val q = Streams.asOfStream(input.toDS(), ttlMs = 0L)
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+
+    // Batch 1: two builds then a probe between them (in-batch ordering is
+    // by ts, not arrival), plus an equal-ts build/probe tie (inclusive).
+    input.addData(
+      AsOfIn(1L, 30L, isBuild = true, 300L),
+      AsOfIn(1L, 10L, isBuild = true, 100L),
+      AsOfIn(1L, 20L, isBuild = false, 900L), // sees ts=10 build
+      AsOfIn(1L, 30L, isBuild = false, 901L)) // tie: sees ts=30 build
+    q.processAllAvailable()
+    // Batch 2: a probe with NO new build — state must carry ts=30
+    input.addData(AsOfIn(1L, 99L, isBuild = false, 902L))
+    q.processAllAvailable()
+    val streamed = spark.table("asof").as[AsOfOut].collect()
+      .map(o => (o.id, o.matchId)).sortBy(_._1)
+    q.stop()
+    assert(streamed === Array(
+      (900L, Some(100L)), (901L, Some(300L)), (902L, Some(300L))))
+
+    // Cross-form parity on the spec's planted batch data (key 3 = no build)
+    val inRows =
+      build.collect().map(r => AsOfIn(r.getLong(0), r.getLong(1), isBuild = true,
+        r.getString(2).drop(1).toLong)) ++
+      probe.collect().map(r => AsOfIn(r.getLong(0), r.getLong(1), isBuild = false,
+        r.getLong(2)))
+    val input2 = MemoryStream[AsOfIn]
+    val q2 = Streams.asOfStream(input2.toDS(), ttlMs = 0L)
+      .writeStream.format("memory").queryName("asof2")
+      .outputMode("append").start()
+    input2.addData(inRows.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    val streamed2 = spark.table("asof2").as[AsOfOut].collect()
+      .map(o => (o.id, o.matchId)).sortBy(_._1)
+    q2.stop()
+    val batch = AsOfJoin.asOf(probe, build, Seq("k"), "t")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("p_id")),
+        Option(r.getAs[String]("b_val")).map(_.drop(1).toLong)))
+      .sortBy(_._1)
+    assert(streamed2.toSeq === batch.toSeq, "streaming == batch on one feed")
+  }
+
   test("plan: exactly one keyed shuffle, no join operator at all") {
     val df = AsOfJoin.asOf(probe, build, Seq("k"), "t")
     assert(df.columns.toSeq === Seq("k", "t", "p_id", "b_val"))
