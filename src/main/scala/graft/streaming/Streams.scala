@@ -562,6 +562,30 @@ object Streams {
     * State is O(1) per key (one (ts, id) pair) — no TTL needed beyond the
     * usual key-cardinality bound, but `ttlMs` evicts idle keys anyway.
     */
+  /** The in-batch as-of fold shared by both streaming API forms: rows sort
+    * in (ts, tag) order with builds first on ties — inclusive as-of,
+    * matching the batch form's window order — and the latest build carries
+    * forward. Returns (next state, enriched probes). */
+  private[streaming] def asOfFold(
+      key: Long,
+      start: Option[AsOfState],
+      incoming: Seq[AsOfIn]): (Option[AsOfState], Seq[AsOfOut]) = {
+    val ordered = incoming.sortBy(r => (r.ts, r.isBuild, r.id))(
+      Ordering.Tuple3(Ordering.Long, Ordering.Boolean.reverse, Ordering.Long))
+    var latest = start
+    val out = Seq.newBuilder[AsOfOut]
+    ordered.foreach { r =>
+      if (r.isBuild) {
+        // equal-ts builds: larger id wins, same as the batch dedup
+        if (latest.forall(s => r.ts > s.ts || (r.ts == s.ts && r.id >= s.id)))
+          latest = Some(AsOfState(r.ts, r.id))
+      } else {
+        out += AsOfOut(key, r.ts, r.id, latest.map(_.id), latest.map(_.ts))
+      }
+    }
+    (latest, out.result())
+  }
+
   def asOfStream(rows: Dataset[AsOfIn], ttlMs: Long = 3600000L): Dataset[AsOfOut] = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -576,27 +600,12 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            // builds sort before probes on equal ts — inclusive as-of,
-            // matching the batch form's (ts, tag) window order
-            val ordered = incoming.toSeq.sortBy(r => (r.ts, r.isBuild, r.id))(
-              Ordering.Tuple3(Ordering.Long, Ordering.Boolean.reverse, Ordering.Long))
-            var latest = state.getOption
-            val out = Seq.newBuilder[AsOfOut]
-            ordered.foreach { r =>
-              if (r.isBuild) {
-                // equal-ts builds: larger id wins, same as the batch dedup
-                if (latest.forall(s => r.ts > s.ts || (r.ts == s.ts && r.id >= s.id)))
-                  latest = Some(AsOfState(r.ts, r.id))
-              } else {
-                out += AsOfOut(key, r.ts, r.id,
-                  latest.map(_.id), latest.map(_.ts))
-              }
-            }
+            val (latest, out) = asOfFold(key, state.getOption, incoming.toSeq)
             latest.foreach { s =>
               state.update(s)
               if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             }
-            out.result().iterator
+            out.iterator
           }
         })
   }

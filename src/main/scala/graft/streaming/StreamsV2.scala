@@ -167,4 +167,43 @@ object StreamsV2 {
       .transformWithState(
         new ThrottleProcessor(rate, stepMs, batchCap, ttl), mode, OutputMode.Append())
   }
+
+  /** As-of enrichment processor: the latest build row per key in one
+    * `ValueState` — the minimal-state operator of the family (one (ts, id)
+    * pair per key, rewritten only when a newer build arrives). The in-batch
+    * fold is [[Streams.asOfFold]], the SAME function the
+    * `flatMapGroupsWithState` form calls — the two APIs cannot drift. */
+  class AsOfProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.AsOfIn, Streams.AsOfOut] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[Streams.AsOfState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState(
+        "latestBuild", Encoders.product[Streams.AsOfState], ttl)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Streams.AsOfIn],
+        timerValues: TimerValues): Iterator[Streams.AsOfOut] = {
+      val st = if (latest.exists()) Some(latest.get()) else None
+      val (next, out) = Streams.asOfFold(key, st, rows.toSeq)
+      next.foreach(latest.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming as-of enrichment on `transformWithState` — drop-in for
+    * [[Streams.asOfStream]]. `ttlMs <= 0` disables expiry. */
+  def asOfStream(
+      rows: Dataset[Streams.AsOfIn],
+      ttlMs: Long = 3600000L): Dataset[Streams.AsOfOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    rows
+      .groupByKey(_.key)
+      .transformWithState(new AsOfProcessor(ttl), mode, OutputMode.Append())
+  }
 }

@@ -453,4 +453,44 @@ class StreamingSpec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("transformWithState as-of: ValueState parity with the v1 stream across batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AsOfIn, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      AsOfIn(1L, 30L, isBuild = true, 300L),
+      AsOfIn(1L, 10L, isBuild = true, 100L),
+      AsOfIn(1L, 20L, isBuild = false, 900L), // in-batch: sees ts=10
+      AsOfIn(2L, 5L, isBuild = false, 910L)) // no build for key 2 yet
+    val batch2 = Seq(
+      AsOfIn(1L, 99L, isBuild = false, 902L), // carried state: ts=30
+      AsOfIn(2L, 6L, isBuild = true, 200L),
+      AsOfIn(2L, 7L, isBuild = false, 911L))
+
+    def run(name: String, mk: org.apache.spark.sql.Dataset[AsOfIn] =>
+        org.apache.spark.sql.Dataset[AsOfOut]): Seq[(Long, Option[Long])] = {
+      val input = MemoryStream[AsOfIn]
+      val q = mk(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val out = spark.table(name).as[AsOfOut].collect()
+        .map(o => (o.id, o.matchId)).sortBy(_._1).toSeq
+      q.stop()
+      out
+    }
+
+    val v2 = withRocksDb {
+      run("asof_tws", ds => graft.streaming.StreamsV2.asOfStream(ds, ttlMs = 0L))
+    }
+    val v1 = run("asof_v1", ds => Streams.asOfStream(ds, ttlMs = 0L))
+    assert(v2 === v1, "transformWithState == flatMapGroupsWithState")
+    assert(v2 === Seq(
+      (900L, Some(100L)), (902L, Some(300L)),
+      (910L, None), (911L, Some(200L))))
+  }
 }
