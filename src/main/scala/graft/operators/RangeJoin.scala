@@ -59,4 +59,48 @@ object RangeJoin {
       .where((col(rightTs) - col(leftTs)).between(0, windowMs))
       .drop("_band")
   }
+
+  /** Streaming form of [[within]] for two unbounded sides — here the
+    * banding rewrite is deliberately ABSENT: Spark's native stream-stream
+    * join (StreamingSymmetricHashJoin) already keys state by the equality
+    * columns and uses the time-range condition plus the watermark to evict
+    * buffered rows, which is exactly the bounded-state interval join a
+    * stream pipeline wants. Per-side state ≈ rate × (windowMs +
+    * watermarkDelayMs) per key — bounded, sharded by the key shuffle.
+    * Inner join only: a row's pairs are complete once the other side's
+    * watermark passes its window, and results append exactly once.
+    *
+    * Same contract as [[within]] (`0 <= right.rightTs - left.leftTs <=
+    * windowMs`, BIGINT epoch-ms time columns, disjoint non-key names);
+    * parity with the batch operator on a drained feed is asserted in spec.
+    *
+    * @param watermarkDelayMs how late either side may arrive, in event
+    *                         time; rows later than this are dropped by the
+    *                         engine (streaming reality — the batch form has
+    *                         no such notion).
+    */
+  def withinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      windowMs: Long,
+      watermarkDelayMs: Long = 0L): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    val lEvt = s"_${leftTs}_evt"
+    val rEvt = s"_${rightTs}_evt"
+    val l = left
+      .withColumn(lEvt, timestamp_millis(col(leftTs)))
+      .withWatermark(lEvt, s"$watermarkDelayMs milliseconds")
+    val r = right
+      .withColumn(rEvt, timestamp_millis(col(rightTs)))
+      .withWatermark(rEvt, s"$watermarkDelayMs milliseconds")
+    val joined = l.join(r,
+      keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+        col(rEvt) >= col(lEvt) &&
+        col(rEvt) <= col(lEvt) + expr(s"INTERVAL $windowMs MILLISECONDS"))
+    // keep one copy of each key column; the event-time helpers go away
+    keys.foldLeft(joined)((d, k) => d.drop(r(k))).drop(lEvt, rEvt)
+  }
 }

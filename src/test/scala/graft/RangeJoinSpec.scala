@@ -46,6 +46,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.length === 1)
   }
 
+  test("streaming form: native stream-stream interval join == batch banding") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, String)]
+    val rIn = MemoryStream[(Long, Long, String)]
+    val q = RangeJoin.withinStream(
+        lIn.toDF().toDF("k", "lt", "l_id"),
+        rIn.toDF().toDF("k", "rt", "r_id"),
+        Seq("k"), "lt", "rt", 10L, watermarkDelayMs = 10000L)
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    // two batches with interleaved arrival — pairs across batches must form
+    lIn.addData((1L, 100L, "l1"), (1L, 995L, "l2"))
+    rIn.addData((1L, 99L, "r0"), (1L, 100L, "r1"))
+    q.processAllAvailable()
+    lIn.addData((2L, 100L, "l3"))
+    rIn.addData((1L, 110L, "r2"), (1L, 1000L, "r3"), (1L, 1005L, "r4"),
+      (1L, 1006L, "r5"), (2L, 105L, "r6"))
+    q.processAllAvailable()
+    val streamed = spark.table("range_stream").select("l_id", "r_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    q.stop()
+    val batch = RangeJoin.within(left, right, Seq("k"), "lt", "rt", 10L)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed === batch, "stream-stream interval join == batch banding")
+  }
+
   test("plan: equality join on (key, band) — no nested-loop, no cartesian") {
     val plan = RangeJoin.within(left, right, Seq("k"), "lt", "rt", 10L)
       .queryExecution.executedPlan.toString()
