@@ -926,6 +926,26 @@ object Oracles {
     SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
     FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 50"""
 
+  /** tf·idf-ratio keyword head — mirrors `TextAnalysis.tfidfTopK`: score =
+    * CAST(tf·N AS DOUBLE)/df is exact-integer arithmetic plus ONE IEEE
+    * division, so both engines produce identical bits; ties break on tok. */
+  val textTfidf: String = """WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk,
+        tok, tf, df, score
+      FROM scored)
+    SELECT doc_id, rnk, tok, tf, df, score
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
   /** Filter-funnel verdict per document — mirrors `Corpus.filterFunnel`
     * (length, quality, repetition, MinHash-signature dedup gates). The
     * quality and repetition expressions are byte-for-byte the validated
@@ -1508,6 +1528,7 @@ object Oracles {
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,
     "text_pii" -> textPii,
+    "text_tfidf" -> textTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,

@@ -459,6 +459,9 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir))
         .orderBy(col("n_occ").desc, col("tok"))),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir))
+        .orderBy("doc_id", "rnk")),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>

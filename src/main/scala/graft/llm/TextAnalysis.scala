@@ -129,6 +129,41 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("tok").asc)
       .limit(k)
 
+  /** Per-document top-k salient terms by tf·idf-ratio — the keyword
+    * extraction step of corpus exploration / topic tagging.
+    *
+    * idf is the RATIO form `N/df`, not `log(N/df)`: the score is then
+    * `(tf·N)` — an exact BIGINT — divided once by `df`, i.e. two IEEE
+    * operations on exact integers, bit-identical in any engine. `log`
+    * would drag libm differences into the hash compare for no ranking
+    * benefit worth it here (the ratio form is a recognized idf variant;
+    * its rankings differ from log-idf only where a lower-tf term's
+    * rarity advantage is sub-logarithmic — acceptable for a
+    * deterministic pipeline stage and stated openly rather than hidden
+    * behind a tolerance compare).
+    *
+    * Shape at scale: explode → (doc, tok) partial-agg shuffle; df =
+    * one tok-keyed agg over the (doc, tok) pairs (already distinct —
+    * no countDistinct); corpus size N is a 1-row broadcast; the tok
+    * join shuffles on tok (AQE broadcasts df while it is small); the
+    * top-k cut is a doc-keyed window — rank ties broken by token, so
+    * the cut is total-ordered and reproducible.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
     val idx = when(size(col("_toks")) >= 2, sequence(lit(1), size(col("_toks")) - 1))

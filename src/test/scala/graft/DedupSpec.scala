@@ -355,4 +355,26 @@ class DedupSpec extends SparkSpec {
       (0L, 5L, 3.0 / 5.0, 3.0 / 5.0),
       (1L, 2L, 0.5, 0.0)))
   }
+
+  test("tf-idf top-k: rare terms outrank common ones; ties break on token") {
+    // "common" is in every doc (df=3 → idf-ratio 1); "rare" only in doc 0;
+    // doc 2 repeats "shared" so tf beats doc 1's single occurrence of it
+    val planted = Seq(
+      (0L, "common rare common"),
+      (1L, "common shared"),
+      (2L, "common shared shared")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.tfidfTopK(planted, k = 2)
+      .orderBy("doc_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out === Array(
+      (0L, 1, "rare", 1L, 1L, 3.0), // 1·3/1 — rarity wins
+      (0L, 2, "common", 2L, 3L, 2.0), // 2·3/3
+      (1L, 1, "shared", 1L, 2L, 1.5), // 1·3/2
+      (1L, 2, "common", 1L, 3L, 1.0),
+      (2L, 1, "shared", 2L, 2L, 3.0), // tf=2 doubles the score
+      (2L, 2, "common", 1L, 3L, 1.0)))
+  }
 }
