@@ -492,6 +492,14 @@ object Oracles {
       ON p.user_id = c.user_id AND p.t_ms >= c.click_t
     ORDER BY p.event_id"""
 
+  /** Plain join — `operators/SaltedJoin` must produce identical rows
+    * through its (keys, salt) spread. */
+  val qEventsSaltedJoin: String = """WITH
+    d AS (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY 1)
+    SELECT e.user_id, e.event_id, d.n_user_events
+    FROM events e JOIN d ON e.user_id = d.user_id
+    ORDER BY e.event_id"""
+
   /** Plain inequality join — the semantics `operators/RangeJoin` must
     * reproduce through its (key, band) equality-join rewrite. */
   val qEventsWindowPairs: String = """WITH
@@ -1527,6 +1535,7 @@ object Oracles {
     "q_events_sessions" -> qEventsSessions,
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,
+    "q_events_salted_join" -> qEventsSaltedJoin,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "dedup_exact" -> dedupExact,

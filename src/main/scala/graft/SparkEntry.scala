@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.cdc._
 import graft.functions.GraftFunctions
 import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, RangeJoin, Sessions}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin, Sessions}
 import graft.sources.{DebeziumSource, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -352,6 +352,14 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("purchase_t") - col("click_t")).as("gap_ms"))
         .orderBy("click_id", "purchase_id")
+    }),
+    // Salted fact⋈dim enrichment: the hot-key spread SCALE.md prescribes,
+    // exercised end-to-end — results must be identical to the plain join.
+    "q_events_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+      SaltedJoin.join(ev, dim, Seq("user_id"), salts = 8)
+        .orderBy("event_id")
     }),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
