@@ -13,7 +13,10 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("cdc_apply_state", "cdc_difflane", "q1_lineitem_agg",
         "q_region_revenue", "dedup_jaccard", "ann_cosine_topk",
-        "cdc_evaluate", "cdc_txn_apply", "cdc_commit_floor", "ann_ivf_topk")
+        "cdc_evaluate", "cdc_txn_apply", "cdc_commit_floor", "ann_ivf_topk",
+        // the bench's heaviest composites + the round-5 join operators
+        "cdc_debezium_e2e", "cdc_snapshot_tail", "q_events_asof",
+        "q_events_window_pairs", "q_events_salted_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
