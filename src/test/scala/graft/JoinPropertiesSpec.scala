@@ -51,6 +51,29 @@ class JoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted join matches the plain join for any salt count") {
+    samples(Gen.zip(rowsGen, rowsGen, Gen.oneOf(1, 2, 7, 32)), 8)
+      .foreach { case (probeRows, buildRaw, salts) =>
+        // operator contract: build unique per key here so row counts match
+        val buildRows = buildRaw.groupBy(_._1)
+          .map { case (k, rs) => (k, rs.map(_._3).max) }.toList
+        val probe = probeRows.toDF("k", "t", "p_id")
+        val build = buildRows.toDF("k", "b_id")
+        val salted = graft.operators.SaltedJoin
+          .join(probe, build, Seq("k"), salts, "left_outer")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+          .sorted
+        val plain = probe.join(build, Seq("k"), "left_outer")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))
+          .sorted
+        assert(salted.toSeq === plain.toSeq, s"salts=$salts")
+      }
+  }
+
   test("banded interval join matches a naive all-pairs model") {
     samples(Gen.zip(rowsGen, rowsGen, Gen.oneOf(1L, 7L, 10L, 64L)), 12)
       .foreach { case (leftRows, rightRows, w) =>
