@@ -1195,6 +1195,11 @@ object Oracles {
     SELECT user_id, count(*) AS cnt FROM events
     GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"""
 
+  /** Same rows as `qLineitemOrdersJoin` — the Spark side must reproduce
+    * them through the bucketed co-located join path (storage layout must
+    * never change results). */
+  val qBucketedJoin: String = qLineitemOrdersJoin
+
   /** Event op-set + term search over the haystack (`web/App.tsx:1420-1465`). */
   val cdcEventSearch: String = s"""WITH $stateCte, $logLaneCte
     SELECT op_code, count(*) AS cnt
@@ -1499,6 +1504,7 @@ object Oracles {
     "cdc_broker_delivery" -> cdcBrokerDelivery,
     "cdc_state_hash" -> cdcStateHash,
     "q_lineitem_orders_join" -> qLineitemOrdersJoin,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_events_user_topk" -> qEventsUserTopk,
     "cdc_event_search" -> cdcEventSearch,
     "cdc_bus_totals" -> cdcBusTotals,

@@ -648,6 +648,25 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
         .orderBy("o_orderpriority")),
+    // The same fact⋈fact join through the bucketed build-once/join-many
+    // path (sources/Bucketing): both sides written bucketed on the join
+    // key, the join itself plans with zero Exchange (BucketingSpec pins
+    // the plan; this row pins the results).
+    "q_bucketed_join" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val li = sources.Bucketing.bucketize(s,
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        "graft_bq_lineitem", s"$tmp/graft_bucketed/lineitem", "l_orderkey", 16)
+      val o = sources.Bucketing.bucketize(s,
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_bq_orders", s"$tmp/graft_bucketed/orders", "o_orderkey", 16)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "q_events_user_topk" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
