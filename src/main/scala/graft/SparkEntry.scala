@@ -651,15 +651,20 @@ object SparkEntry {
     // The same fact⋈fact join through the bucketed build-once/join-many
     // path (sources/Bucketing): both sides written bucketed on the join
     // key, the join itself plans with zero Exchange (BucketingSpec pins
-    // the plan; this row pins the results).
+    // the plan; this row pins the results). Table names and paths carry a
+    // per-run tag (no cross-process races) and the build happens once per
+    // JVM (bucketizeOnce) — bench reps past the first time the join, not
+    // the table write.
     "q_bucketed_join" -> ((s, dir) => {
+      val tag = sources.Bucketing.runTag(s) + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       val tmp = System.getProperty("java.io.tmpdir")
-      val li = sources.Bucketing.bucketize(s,
+      val li = sources.Bucketing.bucketizeOnce(s,
         Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
-        "graft_bq_lineitem", s"$tmp/graft_bucketed/lineitem", "l_orderkey", 16)
-      val o = sources.Bucketing.bucketize(s,
+        s"graft_bq_lineitem_$tag", s"$tmp/graft_bucketed_$tag/lineitem", "l_orderkey", 16)
+      val o = sources.Bucketing.bucketizeOnce(s,
         Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "graft_bq_orders", s"$tmp/graft_bucketed/orders", "o_orderkey", 16)
+        s"graft_bq_orders_$tag", s"$tmp/graft_bucketed_$tag/orders", "o_orderkey", 16)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(

@@ -59,20 +59,33 @@ object AsOfJoin {
     val buildPayload = build.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     require(probePayload.intersect(buildPayload).isEmpty,
       s"payload name clash: ${probePayload.intersect(buildPayload).mkString(",")}")
+    val reserved = Seq("_tag", "_bpay")
+    require(!(probe.columns ++ build.columns).exists(reserved.contains),
+      s"reserved internal column names present: ${reserved.mkString(",")}")
 
     // One aligned schema: keys, ts, tag, probe payload (null on build rows),
-    // build payload (null on probe rows). Build sorts before probe on equal
-    // ts iff inclusive.
+    // and the ENTIRE build payload packed into one struct column (null on
+    // probe rows). Build sorts before probe on equal ts iff inclusive.
+    //
+    // The struct pack is load-bearing for correctness, not style: carrying
+    // each build column as its own last(_, ignoreNulls) would let a build row
+    // with a null field inherit the PREVIOUS build row's value for that field
+    // only — a column-wise chimera of two build rows, which no as-of
+    // semantics permit. One non-null struct per build row makes the carry
+    // atomic: a matched build row is taken whole, null fields included.
     val buildTag = if (inclusive) lit(0) else lit(2)
     val common: Seq[Column] = keys.map(col) :+ col(ts)
+    val packed = struct(buildPayload.map(col): _*)
+    val packedType = org.apache.spark.sql.types.StructType(
+      buildPayload.map(c => build.schema(c)))
     val probeSide = probe.select(
       common ++ Seq(lit(1).as("_tag")) ++
-        probePayload.map(col) ++
-        buildPayload.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
+        probePayload.map(col) :+
+        lit(null).cast(packedType).as("_bpay"): _*)
     val buildSide = build.select(
       common ++ Seq(buildTag.as("_tag")) ++
-        probePayload.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        buildPayload.map(col): _*)
+        probePayload.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        packed.as("_bpay"): _*)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
@@ -83,9 +96,12 @@ object AsOfJoin {
     probeSide.unionByName(buildSide)
       .select(
         (keys.map(col) :+ col(ts) :+ col("_tag")) ++
-          probePayload.map(col) ++
-          buildPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+          probePayload.map(col) :+
+          last(col("_bpay"), ignoreNulls = true).over(w).as("_bpay"): _*)
       .where(col("_tag") === 1)
-      .drop("_tag")
+      .select(
+        (keys.map(col) :+ col(ts)) ++
+          probePayload.map(col) ++
+          buildPayload.map(c => col("_bpay").getField(c).as(c)): _*)
   }
 }

@@ -47,6 +47,8 @@ object RangeJoin {
     val lDup = left.columns.toSeq.filterNot(keys.contains)
       .intersect(right.columns.toSeq.filterNot(keys.contains))
     require(lDup.isEmpty, s"non-key name clash: ${lDup.mkString(",")}")
+    require(!(left.columns ++ right.columns).contains("_band"),
+      "reserved internal column name present: _band")
 
     // Left rows probe their own band and the next: a right row at
     // l.ts + windowMs lands at most one band above l's. Exact integer
@@ -88,8 +90,14 @@ object RangeJoin {
       windowMs: Long,
       watermarkDelayMs: Long = 0L): DataFrame = {
     require(windowMs > 0, "windowMs must be positive")
+    require(leftTs != rightTs, "leftTs and rightTs must be distinct columns")
+    val sDup = left.columns.toSeq.filterNot(keys.contains)
+      .intersect(right.columns.toSeq.filterNot(keys.contains))
+    require(sDup.isEmpty, s"non-key name clash: ${sDup.mkString(",")}")
     val lEvt = s"_${leftTs}_evt"
     val rEvt = s"_${rightTs}_evt"
+    require(!(left.columns ++ right.columns).exists(Seq(lEvt, rEvt).contains),
+      s"reserved internal column names present: $lEvt,$rEvt")
     val l = left
       .withColumn(lEvt, timestamp_millis(col(leftTs)))
       .withWatermark(lEvt, s"$watermarkDelayMs milliseconds")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 /** Salted equality join — the explicit skew weapon for the case AQE's
   * runtime skew-join split cannot reach: a single hot key on the probe
@@ -9,12 +10,23 @@ import org.apache.spark.sql.functions._
   * through an exchange AQE has already planned.
   *
   * Mechanics: each probe row gets a deterministic salt in `[0, salts)`
-  * (Murmur3 of the whole row — reproducible across retries, no
-  * partition-id nondeterminism); the build side is replicated `salts`
+  * (Murmur3 of the row's hashable columns — reproducible across retries,
+  * no partition-id nondeterminism); the build side is replicated `salts`
   * ways with a narrow explode; the join key becomes (keys, salt). A key
   * that previously funneled through one reducer now spreads across
   * `salts` reducers, at the price of `salts`× the build side's shuffle
   * volume — the standard trade, made explicit and testable.
+  *
+  * Salt entropy, honestly: the salt is a pure function of the probe row's
+  * content (MapType columns excluded — Spark's `hash` rejects maps). Rows
+  * that are EXACT duplicates therefore land on one salt and that slice of
+  * the skew persists; this is the price of retry determinism (partition-id
+  * or RNG salts re-deal rows on task retry and can double-count under
+  * shuffle replay). If exact-duplicate fact rows at a hot key are the
+  * dominant skew, carry a distinguishing column from the source (Kafka
+  * offset, `input_file_name` + row position, an ingest uuid) into the
+  * probe schema — any such column restores full spread while keeping the
+  * salt deterministic.
   *
   * Join types: `inner` and `left_outer` only. An unmatched probe row
   * joins nothing in exactly one salted bucket per replica — the left-outer
@@ -22,9 +34,10 @@ import org.apache.spark.sql.functions._
   * unmatched-build row PER REPLICA and are rejected.
   *
   * At 100 TB: use when key-frequency stats (or a failed stage) identify
-  * skew; `salts` sizes to the hot key's overload factor. AQE's
-  * `skewJoin` handles sort-merge skew transparently — this operator is
-  * for the cases it does not (aggregated build sides below a shuffle
+  * skew; `salts` sizes to the hot key's overload factor — or let
+  * [[autoSalts]] measure it from a sample so the weapon self-sizes.
+  * AQE's `skewJoin` handles sort-merge skew transparently — this operator
+  * is for the cases it does not (aggregated build sides below a shuffle
   * hash join, deterministic pre-planned spread, bucketed inputs).
   */
 object SaltedJoin {
@@ -38,10 +51,69 @@ object SaltedJoin {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted $joinType would duplicate unmatched build rows")
-    val l = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "reserved internal column name present: _salt")
+    // hash() raises on MapType (maps have no canonical order); salt from
+    // the remaining columns — still deterministic, maps just add no entropy.
+    val hashable = left.schema.fields.toSeq
+      .filterNot(_.dataType.isInstanceOf[MapType]).map(f => col(f.name))
+    val saltCol =
+      if (hashable.isEmpty) lit(0) else pmod(hash(hashable: _*), lit(salts))
+    val l = left.withColumn("_salt", saltCol)
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s)): _*)))
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** Measure the probe side's key skew on a sample and derive a salt
+    * count, so callers don't have to guess.
+    *
+    * Estimator: sample `fraction` of `probe` (deterministic seed),
+    * `groupBy(keys).count`, take the top-1 key's share of the sampled
+    * rows. Under even hashing a reducer holds `1/shufflePartitions` of
+    * the data, so the hot key overloads its reducer by
+    * `share × shufflePartitions`; that overload factor IS the number of
+    * ways the key must split to look average. Clamped to
+    * `[1, maxSalts]` — 1 means "no skew, use a plain join".
+    *
+    * Driver cost: one aggregate of two scalars over the sample — a
+    * partial-agg shuffle of the sampled rows only, no data collect. At
+    * 100 TB with fraction=1e-4 that is a ~10 GB scan producing one row;
+    * run it once and cache the decision per (table, keys).
+    */
+  def autoSalts(
+      probe: DataFrame,
+      keys: Seq[String],
+      fraction: Double = 0.01,
+      maxSalts: Int = 64,
+      seed: Long = 42L): Int = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0,1]")
+    require(maxSalts >= 1, "maxSalts must be >= 1")
+    val parts = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = probe.sample(withReplacement = false, fraction, seed)
+      .groupBy(keys.map(col): _*).count()
+      .agg(max("count").as("top1"), sum("count").as("total"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) 1
+    else {
+      val share = row.getLong(0).toDouble / row.getLong(1).toDouble
+      math.min(maxSalts.toLong, math.max(1L, math.ceil(share * parts).toLong)).toInt
+    }
+  }
+
+  /** [[join]] with `salts` derived by [[autoSalts]] on the probe side.
+    * Returns the chosen salt count alongside the frame so callers can log
+    * the decision.
+    */
+  def joinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      fraction: Double = 0.01,
+      maxSalts: Int = 64,
+      seed: Long = 42L): (DataFrame, Int) = {
+    val salts = autoSalts(left, keys, fraction, maxSalts, seed)
+    (join(left, right, keys, salts, joinType), salts)
   }
 }

@@ -101,6 +101,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(streamed2.toSeq === batch.toSeq, "streaming == batch on one feed")
   }
 
+  test("a build row with a null payload field is carried atomically") {
+    // b20 has y = null. Per-column carry would leak b10's y ("y10") under
+    // b20's x — a column-wise chimera of two build rows. The struct carry
+    // must take b20 whole: (x20, null).
+    val b = Seq(
+      (1L, 10L, Option("x10"), Option("y10")),
+      (1L, 20L, Option("x20"), Option.empty[String]))
+      .toDF("k", "t", "x", "y")
+    val p = Seq((1L, 25L, 1L), (1L, 15L, 2L)).toDF("k", "t", "p_id")
+    val out = AsOfJoin.asOf(p, b, Seq("k"), "t")
+      .orderBy("p_id")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("p_id")),
+        Option(r.getAs[String]("x")), Option(r.getAs[String]("y"))))
+    assert(out === Array(
+      (1L, Some("x20"), None), // b20 whole — y must NOT inherit y10
+      (2L, Some("x10"), Some("y10"))))
+  }
+
+  test("reserved internal column names are rejected, not corrupted") {
+    val p = Seq((1L, 5L, "a")).toDF("k", "t", "_tag")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(p, build, Seq("k"), "t")
+    }
+  }
+
   test("plan: exactly one keyed shuffle, no join operator at all") {
     val df = AsOfJoin.asOf(probe, build, Seq("k"), "t")
     assert(df.columns.toSeq === Seq("k", "t", "p_id", "b_val"))

@@ -13,8 +13,14 @@ class BucketingSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // per-run tag: two concurrent sbt test JVMs must not race on the same
+  // table names / paths (same hazard ADVICE flagged for q_bucketed_join)
+  private lazy val tag = Bucketing.runTag(spark)
+
+  private def tbl(name: String) = s"${name}_$tag"
+
   private def tmp(name: String) =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bucketing_spec/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_bucketing_spec_$tag/$name"
 
   /** Both tables are tiny, so the planner would broadcast and skip bucket
     * use entirely; force the shuffle-join path the technique targets. */
@@ -29,8 +35,8 @@ class BucketingSpec extends SparkSpec {
     withoutBroadcast {
     val left = (1L to 500L).map(i => (i % 50, i)).toDF("k", "l_id")
     val right = (1L to 200L).map(i => (i % 50, i * 10)).toDF("k", "r_val")
-    val lb = Bucketing.bucketize(spark, left, "bspec_left", tmp("l"), "k", 4)
-    val rb = Bucketing.bucketize(spark, right, "bspec_right", tmp("r"), "k", 4)
+    val lb = Bucketing.bucketize(spark, left, tbl("bspec_left"), tmp("l"), "k", 4)
+    val rb = Bucketing.bucketize(spark, right, tbl("bspec_right"), tmp("r"), "k", 4)
     val joined = lb.join(rb, "k")
     val plan = joined.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"),
@@ -48,8 +54,8 @@ class BucketingSpec extends SparkSpec {
     withoutBroadcast {
     val left = (1L to 100L).map(i => (i % 10, i)).toDF("k", "l_id")
     val right = (1L to 100L).map(i => (i % 10, i)).toDF("k", "r_id")
-    val lb = Bucketing.bucketize(spark, left, "bspec_l8", tmp("l8"), "k", 8)
-    val rb = Bucketing.bucketize(spark, right, "bspec_r4", tmp("r4"), "k", 4)
+    val lb = Bucketing.bucketize(spark, left, tbl("bspec_l8"), tmp("l8"), "k", 8)
+    val rb = Bucketing.bucketize(spark, right, tbl("bspec_r4"), tmp("r4"), "k", 4)
     val plan = lb.join(rb, "k").queryExecution.executedPlan.toString()
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
       s"one side re-bucketed, the other stays put:\n$plan")

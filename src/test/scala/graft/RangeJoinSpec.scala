@@ -46,6 +46,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.length === 1)
   }
 
+  test("contract errors are clear requires, not analysis exceptions") {
+    // reserved working column present → reject instead of corrupt
+    intercept[IllegalArgumentException] {
+      RangeJoin.within(left.withColumn("_band", left("lt")), right,
+        Seq("k"), "lt", "rt", 10L)
+    }
+    // withinStream: same-name non-key clash must fail the same contract
+    // require as within, not an opaque ambiguous-reference error
+    val clashL = left.withColumnRenamed("l_id", "v")
+    val clashR = right.withColumnRenamed("r_id", "v")
+    intercept[IllegalArgumentException] {
+      RangeJoin.withinStream(clashL, clashR, Seq("k"), "lt", "rt", 10L)
+    }
+    // withinStream: identical ts names collide in the derived _<ts>_evt
+    intercept[IllegalArgumentException] {
+      RangeJoin.withinStream(left.withColumnRenamed("lt", "t"),
+        right.withColumnRenamed("rt", "t"), Seq("k"), "t", "t", 10L)
+    }
+  }
+
   test("streaming form: native stream-stream interval join == batch banding") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
