@@ -955,10 +955,12 @@ object Oracles {
     FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""
 
   /** Filter-funnel verdict per document — mirrors `Corpus.filterFunnel`
-    * (length, quality, repetition, MinHash-signature dedup gates). The
+    * (length, quality, repetition, FUZZY near-dup dedup gates). The
     * quality and repetition expressions are byte-for-byte the validated
-    * `text_quality` / `text_repetition` forms. */
-  def corpusFilter: String = s"""WITH $minhashSigCte,
+    * `text_quality` / `text_repetition` forms; the dedup gate is the
+    * validated `dedup_clusters` transitive closure (pass = doc is its
+    * component's min id), not full-signature equality. */
+  def corpusFilter: String = s"""WITH RECURSIVE $minhashSigCte,
     q AS (
       SELECT doc_id,
         len(string_split(text, ' ')) AS n_tokens,
@@ -980,12 +982,28 @@ object Oracles {
     r AS (
       SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
       FROM c GROUP BY doc_id),
-    k AS (
-      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS keep_id
-      FROM sigs GROUP BY m0, m1, m2, m3, m4, m5, m6, m7),
+    banded AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id,
+          unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
+                  'b1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR),
+                  'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
+                  'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
+          unnest([0, 1, 2, 3]) AS band
+        FROM sigs)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id AS u, a_id AS v FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
     d AS (
-      SELECT s.doc_id, s.doc_id = k.keep_id AS pass_dedup
-      FROM sigs s JOIN k USING (m0, m1, m2, m3, m4, m5, m6, m7))
+      SELECT id AS doc_id, min(r) = id AS pass_dedup FROM reach GROUP BY id)
     SELECT q.doc_id,
       q.n_tokens >= 20 AS pass_length,
       q.quality_score >= 0.2 AS pass_quality,

@@ -11,19 +11,25 @@ import org.apache.spark.sql.functions._
   *
   * Shapes: the gates are the already-scaling operators
   * ([[TextAnalysis.quality]], [[TextAnalysis.repetitionStats]],
-  * [[Dedup.minhashSignatures]]) composed with doc_id-keyed joins — the
-  * join keys all share the doc_id partitioning family, and the dedup
-  * representative is a signature-keyed partial aggregation (min doc_id
-  * per full MinHash signature), not a window sort. Nothing here adds a
-  * shuffle family the component operators didn't already pay.
+  * [[Dedup.minhashCandidates]] → [[Clusters.assign]]) composed with
+  * doc_id-keyed joins — the join keys all share the doc_id partitioning
+  * family, and the dedup gate rides the banded-LSH candidate join plus
+  * the O(log n)-round star contraction the standalone `dedup_clusters`
+  * operator already pays. Nothing here adds a shuffle family the
+  * component operators didn't already pay.
   */
 object Corpus {
 
   /** Per-document filter verdict: (doc_id, pass_length, pass_quality,
     * pass_repetition, pass_dedup, kept). `pass_repetition` defaults to
     * true for documents too short to have bigrams (no signal ≠ spam);
-    * `pass_dedup` keeps the min-doc_id representative of each full
-    * MinHash-signature cluster. */
+    * `pass_dedup` keeps the min-doc_id representative of each FUZZY
+    * near-dup cluster — LSH band candidates closed transitively by
+    * connected components, so a chain A~B, B~C keeps exactly one of
+    * {A,B,C} even though the A–C pair was never emitted. (A
+    * full-signature-equality gate, the previous form, only collapses
+    * near-verbatim copies — a Gopher-style funnel needs the fuzzy
+    * closure.) */
   def filterFunnel(
       docs: DataFrame,
       minTokens: Long = 20L,
@@ -33,11 +39,8 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = TextAnalysis.repetitionStats(docs)
       .select(col("doc_id"), col("top_bigram_frac"))
-    val sigCols = (0 until 8).map(i => col(s"m$i"))
-    val sigs = Dedup.minhashSignatures(docs)
-    val keepIds = sigs.groupBy(sigCols: _*).agg(min("doc_id").as("_keep_id"))
-    val dedup = sigs.join(keepIds, (0 until 8).map(i => s"m$i"))
-      .select(col("doc_id"), (col("doc_id") === col("_keep_id")).as("pass_dedup"))
+    val dedup = Clusters.assign(docs, Dedup.minhashCandidates(docs))
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("pass_dedup"))
     val flags = q
       .join(rep, Seq("doc_id"), "left")
       .join(dedup, "doc_id")

@@ -253,6 +253,33 @@ class DedupSpec extends SparkSpec {
     assert(!byId(4L)._4 && !byId(4L)._6, "boilerplate must fail the repetition gate")
   }
 
+  test("filter funnel dedup gate is fuzzy: A~B~C chain keeps exactly one doc") {
+    // Planted chain: B is the clean base; A deviates at positions {5,27,35},
+    // C at {3,8,39}. With the engine's 8-hash/4-band LSH this emits exactly
+    // the pairs A–B and B–C — NO A–C pair (verified below, deterministic
+    // hashes) — so only the transitive closure can know {A,B,C} is one
+    // cluster. The old full-signature-equality gate kept all three.
+    val base = (0 until 40).map(i => s"t$i")
+    def mutate(ps: Set[Int], p: Char) =
+      base.zipWithIndex.map { case (t, i) => if (ps(i)) s"$p$i" else t }.mkString(" ")
+    val docs = Seq(
+      (1L, mutate(Set(5, 27, 35), 'a'), "en", "s"),
+      (2L, base.mkString(" "), "en", "s"),
+      (3L, mutate(Set(3, 8, 39), 'c'), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val pairs = graft.llm.Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)),
+      "precondition: a chain with no A–C pair — revisit the planted texts")
+
+    val out = graft.llm.Corpus.filterFunnel(docs)
+      .select("doc_id", "pass_dedup", "kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out === Array((1L, true, true), (2L, false, false), (3L, false, false)),
+      "exactly one representative (min doc_id of the component) survives")
+  }
+
   test("incremental dedup: increment flagged against the standing corpus index") {
     val corpus = Seq((0L, base, "en"), (3L, distinctDoc, "en"))
       .toDF("doc_id", "text", "lang")
