@@ -59,37 +59,61 @@ object Clusters {
     * both star outputs are canonical-orientation and distinct, so equal
     * edge SETS have equal checksums.
     *
-    * Each round is `localCheckpoint`ed (eager): without lineage
-    * truncation the logical plan grows by a constant factor PER ROUND
-    * (each star references its input several times) and planning itself
-    * blows up long before the data does. Dropped generations are
-    * reclaimed asynchronously by the ContextCleaner once unreferenced.
-    * On a multi-executor cluster, set a checkpoint dir and swap in
-    * reliable `checkpoint()` — localCheckpoint ties blocks to executor
-    * lifetime. */
-  def starEdges(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Each round is checkpointed: without lineage truncation the logical
+    * plan grows by a constant factor PER ROUND (each star references its
+    * input several times) and planning itself blows up long before the
+    * data does.
+    *
+    * @param checkpointDir when set, rounds use RELIABLE `checkpoint()`
+    *        into this directory (setCheckpointDir once per context) —
+    *        the right durability on a multi-executor cluster, where
+    *        `localCheckpoint` blocks die with a decommissioned executor
+    *        and a 100-round-hour job would restart from zero. When
+    *        absent, `localCheckpoint` (lazy) — cheapest on a single
+    *        node, and the checksum action right after is the job that
+    *        materializes each round (eager would pay a second,
+    *        redundant job; reliable checkpoint() is always eager, its
+    *        write IS the materializing job). Dropped generations are
+    *        reclaimed by the ContextCleaner once unreferenced. */
+  def starEdges(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    starEdgesWithRounds(pairs, maxIter, checkpointDir)._1
+
+  /** [[starEdges]] plus the number of Large∘Small rounds it took to
+    * converge (the +1 confirming round included) — the observable the
+    * O(log n) claim is tested against. */
+  def starEdgesWithRounds(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val persist: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint(false)
+    }
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    // lazy checkpoints: the checksum action right after is the job that
-    // materializes each round — eager would pay a second, redundant job
-    var e = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .distinct().localCheckpoint(false)
+    var e = persist(pairs.select(col("a_id").as("u"), col("b_id").as("v")).distinct())
     var sum = checksum(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = persist(smallStar(largeStar(e)))
       val nextSum = checksum(next)
       converged = nextSum == sum
       e = next
       sum = nextSum
       it += 1
     }
-    e
+    (e, it)
   }
 
   /** Per-document cluster assignment over `docs` using the near-dup
@@ -98,8 +122,12 @@ object Clusters {
     * clusters of themselves. The final graph is a star per component, so
     * the root is just the minimum of each node's closed neighborhood —
     * one aggregation, no more iteration. */
-  def assign(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val stars = symmetric(starEdges(pairs, maxIter))
+  def assign(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val stars = symmetric(starEdges(pairs, maxIter, checkpointDir))
     val roots = stars.groupBy("u").agg(min("v").as("_mn"))
       .select(col("u").as("doc_id"), least(col("_mn"), col("u")).as("cluster_id"))
     val all = docs.select(col("doc_id"))

@@ -349,6 +349,25 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) == 1L && r.getLong(2) == 64L))
   }
 
+  test("connected components: reliable-checkpoint mode matches local, rounds stay O(log n)") {
+    // worst-case 128-node chain (diameter 127): plain propagation needs
+    // ~127 rounds; alternating stars must land well inside 2·log2(128)+2.
+    val pairs = (1L until 128L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    for (ckpt <- Seq(None, Some(dir))) {
+      val (stars, rounds) = graft.llm.Clusters.starEdgesWithRounds(
+        pairs, maxIter = 20, checkpointDir = ckpt)
+      assert(rounds <= 16, s"chain must collapse in O(log n) rounds, took $rounds (ckpt=$ckpt)")
+      // final graph is a star: every node points at root 1
+      val edges = stars.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(edges === (2L to 128L).map(i => (i, 1L)).toArray, s"ckpt=$ckpt")
+    }
+    // reliable mode actually wrote checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint must persist round blocks to the dir")
+  }
+
   test("mixture weights: α=1/2 flattens the head, exact on perfect squares") {
     // source a: 9 tokens total (sqrt 9 = 3), source b: 16 (sqrt 16 = 4) —
     // quantization is exact, so the weights are exactly 3/7 and 4/7
