@@ -1248,14 +1248,14 @@ object Oracles {
     * mirrors `Similarity.kmeansCentroids` + `ivfTopK`. Centroid means sum
     * floor(x·2²⁰) as BIGINT (exact, associative, no rounding ties) and
     * divide back once — bit-identical to Spark's unordered partial aggs. */
-  val annIvfTopK: String = {
-    def assignCte(name: String, cents: String): String = s"""$name AS (
+  private def ivfAssignCte(name: String, cents: String): String = s"""$name AS (
       SELECT vec_id, c_id AS list_id FROM (
         SELECT n.vec_id, c.c_id,
           row_number() OVER (PARTITION BY n.vec_id
             ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS r
         FROM n, $cents c) WHERE r = 1)"""
-    def lloydStep(assign: String, sums: String, cent: String): String = s"""$sums AS (
+
+  private def ivfLloydStep(assign: String, sums: String, cent: String): String = s"""$sums AS (
       SELECT a.list_id, t.i,
         sum(CAST(floor(e.embedding[t.i] * 1048576.0) AS BIGINT)) AS s,
         count(*) AS cnt
@@ -1265,13 +1265,16 @@ object Oracles {
       SELECT list_id AS c_id, list(s::DOUBLE / (1048576.0 * cnt) ORDER BY i) AS c_emb
       FROM $sums GROUP BY list_id),
     ${cent}n AS (SELECT c_id, c_emb, ${normSql("c_emb")} AS c_nrm FROM $cent)"""
-    s"""WITH
+
+  /** The full IVF pipeline as CTEs ending in `topk` (per-query ranked IVF
+    * candidates) — shared by `ann_ivf_topk` and `ann_ivf_recall`. */
+  private def ivfCtes: String = s"""
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
     cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
-    ${assignCte("assign1", "cents0")},
-    ${lloydStep("assign1", "sums1", "cent1")},
-    ${assignCte("assign2", "cent1n")},
-    ${lloydStep("assign2", "sums2", "cent2")},
+    ${ivfAssignCte("assign1", "cents0")},
+    ${ivfLloydStep("assign1", "sums1", "cent1")},
+    ${ivfAssignCte("assign2", "cent1n")},
+    ${ivfLloydStep("assign2", "sums2", "cent2")},
     ranked AS (
       SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
         row_number() OVER (PARTITION BY n.vec_id
@@ -1291,10 +1294,33 @@ object Oracles {
     topk AS (
       SELECT q_id, n_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-      FROM scored)
+      FROM scored)"""
+
+  val annIvfTopK: String = s"""WITH $ivfCtes
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
-  }
+
+  /** Recall@3 of the IVF probe vs brute force — mirrors
+    * `Similarity.ivfRecall` (same k on both sides; n_hits/k is one
+    * small-integer division, bit-stable). */
+  val annIvfRecall: String = s"""WITH $ivfCtes,
+    ivf AS (SELECT q_id, n_id FROM topk WHERE rnk <= 3),
+    bscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    branked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM bscored),
+    exact AS (SELECT q_id, n_id FROM branked WHERE rnk <= 3),
+    hits AS (
+      SELECT e.q_id, count(*) AS n_hits
+      FROM exact e JOIN ivf USING (q_id, n_id) GROUP BY e.q_id)
+    SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+      CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3 AS recall_at_k
+    FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
+    ORDER BY q_id"""
 
   /** Source↔sink verify counts via both-direction anti-joins
     * (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`). */
@@ -1528,6 +1554,7 @@ object Oracles {
     "cdc_bus_totals" -> cdcBusTotals,
     "q_part_pushdown" -> qPartPushdown,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_recall" -> annIvfRecall,
     "mm_frame_sample" -> mmFrameSample,
     "cdc_verify_counts" -> cdcVerifyCounts,
     "cdc_verify_sample" -> cdcVerifySample,

@@ -709,6 +709,8 @@ object SparkEntry {
         .orderBy("p_brand")),
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    "ann_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")),
     "cdc_verify_counts" -> ((s, dir) => {

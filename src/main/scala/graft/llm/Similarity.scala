@@ -222,6 +222,32 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
+  /** Recall@k of the IVF probe against the brute-force exact top-k — the
+    * number a real ANN deployment watches: probing `nProbe` of `nLists`
+    * lists trades exactly this much of the true neighbor set for the
+    * ~nLists/nProbe scan reduction. Both sides are deterministic (exact
+    * scoring, quantized-mean Lloyd), so the metric is oracle-checkable
+    * bit-for-bit: per query, `n_hits` = |ivf top-k ∩ exact top-k| and
+    * `recall_at_k` = n_hits/k (one small-integer division — bit-stable).
+    *
+    * Scale shape: the exact side is one corpus stream (the baseline you
+    * run on a SAMPLE of queries, not all of them); the intersect is a
+    * k·nQueries-row join — nothing beyond what the two operators already
+    * pay. */
+  def ivfRecall(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
+      nQueries: Int = 10, k: Int = 3, kmeansIters: Int = 2): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    val ivf = ivfTopK(emb, nLists, nProbe, nQueries, k, kmeansIters)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.intersect(ivf)
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`: LSH-bucketed
     * candidate generation (equality self-join on bucket) + exact re-check.
     * At 100 TB the bucket join replaces the quadratic scan; recall is tuned
