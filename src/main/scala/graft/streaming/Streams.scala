@@ -296,6 +296,30 @@ object Streams {
   /** Per-partition queue state for the streaming broker delivery. */
   case class BrokerQueueState(tick: Long, usedThisTick: Int)
 
+  /** One micro-batch step of the FIFO broker delivery: fold `incoming` (any
+    * order; sorted by lsn internally — the enqueue order) through the
+    * per-partition (tick, used) queue state. Shared by the
+    * `flatMapGroupsWithState` and `transformWithState` forms so the two
+    * APIs cannot drift. */
+  def brokerFold(
+      part: Int,
+      st: BrokerQueueState,
+      incoming: Seq[graft.cdc.Consumer.BrokerIn],
+      tickMs: Long, maxApplyPerTick: Int)
+      : (BrokerQueueState, Seq[graft.cdc.Consumer.BrokerOut]) = {
+    var tick = st.tick
+    var used = st.usedThisTick
+    val out = incoming.sortBy(_.lsn).map { e =>
+      val availTick = Math.floorDiv(e.availableAt - 1, tickMs) + 1
+      if (availTick > tick) { tick = availTick; used = 0 }
+      if (used >= maxApplyPerTick) { tick += 1; used = 0 }
+      used += 1
+      graft.cdc.Consumer.BrokerOut(
+        e.part, e.lsn, e.availableAt, e.dropped, tick, tick * tickMs)
+    }
+    (BrokerQueueState(tick, used), out)
+  }
+
   /** Streaming exact broker delivery — the unbounded form of
     * `Consumer.brokerDeliverExact` (`model.ts:246-263` `pollBroker`): each
     * partition's (tick, used) queue state is keyed state, so per-tick caps
@@ -315,18 +339,9 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (part: Int, incoming: Iterator[graft.cdc.Consumer.BrokerIn],
          state: GroupState[BrokerQueueState]) => {
-          var st = state.getOption.getOrElse(BrokerQueueState(0L, 0))
-          var tick = st.tick
-          var used = st.usedThisTick
-          val out = incoming.toSeq.sortBy(_.lsn).map { e =>
-            val availTick = Math.floorDiv(e.availableAt - 1, tickMs) + 1
-            if (availTick > tick) { tick = availTick; used = 0 }
-            if (used >= maxApplyPerTick) { tick += 1; used = 0 }
-            used += 1
-            graft.cdc.Consumer.BrokerOut(
-              e.part, e.lsn, e.availableAt, e.dropped, tick, tick * tickMs)
-          }
-          state.update(BrokerQueueState(tick, used))
+          val st = state.getOption.getOrElse(BrokerQueueState(0L, 0))
+          val (next, out) = brokerFold(part, st, incoming.toSeq, tickMs, maxApplyPerTick)
+          state.update(next)
           out.iterator
         })
   }
@@ -359,6 +374,73 @@ object Streams {
     * every real arrival); tests use (b) so no timer wall-clock enters the
     * assertion.
     */
+  /** One micro-batch step of the drift-broker LIFO drain — the core shared
+    * by the `flatMapGroupsWithState` and `transformWithState` forms (the
+    * two APIs cannot drift). Simulates ticks strictly BEFORE the batch's
+    * latest arrival tick, pushes the final tick's arrivals pending (their
+    * drain belongs to the next batch — see [[brokerDeliverDriftStream]]'s
+    * exactness argument), and returns the carried (clock, stack) state.
+    * `flush = true` means no more arrivals are coming: drain to empty. */
+  def driftFold(
+      part: Int,
+      st: DriftQueueState,
+      incomingAnyOrder: Seq[graft.cdc.Consumer.DriftIn],
+      tickMs: Long, maxApplyPerTick: Int,
+      flush: Boolean = false)
+      : (DriftQueueState, Seq[graft.cdc.Consumer.BrokerOut]) = {
+    def tickOf(x: Long) = Math.floorDiv(x - 1, tickMs) + 1
+    val stack = scala.collection.mutable.ArrayDeque.from(st.stack)
+    var tick = st.tick
+    val out = scala.collection.mutable.ArrayBuffer.empty[graft.cdc.Consumer.BrokerOut]
+    // simulate ticks ≤ maxTick; returns how many arrivals were consumed
+    def drainUpTo(maxTick: Long, arrivals: IndexedSeq[graft.cdc.Consumer.DriftIn]): Int = {
+      var i = 0
+      var continue = true
+      while (continue) {
+        val nextArr = if (i < arrivals.length) tickOf(arrivals(i).t) else Long.MaxValue
+        val nextDrain =
+          if (stack.nonEmpty) math.max(tick + 1, tickOf(stack.head.availableAt))
+          else Long.MaxValue
+        val T = math.min(nextArr, nextDrain)
+        if (T > maxTick) continue = false
+        else {
+          while (i < arrivals.length && tickOf(arrivals(i).t) <= T) {
+            val e = arrivals(i)
+            stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
+            i += 1
+          }
+          var used = 0
+          while (stack.nonEmpty && used < maxApplyPerTick &&
+              tickOf(stack.head.availableAt) <= T) {
+            val e = stack.removeHead()
+            out += graft.cdc.Consumer.BrokerOut(
+              part, e.lsn, e.availableAt, e.dropped, T, T * tickMs)
+            used += 1
+          }
+          tick = T
+        }
+      }
+      i
+    }
+    if (flush) {
+      drainUpTo(Long.MaxValue - 1, IndexedSeq.empty)
+      (DriftQueueState(tick, Seq.empty), out.toSeq)
+    } else {
+      val arrivals = incomingAnyOrder.toIndexedSeq.sortBy(_.lsn)
+      if (arrivals.nonEmpty) {
+        val consumed = drainUpTo(arrivals.map(e => tickOf(e.t)).max - 1, arrivals)
+        // the final tick's arrivals were not consumed by the loop: push
+        // them pending in lsn order (each lands on top, newest at the
+        // head); their drain belongs to the next batch, which may still
+        // add same-tick arrivals above them
+        arrivals.drop(consumed).foreach { e =>
+          stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
+        }
+      }
+      (DriftQueueState(tick, stack.toSeq), out.toSeq)
+    }
+  }
+
   def brokerDeliverDriftStream(
       events: Dataset[graft.cdc.Consumer.DriftIn],
       tickMs: Long = 50L,
@@ -366,7 +448,6 @@ object Streams {
       ttlMs: Long = 0L): Dataset[graft.cdc.Consumer.BrokerOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def tickOf(x: Long) = Math.floorDiv(x - 1, tickMs) + 1
     val timeoutConf =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -376,57 +457,14 @@ object Streams {
         (part: Int, incoming: Iterator[graft.cdc.Consumer.DriftIn],
          state: GroupState[DriftQueueState]) => {
           val st = state.getOption.getOrElse(DriftQueueState(0L, Seq.empty))
-          val stack = scala.collection.mutable.ArrayDeque.from(st.stack)
-          var tick = st.tick
-          val out = scala.collection.mutable.ArrayBuffer.empty[graft.cdc.Consumer.BrokerOut]
-          // simulate ticks ≤ maxTick; returns how many arrivals were consumed
-          def drainUpTo(maxTick: Long, arrivals: IndexedSeq[graft.cdc.Consumer.DriftIn]): Int = {
-            var i = 0
-            var continue = true
-            while (continue) {
-              val nextArr = if (i < arrivals.length) tickOf(arrivals(i).t) else Long.MaxValue
-              val nextDrain =
-                if (stack.nonEmpty) math.max(tick + 1, tickOf(stack.head.availableAt))
-                else Long.MaxValue
-              val T = math.min(nextArr, nextDrain)
-              if (T > maxTick) continue = false
-              else {
-                while (i < arrivals.length && tickOf(arrivals(i).t) <= T) {
-                  val e = arrivals(i)
-                  stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
-                  i += 1
-                }
-                var used = 0
-                while (stack.nonEmpty && used < maxApplyPerTick &&
-                    tickOf(stack.head.availableAt) <= T) {
-                  val e = stack.removeHead()
-                  out += graft.cdc.Consumer.BrokerOut(
-                    part, e.lsn, e.availableAt, e.dropped, T, T * tickMs)
-                  used += 1
-                }
-                tick = T
-              }
-            }
-            i
-          }
           if (state.hasTimedOut) {
             // no more arrivals coming: drain to empty
-            drainUpTo(Long.MaxValue - 1, IndexedSeq.empty)
+            val (_, out) = driftFold(part, st, Seq.empty, tickMs, maxApplyPerTick, flush = true)
             state.remove()
             out.iterator
           } else {
-            val arrivals = incoming.toIndexedSeq.sortBy(_.lsn)
-            if (arrivals.nonEmpty) {
-              val consumed = drainUpTo(arrivals.map(e => tickOf(e.t)).max - 1, arrivals)
-              // the final tick's arrivals were not consumed by the loop:
-              // push them pending in lsn order (each lands on top, newest at
-              // the head); their drain belongs to the next batch, which may
-              // still add same-tick arrivals above them
-              arrivals.drop(consumed).foreach { e =>
-                stack.prepend(DriftEntry(e.lsn, e.t, e.availableAt, e.dropped))
-              }
-            }
-            state.update(DriftQueueState(tick, stack.toSeq))
+            val (next, out) = driftFold(part, st, incoming.toSeq, tickMs, maxApplyPerTick)
+            state.update(next)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             out.iterator
           }
@@ -511,6 +549,25 @@ object Streams {
     * projection on top (`SchemaEvolution.captureLanes`' lane explode works
     * unchanged on a streaming frame).
     */
+  /** One micro-batch step of the per-table version counter: changes apply
+    * in the batch form's deterministic (commitTs, column) order. Shared by
+    * the `flatMapGroupsWithState` and `transformWithState` forms so the
+    * two APIs cannot drift. */
+  def schemaFold(
+      version: Int,
+      incoming: Seq[graft.cdc.SchemaEvolution.SchemaChange])
+      : (Int, Seq[VersionedSchemaChange]) = {
+    var v = version
+    val out = incoming.sortBy(c => (c.commitTs, c.column)).map { c =>
+      val prev = v
+      v += 1
+      VersionedSchemaChange(
+        c.tbl, c.action, c.column, c.commitTs, prev, v,
+        if (c.action == "ADD_COLUMN") "SCHEMA_ADD_COL" else "SCHEMA_DROP_COL")
+    }
+    (v, out)
+  }
+
   def schemaCaptureStream(
       changes: Dataset[graft.cdc.SchemaEvolution.SchemaChange]): Dataset[VersionedSchemaChange] = {
     val spark = changes.sparkSession
@@ -520,14 +577,8 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (tbl: String, incoming: Iterator[graft.cdc.SchemaEvolution.SchemaChange],
          state: GroupState[SchemaVersionState]) => {
-          var v = state.getOption.map(_.version).getOrElse(1)
-          val out = incoming.toSeq.sortBy(c => (c.commitTs, c.column)).map { c =>
-            val prev = v
-            v += 1
-            VersionedSchemaChange(
-              c.tbl, c.action, c.column, c.commitTs, prev, v,
-              if (c.action == "ADD_COLUMN") "SCHEMA_ADD_COL" else "SCHEMA_DROP_COL")
-          }
+          val (v, out) = schemaFold(
+            state.getOption.map(_.version).getOrElse(1), incoming.toSeq)
           state.update(SchemaVersionState(v))
           out.iterator
         })

@@ -206,4 +206,220 @@ object StreamsV2 {
       .groupByKey(_.key)
       .transformWithState(new AsOfProcessor(ttl), mode, OutputMode.Append())
   }
+
+  /** FIFO broker-delivery processor: one (tick, used) `ValueState` per
+    * partition. The drain math is [[Streams.brokerFold]], the SAME
+    * function the `flatMapGroupsWithState` form calls — the two APIs
+    * cannot drift. */
+  class BrokerDeliveryProcessor(tickMs: Long, maxApplyPerTick: Int)
+      extends StatefulProcessor[Int, graft.cdc.Consumer.BrokerIn, graft.cdc.Consumer.BrokerOut] {
+    @transient private var queue: org.apache.spark.sql.streaming.ValueState[Streams.BrokerQueueState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      queue = getHandle.getValueState(
+        "queue", Encoders.product[Streams.BrokerQueueState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        part: Int, rows: Iterator[graft.cdc.Consumer.BrokerIn],
+        timerValues: TimerValues): Iterator[graft.cdc.Consumer.BrokerOut] = {
+      val st = if (queue.exists()) queue.get() else Streams.BrokerQueueState(0L, 0)
+      val (next, out) = Streams.brokerFold(part, st, rows.toSeq, tickMs, maxApplyPerTick)
+      queue.update(next)
+      out.iterator
+    }
+  }
+
+  /** Exact FIFO broker delivery on `transformWithState` — drop-in for
+    * [[Streams.brokerDeliverStream]]. */
+  def brokerDeliverStream(
+      events: Dataset[graft.cdc.Consumer.BrokerIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4): Dataset[graft.cdc.Consumer.BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.part)
+      .transformWithState(
+        new BrokerDeliveryProcessor(tickMs, maxApplyPerTick), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Drift-broker (LIFO) processor: the per-partition (clock, pending
+    * stack) in one `ValueState`. A ValueState, not a ListState, on
+    * purpose: the stack mutates at its HEAD (every arrival prepends, every
+    * drain pops), so the append-only ListState write pattern buys nothing
+    * here — the value rewrite is the honest cost of LIFO state. The fold
+    * is [[Streams.driftFold]], the SAME function the
+    * `flatMapGroupsWithState` form calls — the two APIs cannot drift.
+    *
+    * `ttlMs > 0` arms a processing-time timer re-registered on every
+    * batch; if it fires with no new arrivals the stack drains to empty
+    * (same terminal semantics as v1's ProcessingTimeTimeout). Bounded
+    * replays use a flush sentinel instead, so no wall clock enters tests. */
+  class DriftBrokerProcessor(tickMs: Long, maxApplyPerTick: Int, ttlMs: Long)
+      extends StatefulProcessor[Int, graft.cdc.Consumer.DriftIn, graft.cdc.Consumer.BrokerOut] {
+    @transient private var queue: org.apache.spark.sql.streaming.ValueState[Streams.DriftQueueState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      queue = getHandle.getValueState(
+        "driftQueue", Encoders.product[Streams.DriftQueueState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        part: Int, rows: Iterator[graft.cdc.Consumer.DriftIn],
+        timerValues: TimerValues): Iterator[graft.cdc.Consumer.BrokerOut] = {
+      val st = if (queue.exists()) queue.get() else Streams.DriftQueueState(0L, Seq.empty)
+      val (next, out) = Streams.driftFold(part, st, rows.toSeq, tickMs, maxApplyPerTick)
+      queue.update(next)
+      if (ttlMs > 0) {
+        // slide the idle deadline: drop the old timer, arm a fresh one
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + ttlMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        part: Int, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[graft.cdc.Consumer.BrokerOut] = {
+      val st = if (queue.exists()) queue.get() else Streams.DriftQueueState(0L, Seq.empty)
+      val (_, out) = Streams.driftFold(part, st, Seq.empty, tickMs, maxApplyPerTick, flush = true)
+      queue.clear()
+      out.iterator
+    }
+  }
+
+  /** Exact drift-on (LIFO) broker delivery on `transformWithState` —
+    * drop-in for [[Streams.brokerDeliverDriftStream]]. */
+  def brokerDeliverDriftStream(
+      events: Dataset[graft.cdc.Consumer.DriftIn],
+      tickMs: Long = 50L,
+      maxApplyPerTick: Int = 4,
+      ttlMs: Long = 0L): Dataset[graft.cdc.Consumer.BrokerOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.part)
+      .transformWithState(
+        new DriftBrokerProcessor(tickMs, maxApplyPerTick, ttlMs), mode, OutputMode.Append())
+  }
+
+  /** Schema-capture processor: the per-table monotone version counter in
+    * one tiny `ValueState`. The versioning is [[Streams.schemaFold]], the
+    * SAME function the `flatMapGroupsWithState` form calls — the two APIs
+    * cannot drift. */
+  class SchemaCaptureProcessor
+      extends StatefulProcessor[String, graft.cdc.SchemaEvolution.SchemaChange, Streams.VersionedSchemaChange] {
+    @transient private var version: org.apache.spark.sql.streaming.ValueState[Streams.SchemaVersionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      version = getHandle.getValueState(
+        "schemaVersion", Encoders.product[Streams.SchemaVersionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        tbl: String, rows: Iterator[graft.cdc.SchemaEvolution.SchemaChange],
+        timerValues: TimerValues): Iterator[Streams.VersionedSchemaChange] = {
+      val v0 = if (version.exists()) version.get().version else 1
+      val (v, out) = Streams.schemaFold(v0, rows.toSeq)
+      version.update(Streams.SchemaVersionState(v))
+      out.iterator
+    }
+  }
+
+  /** Streaming schema-change capture on `transformWithState` — drop-in
+    * for [[Streams.schemaCaptureStream]]. */
+  def schemaCaptureStream(
+      changes: Dataset[graft.cdc.SchemaEvolution.SchemaChange]): Dataset[Streams.VersionedSchemaChange] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.tbl)
+      .transformWithState(new SchemaCaptureProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Latest row image within one open poll window (public for the state
+    * encoder). */
+  case class PollWinState(
+      opCode: String, valV: Option[Double], kV: Option[Long], lsn: Long, n: Long)
+
+  /** One closed poll window's emission — same fields as
+    * [[Streams.pollStream]]'s row with `poll_ts` as epoch millis. */
+  case class PollOut(
+      tbl: String, pk: String, pollTs: Long, opCode: String,
+      afterVal: Option[Double], afterK: Option[Long], opsInWindow: Long)
+
+  /** Polling-capture processor — the ROW-IMAGE form of the poll lane: per
+    * (tbl, pk) key a `MapState` holds the latest image (max-lsn op, merged
+    * payload fields, op count) of each OPEN tumbling window, and an
+    * event-time timer at each window's end emits the image once the
+    * watermark closes it — the poll's lossy-by-design semantics
+    * (intermediate versions die inside the window state;
+    * `sim/engines/PollingEngine.ts:59-84`).
+    *
+    * vs the v1 windowed `max_by` aggregation ([[Streams.pollStream]]):
+    * same semantics (parity-asserted), but the state is explicit — one
+    * map entry per key per open window, O(1) per entry regardless of ops
+    * per window — and the RocksDB write pattern is per-window-entry
+    * updates instead of aggregation buffers. */
+  class PollProcessor(pollIntervalMs: Long)
+      extends StatefulProcessor[(String, String), Event, PollOut] {
+    @transient private var windows: org.apache.spark.sql.streaming.MapState[Long, PollWinState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      windows = getHandle.getMapState(
+        "openWindows", Encoders.scalaLong, Encoders.product[PollWinState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[PollOut] = {
+      rows.toSeq.sortBy(_.lsn).foreach { e =>
+        val ws = Math.floorDiv(e.commitTs, pollIntervalMs) * pollIntervalMs
+        val cur = if (windows.containsKey(ws)) Some(windows.getValue(ws)) else None
+        val next = cur match {
+          case None => PollWinState(e.opCode, e.valV, e.kV, e.lsn, 1L)
+          case Some(c) =>
+            if (e.lsn >= c.lsn) PollWinState(e.opCode, e.valV, e.kV, e.lsn, c.n + 1)
+            else c.copy(n = c.n + 1)
+        }
+        windows.updateValue(ws, next)
+        getHandle.registerTimer(ws + pollIntervalMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: (String, String), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PollOut] = {
+      // a timer at windowEnd fires once the watermark passes it; emit and
+      // drop every window closed by the current watermark (covers several
+      // windows if the watermark jumped)
+      val wm = timerValues.getCurrentWatermarkInMs
+      val closed = windows.iterator()
+        .filter { case (ws, _) => ws + pollIntervalMs <= wm }
+        .toSeq.sortBy(_._1)
+      closed.iterator.map { case (ws, st) =>
+        windows.removeKey(ws)
+        PollOut(key._1, key._2, ws + pollIntervalMs, st.opCode, st.valV, st.kV, st.n)
+      }
+    }
+  }
+
+  /** Streaming polling capture on `transformWithState` — the keyed
+    * row-image-state counterpart of [[Streams.pollStream]] (same emitted
+    * rows, `poll_ts` as epoch ms; parity in StreamingSpec). */
+  def pollStream(
+      events: Dataset[Event],
+      pollIntervalMs: Long = 1000L,
+      watermarkDelay: String = "10 seconds"): Dataset[PollOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    events
+      .withColumn("event_time", timestamp_millis(col("commitTs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(e => (e.tbl, e.pk))
+      .transformWithState(
+        new PollProcessor(pollIntervalMs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

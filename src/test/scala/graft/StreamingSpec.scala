@@ -454,6 +454,153 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState broker delivery: shared fold parity across batches") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{BrokerIn, BrokerOut}
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 3).map(i => BrokerIn(0, i.toLong, 40L, dropped = i == 2))
+    val batch2 = (4 to 5).map(i => BrokerIn(0, i.toLong, 40L, dropped = false))
+    withRocksDb {
+      val input = MemoryStream[BrokerIn]
+      val q = graft.streaming.StreamsV2.brokerDeliverStream(
+        input.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+        .writeStream.format("memory").queryName("broker_tws")
+        .outputMode("append").start()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("broker_tws").as[BrokerOut].collect()
+        .map(e => e.lsn -> e.deliverTick).toMap
+      val batch = Consumer.brokerDeliverExact((batch1 ++ batch2).toDS(),
+        tickMs = 50L, maxApplyPerTick = 2)
+        .collect().map(e => e.lsn -> e.deliverTick).toMap
+      assert(streamed === batch, "ValueState queue must survive the batch boundary")
+      assert(streamed === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+      q.stop()
+    }
+  }
+
+  test("transformWithState drift broker: LIFO stack parity with v1 and batch fold") {
+    import spark.implicits._
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{BrokerOut, DriftIn}
+    implicit val sqlCtx = spark.sqlContext
+    // same planted drift scenario as the v1 test, same mid-tick batch split
+    val all = Seq(
+      DriftIn(0, 1L, 10L, 10L, dropped = false),
+      DriftIn(0, 2L, 20L, 70L, dropped = false),
+      DriftIn(0, 3L, 60L, 60L, dropped = true),
+      DriftIn(0, 4L, 70L, 120L, dropped = false),
+      DriftIn(0, 5L, 160L, 160L, dropped = false),
+      DriftIn(1, 10L, 10L, 10L, dropped = false),
+      DriftIn(1, 11L, 12L, 62L, dropped = false),
+      DriftIn(1, 12L, 110L, 110L, dropped = false))
+    val (batch1, batch2) = all.splitAt(3)
+    val flush = Seq(
+      DriftIn(0, 9000L, 100000L, 100000L, dropped = true),
+      DriftIn(1, 9001L, 100000L, 100000L, dropped = true))
+    withRocksDb {
+      val input = MemoryStream[DriftIn]
+      val q = graft.streaming.StreamsV2.brokerDeliverDriftStream(
+        input.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+        .writeStream.format("memory").queryName("drift_tws")
+        .outputMode("append").start()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(flush: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_tws").as[BrokerOut].collect()
+        .filter(_.lsn < 9000L).map(e => e.lsn -> e.deliverTick).toMap
+      val batch = Consumer.brokerDeliverDriftExact(all.toDS(), tickMs = 50L, maxApplyPerTick = 2)
+        .collect().map(e => e.lsn -> e.deliverTick).toMap
+      assert(streamed === batch, "ValueState stack must survive the batch boundary")
+      assert(streamed(4L) === 3L && streamed(3L) === 3L)
+      assert(streamed(5L) === 4L && streamed(2L) === 4L && streamed(1L) === 5L)
+      q.stop()
+    }
+  }
+
+  test("transformWithState schema capture: version counter parity across batches") {
+    import spark.implicits._
+    import graft.cdc.SchemaEvolution.SchemaChange
+    import graft.streaming.Streams.VersionedSchemaChange
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[SchemaChange]
+      val q = graft.streaming.StreamsV2.schemaCaptureStream(input.toDS())
+        .writeStream.format("memory").queryName("schema_tws")
+        .outputMode("append").start()
+      input.addData(
+        SchemaChange("t0", "ADD_COLUMN", "a", 100L),
+        SchemaChange("t1", "ADD_COLUMN", "z", 150L),
+        SchemaChange("t0", "DROP_COLUMN", "a", 200L))
+      q.processAllAvailable()
+      input.addData(SchemaChange("t0", "ADD_COLUMN", "b", 300L))
+      q.processAllAvailable()
+      val out = spark.table("schema_tws").as[VersionedSchemaChange].collect()
+        .map(c => (c.tbl, c.column, c.prevVersion, c.nextVersion, c.kind)).toSet
+      assert(out === Set(
+        ("t0", "a", 1, 2, "SCHEMA_ADD_COL"),
+        ("t0", "a", 2, 3, "SCHEMA_DROP_COL"),
+        ("t0", "b", 3, 4, "SCHEMA_ADD_COL"),
+        ("t1", "z", 1, 2, "SCHEMA_ADD_COL")))
+      q.stop()
+    }
+  }
+
+  test("transformWithState poll: MapState row-image windows == v1 windowed agg") {
+    import spark.implicits._
+    import graft.streaming.StreamsV2.PollOut
+    implicit val sqlCtx = spark.sqlContext
+    // the v1 poll test's feed: three ops on key a in window [0,1000), then
+    // watermark-advancing events on keys b and c
+    val feed = Seq(
+      Seq(
+        Event("tx", 0, 1, true, "t0", "a", "c", true, Some(1.0), false, None, 100L, 1L),
+        Event("tx", 0, 1, true, "t0", "a", "u", true, Some(2.0), false, None, 300L, 2L),
+        Event("tx", 0, 1, true, "t0", "a", "u", false, None, true, Some(9L), 700L, 3L)),
+      Seq(Event("tx", 0, 1, true, "t0", "b", "c", true, Some(5.0), false, None, 5000L, 4L)),
+      Seq(Event("tx", 0, 1, true, "t0", "c", "c", true, Some(6.0), false, None, 9000L, 5L)))
+
+    val v2 = withRocksDb {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.StreamsV2.pollStream(
+        input.toDS(), pollIntervalMs = 1000L, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("poll_tws")
+        .outputMode("append").start()
+      feed.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.table("poll_tws").as[PollOut].collect()
+        .map(p => (p.tbl, p.pk, p.pollTs, p.opCode, p.afterVal, p.afterK, p.opsInWindow))
+        .sortBy(t => (t._2, t._3))
+      q.stop()
+      rows.toSeq
+    }
+
+    // v1 on the identical feed (poll_ts timestamp → epoch ms for compare)
+    val input1 = MemoryStream[Event]
+    val q1 = Streams.pollStream(input1.toDS(), pollIntervalMs = 1000L, watermarkDelay = "0 seconds")
+      .selectExpr("tbl", "pk", "unix_millis(poll_ts) AS poll_ms", "op_code",
+        "after_val", "after_k", "ops_in_window")
+      .writeStream.format("memory").queryName("poll_v1_cmp")
+      .outputMode("append").start()
+    feed.foreach { b => input1.addData(b: _*); q1.processAllAvailable() }
+    val v1 = spark.table("poll_v1_cmp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getLong(6)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    q1.stop()
+
+    assert(v2 === v1, "MapState windows must emit exactly the windowed agg's rows")
+    // and the planted semantics hold: key a's window kept only the last image
+    val a = v2.filter(_._2 == "a")
+    assert(a === Seq(("t0", "a", 1000L, "u", None, Some(9L), 3L)))
+  }
+
   test("transformWithState as-of: ValueState parity with the v1 stream across batches") {
     import spark.implicits._
     import graft.streaming.Streams.{AsOfIn, AsOfOut}
