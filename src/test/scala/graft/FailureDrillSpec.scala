@@ -85,6 +85,123 @@ class FailureDrillSpec extends SparkSpec {
       s"resume must deliver exactly the accumulated suffix, once: $seen")
   }
 
+  /** transformWithState needs the RocksDB state store provider; scope it
+    * to the drill and restore the session default afterwards. */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** `failures/restart.sh`, stateful form — the drill the shell script
+    * actually runs is killing a LIVE consumer with in-flight state and
+    * restarting it from its offsets. Here the consumer is the
+    * transformWithState txn assembler (RocksDB ListState): the kill lands
+    * between micro-batches while tx-b and tx-c are HALF-BUFFERED, and the
+    * resumed query must complete them from recovered state — every
+    * transaction assembles exactly once, event-complete, in-order. */
+  test("restart drill: stateful StreamsV2 query resumes half-buffered txns from checkpoint") {
+    import graft.streaming.{Streams, StreamsV2}
+    val root = Files.createTempDirectory("restart_tws")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val assembled = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, String)]()
+    val schema = "txId STRING, txIndex INT, txTotal INT, last BOOLEAN, tbl STRING, " +
+      "pk STRING, opCode STRING, setsVal BOOLEAN, valV DOUBLE, setsK BOOLEAN, " +
+      "kV LONG, commitTs LONG, lsn LONG"
+    def startQuery() = StreamsV2.assembleTxns(
+      spark.readStream.schema(schema).json(srcDir.getPath).as[Streams.Event], ttlMs = 0L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Streams.AssembledTxn], _: Long) =>
+        df.collect().foreach(t => assembled.add(
+          (t.txId, t.nEvents, t.firstLsn, t.events.map(_.txIndex).mkString(",")))))
+      .start()
+    def ev(txId: String, idx: Int, total: Int, lsn: Long): String =
+      s"""{"txId":"$txId","txIndex":$idx,"txTotal":$total,"last":${idx == total - 1},""" +
+        s""""tbl":"t0","pk":"p$lsn","opCode":"u","setsVal":true,"valV":1.5,""" +
+        s""""setsK":false,"kV":null,"commitTs":${lsn * 10},"lsn":$lsn}"""
+
+    withRocksDb {
+      // batch 1: tx-a complete; tx-b 1/2; tx-c 2/3 (out of order: last first)
+      Files.writeString(srcDir.toPath.resolve("wal-1.json"), Seq(
+        ev("tx-a", 0, 1, 1L),
+        ev("tx-b", 0, 2, 2L),
+        ev("tx-c", 2, 3, 3L),
+        ev("tx-c", 0, 3, 4L)).mkString("\n"))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // crash with tx-b, tx-c half-buffered in RocksDB
+      assert(assembled.toArray.toSeq === Seq(("tx-a", 1, 1L, "0")),
+        "only the complete txn emits before the crash")
+      // source keeps writing while the consumer is down
+      Files.writeString(srcDir.toPath.resolve("wal-2.json"), Seq(
+        ev("tx-b", 1, 2, 5L),
+        ev("tx-c", 1, 3, 6L),
+        ev("tx-d", 0, 1, 7L)).mkString("\n"))
+      val q2 = startQuery() // same checkpoint → offsets AND state recover
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    val out = assembled.toArray(Array.empty[(String, Int, Long, String)]).toSeq
+    assert(out.map(_._1).sorted === Seq("tx-a", "tx-b", "tx-c", "tx-d"),
+      s"each txn exactly once across the kill: $out")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId("tx-b") === (("tx-b", 2, 2L, "0,1")), "recovered buffer + new event")
+    assert(byId("tx-c") === (("tx-c", 3, 3L, "0,1,2")), "events sorted by txIndex on emit")
+    assert(byId("tx-d") === (("tx-d", 1, 7L, "0")))
+  }
+
+  /** Same kill, scalar state: the throttle's token bucket must resume its
+    * tick clock from the checkpoint — a reset bucket would re-drain the
+    * post-restart events from tick 1 instead of continuing at tick 3 (the
+    * batch fold over the whole feed is the oracle). */
+  test("restart drill: throttle bucket continues its tick clock across the kill") {
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.DeliveryIn
+    import graft.streaming.StreamsV2
+    val root = Files.createTempDirectory("restart_throttle")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val drained = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQuery() = StreamsV2.throttleStream(
+      spark.readStream.schema("method STRING, seq LONG, availableAt LONG")
+        .json(srcDir.getPath).as[DeliveryIn],
+      rate = 2.0, stepMs = 1000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Consumer.DeliveryOut], _: Long) =>
+        df.collect().foreach(d => drained.add((d.seq, d.drainTick))))
+      .start()
+    def row(seq: Long): String = s"""{"method":"m","seq":$seq,"availableAt":0}"""
+
+    withRocksDb {
+      Files.writeString(srcDir.toPath.resolve("b1.json"), (1 to 4).map(i => row(i)).mkString("\n"))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // crash after ticks 1,1,2,2 drained
+      Files.writeString(srcDir.toPath.resolve("b2.json"), (5 to 6).map(i => row(i)).mkString("\n"))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    val streamed = drained.toArray(Array.empty[(Long, Long)]).toMap
+    val batch = Consumer.throttleDrain(
+      (1 to 6).map(i => DeliveryIn("m", i.toLong, 0L)).toDS(), rate = 2.0, stepMs = 1000L)
+      .collect().map(d => d.seq -> d.drainTick).toMap
+    assert(streamed === batch, "recovered bucket must equal the uninterrupted batch fold")
+    assert(streamed(5L) === 3L && streamed(6L) === 3L,
+      "post-restart drains continue at tick 3 — a reset bucket would say 1")
+  }
+
   /** `failures/backfill.sql` — historical rows arrive with OLD business
     * timestamps but NEW offsets: the sink applies them in offset order, so
     * backfill values win over "newer" business data already present (the
