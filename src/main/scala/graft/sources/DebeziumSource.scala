@@ -37,13 +37,15 @@ object DebeziumSource {
   /** Decode a column of JSON envelope strings. Rows whose JSON cannot be
     * parsed decode to null fields (tracked, not dropped — the verifier
     * counts them). */
-  def decode(df: DataFrame, valueCol: Column, tableAllowlist: Seq[String] = Nil): DataFrame = {
+  def decode(
+      df: DataFrame, valueCol: Column, tableAllowlist: Seq[String] = Nil,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val parsedOuter = df.withColumn("env", from_json(valueCol, envelopeSchema))
     // unwrap the optional {payload: {...}} wrapper (index.js:258-262)
     val parsed = parsedOuter.withColumn("env",
       when(col("env.payload").isNotNull, from_json(col("env.payload"), envelopeSchema))
         .otherwise(col("env")))
-    val decoded = parsed.select(
+    val decoded = parsed.select(passthrough.map(col) ++ Seq(
       when(lower(col("env.op")).isin("c", "r"), "insert")
         .when(lower(col("env.op")) === "u", "update")
         .when(lower(col("env.op")) === "d", "delete").as("op"),
@@ -60,9 +62,44 @@ object DebeziumSource {
       col("env.tx.total").as("tx_total"),
       coalesce(col("env.tx.last"),
         col("env.tx.index") >= col("env.tx.total") - 1,
-        lit(true)).as("tx_last"))
+        lit(true)).as("tx_last")): _*)
     if (tableAllowlist.isEmpty) decoded
     else decoded.filter(col("tbl").isin(tableAllowlist: _*)) // index.js:265-267
+  }
+
+  /** Live Kafka → decoded envelope stream — the wire the verifier pipeline
+    * runs against a real broker (`harness/verifier/index.js:31-35`,
+    * `consumer.mjs:434-440`): `readStream.format("kafka")` →
+    * CAST(value AS STRING) → [[decode]], with the (topic, partition,
+    * offset) triple passed through for exactly-once dedup downstream
+    * (`Streams.dedupOffsets` on exactly those columns, `consumer.mjs:
+    * 122-143`).
+    *
+    * Gated on `spark.graft.kafka.enabled=true`: this sandbox ships neither
+    * a broker nor the `spark-sql-kafka` connector jar, so the path can
+    * compile and be code-reviewed but must not be reachable by accident —
+    * the require fails with THIS explanation instead of Kafka's opaque
+    * `Failed to find data source: kafka`. Everything downstream of the
+    * source is the batch-parity-tested decode (`cdc_debezium_e2e`); on a
+    * real cluster the only new moving part is the broker connection. */
+  def kafkaStream(
+      spark: org.apache.spark.sql.SparkSession,
+      bootstrapServers: String,
+      topics: String,
+      startingOffsets: String = "latest",
+      tableAllowlist: Seq[String] = Nil): DataFrame = {
+    require(spark.conf.getOption("spark.graft.kafka.enabled").contains("true"),
+      "live Kafka source is environment-gated: set spark.graft.kafka.enabled=true " +
+        "on a cluster with a broker and the spark-sql-kafka connector on the classpath")
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value", "topic", "partition", "offset")
+    decode(raw, col("value"), tableAllowlist,
+      passthrough = Seq("topic", "partition", "offset"))
   }
 
   /** Inverse of [[decode]] — render a JSON op feed (`CdcOps.jsonOps` shape:

@@ -49,6 +49,28 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("tx_last")))
   }
 
+  test("decode passthrough keeps the kafka offset triple; live source is gated") {
+    // the kafka wire's shape without a broker: value + (topic, partition,
+    // offset) pass through decode for downstream exactly-once dedup
+    val enveloped = Seq(
+      ("""{"op":"c","after":"{\"id\":\"1\"}","ts_ms":100,"source":{"table":"users","lsn":1}}""",
+        "cdc.users", 0, 41L))
+      .toDF("value", "topic", "partition", "offset")
+    val out = DebeziumSource.decode(enveloped, col("value"),
+      passthrough = Seq("topic", "partition", "offset")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[String]("topic"), r.getAs[Int]("partition"), r.getAs[Long]("offset")) ===
+      (("cdc.users", 0, 41L)))
+    assert(r.getAs[String]("op") === "insert" && r.getAs[String]("pk") === "1")
+    // without the env gate the live source must fail with the clear
+    // contract error, never reach Kafka's opaque data-source lookup
+    val e = intercept[IllegalArgumentException] {
+      DebeziumSource.kafkaStream(spark, "broker:9092", "cdc.users")
+    }
+    assert(e.getMessage.contains("spark.graft.kafka.enabled"))
+  }
+
   test("debezium encode→decode round-trip across wrapper/snapshot/delete branches") {
     // event ids chosen to hit every encoder branch: 0 (wrapped + r-snapshot),
     // 7 (odd, r-snapshot), 2 (wrapped update), 3 (odd delete: before-only pk)
