@@ -617,7 +617,7 @@ object Streams {
     * in (ts, tag) order with builds first on ties — inclusive as-of,
     * matching the batch form's window order — and the latest build carries
     * forward. Returns (next state, enriched probes). */
-  private[streaming] def asOfFold(
+  def asOfFold(
       key: Long,
       start: Option[AsOfState],
       incoming: Seq[AsOfIn]): (Option[AsOfState], Seq[AsOfOut]) = {

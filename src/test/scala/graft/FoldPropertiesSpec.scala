@@ -1,0 +1,162 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Consumer.{BrokerIn, DeliveryIn, DriftIn}
+import graft.cdc.SchemaEvolution.SchemaChange
+import graft.streaming.Streams
+
+/** Chop-invariance properties for the shared micro-batch folds: folding a
+  * feed through state in ONE batch must equal folding it through the same
+  * state chopped at ARBITRARY micro-batch boundaries — the exactness claim
+  * every streaming operator makes ("identical no matter how the stream is
+  * chopped"), tested directly on the pure functions over hundreds of
+  * random feeds and random chops. No SparkSession: these are the very
+  * folds both the `flatMapGroupsWithState` and `transformWithState` forms
+  * call (which StreamingSpec separately pins to the batch operators), so
+  * a property here covers every API form at once.
+  *
+  * Each fold's documented arrival contract bounds the chop: broker/drift
+  * require per-partition lsn order, throttle (availableAt, seq) order,
+  * schema capture (commitTs, column) order — so feeds generate sorted in
+  * contract order and chops are arbitrary split points on that order.
+  */
+class FoldPropertiesSpec extends AnyFunSuite {
+
+  private def samples[T](gen: Gen[T], n: Int, seed0: Long): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed0 + i)))
+
+  /** Random split of `xs` into consecutive chunks (possibly empty ends). */
+  private def chopsGen[T](xs: List[T]): Gen[List[List[T]]] =
+    Gen.listOfN(xs.length, Gen.oneOf(true, false)).map { cuts =>
+      val out = scala.collection.mutable.ListBuffer.empty[List[T]]
+      val cur = scala.collection.mutable.ListBuffer.empty[T]
+      xs.zip(cuts).foreach { case (x, cut) =>
+        cur += x
+        if (cut) { out += cur.toList; cur.clear() }
+      }
+      out += cur.toList
+      out.toList
+    }
+
+  test("throttleFold: chopped == one-shot on (availableAt, seq)-ordered feeds") {
+    val feedGen: Gen[List[DeliveryIn]] = for {
+      n <- Gen.choose(0, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield ts.sorted.zipWithIndex.map { case (t, i) => DeliveryIn("m", i + 1L, t) }
+    samples(Gen.zip(feedGen, Gen.choose(0L, 1L)), 60, 1300L).foreach { case (feed, _) =>
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val oneShot = Streams.throttleFold(
+          Streams.ThrottleState(0L, 0.0, 0), feed, rate = 2.0, stepMs = 50L, batchCap = 3)._2
+        val chopped = chop.foldLeft(
+          (Streams.ThrottleState(0L, 0.0, 0), Seq.empty[graft.cdc.Consumer.DeliveryOut])) {
+          case ((st, acc), batch) =>
+            val (next, out) = Streams.throttleFold(st, batch, rate = 2.0, stepMs = 50L, batchCap = 3)
+            (next, acc ++ out)
+        }._2
+        assert(chopped === oneShot, s"feed=$feed chop=$chop")
+      }
+    }
+  }
+
+  test("brokerFold: chopped == one-shot on lsn-ordered feeds") {
+    val feedGen: Gen[List[BrokerIn]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 400L), Gen.oneOf(true, false)))
+    } yield rows.zipWithIndex.map { case ((t, drop), i) => BrokerIn(0, i + 1L, t, drop) }
+    samples(feedGen, 60, 2300L).foreach { feed =>
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val oneShot = Streams.brokerFold(
+          0, Streams.BrokerQueueState(0L, 0), feed, tickMs = 50L, maxApplyPerTick = 2)._2
+        val chopped = chop.foldLeft(
+          (Streams.BrokerQueueState(0L, 0), Seq.empty[graft.cdc.Consumer.BrokerOut])) {
+          case ((st, acc), batch) =>
+            val (next, out) = Streams.brokerFold(0, st, batch, tickMs = 50L, maxApplyPerTick = 2)
+            (next, acc ++ out)
+        }._2
+        assert(chopped === oneShot, s"feed=$feed chop=$chop")
+      }
+    }
+  }
+
+  test("driftFold: chopped + flush == one-shot + flush on lsn/t-ordered feeds") {
+    // enqueue times non-decreasing with lsn (the log's order); half the
+    // events drift (availableAt jumps a tick), some are drops
+    val feedGen: Gen[List[DriftIn]] = for {
+      n <- Gen.choose(0, 30)
+      deltas <- Gen.listOfN(n, Gen.choose(0L, 60L))
+      drifts <- Gen.listOfN(n, Gen.oneOf(0L, 50L, 120L))
+      drops <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield {
+      val ts = deltas.scanLeft(1L)(_ + _).tail
+      ts.lazyZip(drifts).lazyZip(drops).toList.zipWithIndex.map {
+        case ((t, drift, drop), i) => DriftIn(0, i + 1L, t, t + drift, drop)
+      }
+    }
+    def run(st: Streams.DriftQueueState, batches: List[List[DriftIn]]) = {
+      val (endSt, acc) = batches.foldLeft((st, Seq.empty[graft.cdc.Consumer.BrokerOut])) {
+        case ((s, a), b) =>
+          val (next, out) = Streams.driftFold(0, s, b, tickMs = 50L, maxApplyPerTick = 2)
+          (next, a ++ out)
+      }
+      acc ++ Streams.driftFold(0, endSt, Seq.empty, tickMs = 50L, maxApplyPerTick = 2,
+        flush = true)._2
+    }
+    samples(feedGen, 60, 3300L).foreach { feed =>
+      val oneShot = run(Streams.DriftQueueState(0L, Seq.empty), List(feed))
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val chopped = run(Streams.DriftQueueState(0L, Seq.empty), chop)
+        assert(chopped === oneShot, s"feed=$feed chop=$chop")
+      }
+    }
+  }
+
+  test("schemaFold: chopped == one-shot on (commitTs, column)-ordered feeds") {
+    val feedGen: Gen[List[SchemaChange]] = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0L, 300L), Gen.oneOf("a", "b", "c"), Gen.oneOf("ADD_COLUMN", "DROP_COLUMN")))
+    } yield rows.sortBy(r => (r._1, r._2)).map { case (t, c, act) => SchemaChange("t0", act, c, t) }
+    samples(feedGen, 60, 4300L).foreach { feed =>
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val oneShot = Streams.schemaFold(1, feed)._2
+        val chopped = chop.foldLeft((1, Seq.empty[Streams.VersionedSchemaChange])) {
+          case ((v, acc), batch) =>
+            val (next, out) = Streams.schemaFold(v, batch)
+            (next, acc ++ out)
+        }._2
+        assert(chopped === oneShot, s"feed=$feed chop=$chop")
+      }
+    }
+  }
+
+  test("asOfFold: chopped == one-shot on (ts, build-first)-ordered feeds") {
+    // contract order is (ts, builds before probes on ties): a chop between
+    // an equal-ts probe and build may legitimately change what the probe
+    // sees, so the feed generates in fold order and chops anywhere on it
+    val feedGen: Gen[List[Streams.AsOfIn]] = for {
+      n <- Gen.choose(0, 30)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0L, 50L), Gen.oneOf(true, false), Gen.choose(0L, 100000L)))
+    } yield rows.sortBy(r => (r._1, if (r._2) 0 else 1)).zipWithIndex.map {
+      case ((t, build, id), i) => Streams.AsOfIn(1L, t, build, id * 100L + i)
+    }
+    // emission order among equal-ts probes is batch-internal (sorted by id
+    // within a batch) and carries no semantics — compare canonically sorted
+    def canon(out: Seq[Streams.AsOfOut]) = out.sortBy(o => (o.ts, o.id))
+    samples(feedGen, 60, 5300L).foreach { feed =>
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val oneShot = Streams.asOfFold(1L, None, feed)._2
+        val chopped = chop.foldLeft(
+          (Option.empty[Streams.AsOfState], Seq.empty[Streams.AsOfOut])) {
+          case ((st, acc), batch) =>
+            val (next, out) = Streams.asOfFold(1L, st, batch)
+            (next, acc ++ out)
+        }._2
+        assert(canon(chopped) === canon(oneShot), s"feed=$feed chop=$chop")
+      }
+    }
+  }
+}
