@@ -595,6 +595,57 @@ object Oracles {
       ((cum - 1) // 512) > ((cum - n_tokens) // 512) AS crosses
     FROM c ORDER BY doc_id"""
 
+  /** One-row packing-efficiency report — mirrors
+    * `Packing.packEfficiency(512)` over the same plan CTE as `pack_plan`. */
+  val packEfficiency: String = """WITH
+    t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+    p AS (SELECT n_tokens,
+            CAST((cum - 1) // 512 AS BIGINT) AS bin_end,
+            ((cum - 1) // 512) > ((cum - n_tokens) // 512) AS crosses
+          FROM c)
+    SELECT count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(max(bin_end) + 1 AS BIGINT) AS n_windows,
+      CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+      CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS straddle_frac,
+      CAST(sum(n_tokens) AS DOUBLE) / (CAST(max(bin_end) + 1 AS BIGINT) * 512) AS mean_fill
+    FROM p"""
+
+  /** Gopher table-A1 gates — mirrors `TextAnalysis.gopherStats`: every
+    * ratio is one integer division (bit-stable); regexp counts use the
+    * same non-overlapping left-to-right scan in both engines. */
+  def textGopher: String = s"""WITH t AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_toks,
+        len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks AS mean_word_len,
+        CAST(n_alpha AS DOUBLE) / n_toks AS alpha_word_frac,
+        CAST(n_sym AS DOUBLE) / n_toks AS symbol_ratio,
+        CAST(n_stop AS BIGINT) AS n_stop
+      FROM t),
+    f AS (
+      SELECT *,
+        mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+        alpha_word_frac >= 0.8 AS pass_alpha,
+        symbol_ratio <= 0.1 AS pass_symbol,
+        n_stop >= 2 AS pass_stop
+      FROM s)
+    SELECT doc_id, mean_word_len, alpha_word_frac, symbol_ratio, n_stop,
+      pass_word_len, pass_alpha, pass_symbol, pass_stop,
+      (pass_word_len AND pass_alpha AND pass_symbol AND pass_stop) AS pass_gopher
+    FROM f ORDER BY doc_id"""
+
   private val minhashP = 104729L
 
   def minhashSigCte: String = {
@@ -1606,6 +1657,7 @@ object Oracles {
     "ann_near_dup" -> annNearDup,
     "ann_near_dup_banded" -> annNearDupBanded,
     "text_quality" -> textQuality,
+    "text_gopher" -> textGopher,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -1615,6 +1667,7 @@ object Oracles {
     "quality_percentiles" -> qualityPercentiles,
     "text_decontaminate" -> textDecontaminate,
     "pack_plan" -> packPlan,
+    "pack_efficiency" -> packEfficiency,
     "mm_binary_meta" -> mmBinaryMeta,
     "cdc_throttle_drain" -> cdcThrottleDrain,
     "cdc_schema_capture" -> cdcSchemaCapture,

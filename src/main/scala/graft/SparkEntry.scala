@@ -423,6 +423,8 @@ object SparkEntry {
     // distributed prefix sum (GlobalOrder.runningSum — no global window)
     "pack_plan" -> ((s, dir) =>
       Packing.packPlan(Tables.documents(s, dir)).orderBy("doc_id")),
+    "pack_efficiency" -> ((s, dir) =>
+      Packing.packEfficiency(Tables.documents(s, dir))),
 
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
@@ -445,6 +447,8 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherStats(Tables.documents(s, dir)).orderBy("doc_id")),
     // PII scrub over deterministically augmented text (the synthetic corpus
     // carries no PII-shaped tokens, so the query plants a known mix —
     // identically in the oracle — and the scrubber must count and redact it).

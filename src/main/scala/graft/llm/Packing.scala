@@ -34,4 +34,24 @@ object Packing {
         expr(s"(cum_tokens - 1) div $windowTokens").as("bin_end"))
       .withColumn("crosses", col("bin_end") > col("bin_start"))
   }
+
+  /** One-row packing-efficiency report over [[packPlan]] — the number a
+    * batch-shape decision is made on: how many training windows the
+    * corpus packs into, what fraction of documents straddle a window
+    * boundary (their loss masks split across sequences), and the mean
+    * fill of the windows. All exact-integer arithmetic plus one final
+    * division; the aggregate is one partial-agg reduction over the plan
+    * (the plan itself already scales via the distributed prefix sum). */
+  def packEfficiency(docs: DataFrame, windowTokens: Int = 512): DataFrame =
+    packPlan(docs, windowTokens)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("bin_end") + 1).as("n_windows"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_straddling"))
+      .select(
+        col("n_docs"), col("total_tokens"), col("n_windows"), col("n_straddling"),
+        (col("n_straddling").cast("double") / col("n_docs")).as("straddle_frac"),
+        (col("total_tokens").cast("double") / (col("n_windows") * windowTokens))
+          .as("mean_fill"))
 }

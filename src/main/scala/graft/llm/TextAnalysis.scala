@@ -164,6 +164,44 @@ object TextAnalysis {
       .select("doc_id", "rnk", "tok", "tf", "df", "score")
   }
 
+  /** The Gopher document-quality gates (Rae et al. 2021, table A1) that
+    * are not already covered by [[quality]]/[[repetitionStats]]: mean
+    * word length in [3, 10], fraction of words with at least one
+    * alphabetic character ≥ 0.8, symbol-to-word ratio (# and … marks)
+    * ≤ 0.1, and at least 2 stop words. Emits the measured statistic AND
+    * the per-gate flag (audit trail, same policy as `Corpus.filterFunnel`)
+    * plus the conjunction `pass_gopher`.
+    *
+    * Shape: one staged projection per row — zero shuffles; every ratio is
+    * a single integer division (bit-stable in Spark and DuckDB). */
+  def gopherStats(docs: DataFrame): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), col("text"), toks.as("_toks"))
+    val counted = tokenized.select(
+      col("doc_id"),
+      length(col("text")).as("_n_chars"),
+      size(col("_toks")).as("_n_toks"),
+      size(filter(col("_toks"), t => t.rlike("[a-zA-Z]"))).as("_n_alpha"),
+      (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))).as("_n_sym"),
+      size(filter(col("_toks"), t => t.isin(Stopwords.map(lit(_)): _*))).as("_n_stop"))
+    val stats = counted.select(
+      col("doc_id"),
+      ((col("_n_chars") - col("_n_toks") + 1).cast("double") / col("_n_toks"))
+        .as("mean_word_len"),
+      (col("_n_alpha").cast("double") / col("_n_toks")).as("alpha_word_frac"),
+      (col("_n_sym").cast("double") / col("_n_toks")).as("symbol_ratio"),
+      col("_n_stop").cast("long").as("n_stop"))
+    stats.select(
+      col("doc_id"), col("mean_word_len"), col("alpha_word_frac"),
+      col("symbol_ratio"), col("n_stop"),
+      col("mean_word_len").between(3.0, 10.0).as("pass_word_len"),
+      (col("alpha_word_frac") >= 0.8).as("pass_alpha"),
+      (col("symbol_ratio") <= 0.1).as("pass_symbol"),
+      (col("n_stop") >= 2).as("pass_stop"))
+      .withColumn("pass_gopher",
+        col("pass_word_len") && col("pass_alpha") && col("pass_symbol") && col("pass_stop"))
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
     val idx = when(size(col("_toks")) >= 2, sequence(lit(1), size(col("_toks")) - 1))

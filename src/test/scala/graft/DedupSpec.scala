@@ -387,6 +387,46 @@ class DedupSpec extends SparkSpec {
     assert(up(0) > 1.0 && up(1) < 1.0)
   }
 
+  test("gopher gates: each rule fires on its planted offender") {
+    val planted = Seq(
+      // 5 words, alphabetic, mean len 3.2, 2 stopwords → passes all gates
+      (0L, "the cat of mine naps", "en"),
+      // mean word length 2: "is" repeated → fails word-len; also 0 stopwords
+      (1L, "is is is is", "en"),
+      // numeric soup: no alphabetic words → fails alpha (stop gate too)
+      (2L, "12 34 56 78 90", "en"),
+      // symbol spam: 3 '#' + 1 '...' over 5 words = 0.8 ratio → fails symbol
+      (3L, "the # and # rest... #", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.TextAnalysis.gopherStats(planted)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9)))
+    assert(out(0) === ((0L, true, true, true, true, true)))
+    assert(!out(1)._2 && !out(1)._6, "short repeated words fail the word-len gate")
+    assert(!out(2)._3 && !out(2)._6, "numeric soup fails the alpha gate")
+    assert(!out(3)._4 && !out(3)._6, "symbol spam fails the symbol gate")
+    val sym = graft.llm.TextAnalysis.gopherStats(planted)
+      .filter(col("doc_id") === 3L).select("symbol_ratio").head.getDouble(0)
+    assert(sym === 4.0 / 6.0, "3 hashes + 1 ellipsis over 6 words")
+  }
+
+  test("pack efficiency: exact windows/straddles on a planted corpus") {
+    // 300+300+424 = 1024 tokens = exactly 2 windows of 512; doc 1 straddles
+    // the 512 boundary (300..600), doc 2 starts at 600 and ends at 1024 —
+    // its last token is index 1023, window 1 — so only doc 1 crosses
+    val planted = Seq(
+      (0L, Seq.fill(300)("w").mkString(" "), "en"),
+      (1L, Seq.fill(300)("w").mkString(" "), "en"),
+      (2L, Seq.fill(424)("w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.llm.Packing.packEfficiency(planted).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 1024L, 2L, 1L)))
+    assert(r.getDouble(4) === 1.0 / 3.0)
+    assert(r.getDouble(5) === 1.0, "1024 tokens fill 2×512 windows exactly")
+  }
+
   test("repetition stats: top/dup bigram fractions on planted boilerplate") {
     val planted = Seq(
       (0L, "a b a b a b", "en"), // bigrams: "a b"×3, "b a"×2
