@@ -202,6 +202,61 @@ class FailureDrillSpec extends SparkSpec {
       "post-restart drains continue at tick 3 — a reset bucket would say 1")
   }
 
+  /** Third state shape across the kill: MapState + EVENT-TIME TIMERS. The
+    * poll processor's open window (latest image + registered window-end
+    * timer) exists only in the checkpoint at the kill; after resume the
+    * watermark advances and the recovered timer must fire and emit the
+    * recovered image — losing either the map entry or the timer loses the
+    * window silently. */
+  test("restart drill: poll row-image MapState and its timers survive the kill") {
+    import graft.streaming.{Streams, StreamsV2}
+    import graft.streaming.StreamsV2.PollOut
+    val root = Files.createTempDirectory("restart_poll")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, Long)]()
+    val schema = "txId STRING, txIndex INT, txTotal INT, last BOOLEAN, tbl STRING, " +
+      "pk STRING, opCode STRING, setsVal BOOLEAN, valV DOUBLE, setsK BOOLEAN, " +
+      "kV LONG, commitTs LONG, lsn LONG"
+    def startQuery() = StreamsV2.pollStream(
+      spark.readStream.schema(schema).json(srcDir.getPath).as[Streams.Event],
+      pollIntervalMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[PollOut], _: Long) =>
+        df.collect().foreach(p => emitted.add((p.pk, p.pollTs, p.opCode, p.opsInWindow))))
+      .start()
+    def ev(pk: String, op: Long, t: Long, lsn: Long): String =
+      s"""{"txId":"tx","txIndex":0,"txTotal":1,"last":true,"tbl":"t0","pk":"$pk",""" +
+        s""""opCode":"${if (op == 0) "c" else "u"}","setsVal":true,"valV":$lsn.0,""" +
+        s""""setsK":false,"kV":null,"commitTs":$t,"lsn":$lsn}"""
+
+    withRocksDb {
+      // window [0,1000) of key a gets three ops; nothing closes it yet
+      Files.writeString(srcDir.toPath.resolve("w1.json"),
+        Seq(ev("a", 0, 100L, 1L), ev("a", 1, 300L, 2L), ev("a", 1, 700L, 3L)).mkString("\n"))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // crash: window open, image + timer only in the checkpoint
+      assert(emitted.isEmpty, "open window must not emit before its timer fires")
+      // watermark-advancing event arrives while the consumer is down
+      Files.writeString(srcDir.toPath.resolve("w2.json"),
+        Seq(ev("b", 0, 5000L, 4L)).mkString("\n"))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      // close key b's window too, so both emissions are observed
+      Files.writeString(srcDir.toPath.resolve("w3.json"),
+        Seq(ev("c", 0, 9000L, 5L)).mkString("\n"))
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    val out = emitted.toArray(Array.empty[(String, Long, String, Long)]).toSeq.sortBy(_._1)
+    assert(out.contains(("a", 1000L, "u", 3L)),
+      s"recovered window must emit the recovered image (latest op, 3 ops): $out")
+    assert(out.contains(("b", 6000L, "c", 1L)), s"post-restart window emits normally: $out")
+  }
+
   /** `failures/backfill.sql` — historical rows arrive with OLD business
     * timestamps but NEW offsets: the sink applies them in offset order, so
     * backfill values win over "newer" business data already present (the
