@@ -272,7 +272,7 @@ object StreamsV2 {
       if (ttlMs > 0) {
         // slide the idle deadline: drop the old timer, arm a fresh one
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + ttlMs)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + ttlMs)
       }
       out.iterator
     }
@@ -372,17 +372,23 @@ object StreamsV2 {
     override def handleInputRows(
         key: (String, String), rows: Iterator[Event],
         timerValues: TimerValues): Iterator[PollOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
       rows.toSeq.sortBy(_.lsn).foreach { e =>
         val ws = Math.floorDiv(e.commitTs, pollIntervalMs) * pollIntervalMs
-        val cur = if (windows.containsKey(ws)) Some(windows.getValue(ws)) else None
-        val next = cur match {
-          case None => PollWinState(e.opCode, e.valV, e.kV, e.lsn, 1L)
-          case Some(c) =>
-            if (e.lsn >= c.lsn) PollWinState(e.opCode, e.valV, e.kV, e.lsn, c.n + 1)
-            else c.copy(n = c.n + 1)
+        // late-row guard, matching the v1 windowed aggregation's watermark
+        // filter: a row for a window the watermark already closed must NOT
+        // reopen it (it would emit a duplicate window on the next timer)
+        if (ws + pollIntervalMs > wm) {
+          val cur = if (windows.containsKey(ws)) Some(windows.getValue(ws)) else None
+          val next = cur match {
+            case None => PollWinState(e.opCode, e.valV, e.kV, e.lsn, 1L)
+            case Some(c) =>
+              if (e.lsn >= c.lsn) PollWinState(e.opCode, e.valV, e.kV, e.lsn, c.n + 1)
+              else c.copy(n = c.n + 1)
+          }
+          windows.updateValue(ws, next)
+          getHandle.registerTimer(ws + pollIntervalMs)
         }
-        windows.updateValue(ws, next)
-        getHandle.registerTimer(ws + pollIntervalMs)
       }
       Iterator.empty
     }
@@ -393,7 +399,7 @@ object StreamsV2 {
       // a timer at windowEnd fires once the watermark passes it; emit and
       // drop every window closed by the current watermark (covers several
       // windows if the watermark jumped)
-      val wm = timerValues.getCurrentWatermarkInMs
+      val wm = timerValues.getCurrentWatermarkInMs()
       val closed = windows.iterator()
         .filter { case (ws, _) => ws + pollIntervalMs <= wm }
         .toSeq.sortBy(_._1)

@@ -564,7 +564,12 @@ class StreamingSpec extends SparkSpec {
         Event("tx", 0, 1, true, "t0", "a", "u", true, Some(2.0), false, None, 300L, 2L),
         Event("tx", 0, 1, true, "t0", "a", "u", false, None, true, Some(9L), 700L, 3L)),
       Seq(Event("tx", 0, 1, true, "t0", "b", "c", true, Some(5.0), false, None, 5000L, 4L)),
-      Seq(Event("tx", 0, 1, true, "t0", "c", "c", true, Some(6.0), false, None, 9000L, 5L)))
+      // a LATE straggler for key a's long-closed [0,1000) window rides with
+      // the watermark-advancing event: both forms must drop it (no
+      // duplicate window emission), matching the v1 watermark filter
+      Seq(
+        Event("tx", 0, 1, true, "t0", "a", "u", true, Some(7.0), false, None, 150L, 6L),
+        Event("tx", 0, 1, true, "t0", "c", "c", true, Some(6.0), false, None, 9000L, 5L)))
 
     val v2 = withRocksDb {
       val input = MemoryStream[Event]
@@ -596,7 +601,8 @@ class StreamingSpec extends SparkSpec {
     q1.stop()
 
     assert(v2 === v1, "MapState windows must emit exactly the windowed agg's rows")
-    // and the planted semantics hold: key a's window kept only the last image
+    // and the planted semantics hold: key a's window kept only the last
+    // image, emitted ONCE — the late straggler must not reopen it
     val a = v2.filter(_._2 == "a")
     assert(a === Seq(("t0", "a", 1000L, "u", None, Some(9L), 3L)))
   }
