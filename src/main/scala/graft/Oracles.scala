@@ -1638,6 +1638,9 @@ object Oracles {
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,
     "q_events_salted_join" -> qEventsSaltedJoin,
+    // salting is invisible in the result: the self-sizing variant answers
+    // the same plain-join oracle regardless of the derived salt count
+    "q_events_salted_auto" -> qEventsSaltedJoin,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "dedup_exact" -> dedupExact,

@@ -361,6 +361,15 @@ object SparkEntry {
       SaltedJoin.join(ev, dim, Seq("user_id"), salts = 8)
         .orderBy("event_id")
     }),
+    // the self-sizing path end-to-end: salts measured from a sampled top-1
+    // key share instead of caller-chosen — result rows identical to the
+    // plain join whatever salt count the sample derives
+    "q_events_salted_auto" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+      SaltedJoin.joinAuto(ev, dim, Seq("user_id"), fraction = 0.2)._1
+        .orderBy("event_id")
+    }),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
