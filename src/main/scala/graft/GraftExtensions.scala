@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, Hash31, WinnowMin}
+import graft.functions.{ArrayDot, Hash31, LshBandKeys, WinnowMin}
 
 /** Standard `SparkSessionExtensions` injector: add
   * `spark.sql.extensions=graft.GraftExtensions` and the graft native
@@ -17,6 +17,8 @@ import graft.functions.{ArrayDot, Hash31, WinnowMin}
   *   - `hash31(str, modLiteral)` — reference routing hash
   *   - `winnow_min(str, windowLiteral, modLiteral)` — rolling fingerprint
   *   - `array_dot(a, b)` — codegen'd left-to-right dot product
+  *   - `lsh_band_keys(emb, bandsLiteral, bitsLiteral[, dimsLiteral])` —
+  *     fused signed-projection band keys (one embedding pass)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -48,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { exprs: Seq[Expression] =>
         require(exprs.size == 2, "array_dot(a, b) takes 2 arguments")
         ArrayDot(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo("graft.functions", "lsh_band_keys"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3 || exprs.size == 4,
+          "lsh_band_keys(emb, bands, bitsPerBand[, dims]) takes 3 or 4 arguments")
+        val dims =
+          if (exprs.size == 4) longLit(exprs(3), "lsh_band_keys dims").toInt else 64
+        LshBandKeys(exprs.head,
+          longLit(exprs(1), "lsh_band_keys bands").toInt,
+          longLit(exprs(2), "lsh_band_keys bitsPerBand").toInt, dims)
       }))
   }
 }

@@ -21,11 +21,19 @@ class GraftExtensionsSpec extends SparkSpec {
       val r = ext.sql(
         """SELECT hash31('ab', 9973) AS h,
           |       winnow_min('abcdefghij', 8, 1000003) AS w,
-          |       array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+          |       array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       lsh_band_keys(array(1.0D, -2.0D), 2, 2, 2) AS b""".stripMargin)
         .collect().head
       assert(r.getLong(0) === 3105L)
       assert(r.getLong(1) === graft.functions.WinnowMin.minHash("abcdefghij", 8, 1000003L))
       assert(r.getDouble(2) === 11.0)
+      // SQL form == the Column-builder form over the same 2-dim vector
+      import ext.implicits._
+      val viaBuilder = Seq(Seq(1.0, -2.0)).toDF("e")
+        .select(graft.functions.GraftFunctions.lshBandKeys(
+          org.apache.spark.sql.functions.col("e"), 2, 2, 2))
+        .collect().head.getSeq[Long](0)
+      assert(r.getSeq[Long](3) === viaBuilder)
     } finally {
       // restore the shared session for the rest of the suite run
       SparkSession.setDefaultSession(base)
