@@ -412,7 +412,18 @@ object StreamsV2 {
 
   /** Streaming polling capture on `transformWithState` — the keyed
     * row-image-state counterpart of [[Streams.pollStream]] (same emitted
-    * rows, `poll_ts` as epoch ms; parity in StreamingSpec). */
+    * rows, `poll_ts` as epoch ms; parity in StreamingSpec).
+    *
+    * Late-data semantics, precisely: `transformWithState` filters input
+    * rows by EVENT TIME against the watermark (a row older than the
+    * watermark never reaches the processor), while the v1 windowed
+    * aggregation filters by WINDOW END (a late row still joins its
+    * window while the window is open). The two coincide whenever
+    * `watermarkDelay` bounds the feed's actual disorder — the contract a
+    * watermark is supposed to encode; under disorder EXCEEDING the
+    * stated delay, v1 may still absorb a late row into an open window
+    * where this form has already dropped it. Size the delay honestly and
+    * the forms are row-identical (randomized parity in StreamingSpec). */
   def pollStream(
       events: Dataset[Event],
       pollIntervalMs: Long = 1000L,

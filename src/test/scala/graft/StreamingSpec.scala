@@ -607,6 +607,58 @@ class StreamingSpec extends SparkSpec {
     assert(a === Seq(("t0", "a", 1000L, "u", None, Some(9L), 3L)))
   }
 
+  test("transformWithState poll: randomized multi-key feeds match v1 exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamsV2.PollOut
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random feeds: several keys, colliding windows,
+    // in-batch disorder; a far-future closer drains every window. The
+    // watermark delay (6 s) bounds the feed's actual disorder (ts < 6000),
+    // the contract under which the two forms' late-row mechanisms (row
+    // event-time filter vs window-end filter) provably coincide — see the
+    // v2 pollStream scaladoc.
+    for (seed <- Seq(101L, 202L)) {
+      val rng = new scala.util.Random(seed)
+      val events = (1 to 40).map { i =>
+        Event("tx", 0, 1, true, "t0", s"k${rng.nextInt(4)}",
+          if (rng.nextBoolean()) "u" else "c",
+          rng.nextBoolean(), Some(rng.nextInt(100).toDouble),
+          false, None, rng.nextInt(6000).toLong, i.toLong)
+      } :+ Event("tx", 0, 1, true, "t0", "zz", "c", true, Some(0.0), false, None, 50000L, 99L)
+      val batches = events.grouped(14).toSeq
+
+      def runV2(): Seq[(String, Long, String, Option[Double], Long)] = withRocksDb {
+        val input = MemoryStream[Event]
+        val q = graft.streaming.StreamsV2.pollStream(
+          input.toDS(), pollIntervalMs = 1000L, watermarkDelay = "6 seconds")
+          .writeStream.format("memory").queryName(s"poll_rnd_v2_$seed")
+          .outputMode("append").start()
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(s"poll_rnd_v2_$seed").as[PollOut].collect()
+          .map(p => (p.pk, p.pollTs, p.opCode, p.afterVal, p.opsInWindow))
+          .sortBy(t => (t._1, t._2)).toSeq
+        q.stop()
+        rows
+      }
+      def runV1(): Seq[(String, Long, String, Option[Double], Long)] = {
+        val input = MemoryStream[Event]
+        val q = Streams.pollStream(
+          input.toDS(), pollIntervalMs = 1000L, watermarkDelay = "6 seconds")
+          .selectExpr("pk", "unix_millis(poll_ts) AS ms", "op_code", "after_val", "ops_in_window")
+          .writeStream.format("memory").queryName(s"poll_rnd_v1_$seed")
+          .outputMode("append").start()
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(s"poll_rnd_v1_$seed").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        q.stop()
+        rows
+      }
+      assert(runV2() === runV1(), s"seed=$seed")
+    }
+  }
+
   test("transformWithState as-of: ValueState parity with the v1 stream across batches") {
     import spark.implicits._
     import graft.streaming.Streams.{AsOfIn, AsOfOut}
