@@ -719,27 +719,11 @@ object Oracles {
       (CAST(sq AS DOUBLE) / tot_s) / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS upsample
     FROM s, t ORDER BY source"""
 
-  val dedupMinhashPairs: String = s"""WITH $minhashSigCte,
-    banded AS (
-      SELECT doc_id, band, band_key FROM (
-        SELECT doc_id,
-          unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
-                  'b1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR),
-                  'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
-                  'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
-          unnest([0, 1, 2, 3]) AS band
-        FROM sigs))
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-    WHERE a.doc_id < b.doc_id
-    ORDER BY a_id, b_id"""
-
-  /** Fuzzy-dedup clusters — transitive closure of the MinHash candidate
-    * pairs. The oracle propagates every reachable label and takes the min
-    * (set-at-a-time recursion; cluster diameters are tiny at oracle SF);
-    * the engine runs Kiveris-style alternating star contraction instead. */
-  val dedupClusters: String = s"""WITH RECURSIVE $minhashSigCte,
-    banded AS (
+  /** Banded-LSH candidate pairs as CTEs (`banded` + distinct `pairs`) —
+    * the one blocked-join the fuzzy-dedup family shares; mirrors
+    * `Dedup.minhashCandidates` (4 bands × 2 rows). Requires `sigs` in
+    * scope ([[minhashSigCte]]). */
+  private def bandedPairsCtes: String = """banded AS (
       SELECT doc_id, band, band_key FROM (
         SELECT doc_id,
           unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
@@ -751,14 +735,31 @@ object Oracles {
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    e AS (
+      WHERE a.doc_id < b.doc_id)"""
+
+  /** Transitive closure of `pairs` over all documents (`e` both
+    * orientations + recursive `reach`); callers take `min(r)` per id.
+    * Needs WITH RECURSIVE at the query head. */
+  private def nearDupClosureCtes: String = """e AS (
       SELECT a_id AS u, b_id AS v FROM pairs
       UNION SELECT b_id AS u, a_id AS v FROM pairs),
     reach AS (
       SELECT doc_id AS id, doc_id AS r FROM documents
       UNION
-      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v)"""
+
+  def dedupMinhashPairs: String = s"""WITH $minhashSigCte,
+    $bandedPairsCtes
+    SELECT a_id, b_id FROM pairs
+    ORDER BY a_id, b_id"""
+
+  /** Fuzzy-dedup clusters — transitive closure of the MinHash candidate
+    * pairs. The oracle propagates every reachable label and takes the min
+    * (set-at-a-time recursion; cluster diameters are tiny at oracle SF);
+    * the engine runs Kiveris-style alternating star contraction instead. */
+  def dedupClusters: String = s"""WITH RECURSIVE $minhashSigCte,
+    $bandedPairsCtes,
+    $nearDupClosureCtes,
     lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
     SELECT l.doc_id, l.cluster_id, s.cluster_size
     FROM lab l JOIN (
@@ -1033,26 +1034,8 @@ object Oracles {
     r AS (
       SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
       FROM c GROUP BY doc_id),
-    banded AS (
-      SELECT doc_id, band, band_key FROM (
-        SELECT doc_id,
-          unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
-                  'b1:' || CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR),
-                  'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
-                  'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
-          unnest([0, 1, 2, 3]) AS band
-        FROM sigs)),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    e AS (
-      SELECT a_id AS u, b_id AS v FROM pairs
-      UNION SELECT b_id AS u, a_id AS v FROM pairs),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    $bandedPairsCtes,
+    $nearDupClosureCtes,
     d AS (
       SELECT id AS doc_id, min(r) = id AS pass_dedup FROM reach GROUP BY id)
     SELECT q.doc_id,
