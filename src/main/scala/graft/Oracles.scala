@@ -753,6 +753,20 @@ object Oracles {
     SELECT a_id, b_id FROM pairs
     ORDER BY a_id, b_id"""
 
+  /** Cross-source duplication matrix — mirrors `Dedup.crossSourceMatrix`
+    * (unordered source pair per candidate pair, least/greatest order). */
+  def dedupCrossSource: String = s"""WITH $minhashSigCte,
+    $bandedPairsCtes,
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.a_id
+      JOIN documents db ON db.doc_id = pairs.b_id)
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    ORDER BY source_a, source_b"""
+
   /** Fuzzy-dedup clusters — transitive closure of the MinHash candidate
     * pairs. The oracle propagates every reachable label and takes the min
     * (set-at-a-time recursion; cluster diameters are tiny at oracle SF);
@@ -1630,6 +1644,7 @@ object Oracles {
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_cross_source" -> dedupCrossSource,
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     "dedup_keep_best" -> dedupKeepBest,

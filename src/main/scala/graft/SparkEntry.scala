@@ -389,6 +389,8 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    "dedup_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Clusters.assign(docs, Dedup.minhashCandidates(docs)).orderBy("doc_id")

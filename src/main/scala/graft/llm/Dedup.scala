@@ -147,6 +147,31 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** Cross-source duplication matrix — which corpora overlap: the count
+    * of near-dup candidate pairs per (source_a, source_b) label pair,
+    * labels ordered so each unordered source pair appears once. The table
+    * a data-sourcing decision actually reads: a heavy off-diagonal cell
+    * means two crawls duplicate each other and one of them is mostly
+    * paying storage for the other's content; a heavy diagonal means a
+    * source self-duplicates.
+    *
+    * Shape: the banded LSH candidate pairs (never all-pairs) joined twice
+    * against the tiny (doc_id, source) projection — both joins doc-keyed,
+    * AQE broadcasts the label side — then one partial-agg groupBy over
+    * label pairs (cardinality = |sources|², trivially bounded). */
+  def crossSourceMatrix(docs: DataFrame, n: Int = 2, bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val labels = docs.select(col("doc_id"), col("source"))
+    minhashCandidates(docs, n, bands, rowsPerBand)
+      .join(labels.select(col("doc_id").as("a_id"), col("source").as("_sa")), "a_id")
+      .join(labels.select(col("doc_id").as("b_id"), col("source").as("_sb")), "b_id")
+      .select(
+        least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Near-dup cluster "keep best by quality" — the standard corpus-dedup
     * retention policy: cluster documents by FULL MinHash signature
     * (signature equality ⇒ near-identical shingle sets at `numHashes`

@@ -280,6 +280,23 @@ class DedupSpec extends SparkSpec {
       "exactly one representative (min doc_id of the component) survives")
   }
 
+  test("cross-source matrix: overlapping crawls surface off-diagonal, label order canonical") {
+    val text = (0 until 30).map(i => s"t$i").mkString(" ")
+    val other = (0 until 30).map(i => s"u$i").mkString(" ")
+    val planted = Seq(
+      (1L, text, "en", "crawl_b"),  // near-dup across sources (b < a checks
+      (2L, text, "en", "crawl_a"),  // the least/greatest canonicalization)
+      (3L, text, "en", "crawl_a"),  // and within crawl_a itself
+      (4L, other, "en", "crawl_c")) // unrelated: contributes nothing
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.Dedup.crossSourceMatrix(planted)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out === Array(
+      ("crawl_a", "crawl_a", 1L), // pair (2,3)
+      ("crawl_a", "crawl_b", 2L))) // pairs (1,2), (1,3) — never (b, a)
+  }
+
   test("incremental dedup: increment flagged against the standing corpus index") {
     val corpus = Seq((0L, base, "en"), (3L, distinctDoc, "en"))
       .toDF("doc_id", "text", "lang")
