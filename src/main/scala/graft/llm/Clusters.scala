@@ -91,7 +91,10 @@ object Clusters {
     val persist: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // setCheckpointDir is JVM-global: honor the caller's dir rather
+        // than silently writing rounds somewhere else when a different
+        // dir is already set.
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint(false)
     }

@@ -80,6 +80,13 @@ object SaltedJoin {
     * partial-agg shuffle of the sampled rows only, no data collect. At
     * 100 TB with fraction=1e-4 that is a ~10 GB scan producing one row;
     * run it once and cache the decision per (table, keys).
+    *
+    * Reducer-count source: `spark.sql.shuffle.partitions` when it parses
+    * as an int, else `sparkContext.defaultParallelism` (the conf value may
+    * be symbolic, e.g. "auto"). AQE caveat: with partition coalescing the
+    * configured value can overstate the real post-coalesce reducer count,
+    * which inflates the derived salt count — harmless (over-splitting a
+    * hot key costs only extra build replication, clamped by `maxSalts`).
     */
   def autoSalts(
       probe: DataFrame,
@@ -89,7 +96,8 @@ object SaltedJoin {
       seed: Long = 42L): Int = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0,1]")
     require(maxSalts >= 1, "maxSalts must be >= 1")
-    val parts = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.getOrElse(probe.sparkSession.sparkContext.defaultParallelism)
     val row = probe.sample(withReplacement = false, fraction, seed)
       .groupBy(keys.map(col): _*).count()
       .agg(max("count").as("top1"), sum("count").as("total"))

@@ -31,14 +31,19 @@ object Bucketing {
   def runTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
 
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]()
 
   /** [[bucketize]] exactly once per table name per JVM; later calls reuse
     * the registered table. This is the operator's whole economics — build
     * once, join many — made literal: a benchmark rep or repeated query
     * pays the write-side shuffle on first touch only, and every
     * subsequent run measures the zero-Exchange join the layout exists
-    * for. Thread-safe via computeIfAbsent (parallel test suites). */
+    * for. Thread-safe via computeIfAbsent (parallel test suites).
+    *
+    * The memo records (path, key, buckets) from the first build; a later
+    * call reusing the table name with a DIFFERENT layout is a caller bug
+    * (it would silently serve the first build's data) and fails fast. */
   def bucketizeOnce(
       spark: SparkSession,
       df: => DataFrame,
@@ -46,9 +51,12 @@ object Bucketing {
       path: String,
       key: String,
       buckets: Int): DataFrame = {
-    built.computeIfAbsent(table, _ => {
-      bucketize(spark, df, table, path, key, buckets); true
+    val layout = built.computeIfAbsent(table, _ => {
+      bucketize(spark, df, table, path, key, buckets); (path, key, buckets)
     })
+    require(layout == ((path, key, buckets)),
+      s"bucketizeOnce($table): already built with layout $layout, " +
+        s"requested (${path}, ${key}, ${buckets}) — use a distinct table name")
     spark.table(table)
   }
 

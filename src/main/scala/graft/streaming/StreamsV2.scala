@@ -403,10 +403,15 @@ object StreamsV2 {
       val closed = windows.iterator()
         .filter { case (ws, _) => ws + pollIntervalMs <= wm }
         .toSeq.sortBy(_._1)
-      closed.iterator.map { case (ws, st) =>
+      // mutate state eagerly, BEFORE the runtime consumes the returned
+      // iterator — removal inside a lazy map would couple state changes to
+      // output consumption order (partial consumption on error/stop could
+      // leave emitted-but-unremoved windows)
+      val out = closed.map { case (ws, st) =>
         windows.removeKey(ws)
         PollOut(key._1, key._2, ws + pollIntervalMs, st.opCode, st.valV, st.kV, st.n)
       }
+      out.iterator
     }
   }
 
