@@ -819,6 +819,30 @@ object Oracles {
                     || ' ' || string_split(text, ' ')[i+2])) AS shingle
       FROM documents))"""
 
+  /** Candidates→exact-verify — mirrors `Dedup.verifyCandidates`: banded
+    * LSH candidate pairs (2-gram MinHash), exact trigram Jaccard computed
+    * for those pairs only, every pair reported with its verified flag. */
+  def dedupVerifyCandidates(threshold: Double): String = s"""WITH $minhashSigCte,
+    $bandedPairsCtes,
+    $shingles3Cte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT p.a_id, p.b_id, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh3 a ON a.doc_id = p.a_id
+      JOIN sh3 b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+      GROUP BY p.a_id, p.b_id),
+    v AS (
+      SELECT p.a_id, p.b_id,
+        CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+          (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+      JOIN sizes sa ON sa.doc_id = p.a_id
+      JOIN sizes sb ON sb.doc_id = p.b_id)
+    SELECT a_id, b_id, jaccard, jaccard >= $threshold AS verified
+    FROM v ORDER BY a_id, b_id"""
+
   def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -1653,6 +1677,7 @@ object Oracles {
     "dedup_winnow" -> dedupWinnow,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
+    "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,

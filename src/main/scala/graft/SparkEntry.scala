@@ -389,6 +389,10 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    // the two-stage recall→precision pipeline: banded-LSH candidates,
+    // exact trigram Jaccard computed on the candidate pairs only
+    "dedup_verify_candidates" -> ((s, dir) =>
+      Dedup.verifyCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
     "dedup_cross_source" -> ((s, dir) =>
       Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {

@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("candidates→exact-verify keeps true dups and rejects a banded false positive") {
+    val v = Dedup.verifyCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("jaccard"), r.getAs[Boolean]("verified")))).toMap
+    // exact dup: every band agrees AND exact trigram jaccard is 1.0
+    assert(v.contains((0L, 1L)) && v((0L, 1L)) === ((1.0, true)))
+    // planted near-dup: shares bands (so it IS a candidate) but one changed
+    // token of 18 kills 3 of 16 trigrams → J = 13/19 < 0.8 — the banded
+    // false positive the exact stage exists to reject
+    assert(v.contains((0L, 2L)), "near-dup must surface as a banded candidate")
+    assert(v((0L, 2L)) === ((13.0 / 19.0, false)), s"exact check must reject: ${v((0L, 2L))}")
+    assert(!v.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc banded")
+  }
+
   test("simhash: identical docs identical prints; near-dup within small hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) === sh(1L))
