@@ -1048,8 +1048,9 @@ object Oracles {
     * (length, quality, repetition, FUZZY near-dup dedup gates). The
     * quality and repetition expressions are byte-for-byte the validated
     * `text_quality` / `text_repetition` forms; the dedup gate is the
-    * validated `dedup_clusters` transitive closure (pass = doc is its
-    * component's min id), not full-signature equality. */
+    * validated `dedup_clusters` transitive closure with the
+    * keep-best-by-quality retention policy (pass = doc is its
+    * component's quality argmax, doc_id asc tie-break). */
   def corpusFilter: String = s"""WITH RECURSIVE $minhashSigCte,
     q AS (
       SELECT doc_id,
@@ -1074,8 +1075,12 @@ object Oracles {
       FROM c GROUP BY doc_id),
     $bandedPairsCtes,
     $nearDupClosureCtes,
+    cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
     d AS (
-      SELECT id AS doc_id, min(r) = id AS pass_dedup FROM reach GROUP BY id)
+      SELECT cl.doc_id,
+        row_number() OVER (PARTITION BY cl.cluster_id
+          ORDER BY q.quality_score DESC, cl.doc_id) = 1 AS pass_dedup
+      FROM cl JOIN q USING (doc_id))
     SELECT q.doc_id,
       q.n_tokens >= 20 AS pass_length,
       q.quality_score >= 0.2 AS pass_quality,

@@ -23,13 +23,17 @@ object Corpus {
   /** Per-document filter verdict: (doc_id, pass_length, pass_quality,
     * pass_repetition, pass_dedup, kept). `pass_repetition` defaults to
     * true for documents too short to have bigrams (no signal ≠ spam);
-    * `pass_dedup` keeps the min-doc_id representative of each FUZZY
-    * near-dup cluster — LSH band candidates closed transitively by
-    * connected components, so a chain A~B, B~C keeps exactly one of
-    * {A,B,C} even though the A–C pair was never emitted. (A
-    * full-signature-equality gate, the previous form, only collapses
-    * near-verbatim copies — a Gopher-style funnel needs the fuzzy
-    * closure.) */
+    * `pass_dedup` keeps the BEST-QUALITY representative of each FUZZY
+    * near-dup cluster (quality desc, doc_id asc tie-break — the
+    * [[Dedup.keepBestByQuality]] retention policy over the transitive
+    * closure) — LSH band candidates closed by connected components, so a
+    * chain A~B, B~C keeps exactly one of {A,B,C} even though the A–C
+    * pair was never emitted; and the one kept is the one worth training
+    * on, not the one that happened to have the lowest id.
+    *
+    * Shape of the representative choice: one cluster-keyed `max_by`
+    * aggregation plus one cluster-keyed join back — the same bounded key
+    * family the component assignment already shuffles on. */
   def filterFunnel(
       docs: DataFrame,
       minTokens: Long = 20L,
@@ -39,8 +43,16 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = TextAnalysis.repetitionStats(docs)
       .select(col("doc_id"), col("top_bigram_frac"))
-    val dedup = Clusters.assign(docs, Dedup.minhashCandidates(docs))
-      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("pass_dedup"))
+    val clusters = Clusters.assign(docs, Dedup.minhashCandidates(docs))
+      .select(col("doc_id"), col("cluster_id"))
+    val best = clusters
+      .join(q.select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(
+        col("doc_id"),
+        struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("rep_id"))
+    val dedup = clusters.join(best, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") === col("rep_id")).as("pass_dedup"))
     val flags = q
       .join(rep, Seq("doc_id"), "left")
       .join(dedup, "doc_id")

@@ -291,7 +291,29 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "pass_dedup", "kept")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).sortBy(_._1)
     assert(out === Array((1L, true, true), (2L, false, false), (3L, false, false)),
-      "exactly one representative (min doc_id of the component) survives")
+      "exactly one representative survives (equal quality → min doc_id tie-break)")
+  }
+
+  test("funnel keeps the higher-quality, higher-id member of a near-dup pair") {
+    val base = (0 until 40).map(i => s"t$i")
+    // doc 1: base verbatim 3× — 120 tokens, TTR 1/3 → quality 1/3;
+    // doc 2: base once — 40 tokens, TTR 1 → quality 0.4. Near-identical
+    // distinct shingle sets (repetition only adds the wraparound 2-gram),
+    // so they band together; the HIGHER-quality, HIGHER-id doc must win.
+    // A min-doc_id representative (the old policy) would train on the
+    // bloated copy and drop the clean one.
+    val docs = Seq(
+      (1L, (base ++ base ++ base).mkString(" "), "en", "s"),
+      (2L, base.mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cand = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((1L, 2L)), "precondition: the pair must band together")
+    val out = graft.llm.Corpus.filterFunnel(docs)
+      .select("doc_id", "pass_dedup", "kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out === Array((1L, false, false), (2L, true, true)),
+      "the quality argmax (not the min doc_id) must be the surviving representative")
   }
 
   test("cross-source matrix: overlapping crawls surface off-diagonal, label order canonical") {
