@@ -271,17 +271,23 @@ object Oracles {
     FROM trig_lane
     ORDER BY method"""
 
+  /** Lag values saturate at 2^20−1 ms, mirroring `MetricsAgg.lagPercentiles`'
+    * bounded-state grid (identical results for any sane lag domain). */
   val cdcLagPercentiles: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte
-    SELECT 'log' AS method, round(quantile_cont(lag_ms, 0.5), 3) AS p50,
-           round(quantile_cont(lag_ms, 0.95), 3) AS p95, max(lag_ms) AS max_lag
+    SELECT 'log' AS method,
+           round(quantile_cont(least(lag_ms, 1048575), 0.5), 3) AS p50,
+           round(quantile_cont(least(lag_ms, 1048575), 0.95), 3) AS p95,
+           max(least(lag_ms, 1048575)) AS max_lag
     FROM log_lane
     UNION ALL
-    SELECT 'poll', round(quantile_cont(poll_ts - src_t, 0.5), 3),
-           round(quantile_cont(poll_ts - src_t, 0.95), 3), max(poll_ts - src_t)
+    SELECT 'poll', round(quantile_cont(least(poll_ts - src_t, 1048575), 0.5), 3),
+           round(quantile_cont(least(poll_ts - src_t, 1048575), 0.95), 3),
+           max(least(poll_ts - src_t, 1048575))
     FROM poll
     UNION ALL
-    SELECT 'trigger', round(quantile_cont(lag_ms, 0.5), 3),
-           round(quantile_cont(lag_ms, 0.95), 3), max(lag_ms)
+    SELECT 'trigger', round(quantile_cont(least(lag_ms, 1048575), 0.5), 3),
+           round(quantile_cont(least(lag_ms, 1048575), 0.95), 3),
+           max(least(lag_ms, 1048575))
     FROM trig_lane
     ORDER BY method"""
 

@@ -56,14 +56,35 @@ object MetricsAgg {
     * `percentile` (`src/engine/metrics.ts:131-139`: `index = (n-1)*p`,
     * interpolate between floor and ceil). Spark's `percentile` aggregate uses
     * the same definition (as does DuckDB's `quantile_cont`).
+    *
+    * Bounded-state shape (the global percentile is a keyless aggregate, so
+    * its final merge runs on ONE reducer — the state must be provably
+    * small): (a) lag values saturate at `capMs` (default 2^20−1 ms ≈ 17.5
+    * minutes — a CDC lane whose lag exceeds that has failed in a way no
+    * percentile needs to resolve), capping distinct values at 2^20, the
+    * same grid recipe as `Corpus.qualityPercentiles`; (b) the raw rows are
+    * first reduced to a (lag → count) histogram by a KEYED aggregation —
+    * parallel across reducers at any row count — and the percentile runs
+    * over the histogram with `count` as the frequency argument, which is
+    * the identical interpolating computation over the expanded multiset
+    * (bit-exact vs DuckDB `quantile_cont` on the raw rows). The keyless
+    * final merge therefore combines ≤2^20-entry maps built from histogram
+    * rows, never row-proportional state, no matter how many billions of
+    * events a lane carries.
     */
-  def lagPercentiles(events: DataFrame, method: String, lagCol: String = "lag_ms"): DataFrame =
-    events.groupBy()
+  def lagPercentiles(
+      events: DataFrame, method: String, lagCol: String = "lag_ms",
+      capMs: Long = (1L << 20) - 1): DataFrame = {
+    val hist = events
+      .select(least(col(lagCol), lit(capMs)).as("_lag"))
+      .groupBy("_lag").agg(count(lit(1)).as("_n"))
+    hist.groupBy()
       .agg(
-        expr(s"round(percentile($lagCol, 0.5), 3)").as("p50"),
-        expr(s"round(percentile($lagCol, 0.95), 3)").as("p95"),
-        max(col(lagCol)).as("max_lag"))
+        expr("round(percentile(_lag, 0.5D, _n), 3)").as("p50"),
+        expr("round(percentile(_lag, 0.95D, _n), 3)").as("p95"),
+        max(col("_lag")).as("max_lag"))
       .select(lit(method).as("method"), col("p50"), col("p95"), col("max_lag"))
+  }
 
   /** Rolling-window lag percentiles — the reference's MetricsStore keeps only
     * the LAST 2000 lag samples per lane in a ring buffer
