@@ -849,6 +849,36 @@ object Oracles {
     SELECT a_id, b_id, jaccard, jaccard >= $threshold AS verified
     FROM v ORDER BY a_id, b_id"""
 
+  /** Exact-substring spans — mirrors `Dedup.substringSpans` (40-char
+    * rolling windows mod the same 2^45 prime, diagonal run detection,
+    * spans ≥ 60 chars). Windows hash independently here; the engine's
+    * rolling recurrence is an exact modular identity, so bits match. */
+  def dedupSubstring(window: Int = 40, minSpan: Int = 60): String = {
+    val m = 35184372088777L
+    s"""WITH wins AS (
+      SELECT doc_id, i - 1 AS pos,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(split(substr(text, i, $window), ''), c -> ascii(c)::BIGINT)),
+          (a, b) -> (a * 31 + b) % $m) AS h
+      FROM (SELECT doc_id, text,
+              unnest(range(1, greatest(len(text) - $window + 1, 1) + 1)) AS i
+            FROM documents)),
+    matched AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos,
+             b.pos - a.pos AS diag
+      FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT a_id, b_id, diag,
+        a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+      FROM matched),
+    spans AS (
+      SELECT a_id, b_id, count(*) + ${window - 1} AS span_len
+      FROM runs GROUP BY a_id, b_id, diag, grp
+      HAVING count(*) + ${window - 1} >= $minSpan)
+    SELECT a_id, b_id, count(*) AS n_spans, max(span_len) AS max_span
+    FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id"""
+  }
+
   def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -1689,6 +1719,7 @@ object Oracles {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
+    "dedup_substring" -> dedupSubstring(),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,

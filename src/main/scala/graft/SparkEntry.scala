@@ -393,6 +393,10 @@ object SparkEntry {
     // exact trigram Jaccard computed on the candidate pairs only
     "dedup_verify_candidates" -> ((s, dir) =>
       Dedup.verifyCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    // character-level verbatim spans ≥60 chars via rolling 40-char window
+    // hashes (the Lee et al. 2021 dedup family, as a hash-window join)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringSpans(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
     "dedup_cross_source" -> ((s, dir) =>
       Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {

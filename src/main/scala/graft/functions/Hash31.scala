@@ -78,6 +78,11 @@ object GraftFunctions {
   def winnowMin(c: Column, window: Int, modulus: Long): Column =
     GraftBridge.column(WinnowMin(GraftBridge.expression(c), window, modulus))
 
+  /** All `window`-char substring hashes in one rolling pass (see
+    * `RollingHashes`). */
+  def rollingHashes(c: Column, window: Int, modulus: Long): Column =
+    GraftBridge.column(RollingHashes(GraftBridge.expression(c), window, modulus))
+
   /** Codegen'd left-to-right array dot product (see `ArrayDot`). */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))

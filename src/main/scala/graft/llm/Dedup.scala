@@ -202,6 +202,85 @@ object Dedup {
         col("best.quality_score").as("quality_score"))
   }
 
+  /** Exact-substring (character-level) dedup — verbatim shared spans of
+    * ≥ `minSpan` chars across documents, the dedup family word-level
+    * shingling cannot see (Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better" builds a suffix array for this; the
+    * scale-shape here reaches the same spans through a hash-window
+    * equality join, the same Ω(total chars) asymptotics without a global
+    * sorted structure).
+    *
+    * Mechanics: every `window`-char substring hash of every doc (ONE
+    * rolling pass per doc — the native [[graft.functions.RollingHashes]]
+    * expression), position-exploded, equality-joined on the hash. A
+    * shared verbatim span of length L ≥ `window` yields L−window+1
+    * matched windows on ONE DIAGONAL (b_pos − a_pos constant), so runs of
+    * consecutive a_pos per (pair, diagonal) measure exact span lengths:
+    * span = run + window − 1. Spurious hash collisions surface as
+    * isolated length-1 runs → span = `window` < `minSpan` → filtered
+    * (modulus ~2^45 makes a collision ADJACENT to another astronomically
+    * unlikely, which is what extending a run would take).
+    *
+    * Scale shape: the explode is O(chars) rows of (hash, pos) — the
+    * honest cost of character-level dedup — shuffled on the window hash
+    * (bucketed equality join, never all-pairs); the run detection windows
+    * partition by (pair, diagonal), bounded by matched rows. For corpora
+    * where even O(chars) join rows are too many, `anchorMod` = q keeps
+    * only windows with hash ≡ 0 (mod q) — CONTENT-DEFINED sampling, so
+    * both sides of a shared span keep the same span-relative positions
+    * and a span of length L still surfaces with probability
+    * ≈ 1−(1−1/q)^(L−window+1). Sampled anchors are no longer adjacent,
+    * so the sampled path measures each diagonal's anchor EXTENT
+    * (max−min+window): a lower bound on the true span, with two distant
+    * same-diagonal spans conservatively merged — the standard precision
+    * trade of sampled substring dedup, stated rather than hidden. Docs
+    * shorter than `window` hash whole; whole short-doc duplicates are
+    * exact dedup's territory ([[exactKeep]]) and stay below `minSpan`
+    * here.
+    *
+    * Output: (a_id, b_id, n_spans, max_span) per document pair sharing at
+    * least one qualifying span.
+    */
+  def substringSpans(
+      docs: DataFrame,
+      window: Int = 40,
+      minSpan: Int = 60,
+      modulus: Long = 35184372088777L, // prime < 2^45: see RollingHashes bound
+      anchorMod: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpan > window, "minSpan must exceed window (collision filter)")
+    val wins = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.rollingHashes(col("text"), window, modulus))
+        .as(Seq("pos", "h")))
+      .filter(if (anchorMod <= 1L) lit(true) else col("h") % anchorMod === 0L)
+    val a = wins.select(col("h"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val b = wins.select(col("h"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val matched = a.join(b, "h")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"),
+        (col("b_pos") - col("a_pos")).as("diag"))
+    val spans =
+      if (anchorMod <= 1L) {
+        // stride-1: matched positions on a diagonal are consecutive, so
+        // the classic pos − row_number island trick measures spans exactly
+        val runW = Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+        matched
+          .withColumn("grp", col("a_pos") - row_number().over(runW))
+          .groupBy("a_id", "b_id", "diag", "grp")
+          .agg((count(lit(1)) + lit(window - 1)).as("span_len"))
+      } else {
+        // sampled anchors: per-diagonal extent, a lower bound on the span
+        matched
+          .groupBy("a_id", "b_id", "diag")
+          .agg((max("a_pos") - min("a_pos") + lit(window)).cast("long").as("span_len"))
+      }
+    spans
+      .filter(col("span_len") >= minSpan)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_spans"), max("span_len").as("max_span"))
+  }
+
   /** Candidates→exact-verify composition — the two-stage near-dup pipeline
     * the [[jaccardPairs]] scaladoc prescribes for real (tailed) corpora:
     * banded-LSH candidates for RECALL, exact n-gram Jaccard on the

@@ -63,6 +63,75 @@ class DedupSpec extends SparkSpec {
     assert(!v.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc banded")
   }
 
+  test("rolling window hashes equal independent per-window hash31") {
+    val rnd = new scala.util.Random(42)
+    val s = (0 until 200).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val m = 35184372088777L
+    val rolled = graft.functions.RollingHashes.hashes(s, 40, m)
+      .toLongArray().toSeq
+    val direct = (0 to s.length - 40).map(i =>
+      graft.functions.Hash31.hash(s.substring(i, i + 40), m))
+    assert(rolled === direct, "rolling recurrence must be an exact modular identity")
+    // short string clamps to the whole-string hash
+    assert(graft.functions.RollingHashes.hashes("abc", 40, m).toLongArray().toSeq ===
+      Seq(graft.functions.Hash31.hash("abc", m)))
+  }
+
+  test("substring spans: planted shared paragraph found at its exact length") {
+    val rnd = new scala.util.Random(7)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val shared = rand(100)  // non-periodic: no repeated 40-gram
+    val shared2 = rand(80)
+    val short = rand(50)    // below minSpan — must NOT be reported
+    val docs = Seq(
+      (1L, rand(30) + shared + rand(30), "en", "s"),
+      (2L, rand(25) + shared + rand(40), "en", "s"),  // one 100-char span with 1
+      (3L, rand(35) + shared + rand(10) + shared2 + rand(5), "en", "s"), // two spans vs 2
+      (4L, rand(40) + short + rand(40), "en", "s"),
+      (5L, rand(45) + short + rand(30), "en", "s"),   // only a 50-char span — dropped
+      (6L, rand(120), "en", "s")                      // nothing shared
+    ).toDF("doc_id", "text", "lang", "source")
+    // doc 3 also contains shared2? only doc 3 — pairs (1,3),(2,3) share `shared`
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 2L)) === ((1L, 100L)), s"exact shared-paragraph length: $out")
+    assert(out((1L, 3L)) === ((1L, 100L)) && out((2L, 3L)) === ((1L, 100L)))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      "sub-minSpan overlap must not be reported")
+    assert(!out.keySet.exists(p => p._1 == 6L || p._2 == 6L), "unrelated doc matched")
+  }
+
+  test("substring spans: two separate shared spans counted separately") {
+    val rnd = new scala.util.Random(13)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val s1 = rand(70)
+    val s2 = rand(90)
+    val docs = Seq(
+      (1L, rand(20) + s1 + rand(30) + s2 + rand(20), "en", "s"),
+      (2L, rand(40) + s1 + rand(10) + s2 + rand(35), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 2L)) === ((2L, 90L)),
+      s"two diagonals, max span 90: ${out.get((1L, 2L))}")
+  }
+
+  test("substring spans: content-defined anchor sampling still finds long spans") {
+    val rnd = new scala.util.Random(99)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val shared = rand(300)
+    val docs = Seq(
+      (1L, rand(30) + shared + rand(30), "en", "s"),
+      (2L, rand(50) + shared + rand(10), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.substringSpans(docs, anchorMod = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // 261 windows in the span, each an anchor w.p. 1/4 — extent is a lower
+    // bound on 300 and must still clear minSpan
+    assert(out.contains((1L, 2L)), "sampled anchors must still surface the span")
+    assert(out((1L, 2L)) >= 60L && out((1L, 2L)) <= 300L)
+  }
+
   test("simhash: identical docs identical prints; near-dup within small hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) === sh(1L))
