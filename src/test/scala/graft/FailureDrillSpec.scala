@@ -159,6 +159,153 @@ class FailureDrillSpec extends SparkSpec {
     assert(byId("tx-d") === (("tx-d", 1, 7L, "0")))
   }
 
+  /** Composite end-to-end drill: the full StreamsV2 pipeline — capture
+    * normalization → drift (LIFO) broker → txn assembly → apply — wired
+    * as a two-hop checkpointed topology (files between hops, the
+    * standard production shape with a bus between stages), KILLED with
+    * in-flight state in BOTH hops (pending events in the drift stack,
+    * half-buffered txns in the assembler), resumed from both checkpoints,
+    * and asserted equal to the batch folds over the same feed. */
+  test("composite drill: capture → drift broker → txn assembly → apply survives a two-hop kill") {
+    import graft.streaming.{Streams, StreamsV2}
+    import graft.cdc.Consumer
+    import graft.cdc.Consumer.{BrokerOut, DriftIn}
+
+    val root = Files.createTempDirectory("composite_drill")
+    val srcDir = root.resolve("src").toFile; srcDir.mkdirs()
+    val midDir = root.resolve("mid").toFile; midDir.mkdirs()
+    val ckptA = root.resolve("ckptA").toString
+    val ckptB = root.resolve("ckptB").toString
+
+    // the feed: 4 interleaved txns over 10 events; t = lsn*40 spreads the
+    // 50ms ticks, every lsn%3==0 event is commit-drifted (+120ms) so the
+    // LIFO stack reorders; capture routes part = lsn%2
+    val txOf = Map(1L -> ("tx-a", 0, 2), 4L -> ("tx-a", 1, 2),
+      2L -> ("tx-b", 0, 3), 5L -> ("tx-b", 1, 3), 8L -> ("tx-b", 2, 3),
+      3L -> ("tx-c", 0, 2), 9L -> ("tx-c", 1, 2),
+      6L -> ("tx-d", 0, 3), 7L -> ("tx-d", 1, 3), 10L -> ("tx-d", 2, 3))
+    def evJson(lsn: Long): String = {
+      val (txId, idx, total) = txOf(lsn)
+      s"""{"txId":"$txId","txIndex":$idx,"txTotal":$total,"last":${idx == total - 1},""" +
+        s""""tbl":"t${lsn % 2}","pk":"p${lsn % 3}","opCode":"u","setsVal":true,""" +
+        s""""valV":$lsn.5,"setsK":false,"kV":null,"commitTs":${lsn * 40},"lsn":$lsn}"""
+    }
+    def sentinelJson(lsn: Long): String =
+      s"""{"txId":"flush","txIndex":0,"txTotal":99,"last":false,"tbl":"tx","pk":"px",""" +
+        s""""opCode":"u","setsVal":false,"valV":null,"setsK":false,"kV":null,""" +
+        s""""commitTs":1000000,"lsn":$lsn}"""
+    def toDrift(lsn: Long, t: Long) =
+      DriftIn((lsn % 2).toInt, lsn, t, t + (if (lsn % 3 == 0) 120L else 0L),
+        dropped = false)
+
+    // batch-fold precondition: this feed's drift config genuinely reorders
+    // (the drill is vacuous otherwise)
+    val allDrift = (1L to 10L).map(l => toDrift(l, l * 40)) ++
+      Seq(DriftIn(0, 9000L, 1000000L, 1000000L, dropped = true),
+        DriftIn(1, 9001L, 1000000L, 1000000L, dropped = true))
+    val batchDelivery = Consumer.brokerDeliverDriftExact(allDrift.toDS(), 50L, 2)
+      .collect().filter(_.lsn < 9000L)
+    val batchInversions = batchDelivery.groupBy(_.part).values.map { p =>
+      val byDeliver = p.sortBy(o => (o.deliverMs, o.lsn)).map(_.lsn)
+      byDeliver.indices.count(i => byDeliver.take(i).exists(_ > byDeliver(i)))
+    }.sum
+    assert(batchInversions > 0, "precondition: the drift plan must reorder — retune t spacing")
+
+    val schema = "txId STRING, txIndex INT, txTotal INT, last BOOLEAN, tbl STRING, " +
+      "pk STRING, opCode STRING, setsVal BOOLEAN, valV DOUBLE, setsK BOOLEAN, " +
+      "kV LONG, commitTs LONG, lsn LONG"
+    val payload = txOf.keys.map(l => l -> evJson(l)).toMap
+
+    // hop A: capture normalization (Event → routed DriftIn) through the
+    // drift broker; the sink republishes delivered events (payload looked
+    // up by lsn) to the inter-hop bus with their delivery coordinates
+    def startHopA() = spark.readStream.schema(schema).json(srcDir.getPath)
+      .as[Streams.Event]
+      .map(e => toDrift(e.lsn, e.commitTs))
+      .transform(ds => StreamsV2.brokerDeliverDriftStream(ds, tickMs = 50L, maxApplyPerTick = 2))
+      .writeStream
+      .option("checkpointLocation", ckptA)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[BrokerOut], batchId: Long) =>
+        val delivered = df.collect().filter(_.lsn < 9000L)
+          .sortBy(o => (o.deliverMs, o.part, o.lsn))
+        if (delivered.nonEmpty) {
+          val lines = delivered.map { o =>
+            payload(o.lsn).dropRight(1) +
+              s""","part":${o.part},"deliverMs":${o.deliverMs}}"""
+          }
+          Files.writeString(midDir.toPath.resolve(s"delivered-$batchId.json"),
+            lines.mkString("\n"))
+        }
+        ()
+      }
+      .start()
+
+    // hop B: txn assembly over the bus feed
+    val assembled = new java.util.concurrent.ConcurrentLinkedQueue[Streams.AssembledTxn]()
+    def startHopB() = StreamsV2.assembleTxns(
+      spark.readStream.schema(schema).json(midDir.getPath).as[Streams.Event], ttlMs = 0L)
+      .writeStream
+      .option("checkpointLocation", ckptB)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Streams.AssembledTxn], _: Long) =>
+        df.collect().foreach(assembled.add))
+      .start()
+
+    withRocksDb {
+      // phase 1: first six events — tx-a completes, tx-b/c/d half-buffered,
+      // and the drift stack still holds the undrained tail
+      Files.writeString(srcDir.toPath.resolve("wal-1.json"),
+        (1L to 6L).map(evJson).mkString("\n"))
+      val a1 = startHopA(); a1.processAllAvailable()
+      val b1 = startHopB(); b1.processAllAvailable()
+      a1.stop(); b1.stop() // kill BOTH hops with in-flight state
+      assert(assembled.size < 4, "the kill must land mid-pipeline, not after it")
+
+      // phase 2: the rest of the feed + the flush sentinels, then resume
+      Files.writeString(srcDir.toPath.resolve("wal-2.json"),
+        ((7L to 10L).map(evJson) ++ Seq(sentinelJson(9000L), sentinelJson(9001L)))
+          .mkString("\n"))
+      val a2 = startHopA(); a2.processAllAvailable()
+      val b2 = startHopB(); b2.processAllAvailable()
+      a2.stop(); b2.stop()
+    }
+
+    val out = assembled.toArray(Array.empty[Streams.AssembledTxn]).toSeq
+    assert(out.map(_.txId).sorted === Seq("tx-a", "tx-b", "tx-c", "tx-d"),
+      s"every txn exactly once across the two-hop kill: ${out.map(_.txId)}")
+    assert(out.forall(t => t.events.map(_.txIndex).sorted ===
+      (0 until t.nEvents)), "each txn event-complete and in order")
+
+    // the bus actually saw the LIFO reorder (not a degenerate pass-through)
+    val busRows = spark.read.schema("lsn LONG, part INT, deliverMs LONG")
+      .json(midDir.getPath).collect()
+      .map(r => (r.getAs[Int]("part"), r.getAs[Long]("lsn"), r.getAs[Long]("deliverMs")))
+    assert(busRows.length === 10, s"bus must carry each event exactly once: ${busRows.length}")
+    val busInversions = busRows.groupBy(_._1).values.map { p =>
+      val byDeliver = p.sortBy(x => (x._3, x._2)).map(_._2)
+      byDeliver.indices.count(i => byDeliver.take(i).exists(_ > byDeliver(i)))
+    }.sum
+    assert(busInversions === batchInversions,
+      "streamed delivery order must equal the batch drift fold")
+
+    // apply stage: the assembled pipeline output and the raw feed must
+    // produce the SAME final sink state through the real apply operator
+    def opsOf(evs: Seq[Streams.Event]) = Scenarios.opsDf(spark,
+      evs.sortBy(_.lsn).map(e => (e.lsn * 10L, e.tbl, e.pk, "update",
+        e.setsVal, e.valV, e.setsK, e.kV)))
+    val viaPipeline = ApplyEngine.applyState(opsOf(out.flatMap(_.events)))
+      .select("tbl", "pk", "val").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val direct = ApplyEngine.applyState(opsOf(txOf.keys.toSeq.sorted.map { l =>
+      val (txId, idx, total) = txOf(l)
+      Streams.Event(txId, idx, total, idx == total - 1, s"t${l % 2}", s"p${l % 3}",
+        "u", setsVal = true, Some(l + 0.5), setsK = false, None, l * 40, l)
+    }))
+      .select("tbl", "pk", "val").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaPipeline === direct,
+      "final applied state must match the batch apply over the raw feed")
+  }
+
   /** Same kill, scalar state: the throttle's token bucket must resume its
     * tick clock from the checkpoint — a reset bucket would re-drain the
     * post-restart events from tick 1 instead of continuing at tick 3 (the
