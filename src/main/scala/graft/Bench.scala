@@ -115,7 +115,7 @@ object Bench {
       if (!failed.contains(name) && times.nonEmpty && spreadOf(times) > SpreadLimit)
         times = times ++ run(reps)
       if (failed.contains(name) || times.isEmpty) None
-      else Some((name, median(times), spreadOf(times), times.length))
+      else Some((name, median(times), spreadOf(times), times))
     }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
@@ -129,11 +129,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"preload":$preload,"preload_high":${preload > PreloadLimit},"reps":$reps,"failed":$fs,"queries":$qs,"rel_spread":$sp,"sf":"$sfDir"}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
-    // can truncate the one-line artifact; the file always holds it whole.
+    // can truncate the one-line artifact; the file always holds it whole —
+    // plus the RAW per-rep times, so every median can defend itself
+    // (an outlier rep is visible instead of inferred from the spread).
+    val raw = results.map { r =>
+      "\"" + r._1 + "\":[" + r._4.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out))
-      try w.println(line) finally w.close()
+      try w.println(line.dropRight(1) + s""","times":$raw}""") finally w.close()
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
