@@ -1435,6 +1435,37 @@ object Oracles {
     FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits h USING (q_id)
     ORDER BY q_id"""
 
+  /** SemDeDup — mirrors `Similarity.semDedup`: 2-iteration quantized
+    * Lloyd clusters (the validated IVF CTE pieces), members ranked by
+    * ASCENDING centroid cosine (vec_id ties), each screened against the
+    * max cosine to any prior-ranked cluster-mate. */
+  def annSemDedup(eps: Double): String = s"""WITH
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
+    ${ivfAssignCte("assign1", "cents0")},
+    ${ivfLloydStep("assign1", "sums1", "cent1")},
+    ${ivfAssignCte("assign2", "cent1n")},
+    ${ivfLloydStep("assign2", "sums2", "cent2")},
+    sem AS (
+      SELECT vec_id, embedding, nrm, c_id AS list_id, c_cos FROM (
+        SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+          ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS c_cos,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS r
+        FROM n, cent2n c) WHERE r = 1),
+    memb AS (
+      SELECT *, row_number() OVER (PARTITION BY list_id ORDER BY c_cos ASC, vec_id) AS rnk
+      FROM sem),
+    prior AS (
+      SELECT b.vec_id, max(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) AS mp
+      FROM memb a JOIN memb b ON a.list_id = b.list_id AND a.rnk < b.rnk
+      GROUP BY b.vec_id)
+    SELECT m.vec_id, m.list_id, m.rnk,
+      coalesce(p.mp, -1.0) AS max_prior_sim,
+      coalesce(p.mp, -1.0) < $eps AS kept
+    FROM memb m LEFT JOIN prior p USING (vec_id)
+    ORDER BY m.vec_id"""
+
   /** Source↔sink verify counts via both-direction anti-joins
     * (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`). */
   val cdcVerifyCounts: String = """WITH
@@ -1723,6 +1754,7 @@ object Oracles {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,
+    "ann_semdedup" -> annSemDedup(0.42),
     "ann_near_dup_banded" -> annNearDupBanded,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,

@@ -452,6 +452,10 @@ object SparkEntry {
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("bucket")),
     "ann_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
+    // SemDeDup (Abbas et al. 2023): k-means clusters, screen each member
+    // against prior-ranked cluster-mates, keep the centroid-farthest copy
+    "ann_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "ann_near_dup_banded" -> ((s, dir) =>
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
 

@@ -248,6 +248,70 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Semantic deduplication — SemDeDup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * the LAION/DataComp curation recipe): cluster embeddings with k-means,
+    * then within each cluster screen out every vector that is
+    * ε-cosine-similar to a cluster-mate ranked before it, where the
+    * ranking is ASCENDING similarity to the centroid — so of a duplicate
+    * group, the member FARTHEST from the centroid survives (the paper's
+    * keep-low-centroid-similarity choice: extreme points carry more
+    * training signal than the cluster's dense middle).
+    *
+    * Screen rule, precisely: member x is dropped iff some cluster-mate y
+    * with rank(y) < rank(x) has cos(x, y) ≥ eps — the one-pass variant of
+    * the paper's screen (monotone in the rank order, so it is expressible
+    * as a join + max aggregation and reproducible in the SQL oracle;
+    * chained transitive removal would need recursion for marginal
+    * difference). Rank ties break on vec_id; centroids are the
+    * deterministic quantized-mean Lloyd ([[kmeansCentroids]]), so the
+    * whole operator is bit-reproducible.
+    *
+    * Returns every vector with its cluster, rank, max similarity to any
+    * prior-ranked cluster-mate (−1 when first), and the kept verdict.
+    *
+    * Scale shape: centroids broadcast; assignment is the one-shuffle
+    * `max_by` aggregation; the screen is a list_id-keyed self-join whose
+    * cost is Σ|cluster|²/2 — SemDeDup's documented cost, CONTROLLED by
+    * nLists (size k ∝ corpus/target-cluster-size at 100 TB so clusters
+    * stay ~10⁴-10⁵ and the quadratic term stays per-cluster-bounded, with
+    * clusters parallelizing across the shuffle). On this synthetic
+    * near-orthogonal corpus the meaningful band is ε ≈ 0.4 (the same
+    * regime as [[nearDupPairs]]'s 0.45 threshold).
+    */
+  def semDedup(
+      emb: DataFrame, nLists: Int = 16, eps: Double = 0.42,
+      kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(emb, nLists, kmeansIters)
+    val withNorm = emb.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = withNorm.join(broadcast(cents), col("vec_id").isNotNull)
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("c_id"), col("embedding"), col("nrm"), col("c_cos")),
+        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"),
+        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"),
+        col("best.c_cos").as("c_cos"))
+    val w = Window.partitionBy("list_id").orderBy(col("c_cos").asc, col("vec_id"))
+    val memb = assigned.withColumn("rnk", row_number().over(w))
+    val a = memb.select(col("list_id"), col("rnk").as("a_rnk"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = memb.select(col("list_id"), col("vec_id"), col("rnk").as("b_rnk"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val prior = a.join(b, Seq("list_id"))
+      .filter(col("a_rnk") < col("b_rnk"))
+      .groupBy("vec_id")
+      .agg(max(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .as("mp"))
+    memb.join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("rnk"),
+        coalesce(col("mp"), lit(-1.0)).as("max_prior_sim"),
+        (coalesce(col("mp"), lit(-1.0)) < eps).as("kept"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`: LSH-bucketed
     * candidate generation (equality self-join on bucket) + exact re-check.
     * At 100 TB the bucket join replaces the quadratic scan; recall is tuned

@@ -63,6 +63,38 @@ class DedupSpec extends SparkSpec {
     assert(!v.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc banded")
   }
 
+  test("semdedup: duplicate group keeps one copy, distinct cluster-mates all survive") {
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // cluster u (seeded by vec 0): three near-identical copies 0/2/4;
+    // cluster v (seeded by vec 1): v plus a 45°-apart mate (cos ≈ 0.707)
+    val emb = Seq(
+      (0L, vec(0 -> 1.0f)),
+      (1L, vec(1 -> 1.0f)),
+      (2L, vec(0 -> 1.0f, 2 -> 0.05f)),
+      (3L, vec(1 -> 0.7f, 3 -> 0.7f)),
+      (4L, vec(0 -> 1.0f, 3 -> 0.04f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, nLists = 2, eps = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("list_id"), r.getAs[Int]("rnk"),
+          r.getAs[Double]("max_prior_sim"), r.getAs[Boolean]("kept")))).toMap
+    val uClu = Seq(0L, 2L, 4L).map(out)
+    assert(uClu.map(_._1).distinct.size === 1, "copies must share a cluster")
+    assert(uClu.count(_._4) === 1, s"exactly one of the duplicate group survives: $out")
+    assert(uClu.filter(!_._4).forall(_._3 >= 0.99),
+      "dropped copies must record the duplicate similarity")
+    // the survivor is the group's rank-1 (centroid-farthest) member
+    assert(uClu.find(_._4).get._2 === 1)
+    assert(out(1L)._4 && out(3L)._4, "45°-apart cluster-mates both survive")
+    assert(out(1L)._1 === out(3L)._1 && math.abs(
+      math.max(out(1L)._3, out(3L)._3) - 0.7f / math.sqrt(2 * 0.7f * 0.7f)) < 1e-6,
+      s"the later-ranked v-member records cos≈0.707: ${out(1L)} ${out(3L)}")
+  }
+
   test("rolling window hashes equal independent per-window hash31") {
     val rnd = new scala.util.Random(42)
     val s = (0 until 200).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
