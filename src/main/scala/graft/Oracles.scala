@@ -879,6 +879,67 @@ object Oracles {
     FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id"""
   }
 
+  /** Exact-substring cleaning — mirrors `Dedup.substringClean` (keep-first
+    * excision of ≥ minSpan shared spans, interval merge, ordered segment
+    * reassembly). */
+  def dedupSubstringClean(window: Int = 40, minSpan: Int = 60): String = {
+    val m = 35184372088777L
+    s"""WITH wins AS (
+      SELECT doc_id, i - 1 AS pos,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(split(substr(text, i, $window), ''), c -> ascii(c)::BIGINT)),
+          (a, b) -> (a * 31 + b) % $m) AS h
+      FROM (SELECT doc_id, text,
+              unnest(range(1, greatest(len(text) - $window + 1, 1) + 1)) AS i
+            FROM documents)),
+    matched AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos,
+             b.pos - a.pos AS diag
+      FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT a_id, b_id, diag, a_pos,
+        a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+      FROM matched),
+    removals AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT b_id AS doc_id, min(a_pos) + diag AS s,
+               min(a_pos) + diag + count(*) + ${window - 1} AS e
+        FROM runs GROUP BY a_id, b_id, diag, grp
+        HAVING count(*) + ${window - 1} >= $minSpan)),
+    isl AS (
+      SELECT doc_id, s, e,
+        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+      FROM removals),
+    merged AS (
+      SELECT doc_id, island, min(s) AS s, max(e) AS e
+      FROM (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS island FROM isl)
+      GROUP BY doc_id, island),
+    wl AS (SELECT doc_id, text, len(text) AS len FROM documents),
+    segsrc AS (
+      SELECT doc_id, s, e FROM merged
+      UNION ALL
+      SELECT m.doc_id, CAST(wl.len AS BIGINT), CAST(wl.len AS BIGINT)
+      FROM (SELECT DISTINCT doc_id FROM merged) m JOIN wl USING (doc_id)),
+    segs AS (
+      SELECT doc_id, s, e,
+        coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s, e), 0) AS seg_start
+      FROM segsrc),
+    cleaned AS (
+      SELECT segs.doc_id,
+        string_agg(substr(wl.text, CAST(seg_start + 1 AS INT), CAST(s - seg_start AS INT)),
+                   '' ORDER BY seg_start) AS clean_text,
+        count(*) - 1 AS n_spans_removed,
+        sum(e - s) AS removed_chars
+      FROM segs JOIN wl USING (doc_id) GROUP BY segs.doc_id)
+    SELECT wl.doc_id,
+      coalesce(c.n_spans_removed, 0) AS n_spans_removed,
+      coalesce(c.removed_chars, 0) AS removed_chars,
+      coalesce(c.clean_text, wl.text) AS clean_text
+    FROM wl LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY wl.doc_id"""
+  }
+
   def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -1751,6 +1812,7 @@ object Oracles {
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     "dedup_substring" -> dedupSubstring(),
+    "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,

@@ -397,6 +397,10 @@ object SparkEntry {
     // hashes (the Lee et al. 2021 dedup family, as a hash-window join)
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringSpans(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    // the cleaning artifact: shared spans excised from the later doc,
+    // unaffected docs pass through verbatim
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.substringClean(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_cross_source" -> ((s, dir) =>
       Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {

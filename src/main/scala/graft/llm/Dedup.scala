@@ -281,6 +281,96 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"), max("span_len").as("max_span"))
   }
 
+  /** Exact-substring CLEANING — the artifact Lee et al. 2021 actually
+    * ships: the corpus with every cross-document verbatim span ≥ `minSpan`
+    * chars EXCISED from the later document (keep-first policy: a span
+    * shared by docs a < b is cut from b, so one copy always survives).
+    *
+    * Composition: [[substringSpans]]' diagonal runs, carried with their
+    * b-side character offsets → per-doc removal intervals → overlapping
+    * intervals merged (running-max island scan, doc-keyed window) → the
+    * kept segments between intervals concatenated back in order. Every
+    * stage is doc-keyed (windows partition by doc_id, join on doc_id);
+    * the interval count per doc is bounded by the doc's span matches, and
+    * segment reassembly is one ordered `array_join` per doc — no stage
+    * sees more than the doc's own intervals.
+    *
+    * Returns ALL docs: (doc_id, n_spans_removed, removed_chars,
+    * clean_text) — unaffected docs pass through verbatim with zeros, so
+    * the output IS the cleaned corpus.
+    */
+  def substringClean(
+      docs: DataFrame,
+      window: Int = 40,
+      minSpan: Int = 60,
+      modulus: Long = 35184372088777L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpan > window, "minSpan must exceed window (collision filter)")
+    val wins = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.rollingHashes(col("text"), window, modulus))
+        .as(Seq("pos", "h")))
+    val a = wins.select(col("h"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val b = wins.select(col("h"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val matched = a.join(b, "h")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_pos"),
+        (col("b_pos") - col("a_pos")).as("diag"))
+    val runW = Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    // removal intervals on the LATER doc: [s, e) in 0-based chars
+    val removals = matched
+      .withColumn("grp", col("a_pos") - row_number().over(runW))
+      .groupBy("a_id", "b_id", "diag", "grp")
+      .agg(count(lit(1)).as("n_win"), min("a_pos").as("a_start"))
+      .filter(col("n_win") + lit(window - 1) >= minSpan)
+      .select(col("b_id").as("doc_id"),
+        (col("a_start") + col("diag")).as("s"),
+        (col("a_start") + col("diag") + col("n_win") + lit(window - 1)).as("e"))
+      // the same span shared with several earlier docs yields identical
+      // intervals; distinct keeps the island-scan tie-free
+      .distinct()
+    // merge overlapping/adjacent intervals: island = new group whenever a
+    // start clears every previous end (classic running-max island scan)
+    val docW = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = removals
+      .withColumn("prev_max_e",
+        max(col("e")).over(docW.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("s") > coalesce(col("prev_max_e"), lit(-1L)), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(docW))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+    // kept segments: [prev interval end, this start) — a per-doc sentinel
+    // at (len, len) emits the tail segment, and the first interval's lag
+    // default 0 emits the head
+    val withLen = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val sentinels = merged.select(col("doc_id")).distinct()
+      .join(withLen, "doc_id")
+      .select(col("doc_id"), col("len").cast("long").as("s"), col("len").cast("long").as("e"))
+    val segW = Window.partitionBy("doc_id").orderBy("s", "e")
+    val segments = merged.select("doc_id", "s", "e").unionAll(sentinels)
+      .withColumn("seg_start", coalesce(lag(col("e"), 1).over(segW), lit(0L)))
+      .join(withLen, "doc_id")
+      .select(col("doc_id"),
+        col("seg_start"),
+        substring(col("text"), (col("seg_start") + 1).cast("int"),
+          (col("s") - col("seg_start")).cast("int")).as("seg"),
+        (col("e") - col("s")).as("cut"))
+    val cleaned = segments
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_start"), col("seg")))),
+          x => x.getField("seg")), "").as("clean_text"),
+        (count(lit(1)) - 1).as("n_spans_removed"),
+        sum(col("cut")).as("removed_chars"))
+    withLen.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"))
+  }
+
   /** Candidates→exact-verify composition — the two-stage near-dup pipeline
     * the [[jaccardPairs]] scaladoc prescribes for real (tailed) corpora:
     * banded-LSH candidates for RECALL, exact n-gram Jaccard on the

@@ -148,6 +148,49 @@ class DedupSpec extends SparkSpec {
       s"two diagonals, max span 90: ${out.get((1L, 2L))}")
   }
 
+  test("substring clean: later doc loses the shared span, earlier keeps it") {
+    val rnd = new scala.util.Random(21)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val shared = rand(100)
+    val p2, s2 = rand(30)
+    val big = rand(200)
+    val docs = Seq(
+      (1L, rand(20) + shared + rand(25), "en", "s"),
+      (2L, p2 + shared + s2, "en", "s"), // later copy → span cut
+      (3L, big, "en", "s"),
+      (4L, big, "en", "s"), // verbatim full-doc dup → doc 4 empties
+      (5L, rand(90), "en", "s") // untouched
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.substringClean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 === 0L && out(1L)._3.contains(shared),
+      "the earlier doc keeps its copy verbatim")
+    assert(out(2L) === ((1L, 100L, p2 + s2)),
+      s"the later doc loses exactly the shared 100 chars: ${out(2L)}")
+    assert(out(3L)._1 === 0L && out(3L)._3 === big)
+    assert(out(4L) === ((1L, 200L, "")), "a verbatim full-doc dup cleans to empty")
+    assert(out(5L) === ((0L, 0L, out(5L)._3)) && out(5L)._3.length === 90)
+  }
+
+  test("substring clean: overlapping spans from different partners merge") {
+    val rnd = new scala.util.Random(34)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val left = rand(80)
+    val right = rand(80)
+    val joined = left + right // doc 3 contains left+right contiguously
+    val docs = Seq(
+      (1L, rand(30) + left + rand(30), "en", "s"),
+      (2L, rand(40) + right + rand(20), "en", "s"),
+      (3L, rand(10) + joined + rand(15), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.substringClean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 3's two removal intervals ([10,90) from doc 1, [90,170) from
+    // doc 2) are adjacent → merge into ONE 160-char excision
+    assert(out(3L) === ((1L, 160L)), s"adjacent intervals must merge: ${out(3L)}")
+    assert(out(1L) === ((0L, 0L)) && out(2L) === ((0L, 0L)))
+  }
+
   test("substring spans: content-defined anchor sampling still finds long spans") {
     val rnd = new scala.util.Random(99)
     def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
