@@ -148,6 +148,64 @@ class DedupSpec extends SparkSpec {
       s"two diagonals, max span 90: ${out.get((1L, 2L))}")
   }
 
+  test("substring spans equal brute-force longest-common-substring (property)") {
+    val rnd = new scala.util.Random(55)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    // 10 random docs, with shared spans planted across random pairs
+    val texts = scala.collection.mutable.ArrayBuffer.fill(10)(rand(150 + rnd.nextInt(100)))
+    for (_ <- 0 until 4) {
+      val span = rand(60 + rnd.nextInt(80))
+      val i = rnd.nextInt(texts.length)
+      val j = (i + 1 + rnd.nextInt(texts.length - 1)) % texts.length
+      def splice(s: String) = {
+        val at = rnd.nextInt(s.length)
+        s.take(at) + span + s.drop(at)
+      }
+      texts(i) = splice(texts(i)); texts(j) = splice(texts(j))
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s") }.toSeq
+      .toDF("doc_id", "text", "lang", "source")
+    // brute-force LCS (classic DP) per pair — the ground truth
+    def lcs(x: String, y: String): Int = {
+      val prev = new Array[Int](y.length + 1)
+      val cur = new Array[Int](y.length + 1)
+      var best = 0
+      for (i <- 1 to x.length) {
+        for (j <- 1 to y.length) {
+          cur(j) = if (x(i - 1) == y(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+      }
+      best
+    }
+    val expected = (for {
+      a <- texts.indices; b <- texts.indices if a < b
+      l = lcs(texts(a), texts(b)) if l >= 60
+    } yield (a.toLong, b.toLong) -> l.toLong).toMap
+    val got = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === expected,
+      s"hash-window spans must equal the DP longest common substring: got $got expected $expected")
+  }
+
+  test("substring clean composes: re-scanning the cleaned corpus finds nothing") {
+    val rnd = new scala.util.Random(77)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val shared = rand(120)
+    val docs = Seq(
+      (1L, rand(30) + shared + rand(30), "en", "s"),
+      (2L, rand(20) + shared + rand(45), "en", "s"),
+      (3L, rand(35) + shared + rand(10), "en", "s") // three-way copy chain
+    ).toDF("doc_id", "text", "lang", "source")
+    val cleaned = Dedup.substringClean(docs)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        lit("en").as("lang"), lit("s").as("source"))
+    assert(Dedup.substringSpans(cleaned).count() === 0L,
+      "after keep-first excision no qualifying shared span remains")
+  }
+
   test("substring clean: later doc loses the shared span, earlier keeps it") {
     val rnd = new scala.util.Random(21)
     def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
