@@ -708,6 +708,36 @@ object Oracles {
   /** Temperature-α=1/2 domain-mixture weights — mirrors
     * `Sampling.mixtureWeights`: exact BIGINT token sums, sqrt quantized to
     * the 2^20 grid so totals stay exact, one double division per fraction. */
+  /** Materialized temperature mixture — mirrors
+    * `Sampling.materializeMixture(targetTokens = 20000)`: integer target
+    * and percent-grid rate per source, hash-grid sample, audit join. */
+  def mixMaterialize(targetTokens: Long): String = s"""WITH p AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS sq
+      FROM p),
+    t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot_s FROM s),
+    rates AS (
+      SELECT source, n_docs, n_tokens,
+        CAST($targetTokens AS BIGINT) * sq // tot_s AS target_tokens,
+        least(100, (100 * (CAST($targetTokens AS BIGINT) * sq // tot_s)) // n_tokens) AS rate_pct
+      FROM s, t),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept,
+        CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+      FROM documents d JOIN rates r USING (source)
+      WHERE ${h31("CAST(d.doc_id AS VARCHAR)", 9973)} % 100 < r.rate_pct
+      GROUP BY d.source)
+    SELECT r.source, r.n_docs, r.n_tokens, r.target_tokens, r.rate_pct,
+      coalesce(k.n_kept, 0) AS n_kept,
+      coalesce(k.kept_tokens, 0) AS kept_tokens,
+      CASE WHEN r.target_tokens > 0
+           THEN CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / r.target_tokens END AS fill_frac
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source"""
+
   val mixWeights: String = """WITH p AS (
       SELECT source, count(*) AS n_docs,
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -1807,6 +1837,7 @@ object Oracles {
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
     "mix_weights" -> mixWeights,
+    "mix_materialize" -> mixMaterialize(20000L),
     "dedup_winnow" -> dedupWinnow,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),

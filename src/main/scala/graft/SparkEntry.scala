@@ -422,6 +422,10 @@ object SparkEntry {
         Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.25), 0.1).orderBy("lang")),
     "mix_weights" -> ((s, dir) =>
       Sampling.mixtureWeights(Tables.documents(s, dir)).orderBy("source")),
+    // the mixture MATERIALIZED: per-source keep rates against a 20k-token
+    // budget, deterministic hash sample, audit of achieved vs target
+    "mix_materialize" -> ((s, dir) =>
+      Sampling.materializeMixture(Tables.documents(s, dir), 20000L).orderBy("source")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>

@@ -69,6 +69,56 @@ object Sampling {
     *
     * Shape at 100 TB: one scan, one partial-agg shuffle keyed by the
     * low-cardinality source, then a 1-row broadcast of the totals. */
+  /** Materialize the temperature-mixture corpus: turn [[mixtureWeights]]'
+    * α=1/2 weights into per-source keep rates against a token budget,
+    * sample deterministically ([[stratifiedKeep]]'s hash grid), and emit
+    * the audit table the build ships with — per source: inputs, target,
+    * applied rate, and what the sample actually achieved.
+    *
+    * All integer-exact: target_i = targetTokens·s_i div Σs (BIGINT
+    * products of exact integers), rate = min(100, 100·target div
+    * n_tokens) on the same percent grid as the reference's `shouldDrop`.
+    * A weight that calls for MORE than 1× a source (upsampling the tail)
+    * caps at rate 100 — duplication is epoch repetition at training time,
+    * not a storage operation — and the audit's kept_tokens vs
+    * target_tokens shows the shortfall instead of hiding it. kept_tokens
+    * differs from target by sampling variance; that, too, is the point of
+    * shipping the audit.
+    *
+    * Shape: one source-keyed partial agg (rates), one broadcast of the
+    * |sources|-row rate table back onto the corpus stream, one more
+    * source-keyed partial agg (audit). The corpus is scanned twice and
+    * never shuffled on anything higher-cardinality than `source`. */
+  def materializeMixture(docs: DataFrame, targetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
+      .withColumn("_s",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0)).cast("long"))
+    val totals = perSource.agg(sum("_s").as("_tot_s"))
+    val rates = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST($targetTokens AS BIGINT) * _s div _tot_s").as("target_tokens"))
+      .withColumn("rate_pct",
+        least(lit(100L), expr("100 * target_tokens div n_tokens")))
+    val kept = docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("_toks"))
+      .join(broadcast(rates.select("source", "rate_pct")), "source")
+      .filter(hash31(col("doc_id").cast("string")) % 100 < col("rate_pct"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("_toks").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("rate_pct"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("fill_frac",
+        when(col("target_tokens") > 0,
+          col("kept_tokens").cast("double") / col("target_tokens")))
+  }
+
   def mixtureWeights(docs: DataFrame): DataFrame = {
     val perSource = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Sampling, Similarity}
 
 /** LLM-pipeline operator semantics on planted data: exact dup collapse,
   * MinHash/Jaccard recall on planted near-duplicates, LSH candidate
@@ -61,6 +61,31 @@ class DedupSpec extends SparkSpec {
     assert(v.contains((0L, 2L)), "near-dup must surface as a banded candidate")
     assert(v((0L, 2L)) === ((13.0 / 19.0, false)), s"exact check must reject: ${v((0L, 2L))}")
     assert(!v.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc banded")
+  }
+
+  test("mixture materialization: tail source caps at 1x and reports the shortfall") {
+    val big = (1 to 8).map(i => (i.toLong, ("w " * 100).trim, "en", "big"))
+    val small = Seq((100L, ("v " * 10).trim, "en", "small"),
+      (101L, ("v " * 10).trim, "en", "small"))
+    val docs = (big ++ small).toDF("doc_id", "text", "lang", "source")
+    // α=1/2 on (800, 20) tokens → shares ≈ 0.863/0.137 of the 400 budget:
+    // target_small ≈ 54 > the source's 20 tokens → rate caps at 100 and
+    // fill_frac < 1 makes the upsampling shortfall visible
+    val out = Sampling.materializeMixture(docs, 400L).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("rate_pct"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_tokens"), r.getAs[Double]("fill_frac")))).toMap
+    val sm = out("small")
+    assert(sm._2 === 100L, s"tail source must cap at rate 100: $sm")
+    assert(sm._3 === 2L && sm._4 === 20L, "capped source keeps everything")
+    assert(sm._5 < 1.0 && sm._1 > 20L, s"shortfall vs target visible: $sm")
+    val bg = out("big")
+    assert(bg._2 > 0L && bg._2 < 100L, s"head source downsampled: $bg")
+    assert(bg._4 === bg._3 * 100L, "kept tokens consistent with kept docs")
+    // determinism: the same build twice keeps the same documents
+    val again = Sampling.materializeMixture(docs, 400L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
   test("semdedup: duplicate group keeps one copy, distinct cluster-mates all survive") {
