@@ -126,8 +126,11 @@ object Bench {
     val contaminated = results.filter(_._3 > SpreadLimit).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Field order matters: the driver snapshots the LAST ~2000 chars of
+    // this line, so the queries map and the contamination flags go at the
+    // END (rel_spread earlier — it is fully preserved in BENCH.json).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"preload":$preload,"preload_high":${preload > PreloadLimit},"reps":$reps,"failed":$fs,"queries":$qs,"rel_spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"rel_spread":$sp,"failed":$fs,"preload":$preload,"preload_high":${preload > PreloadLimit},"queries":$qs,"contaminated":$contaminated}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
     // can truncate the one-line artifact; the file always holds it whole —
     // plus the RAW per-rep times, so every median can defend itself
