@@ -159,6 +159,44 @@ class FailureDrillSpec extends SparkSpec {
     assert(byId("tx-d") === (("tx-d", 1, 7L, "0")))
   }
 
+  /** `failures/restart.sh` against a REAL database: the consumer's
+    * foreachBatch JDBC upsert (embedded Derby — an actual DriverManager
+    * JDBC sink, the consumer.mjs path with Derby in Postgres' seat) killed
+    * between micro-batches and resumed from the checkpoint. The seq-guard
+    * makes any batch replay converge, so the final table equals the
+    * max-seq image per key no matter where the kill landed. */
+  test("restart drill: JDBC sink (real database) replay-safe across kill/resume") {
+    val root = Files.createTempDirectory("jdbc_drill")
+    val srcDir = root.resolve("src").toFile; srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val url = s"jdbc:derby:${root.resolve("db")};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE sink_t (pk VARCHAR(64) PRIMARY KEY, val DOUBLE, seq BIGINT)")
+    conn.close()
+
+    val schema = "pk STRING, val DOUBLE, seq LONG"
+    def startQuery() = spark.readStream.schema(schema).json(srcDir.getPath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        Sinks.jdbcIdempotentUpsert(df, url, "sink_t", "pk", "seq", Seq("val")))
+      .start()
+    def write(name: String, rows: Seq[(String, Double, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        rows.map { case (p, v, s) => s"""{"pk":"$p","val":$v,"seq":$s}""" }.mkString("\n"))
+
+    write("wal-1.json", Seq(("a", 1.0, 1L), ("b", 2.0, 1L), ("a", 1.5, 2L)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop() // crash
+    write("wal-2.json", Seq(("a", 0.5, 1L), ("b", 9.0, 5L), ("c", 3.0, 1L)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "sink_t")
+      .load().collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === Set(("a", 1.5, 2L), ("b", 9.0, 5L), ("c", 3.0, 1L)),
+      s"max-seq image per key across the kill (stale post-restart 'a' ignored): $got")
+  }
+
   /** Composite end-to-end drill: the full StreamsV2 pipeline — capture
     * normalization → drift (LIFO) broker → txn assembly → apply — wired
     * as a two-hop checkpointed topology (files between hops, the

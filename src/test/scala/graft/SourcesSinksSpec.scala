@@ -107,6 +107,46 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lines(1) === """{"seq":2,"op":"u","s":"padded","num":7.5}""")
   }
 
+  test("JDBC idempotent upsert: real-database roundtrip, replay-safe, order-insensitive") {
+    val db = Files.createTempDirectory("derby_sink").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE sink_t (pk VARCHAR(64) PRIMARY KEY, val DOUBLE, k BIGINT, seq BIGINT)")
+    conn.close()
+
+    // out-of-order delivery: p1's seq-3 image arrives BEFORE its seq-1;
+    // p2 carries a null payload column; p3 is a single insert
+    val batch = Seq(
+      ("p1", Some(3.0), Some(30L), 3L),
+      ("p1", Some(1.0), Some(10L), 1L),
+      ("p2", None: Option[Double], None: Option[Long], 5L),
+      ("p3", Some(7.0), Some(70L), 2L)
+    ).toDF("pk", "val", "k", "seq")
+    def state(): Map[String, (Option[Double], Option[Long], Long)] =
+      spark.read.format("jdbc").option("url", url).option("dbtable", "sink_t").load()
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    Sinks.jdbcIdempotentUpsert(batch, url, "sink_t", "pk", "seq", Seq("val", "k"))
+    val expected = Map(
+      "p1" -> ((Some(3.0), Some(30L), 3L)), // seq-1 replay did not regress seq-3
+      "p2" -> ((None, None, 5L)),
+      "p3" -> ((Some(7.0), Some(70L), 2L)))
+    assert(state() === expected, "max-seq image per key after out-of-order delivery")
+    // full replay of the same batch: byte-identical state
+    Sinks.jdbcIdempotentUpsert(batch, url, "sink_t", "pk", "seq", Seq("val", "k"))
+    assert(state() === expected, "replaying the whole batch is a no-op")
+    // a newer event updates; a stale one is ignored — in the same batch
+    val next = Seq(
+      ("p1", Some(9.0), Some(90L), 9L),
+      ("p3", Some(0.1), Some(1L), 1L) // stale: existing seq 2
+    ).toDF("pk", "val", "k", "seq")
+    Sinks.jdbcIdempotentUpsert(next, url, "sink_t", "pk", "seq", Seq("val", "k"))
+    assert(state() === expected ++ Map("p1" -> ((Some(9.0), Some(90L), 9L))),
+      "newer seq wins, stale seq ignored")
+  }
+
   test("idempotent upsert: applying the same batch twice is a no-op") {
     val current = Seq(("t0", "1", 1.0), ("t0", "2", 2.0)).toDF("tbl", "pk", "v")
     val batch = Seq(
