@@ -705,6 +705,27 @@ object Oracles {
       CAST(count(kept) AS DOUBLE) / count(*) AS kept_frac
     FROM k GROUP BY lang ORDER BY lang"""
 
+  /** Deterministic 90/5/5 split audit — mirrors `Sampling.splitSummary`:
+    * hash-grid assignment per doc_id, (source, split)-keyed doc/token
+    * counts, per-source doc fraction (one division of exact BIGINTs). */
+  def splitAssign: String = s"""WITH d AS (
+      SELECT source,
+        ${h31("CAST(doc_id AS VARCHAR)", 9973)} % 100 AS h,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents),
+    s AS (
+      SELECT source,
+        CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+        toks
+      FROM d),
+    g AS (
+      SELECT source, split, count(*) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM s GROUP BY source, split)
+    SELECT source, split, n_docs, n_tokens,
+      CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source) AS frac_docs
+    FROM g ORDER BY source, split"""
+
   /** Temperature-α=1/2 domain-mixture weights — mirrors
     * `Sampling.mixtureWeights`: exact BIGINT token sums, sqrt quantized to
     * the 2^20 grid so totals stay exact, one double division per fraction. */
@@ -1066,6 +1087,34 @@ object Oracles {
     FROM cand WHERE cos >= 0.4 ORDER BY a_id, b_id"""
   }
 
+  /** Mutual k-NN graph — mirrors `Similarity.knnGraph(k=3, 8 bands × 8
+    * bits)`: banded candidates, per-vector top-3 by exact cosine (dst
+    * tie-break), edge kept iff both directions rank each other. */
+  val annKnnGraph: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${lshBandKeySql("embedding", b, 8)} AS key FROM base")
+      .mkString("\n      UNION ALL ")
+    s"""WITH
+    base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    keys AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+      FROM keys x JOIN keys y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+    directed AS (
+      SELECT a_id AS src, b_id AS dst, cos FROM cand
+      UNION ALL SELECT b_id AS src, a_id AS dst, cos FROM cand),
+    topk AS (
+      SELECT src, dst, cos,
+        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+      FROM directed)
+    SELECT x.src AS a_id, x.dst AS b_id, x.cos AS cos_sim,
+      x.rnk AS rnk_ab, y.rnk AS rnk_ba
+    FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.rnk <= 3 AND y.rnk <= 3 AND x.src < x.dst
+    ORDER BY a_id, b_id"""
+  }
+
   // ------------------------------------------------------------ text analysis
 
   private val stopList = "('the','a','of','and','to')"
@@ -1170,6 +1219,43 @@ object Oracles {
       FROM scored)
     SELECT doc_id, rnk, tok, tf, df, score
     FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+  /** BM25 top-10 for the query {stream, hash, window} — mirrors
+    * `TextAnalysis.bm25TopK(k1=1.2, b=0.75)`: rational idf
+    * `(N−df+0.5)/(df+0.5)`, per-term scores summed left-to-right, every
+    * constant written as the same IEEE expression Spark evaluates
+    * (`(1.2 + 1.0)` not `2.2` — the engines must ADD the same doubles,
+    * not parse a different literal). */
+  val textBm25: String = {
+    val terms = Seq("stream", "hash", "window")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n        ")
+    val dfCols = terms.indices.map(i =>
+      s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(",\n        ")
+    val termScores = terms.indices.map { i =>
+      s"""((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0))
+         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"""
+    }.mkString(" + ")
+    s"""WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        $tfCols
+      FROM base),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        $dfCols
+      FROM tf),
+    scored AS (
+      SELECT doc_id, dl,
+        $termScores AS bm25
+      FROM tf CROSS JOIN (
+        SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM stats))
+    SELECT doc_id, dl AS n_tokens, bm25
+    FROM scored WHERE bm25 > 0.0
+    ORDER BY bm25 DESC, doc_id LIMIT 10"""
+  }
 
   /** Filter-funnel verdict per document — mirrors `Corpus.filterFunnel`
     * (length, quality, repetition, FUZZY near-dup dedup gates). The
@@ -1827,6 +1913,7 @@ object Oracles {
     "q_events_salted_auto" -> qEventsSaltedJoin,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,
@@ -1836,6 +1923,7 @@ object Oracles {
     "dedup_incremental" -> dedupIncremental,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
+    "split_assign" -> splitAssign,
     "mix_weights" -> mixWeights,
     "mix_materialize" -> mixMaterialize(20000L),
     "dedup_winnow" -> dedupWinnow,
@@ -1849,6 +1937,7 @@ object Oracles {
     "ann_near_dup" -> annNearDup,
     "ann_semdedup" -> annSemDedup(0.42),
     "ann_near_dup_banded" -> annNearDupBanded,
+    "ann_knn_graph" -> annKnnGraph,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
     "text_tokens" -> textTokens,

@@ -426,6 +426,10 @@ object SparkEntry {
     // budget, deterministic hash sample, audit of achieved vs target
     "mix_materialize" -> ((s, dir) =>
       Sampling.materializeMixture(Tables.documents(s, dir), 20000L).orderBy("source")),
+    // deterministic 90/5/5 train/val/test assignment (hash-grid, stable
+    // under rebuilds) with the per-(source, split) audit table
+    "split_assign" -> ((s, dir) =>
+      Sampling.splitSummary(Tables.documents(s, dir)).orderBy("source", "split")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>
@@ -466,6 +470,10 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "ann_near_dup_banded" -> ((s, dir) =>
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
+    // mutual k-NN graph over the banded LSH candidates: per-vector top-3
+    // by exact cosine, edge kept iff BOTH endpoints rank each other
+    "ann_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
 
     // ------------------------------------------------ text analysis
     "text_quality" -> ((s, dir) =>
@@ -505,6 +513,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rnk")),
+    // BM25 (rational idf) top-10 for the query {stream, hash, window}
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        Seq("stream", "hash", "window"))),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.hash31
@@ -118,6 +119,45 @@ object Sampling {
         when(col("target_tokens") > 0,
           col("kept_tokens").cast("double") / col("target_tokens")))
   }
+
+  /** Deterministic train/val/test assignment — the split a 100 TB corpus
+    * build must make REPRODUCIBLY: re-running the pipeline, adding a
+    * source, or rebuilding one partition must never move a document
+    * between splits (a val document leaking into train on a rebuild is
+    * silent contamination). Assignment is a pure projection of the
+    * document id — `hash31(doc_id) % 100` against cumulative percent
+    * cutoffs — so it is stable under re-partitioning, retries, and
+    * incremental rebuilds, and any engine with the same hash reproduces
+    * it.
+    *
+    * Returns the per-(source, split) audit: document and token counts and
+    * the realized fraction vs the requested one — the table a split ships
+    * with so drift from the hash grid's granularity is visible, not
+    * assumed away.
+    *
+    * Shape: one scan, one partial-agg shuffle on the low-cardinality
+    * (source, split) key. The assignment column itself (`splitFor`) is
+    * shuffle-free and composes into any downstream write
+    * (`partitionBy("split")`). */
+  def splitFor(idCol: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val h = hash31(idCol.cast("string")) % 100
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  def splitSummary(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    docs
+      .select(col("source"),
+        splitFor(col("doc_id"), trainPct, valPct).as("split"),
+        size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_toks").as("n_tokens"))
+      .withColumn("frac_docs",
+        col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("source")))
 
   def mixtureWeights(docs: DataFrame): DataFrame = {
     val perSource = docs

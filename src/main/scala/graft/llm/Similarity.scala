@@ -390,4 +390,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
       .distinct()
+
+  /** Mutual k-NN graph over the banded LSH candidates — the edge set that
+    * graph-based corpus curation consumes (SemDeDup-style cluster pruning,
+    * graph community detection, diversity sampling all start from "which
+    * documents are each other's nearest neighbors").
+    *
+    * Construction: per vector, rank its banded candidates by exact cosine
+    * (ties broken by neighbor id) and keep the top `k`; an undirected edge
+    * survives iff BOTH endpoints kept it — the mutual filter that removes
+    * hub vectors' one-sided edges (a hub appears in everyone's top-k;
+    * requiring reciprocity keeps only its genuine neighborhood).
+    *
+    * Scale shape: candidates come from the banded equality join (never
+    * all-pairs — recall is tuned by adding bands, not by widening a scan);
+    * the per-vector top-k is one window over a shuffle keyed by the source
+    * vector; the mutual filter is a self-equality join of the (≤ k·n)-row
+    * directed edge list on the reversed key — every stage is keyed, no
+    * broadcast of the corpus, no driver state. Output: `(a_id, b_id,
+    * cos_sim, rnk_ab, rnk_ba)` with `a_id < b_id`, ranks being each
+    * endpoint's position of the other in its top-k list. */
+  def knnGraph(emb: DataFrame, k: Int = 3,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val cand = bandedJoin(emb, nBands, bitsPerBand)
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .distinct()
+    val directed = cand
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("cos"))
+      .unionAll(cand.select(col("b_id").as("src"), col("a_id").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val topk = directed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(
+        col("x.src").as("a_id"), col("x.dst").as("b_id"),
+        col("x.cos").as("cos_sim"),
+        col("x.rnk").cast("long").as("rnk_ab"),
+        col("y.rnk").cast("long").as("rnk_ba"))
+  }
 }

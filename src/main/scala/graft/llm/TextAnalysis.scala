@@ -164,6 +164,58 @@ object TextAnalysis {
       .select("doc_id", "rnk", "tok", "tf", "df", "score")
   }
 
+  /** BM25 document ranking for a literal query-term set — the retrieval
+    * scorer a corpus-curation stack uses to pull topical slices ("find the
+    * best k documents about X") and to build retrieval-augmented training
+    * mixes.
+    *
+    * Okapi BM25 (Robertson & Walker '94) with k1 = 1.2, b = 0.75, and the
+    * RATIO idf `(N − df + 0.5) / (df + 0.5)` instead of its log — the same
+    * transcendental-free discipline as [[tfidfTopK]]: every score is a
+    * fixed-order chain of IEEE +,·,/ on exact integers (tf, df, N, dl are
+    * integers; avgdl is one division of two exact BIGINTs), so any engine
+    * reproduces it bit-for-bit. log-idf reorders rankings only when a
+    * rarity gap is sub-logarithmic; for a deterministic pipeline stage the
+    * trade is stated, not hidden behind a tolerance compare. Term
+    * contributions sum in query-term order (a literal left-to-right chain,
+    * never a re-associated aggregate), so float addition order is fixed.
+    *
+    * Shape at 100 TB: tf per term is `size(filter(tokens))` — a pure
+    * per-row projection (the query is a HANDFUL of terms; exploding the
+    * corpus on tok to join a 3-row query table would shuffle everything
+    * for nothing); df and avgdl are one 1-row aggregate broadcast back;
+    * the top-k cut is `TakeOrderedAndProject` (orderBy + limit), never a
+    * global sort. Zero corpus shuffles end to end. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = docs.select(col("doc_id"), toks.as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"_tf_$i",
+        size(filter(col("_toks"), x => x === lit(t))).cast("long"))
+    }
+    val aggs =
+      count(lit(1)).as("n_docs") +: sum("dl").as("sum_dl") +:
+        terms.indices.map(i => count(when(col(s"_tf_$i") > 0, 1)).as(s"_df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"_tf_$i").cast("double")
+      val idf = (col("n_docs") - col(s"_df_$i") + lit(0.5)).cast("double") /
+        (col(s"_df_$i") + lit(0.5)).cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    }
+    scored
+      .withColumn("bm25", termScore.reduceLeft(_ + _))
+      .filter(col("bm25") > 0.0)
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The Gopher document-quality gates (Rae et al. 2021, table A1) that
     * are not already covered by [[quality]]/[[repetitionStats]]: mean
     * word length in [3, 10], fraction of words with at least one

@@ -743,4 +743,75 @@ class DedupSpec extends SparkSpec {
       (2L, 1, "shared", 2L, 2L, 3.0), // tf=2 doubles the score
       (2L, 2, "common", 1L, 3L, 1.0)))
   }
+
+  test("bm25: tf, rarity, and length normalization order documents as designed") {
+    val planted = Seq(
+      (0L, "x a b c d e f g h i"), // tf=1, dl=10
+      (1L, "x x x a b c d e f g"), // tf=3, dl=10 — tf wins over doc 0
+      (2L, "a b c d e f g h i j"), // tf=0 — excluded by the bm25 > 0 cut
+      // tf=1 but dl=100: length normalization must rank it below doc 0
+      (3L, ("x " + Seq.fill(99)("z").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.bm25TopK(planted, Seq("x"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 0L, 3L),
+      "order: high-tf, then short, then long; tf=0 absent")
+    assert(out.forall(_._3 > 0.0))
+    // adding a second query term raises exactly the docs that contain it
+    // (0 and 1 have "a"; 3 does not — its score must be untouched)
+    val two = graft.llm.TextAnalysis.bm25TopK(planted, Seq("x", "a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val one = out.map(r => r._1 -> r._3).toMap
+    assert(two(0L) > one(0L) && two(1L) > one(1L),
+      "docs containing the extra term must score strictly higher")
+    assert(two(3L) === one(3L),
+      "a doc without the extra term keeps its single-term score")
+    assert(two.contains(2L), "doc 2 matches the added term and enters the result")
+  }
+
+  test("mutual k-NN graph keeps only reciprocated edges") {
+    val base64 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vecs = Seq(
+      (0L, base64),
+      (1L, base64.map(x => x * 0.9f)), // same direction as 0 — cos 1
+      (2L, base64.zipWithIndex.map { case (x, i) => if (i < 4) -x else x }),
+      (3L, base64.map(x => -x)) // antipode — no shared signs
+    ).toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(vecs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // with k=1, v0 and v1 choose each other; v2's one-sided choice of a
+    // clone is dropped by the mutual filter; v3 shares no band
+    assert(edges.toSeq === Seq((0L, 1L, 1L, 1L)),
+      s"only the reciprocated pair survives: ${edges.toSeq}")
+    // k=2 admits v2 only if some clone ranks v2 back within its top-2
+    val k2 = Similarity.knnGraph(vecs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2.contains((0L, 1L)))
+    assert(k2.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))))
+  }
+
+  test("deterministic split: stable percent-grid assignment, audited fractions") {
+    val docs = (0L until 400L).map(i =>
+      (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "),
+        if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    // Scala-side replica of hash31(%9973)%100 over the decimal id string
+    def bucket(id: Long): Int =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 9973).toInt % 100
+    def splitOf(id: Long): String = {
+      val h = bucket(id)
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val expected = (0L until 400L)
+      .groupBy(i => (if (i % 2 == 0) "web" else "books", splitOf(i)))
+      .view.mapValues(_.size.toLong).toMap
+    val got = Sampling.splitSummary(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected, "split counts must match the hash-grid replica")
+    // fractions per source sum to 1 and assignment is purely id-driven:
+    // re-partitioning must not move a single document
+    val shuffled = Sampling.splitSummary(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(shuffled === got)
+  }
 }
