@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement hygiene (each guard exists because its absence corrupted a
   * previous round's numbers):
-  *   - every query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
+  *   - every query runs one RECORDED-but-unscored warm rep (its own
+  *     whole-stage-codegen compile lands there, not in the statistics)
+  *     then `SPARK_GRAFT_REPS` scored times (default 3) and reports the
   *     MEDIAN — a single co-tenant CPU spike can no longer own a number;
   *   - `rel_spread` reports (max−min)/median per query so a contaminated run
   *     is visible in the artifact itself instead of silently shipping;
@@ -104,6 +106,16 @@ object Bench {
             None
         }
       }
+      // Per-query warm rep: the FIRST execution of a query compiles its
+      // own whole-stage-codegen classes (the global warm-up above cannot
+      // reach them), which inflates rep 1 by a near-constant ~80 ms —
+      // enough to trip the spread flag on every sub-100 ms query (round-7
+      // finding: the contaminated list was mostly JIT, crying wolf over
+      // real co-tenant noise). The warm rep is RECORDED (first entry of
+      // the raw times in BENCH.json) but excluded from median/spread, so
+      // the statistics describe steady state while the artifact still
+      // shows the cold cost.
+      val warm = run(1)
       var times = run(reps)
       def spreadOf(ts: Seq[Double]): Double = {
         val med = median(ts)
@@ -115,7 +127,7 @@ object Bench {
       if (!failed.contains(name) && times.nonEmpty && spreadOf(times) > SpreadLimit)
         times = times ++ run(reps)
       if (failed.contains(name) || times.isEmpty) None
-      else Some((name, median(times), spreadOf(times), times))
+      else Some((name, median(times), spreadOf(times), warm ++ times))
     }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
