@@ -1590,6 +1590,42 @@ object Oracles {
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
+  /** Per-cluster profile — mirrors `Similarity.clusterProfile`: the
+    * validated 2-iteration Lloyd CTEs, members scored against their
+    * winning centroid, cohesion = Σ floor(cos·2²⁰) (exact BIGINT) over
+    * 2²⁰·n, majority label ties on the smaller id. */
+  val annClusterProfile: String = s"""WITH
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
+    ${ivfAssignCte("assign1", "cents0")},
+    ${ivfLloydStep("assign1", "sums1", "cent1")},
+    ${ivfAssignCte("assign2", "cent1n")},
+    ${ivfLloydStep("assign2", "sums2", "cent2")},
+    rankedc AS (
+      SELECT n.vec_id, c.c_id,
+        ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) AS c_cos,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.c_id) AS r
+      FROM n, cent2n c),
+    member AS (
+      SELECT rc.vec_id, rc.c_id AS list_id,
+        CAST(floor(rc.c_cos * 1048576.0) AS BIGINT) AS qcos, e.label
+      FROM rankedc rc JOIN embeddings e USING (vec_id) WHERE rc.r = 1),
+    bylabel AS (
+      SELECT list_id, label, count(*) AS n, CAST(sum(qcos) AS BIGINT) AS qsum
+      FROM member GROUP BY list_id, label),
+    prof AS (
+      SELECT list_id, CAST(sum(n) AS BIGINT) AS n_vecs, count(*) AS n_labels,
+        CAST(sum(qsum) AS BIGINT) AS qall
+      FROM bylabel GROUP BY list_id),
+    top AS (
+      SELECT list_id, label AS top_label, n AS top_label_n,
+        row_number() OVER (PARTITION BY list_id ORDER BY n DESC, label) AS r
+      FROM bylabel)
+    SELECT p.list_id, p.n_vecs, p.n_labels, t.top_label, t.top_label_n,
+      CAST(p.qall AS DOUBLE) / (1048576.0 * p.n_vecs) AS cohesion
+    FROM prof p JOIN top t USING (list_id) WHERE t.r = 1 ORDER BY p.list_id"""
+
   /** Recall@3 of the IVF probe vs brute force — mirrors
     * `Similarity.ivfRecall` (same k on both sides; n_hits/k is one
     * small-integer division, bit-stable). */
@@ -1938,6 +1974,7 @@ object Oracles {
     "ann_semdedup" -> annSemDedup(0.42),
     "ann_near_dup_banded" -> annNearDupBanded,
     "ann_knn_graph" -> annKnnGraph,
+    "ann_cluster_profile" -> annClusterProfile,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
     "text_tokens" -> textTokens,

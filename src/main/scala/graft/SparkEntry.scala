@@ -474,6 +474,10 @@ object SparkEntry {
     // by exact cosine, edge kept iff BOTH endpoints rank each other
     "ann_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
+    // per-cluster size / label purity / quantized-mean cohesion over the
+    // deterministic k-means index — the curation pass's topic view
+    "ann_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir)).orderBy("list_id")),
 
     // ------------------------------------------------ text analysis
     "text_quality" -> ((s, dir) =>

@@ -196,6 +196,46 @@ object Similarity {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/lists"))
 
+  /** Per-cluster corpus profile over the deterministic k-means index — the
+    * topic-distribution view a curation pass reads before deciding what to
+    * keep: how big each cluster is, how label-pure it is (majority label +
+    * distinct-label count), and how tight it is (mean member→centroid
+    * cosine). SemDeDup-style pruning, mixture rebalancing, and outlier
+    * triage all start from exactly this table.
+    *
+    * Cohesion is the mean of QUANTIZED cosines: Σ floor(cos·2²⁰) as BIGINT
+    * (exact + associative under any partial-agg order), divided once at
+    * the end — the same bit-stability recipe as the Lloyd means, so the
+    * oracle reproduces it exactly. Majority label ties break on the
+    * smaller label id.
+    *
+    * Shape at 100 TB: index build is the amortized [[ivfIndexBuild]];
+    * the profile itself is one broadcast of nLists centroids, one
+    * vec_id-keyed label join, then two partial aggs whose keys shrink to
+    * (list, label) and list — nothing wider than the corpus scan. */
+  def clusterProfile(emb: DataFrame, nLists: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val q = 1048576.0 // 2^20
+    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    val member = assigned
+      .join(broadcast(centroids), assigned("list_id") === centroids("c_id"))
+      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .select(col("vec_id"), col("list_id"),
+        floor(col("c_cos") * lit(q)).cast("long").as("qcos"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val byLabel = member.groupBy("list_id", "label")
+      .agg(count(lit(1)).as("n"), sum("qcos").as("qsum"))
+    byLabel.groupBy("list_id")
+      .agg(
+        sum("n").as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max_by(struct(col("label"), col("n")),
+          struct(col("n"), (-col("label")).as("neg"))).as("top"),
+        sum("qsum").as("_qall"))
+      .select(col("list_id"), col("n_vecs"), col("n_labels"),
+        col("top.label").as("top_label"), col("top.n").as("top_label_n"),
+        (col("_qall").cast("double") / (lit(q) * col("n_vecs"))).as("cohesion"))
+  }
+
   /** Probe half of IVF: rank centroids per query (sort-window over the tiny
     * query×centroid cross — fine), keep the `nProbe` nearest lists, equality
     * join into the inverted lists, score exactly, per-query top-`k`.

@@ -790,6 +790,34 @@ class DedupSpec extends SparkSpec {
     assert(k2.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))))
   }
 
+  test("cluster profile: size, majority label, and quantized cohesion per cluster") {
+    val a = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val b = Array.tabulate(64)(i => math.cos(i * 3 + 2).toFloat)
+    // seeds are vec 0 (group A) and vec 1 (group B); labels: A is
+    // majority-1 with one 2, B is pure 7
+    val vecs = Seq(
+      (0L, a, 1), (1L, b, 7),
+      (2L, a, 1), (3L, a, 2),
+      (4L, b, 7), (5L, b, 7)
+    ).toDF("vec_id", "embedding", "label")
+    val prof = Similarity.clusterProfile(vecs, nLists = 2, kmeansIters = 1)
+      .orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(prof.length === 2)
+    val Array(ca, cb) = prof
+    assert((ca._2, ca._3, ca._4, ca._5) === ((3L, 2L, 1, 2L)),
+      s"group A: 3 members, labels {1,1,2}, majority 1: $ca")
+    assert((cb._2, cb._3, cb._4, cb._5) === ((3L, 1L, 7, 3L)),
+      s"group B: 3 members, pure label 7: $cb")
+    // identical members sit within one 2^-20 grid step of their centroid
+    // (the Lloyd mean itself is floor-quantized, so cos is a hair under 1
+    // and the cohesion floor lands on (2^20 - 1)/2^20)
+    val oneStep = (1048576.0 - 1.0) / 1048576.0
+    assert(ca._6 >= oneStep && ca._6 <= 1.0 && cb._6 >= oneStep && cb._6 <= 1.0,
+      s"identical-member clusters must have cohesion within one grid step of 1: $prof")
+  }
+
   test("deterministic split: stable percent-grid assignment, audited fractions") {
     val docs = (0L until 400L).map(i =>
       (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "),
