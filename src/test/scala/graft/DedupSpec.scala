@@ -818,6 +818,69 @@ class DedupSpec extends SparkSpec {
       s"identical-member clusters must have cohesion within one grid step of 1: $prof")
   }
 
+  test("bm25 matches a Scala replica bit-for-bit on randomized corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "y")
+    val rng = new scala.util.Random(20260813L)
+    (1 to 5).foreach { round =>
+      val docs = (0L until 40L).map { i =>
+        val n = 1 + rng.nextInt(30)
+        (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val terms = Seq("alpha", "x")
+      val (k1, b) = (1.2, 0.75)
+      // Scala replica with the operator's exact IEEE evaluation order
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val dl = toks.view.mapValues(_.size.toLong).toMap
+      val nDocs = docs.size.toLong
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val df = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+      def score(id: Long): Double =
+        terms.map { t =>
+          val tf = toks(id).count(_ == t).toDouble
+          val idf = ((nDocs - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+          idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * (dl(id).toDouble / avgdl)))
+        }.reduceLeft(_ + _)
+      val expected = docs.map(_._1).map(id => (id, score(id)))
+        .filter(_._2 > 0.0)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10)
+        .map { case (id, s) => (id, dl(id), s) }
+      val got = graft.llm.TextAnalysis
+        .bm25TopK(docs.toDF("doc_id", "text"), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === expected, s"round $round: bit-exact parity with the replica")
+    }
+  }
+
+  test("knn graph matches mutual top-k computed from its own candidate pairs") {
+    val rng = new scala.util.Random(77L)
+    (1 to 3).foreach { round =>
+      val vecs = (0L until 30L).map { i =>
+        (i, Array.tabulate(64)(d => (rng.nextDouble() - 0.5).toFloat))
+      }.toDF("vec_id", "embedding")
+      val k = 2
+      // ground truth from the operator's OWN candidate generation (the
+      // banded recall is a tuning knob, not under test): collect the
+      // candidate pairs, then model top-k + reciprocity in Scala
+      val cand = Similarity.nearDupPairsBanded(vecs, threshold = -2.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val directed = cand.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      val topk = directed.toSeq.groupBy(_._1).flatMap { case (_, es) =>
+        es.sortBy { case (_, dst, c) => (-c, dst) }.take(k).zipWithIndex
+          .map { case ((src, dst, c), i) => (src, dst, c, (i + 1).toLong) }
+      }.toSet
+      val expected = topk.flatMap { case (s, d, c, r1) =>
+        topk.find(e => e._1 == d && e._2 == s).map(e => (s, d, c, r1, e._4))
+      }.filter { case (s, d, _, _, _) => s < d }
+      val got = Similarity.knnGraph(vecs, k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === expected, s"round $round: mutual filter parity")
+    }
+  }
+
   test("deterministic split: stable percent-grid assignment, audited fractions") {
     val docs = (0L until 400L).map(i =>
       (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "),
