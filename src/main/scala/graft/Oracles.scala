@@ -11,7 +11,9 @@ package graft
 object Oracles {
 
   /** hash31 (reference `src/changefeed/model.ts:92-98`) in pure DuckDB SQL:
-    * fold over UTF-16 code units. ASCII-only data ⇒ ascii() == charCodeAt. */
+    * fold over Unicode code points — DuckDB's ascii() returns the code
+    * point, matching the engine's Hash31 code-point fold on ANY input
+    * (astral chars included), not just ASCII. */
   def h31(x: String, mod: Long): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(split($x, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % $mod)"
 
@@ -901,11 +903,11 @@ object Oracles {
     FROM v ORDER BY a_id, b_id"""
 
   /** Exact-substring spans — mirrors `Dedup.substringSpans` (40-char
-    * rolling windows mod the same 2^45 prime, diagonal run detection,
+    * rolling windows mod the same 2^41 prime, diagonal run detection,
     * spans ≥ 60 chars). Windows hash independently here; the engine's
     * rolling recurrence is an exact modular identity, so bits match. */
   def dedupSubstring(window: Int = 40, minSpan: Int = 60): String = {
-    val m = 35184372088777L
+    val m = 2199023255531L
     s"""WITH wins AS (
       SELECT doc_id, i - 1 AS pos,
         list_reduce(list_prepend(0::BIGINT,
@@ -934,7 +936,7 @@ object Oracles {
     * excision of ≥ minSpan shared spans, interval merge, ordered segment
     * reassembly). */
   def dedupSubstringClean(window: Int = 40, minSpan: Int = 60): String = {
-    val m = 35184372088777L
+    val m = 2199023255531L
     s"""WITH wins AS (
       SELECT doc_id, i - 1 AS pos,
         list_reduce(list_prepend(0::BIGINT,

@@ -6,19 +6,25 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Polynomial rolling hash `acc = (acc * 31 + charCode) % modulus` over the
-  * UTF-16 code units of a string.
+/** Polynomial rolling hash `acc = (acc * 31 + codePoint) % modulus` over the
+  * Unicode CODE POINTS of a string.
   *
-  * This reproduces, bit for bit, the deterministic hash the reference engine
-  * uses for broker partition routing and fault injection
+  * Code points — not UTF-16 code units — so the hash agrees with every
+  * code-point-based string engine: DuckDB (`ascii()` / `substr` / `len`),
+  * Spark SQL's own `length`/`substring`, and JS `for (c of s)` iteration.
+  * For BMP text (ASCII included) code units and code points coincide, so
+  * this also reproduces, bit for bit, the deterministic hash the reference
+  * engine uses for broker partition routing and fault injection
   * (`src/changefeed/model.ts:92-109`: `hash` with modulus 9973, `shouldDrop`,
-  * `partitionForKey`), so partition assignment and drop decisions are
-  * reproducible across engines. Implemented as a native Catalyst expression
-  * with codegen so it stays inside whole-stage codegen (no UDF boundary).
+  * `partitionForKey`) on its ASCII keys. Implemented as a native Catalyst
+  * expression with codegen so it stays inside whole-stage codegen (no UDF
+  * boundary).
   */
 case class Hash31(child: Expression, modulus: Long) extends UnaryExpression {
 
   require(modulus > 0, "hash31 modulus must be positive")
+  // acc*31 + cp must stay in a long: acc < m ⇒ need 31·m + 2^21 < 2^63
+  require(modulus < (1L << 57), "hash31 modulus must fit 57 bits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hash31"
@@ -42,15 +48,34 @@ case class Hash31(child: Expression, modulus: Long) extends UnaryExpression {
 
 object Hash31 {
 
-  /** Reference parity: JS `for (c of s) acc = (acc*31 + charCodeAt) % mod`. */
+  /** Code-point fold; on BMP text identical to the reference's
+    * `for (c of s) acc = (acc*31 + charCode) % mod`. */
   def hash(s: String, mod: Long): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i).toLong) % mod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp.toLong) % mod
+      i += Character.charCount(cp)
     }
     acc
+  }
+
+  /** Unicode code points of `s` as an int array (surrogate pairs fused) —
+    * the shared decode step of the rolling-hash family, so positions and
+    * window widths count code points exactly as Spark's `substring`/`length`
+    * and DuckDB's `substr`/`len` do. */
+  def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 }
 

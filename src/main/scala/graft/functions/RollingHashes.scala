@@ -34,8 +34,9 @@ case class RollingHashes(child: Expression, window: Int, modulus: Long)
   require(window > 0, "rolling window must be positive")
   require(modulus > 0, "rolling modulus must be positive")
   // 31^window overflows are avoided by taking mod each step; the subtract
-  // step needs modulus < 2^57 so (h + top*31) stays in a long
-  require(modulus < (1L << 57), "rolling modulus must fit 57 bits")
+  // step computes cp·top with cp ≤ 0x10FFFF (< 2^21) and top < modulus,
+  // so modulus < 2^41 keeps the product inside a signed long
+  require(modulus < (1L << 41), "rolling modulus must fit 41 bits")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_hashes"
@@ -55,9 +56,13 @@ case class RollingHashes(child: Expression, window: Int, modulus: Long)
 
 object RollingHashes {
 
-  /** All `window`-length substring hash31 values via one rolling pass. */
+  /** All `window`-length substring hash31 values via one rolling pass.
+    * Windows and positions count Unicode CODE POINTS (surrogate pairs are
+    * one position), so emitted offsets line up with Spark's
+    * `substring`/`length` and DuckDB's `substr`/`len` on any input. */
   def hashes(s: String, window: Int, mod: Long): GenericArrayData = {
-    val n = s.length
+    val cps = Hash31.codePoints(s)
+    val n = cps.length
     if (n <= window) return new GenericArrayData(Array(Hash31.hash(s, mod)))
     val out = new Array[Long](n - window + 1)
     // 31^(window-1) mod m — the outgoing char's weight
@@ -66,13 +71,13 @@ object RollingHashes {
     while (w < window) { top = (top * 31) % mod; w += 1 }
     var h = 0L
     var i = 0
-    while (i < window) { h = (h * 31 + s.charAt(i).toLong) % mod; i += 1 }
+    while (i < window) { h = (h * 31 + cps(i).toLong) % mod; i += 1 }
     out(0) = h
     var k = 1
     while (i < n) {
       // ((h - c_out*top mod m) * 31 + c_in) mod m, kept non-negative
-      h = (h - (s.charAt(k - 1).toLong * top) % mod + mod) % mod
-      h = (h * 31 + s.charAt(i).toLong) % mod
+      h = (h - (cps(k - 1).toLong * top) % mod + mod) % mod
+      h = (h * 31 + cps(i).toLong) % mod
       out(k) = h
       k += 1
       i += 1

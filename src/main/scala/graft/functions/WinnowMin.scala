@@ -28,6 +28,9 @@ case class WinnowMin(child: Expression, window: Int, modulus: Long)
 
   require(window > 0, "winnow window must be positive")
   require(modulus > 0, "winnow modulus must be positive")
+  // the roll step computes cp·top with cp < 2^21 and top < modulus — see
+  // the overflow bound note in RollingHashes
+  require(modulus < (1L << 41), "winnow modulus must fit 41 bits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "winnow_min"
@@ -45,9 +48,11 @@ case class WinnowMin(child: Expression, window: Int, modulus: Long)
 
 object WinnowMin {
 
-  /** Min over all `window`-length substring hash31 values via rolling hash. */
+  /** Min over all `window`-length substring hash31 values via rolling hash.
+    * Windows count Unicode code points — see the note in RollingHashes. */
   def minHash(s: String, window: Int, mod: Long): Long = {
-    val n = s.length
+    val cps = Hash31.codePoints(s)
+    val n = cps.length
     if (n <= window) return Hash31.hash(s, mod)
     // 31^(window-1) mod m — the outgoing char's weight
     var top = 1L
@@ -56,12 +61,12 @@ object WinnowMin {
     // first window
     var h = 0L
     var i = 0
-    while (i < window) { h = (h * 31 + s.charAt(i).toLong) % mod; i += 1 }
+    while (i < window) { h = (h * 31 + cps(i).toLong) % mod; i += 1 }
     var min = h
     while (i < n) {
       // drop s[i-window], shift, add s[i]; keep the remainder non-negative
-      val dropped = (h - (s.charAt(i - window).toLong * top) % mod + mod) % mod
-      h = (dropped * 31 + s.charAt(i).toLong) % mod
+      val dropped = (h - (cps(i - window).toLong * top) % mod + mod) % mod
+      h = (dropped * 31 + cps(i).toLong) % mod
       if (h < min) min = h
       i += 1
     }

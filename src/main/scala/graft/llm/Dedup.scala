@@ -218,7 +218,7 @@ object Dedup {
     * consecutive a_pos per (pair, diagonal) measure exact span lengths:
     * span = run + window − 1. Spurious hash collisions surface as
     * isolated length-1 runs → span = `window` < `minSpan` → filtered
-    * (modulus ~2^45 makes a collision ADJACENT to another astronomically
+    * (modulus ~2^41 makes a collision ADJACENT to another astronomically
     * unlikely, which is what extending a run would take).
     *
     * Scale shape: the explode is O(chars) rows of (hash, pos) — the
@@ -245,7 +245,7 @@ object Dedup {
       docs: DataFrame,
       window: Int = 40,
       minSpan: Int = 60,
-      modulus: Long = 35184372088777L, // prime < 2^45: see RollingHashes bound
+      modulus: Long = 2199023255531L, // prime < 2^41: see RollingHashes bound
       anchorMod: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpan > window, "minSpan must exceed window (collision filter)")
@@ -303,7 +303,7 @@ object Dedup {
       docs: DataFrame,
       window: Int = 40,
       minSpan: Int = 60,
-      modulus: Long = 35184372088777L): DataFrame = {
+      modulus: Long = 2199023255531L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpan > window, "minSpan must exceed window (collision filter)")
     val wins = docs

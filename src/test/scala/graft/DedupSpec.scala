@@ -123,7 +123,7 @@ class DedupSpec extends SparkSpec {
   test("rolling window hashes equal independent per-window hash31") {
     val rnd = new scala.util.Random(42)
     val s = (0 until 200).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
-    val m = 35184372088777L
+    val m = 2199023255531L
     val rolled = graft.functions.RollingHashes.hashes(s, 40, m)
       .toLongArray().toSeq
     val direct = (0 to s.length - 40).map(i =>
@@ -272,6 +272,47 @@ class DedupSpec extends SparkSpec {
     // doc 2) are adjacent → merge into ONE 160-char excision
     assert(out(3L) === ((1L, 160L)), s"adjacent intervals must merge: ${out(3L)}")
     assert(out(1L) === ((0L, 0L)) && out(2L) === ((0L, 0L)))
+  }
+
+  test("rolling hashes and excision offsets count code points, not UTF-16 units") {
+    // astral chars (emoji) are ONE code point but TWO UTF-16 units; hash
+    // positions must line up with Spark substring()/length() (code points)
+    // or excision offsets shift and clean_text corrupts
+    val m = 2199023255531L
+    val astral = "ab😀cd😁ef" // a b 😀 c d 😁 e f — 8 code points
+    val cps = astral.codePoints().toArray
+    val rolled = graft.functions.RollingHashes.hashes(astral, 3, m).toLongArray().toSeq
+    val direct = (0 to cps.length - 3).map(i =>
+      graft.functions.Hash31.hash(new String(cps.slice(i, i + 3), 0, 3), m))
+    assert(rolled === direct, "window hashes must be code-point based")
+    assert(rolled.length === 6, "8 code points → 6 windows of 3")
+    // end-to-end: a shared span preceded by emoji in the later doc is cut
+    // at exactly the right code-point offsets
+    val rnd = new scala.util.Random(88)
+    def rand(n: Int) = (0 until n).map(_ => (rnd.nextInt(26) + 'a').toChar).mkString
+    val shared = rand(100)
+    val prefix = "😀😁" + rand(20) // 22 code points, 24 units
+    val suffix = rand(10)
+    val docs = Seq(
+      (1L, rand(20) + shared + rand(20), "en", "s"),
+      (2L, prefix + shared + suffix, "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.substringClean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(2L) === ((1L, 100L, prefix + suffix)),
+      s"excision must remove exactly the 100 shared code points: ${out(2L)._1}, ${out(2L)._2}")
+    assert(out(1L)._1 === 0L)
+  }
+
+  test("substring clean is deterministic: repeated runs hash identically") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(): Seq[Seq[Any]] =
+      Dedup.substringClean(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val first = run()
+    // twice more in the same session — any ordering tie in the island scan
+    // or segment reassembly would eventually surface as a flip
+    assert(run() === first, "second run diverged")
+    assert(run() === first, "third run diverged")
   }
 
   test("substring spans: content-defined anchor sampling still finds long spans") {
