@@ -905,10 +905,30 @@ object Oracles {
   /** Exact-substring spans — mirrors `Dedup.substringSpans` (40-char
     * rolling windows mod the same 2^41 prime, diagonal run detection,
     * spans ≥ 60 chars). Windows hash independently here; the engine's
-    * rolling recurrence is an exact modular identity, so bits match. */
-  def dedupSubstring(window: Int = 40, minSpan: Int = 60): String = {
+    * rolling recurrence is an exact modular identity, so bits match.
+    * With `anchorMod` > 1 only windows whose hash ≡ 0 (mod q) survive —
+    * the content-defined sampling branch — and spans are measured as
+    * per-diagonal anchor EXTENTS (max−min+window), mirroring the
+    * engine's sampled path exactly. */
+  def dedupSubstring(window: Int = 40, minSpan: Int = 60, anchorMod: Long = 1L): String = {
     val m = 2199023255531L
-    s"""WITH wins AS (
+    val anchorFilter = if (anchorMod <= 1L) "" else s" WHERE h % $anchorMod = 0"
+    val spansCte =
+      if (anchorMod <= 1L)
+        s"""runs AS (
+      SELECT a_id, b_id, diag,
+        a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+      FROM matched),
+    spans AS (
+      SELECT a_id, b_id, count(*) + ${window - 1} AS span_len
+      FROM runs GROUP BY a_id, b_id, diag, grp
+      HAVING count(*) + ${window - 1} >= $minSpan)"""
+      else
+        s"""spans AS (
+      SELECT a_id, b_id, max(a_pos) - min(a_pos) + $window AS span_len
+      FROM matched GROUP BY a_id, b_id, diag
+      HAVING max(a_pos) - min(a_pos) + $window >= $minSpan)"""
+    s"""WITH allwins AS (
       SELECT doc_id, i - 1 AS pos,
         list_reduce(list_prepend(0::BIGINT,
           list_transform(split(substr(text, i, $window), ''), c -> ascii(c)::BIGINT)),
@@ -916,18 +936,12 @@ object Oracles {
       FROM (SELECT doc_id, text,
               unnest(range(1, greatest(len(text) - $window + 1, 1) + 1)) AS i
             FROM documents)),
+    wins AS (SELECT * FROM allwins$anchorFilter),
     matched AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos,
              b.pos - a.pos AS diag
       FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id),
-    runs AS (
-      SELECT a_id, b_id, diag,
-        a_pos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
-      FROM matched),
-    spans AS (
-      SELECT a_id, b_id, count(*) + ${window - 1} AS span_len
-      FROM runs GROUP BY a_id, b_id, diag, grp
-      HAVING count(*) + ${window - 1} >= $minSpan)
+    $spansCte
     SELECT a_id, b_id, count(*) AS n_spans, max(span_len) AS max_span
     FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id"""
   }
@@ -1913,6 +1927,9 @@ object Oracles {
     "cdc_bus_totals" -> cdcBusTotals,
     "q_part_pushdown" -> qPartPushdown,
     "ann_ivf_topk" -> annIvfTopK,
+    // the persisted-index probe must return EXACTLY the in-memory result —
+    // one oracle pins both paths
+    "ann_ivf_persisted" -> annIvfTopK,
     "ann_ivf_recall" -> annIvfRecall,
     "mm_frame_sample" -> mmFrameSample,
     "cdc_verify_counts" -> cdcVerifyCounts,
@@ -1969,6 +1986,7 @@ object Oracles {
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     "dedup_substring" -> dedupSubstring(),
+    "dedup_substring_sampled" -> dedupSubstring(anchorMod = 8L),
     "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_lsh_buckets" -> annLshBuckets,

@@ -397,6 +397,11 @@ object SparkEntry {
     // hashes (the Lee et al. 2021 dedup family, as a hash-window join)
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringSpans(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    // the content-defined-sampling branch (hash ≡ 0 mod 8 anchors, extent
+    // semantics) — the form a beyond-O(chars) corpus would actually run
+    "dedup_substring_sampled" -> ((s, dir) =>
+      Dedup.substringSpans(Tables.documents(s, dir), anchorMod = 8L)
+        .orderBy("a_id", "b_id")),
     // the cleaning artifact: shared spans excised from the later doc,
     // unaffected docs pass through verbatim
     "dedup_substring_clean" -> ((s, dir) =>
@@ -760,6 +765,18 @@ object SparkEntry {
         .orderBy("p_brand")),
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // the amortized build-once form: index written as parquet (lists
+    // partitioned by list_id), loaded back, probed — results pinned to the
+    // in-memory path by the shared oracle; the list_id equality join prunes
+    // the probe to the probed partitions (DPP — asserted in DedupSpec)
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.ivfIndexWrite(emb, idxDir)
+      val (centroids, lists) = Similarity.ivfIndexLoad(s, idxDir)
+      Similarity.ivfProbe(emb.filter(col("vec_id") < 10), centroids, lists)
+        .orderBy("q_id", "rnk")
+    }),
     "ann_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     "mm_frame_sample" -> ((s, dir) =>

@@ -323,12 +323,14 @@ class DedupSpec extends SparkSpec {
       (1L, rand(30) + shared + rand(30), "en", "s"),
       (2L, rand(50) + shared + rand(10), "en", "s")
     ).toDF("doc_id", "text", "lang", "source")
-    val out = Dedup.substringSpans(docs, anchorMod = 4L).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
-    // 261 windows in the span, each an anchor w.p. 1/4 — extent is a lower
-    // bound on 300 and must still clear minSpan
-    assert(out.contains((1L, 2L)), "sampled anchors must still surface the span")
-    assert(out((1L, 2L)) >= 60L && out((1L, 2L)) <= 300L)
+    for (q <- Seq(4L, 8L)) {
+      val out = Dedup.substringSpans(docs, anchorMod = q).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      // 261 windows in the span, each an anchor w.p. 1/q — extent is a
+      // lower bound on 300 and must still clear minSpan
+      assert(out.contains((1L, 2L)), s"anchors mod $q must still surface the span")
+      assert(out((1L, 2L)) >= 60L && out((1L, 2L)) <= 300L)
+    }
   }
 
   test("simhash: identical docs identical prints; near-dup within small hamming") {
@@ -431,11 +433,18 @@ class DedupSpec extends SparkSpec {
     try {
       Similarity.ivfIndexWrite(emb, dir)
       val (centroids, lists) = Similarity.ivfIndexLoad(spark, dir)
-      val probed = Similarity.ivfProbe(emb.filter(col("vec_id") < 10), centroids, lists)
+      val probedDf = Similarity.ivfProbe(emb.filter(col("vec_id") < 10), centroids, lists)
+      val probed = probedDf
         .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("n_id"))).toSet
       val direct = Similarity.ivfTopK(emb).collect()
         .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("n_id"))).toSet
       assert(probed === direct, "prebuilt-index probe must match the one-shot query")
+      // the probe must PRUNE the lists scan to the probed list_id partitions
+      // (dynamic partition pruning on the equality join key), not read all
+      // nLists partitions — the whole point of the partitioned layout
+      val plan = probedDf.queryExecution.executedPlan.toString()
+      assert(plan.contains("dynamicpruning"),
+        s"lists scan must carry a dynamic partition-pruning filter:\n$plan")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
