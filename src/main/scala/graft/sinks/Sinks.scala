@@ -45,10 +45,16 @@ object Sinks {
     *
     * Per row: (1) `UPDATE ... WHERE pk = ? AND seq < ?` — a newer event
     * wins, an older replayed one is a no-op; (2) if no row matched, try
-    * `INSERT`, swallowing a duplicate-key violation (the row exists with a
-    * newer-or-equal seq — a stale replay). The seq guard makes delivery
-    * idempotent AND order-insensitive: replaying any batch, in any order,
-    * converges to the max-seq image per key.
+    * `INSERT` inside a per-row SAVEPOINT, rolling back to it on a
+    * duplicate-key violation (the row exists with a newer-or-equal seq —
+    * a stale replay). The savepoint matters on PostgreSQL: any statement
+    * error there aborts the WHOLE transaction (SQLState 25P02 on every
+    * subsequent statement), so merely swallowing the exception — fine on
+    * statement-level-rollback engines like Derby — would lose the rest of
+    * the partition's batch. Rolling back to the savepoint restores the
+    * transaction on both families. The seq guard makes delivery idempotent
+    * AND order-insensitive: replaying any batch, in any order, converges
+    * to the max-seq image per key.
     *
     * Scale shape: the batch is repartitioned on the key so each pk lives
     * in exactly ONE partition — no two executors contend on a row, and
@@ -99,10 +105,17 @@ object Sinks {
               set(upd, nPayload + 3, nPayload + 1, r) // seq in guard
               if (upd.executeUpdate() == 0) {
                 cols.indices.foreach(i => set(ins, i + 1, i, r))
-                try ins.executeUpdate()
-                catch {
+                // per-row savepoint: on Postgres a failed statement aborts
+                // the whole txn (25P02), so the 23505 swallow must restore
+                // to here or every later row + the commit would fail
+                val sp = conn.setSavepoint()
+                try {
+                  ins.executeUpdate()
+                  conn.releaseSavepoint(sp)
+                } catch {
                   case e: java.sql.SQLException if e.getSQLState == "23505" =>
-                  // duplicate key: the row already holds a >= seq — stale replay
+                    // duplicate key: the row already holds a >= seq — stale replay
+                    conn.rollback(sp)
                 }
               }
             }
