@@ -120,8 +120,14 @@ object SparkEntry {
     "cdc_debezium_e2e" -> ((s, dir) => {
       // the feed drives both the envelope round-trip and the direct truth
       // fold; the decoded stream drives txn assembly and the JSON apply —
-      // persist each so the JSON print/parse work runs once per row
-      val feed = CdcOps.jsonOps(ops(s, dir)).persist()
+      // persist each so the JSON print/parse work runs once per row.
+      // repartition BEFORE the render: the sf inputs are one parquet split,
+      // which would serialize the whole per-row JSON round trip on a single
+      // thread (at scale the input arrives pre-split; this only fixes up
+      // the local shape). Keyed on (tbl, pk) so the truth-side apply's
+      // window reuses the partitioning instead of re-shuffling.
+      val feed = CdcOps.jsonOps(ops(s, dir).repartition(col("tbl"), col("pk")))
+        .persist()
       val dec = DebeziumSource.decode(
         DebeziumSource.encode(feed), col("value"))
       // lsn = t·10⁶ + event_id is invertible, so the decoded stream

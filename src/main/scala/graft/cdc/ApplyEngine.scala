@@ -149,19 +149,18 @@ object ApplyEngine {
         col("after_json").isNotNull)
     // explode_outer keeps `{}` payloads as a (null field) marker row, so
     // keys whose only live payloads are empty still materialize as `{}`.
-    // Fields come from json_object_keys + get_json_object (not a
-    // Map<String,String> parse): nested-object values — the reference's
-    // implicit schema-evolution fixtures carry them — survive as their raw
-    // JSON text instead of parsing to null and being dropped.
+    // Fields and values come from ONE native-expression parse per payload
+    // (graft.functions.JsonEntries — the fused json_object_keys +
+    // get_json_object pair, 1 parse instead of 1+K): nested-object values —
+    // the reference's implicit schema-evolution fixtures carry them —
+    // survive as their raw JSON text instead of parsing to null and being
+    // dropped.
     val fields = live
-      .select(col("tbl"), col("pk"), col(ordCol).as("_ord"), col("after_json"),
-        explode_outer(json_object_keys(col("after_json"))).as("field"))
-      .withColumn("value",
-        when(col("field").isNotNull,
-          // bracket-quoted dynamic path (the Column API overload only takes
-          // literal paths; the underlying expression accepts any)
-          expr("get_json_object(after_json, concat('$[''', field, ''']'))")))
-      .drop("after_json")
+      .select(col("tbl"), col("pk"), col(ordCol).as("_ord"),
+        explode_outer(graft.functions.GraftFunctions.jsonEntries(col("after_json")))
+          .as("entry"))
+      .select(col("tbl"), col("pk"), col("_ord"),
+        col("entry.field").as("field"), col("entry.value").as("value"))
       .filter(col("field").isNull || col("value").isNotNull) // sanitizeRow
       // drift projection: demote dropped fields to empty-payload markers
       // (not filtered rows) so a key whose only field was the drifted

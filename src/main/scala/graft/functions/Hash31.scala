@@ -112,6 +112,11 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** All (field, value) entries of a JSON object in one parse (see
+    * `JsonEntries`). */
+  def jsonEntries(c: Column): Column =
+    GraftBridge.column(JsonEntries(GraftBridge.expression(c)))
+
   /** All LSH band keys of an embedding in one fused pass (see
     * `LshBandKeys`). */
   def lshBandKeys(emb: Column, nBands: Int, bitsPerBand: Int, dims: Int = 64): Column =

@@ -16,9 +16,9 @@ import org.apache.spark.sql.types._
   */
 object DebeziumSource {
 
-  /** Envelope schema: payloads stay as raw JSON strings (open schema —
-    * MapType-like handling downstream, SURVEY §1.3). */
-  val envelopeSchema: StructType = StructType(Seq(
+  /** Bare envelope fields: payloads stay as raw JSON strings (open
+    * schema — MapType-like handling downstream, SURVEY §1.3). */
+  private val coreFields: Seq[StructField] = Seq(
     StructField("op", StringType),
     StructField("before", StringType),
     StructField("after", StringType),
@@ -30,9 +30,17 @@ object DebeziumSource {
       StructField("id", StringType),
       StructField("index", LongType),
       StructField("total", LongType),
-      StructField("last", BooleanType)))),
-    StructField("payload", StringType) // optional wrapper
-  ))
+      StructField("last", BooleanType)))))
+
+  /** The unwrapped envelope. */
+  val innerSchema: StructType = StructType(coreFields)
+
+  /** Envelope schema with the optional `{payload: {...}}` wrapper parsed as
+    * a NESTED struct in the same Jackson pass — wrapped rows cost one parse,
+    * not an outer parse plus a re-parse of the captured payload text. The
+    * reference unwraps exactly one level (`index.js:258-262`), so a single
+    * nesting matches its semantics. */
+  val envelopeSchema: StructType = StructType(coreFields :+ StructField("payload", innerSchema))
 
   /** Decode a column of JSON envelope strings. Rows whose JSON cannot be
     * parsed decode to null fields (tracked, not dropped — the verifier
@@ -40,11 +48,12 @@ object DebeziumSource {
   def decode(
       df: DataFrame, valueCol: Column, tableAllowlist: Seq[String] = Nil,
       passthrough: Seq[String] = Nil): DataFrame = {
-    val parsedOuter = df.withColumn("env", from_json(valueCol, envelopeSchema))
-    // unwrap the optional {payload: {...}} wrapper (index.js:258-262)
-    val parsed = parsedOuter.withColumn("env",
-      when(col("env.payload").isNotNull, from_json(col("env.payload"), envelopeSchema))
-        .otherwise(col("env")))
+    // one from_json; the wrapped form wins when present (index.js:258-262)
+    val parsed = df.withColumn("raw", from_json(valueCol, envelopeSchema))
+      .withColumn("env", coalesce(col("raw.payload"), struct(
+        col("raw.op").as("op"), col("raw.before").as("before"),
+        col("raw.after").as("after"), col("raw.ts_ms").as("ts_ms"),
+        col("raw.source").as("source"), col("raw.tx").as("tx"))))
     val decoded = parsed.select(passthrough.map(col) ++ Seq(
       when(lower(col("env.op")).isin("c", "r"), "insert")
         .when(lower(col("env.op")) === "u", "update")
@@ -117,7 +126,10 @@ object DebeziumSource {
     * Transactions: `txSize` consecutive event ids share a tx envelope
     * block with index/total metadata (`model.ts:169-244`). */
   def encode(jsonOps: DataFrame, txSize: Int = 3): DataFrame = {
-    val inner = to_json(struct(
+    // built as a STRUCT so the wrapped form renders payload as a nested
+    // JSON object — the Kafka Connect `{payload: {...}}` layer the
+    // reference unwraps (`index.js:258-262`) — in one to_json call
+    val env = struct(
       when(col("op") === "insert",
         when(col("event_id") % 7 === 0, "r").otherwise("c"))
         .when(col("op") === "update", lit("u"))
@@ -130,9 +142,9 @@ object DebeziumSource {
       struct(
         concat(lit("tx-"), expr(s"event_id div $txSize").cast("string")).as("id"),
         (col("event_id") % txSize).as("index"),
-        lit(txSize.toLong).as("total")).as("tx")))
+        lit(txSize.toLong).as("total")).as("tx"))
     jsonOps.select(
-      when(col("event_id") % 2 === 0, to_json(struct(inner.as("payload"))))
-        .otherwise(inner).as("value"))
+      when(col("event_id") % 2 === 0, to_json(struct(env.as("payload"))))
+        .otherwise(to_json(env)).as("value"))
   }
 }

@@ -37,7 +37,7 @@ class SourcesSinksSpec extends SparkSpec {
       """{"op":"c","after":"{\"id\":\"1\",\"v\":5}","ts_ms":100,"source":{"table":"users","lsn":1}}""",
       """{"op":"r","after":"{\"id\":\"2\"}","ts_ms":110,"source":{"table":"users","lsn":2}}""",
       """{"op":"d","before":"{\"id\":\"1\"}","ts_ms":120,"source":{"table":"users","lsn":3},"tx":{"id":"t1","index":0,"total":1,"last":true}}""",
-      """{"payload":"{\"op\":\"u\",\"after\":\"{\\\"id\\\":\\\"3\\\"}\",\"ts_ms\":130,\"source\":{\"table\":\"users\",\"lsn\":4}}"}""",
+      """{"payload":{"op":"u","after":"{\"id\":\"3\"}","ts_ms":130,"source":{"table":"users","lsn":4}}}""",
       """{"op":"c","after":"{\"id\":\"9\"}","ts_ms":140,"source":{"table":"other","lsn":5}}"""
     ).toDF("value")
     val out = DebeziumSource.decode(envelopes, col("value"), tableAllowlist = Seq("users"))
