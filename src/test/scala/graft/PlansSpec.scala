@@ -1,0 +1,86 @@
+package graft
+
+/** Plan-shape pins for the bench's top-cost queries and the SCALE.md
+  * claims — the suite fails if a future change regresses a physical plan
+  * (a lost broadcast, a surprise cartesian, an extra shuffle on the apply
+  * path). Counts are taken from the INITIAL physical plan (pre-AQE), which
+  * is what the planner promises before runtime stats kick in.
+  *
+  * The 1-row `BroadcastNestedLoopJoin`s some composites carry (a metrics
+  * cross-join of single-row aggregates) are legitimate and cheap at any
+  * scale, so BNLJ is only banned where the operator contract is an
+  * equality join (banded dedup/ANN paths).
+  */
+class PlansSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val names = Seq(
+    // top-cost composites (round-7 bench order)
+    "cdc_debezium_e2e", "corpus_filter", "dedup_verify_candidates",
+    "dedup_clusters", "cdc_snapshot_tail", "cdc_evaluate", "dedup_keep_best",
+    "ann_semdedup", "ann_ivf_recall", "cdc_evaluate_log",
+    "dedup_substring_clean",
+    // SCALE.md claim holders
+    "q_region_revenue", "q_supplier_nation", "q_events_asof",
+    "ann_lsh_buckets", "ann_near_dup_banded", "cdc_apply_state",
+    "cdc_apply_json", "text_quality", "text_pii", "text_tokens")
+
+  // built once; query construction may run driver-side convergence loops
+  private lazy val plans: Map[String, String] = names.map { n =>
+    n -> SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString()
+  }.toMap
+
+  private def count(name: String, marker: String): Int =
+    marker.r.findAllIn(plans(name)).size
+
+  test("no CartesianProduct in any pinned query") {
+    for (n <- names)
+      assert(count(n, "CartesianProduct") === 0, s"$n plans a cartesian product")
+  }
+
+  test("star joins broadcast the dimensions (never sort-merge)") {
+    assert(count("q_region_revenue", "BroadcastHashJoin") >= 3,
+      "region-revenue must broadcast all three dimension joins")
+    assert(count("q_region_revenue", "SortMergeJoin") === 0)
+    assert(count("q_supplier_nation", "BroadcastHashJoin") >= 1)
+    assert(count("q_supplier_nation", "SortMergeJoin") === 0)
+  }
+
+  test("as-of join is a keyed window pass with zero join operators") {
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin"))
+      assert(count("q_events_asof", j) === 0, s"as-of grew a $j")
+    assert(count("q_events_asof", "Exchange hashpartitioning") <= 2,
+      "as-of should cost at most the keyed exchange + output agg exchange")
+  }
+
+  test("text analysis runs at scan speed: no data shuffles, no joins") {
+    for (n <- Seq("text_quality", "text_pii", "text_tokens")) {
+      assert(count(n, "Exchange hashpartitioning") === 0,
+        s"$n is a projection and must not shuffle")
+      assert(count(n, "Join") === 0, s"$n must not join")
+    }
+  }
+
+  test("open-schema JSON apply is a single-shuffle pipeline") {
+    // the (tbl, pk) window exchange also satisfies both downstream
+    // groupBys ((tbl, pk, field) and (tbl, pk)) — one hash exchange total
+    assert(count("cdc_apply_json", "Exchange hashpartitioning") === 1,
+      "applyJsonState must reuse its keyed partitioning end-to-end")
+  }
+
+  test("typed apply fold is one keyed exchange and no Window operator") {
+    assert(count("cdc_apply_state", "Exchange hashpartitioning") === 1)
+    assert(count("cdc_apply_state", "Window") === 0,
+      "applyState is a secondary-sort fold, not a window scan")
+  }
+
+  test("banded dedup/ANN paths stay equality joins (no nested-loop)") {
+    for (n <- Seq("dedup_clusters", "dedup_verify_candidates",
+        "dedup_keep_best", "dedup_substring_clean", "corpus_filter",
+        "ann_lsh_buckets", "ann_near_dup_banded"))
+      assert(count(n, "BroadcastNestedLoopJoin") === 0,
+        s"$n must never plan a nested-loop join")
+  }
+}
