@@ -624,6 +624,36 @@ object Oracles {
       CAST(sum(n_tokens) AS DOUBLE) / (CAST(max(bin_end) + 1 AS BIGINT) * 512) AS mean_fill
     FROM p"""
 
+  /** Bigram-LM fluency scores — mirrors `TextAnalysis.lmScore`: add-one-
+    * smoothed bigram counts over the hash31 half-slice, each transition's
+    * inverse probability in fixed point (exact BIGINT `//`), per-doc exact
+    * integer sum, ONE final double division. Parallel `unnest`s zip, so
+    * (w1, w2) stay positionally aligned. */
+  def textLmScore: String = s"""WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS s,
+        ${h31("CAST(doc_id AS VARCHAR)", 9973)} % 100 < 50 AS is_train
+      FROM documents),
+    bg AS (
+      SELECT doc_id, is_train,
+        unnest(list_transform(range(1, len(s)), i -> s[i])) AS w1,
+        unnest(list_transform(range(1, len(s)), i -> s[i + 1])) AS w2
+      FROM tk),
+    lm AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE is_train GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg WHERE is_train GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(s) AS tok FROM tk WHERE is_train)),
+    scored AS (
+      SELECT bg.doc_id,
+        ((coalesce(ctx.c1, 0) + voc.v) * 1000000) // (coalesce(lm.c12, 0) + 1) AS inv
+      FROM bg
+      LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      LEFT JOIN ctx ON bg.w1 = ctx.w1
+      CROSS JOIN voc)
+    SELECT doc_id, count(*) AS n_bigrams, CAST(sum(inv) AS BIGINT) AS sum_inv,
+      CAST(sum(inv) AS DOUBLE) / count(*) AS lm_score
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** Gopher table-A1 gates — mirrors `TextAnalysis.gopherStats`: every
     * ratio is one integer division (bit-stable); regexp counts use the
     * same non-overlapping left-to-right scan in both engines. */
@@ -1997,6 +2027,7 @@ object Oracles {
     "ann_cluster_profile" -> annClusterProfile,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
+    "text_lm_score" -> textLmScore,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

@@ -532,6 +532,10 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir),
         Seq("stream", "hash", "window"))),
+    // bigram-LM fluency scoring (the CCNet perplexity-filter stage):
+    // train on the hash31 half-slice, score every doc in fixed point
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>

@@ -254,6 +254,65 @@ object TextAnalysis {
         col("pass_word_len") && col("pass_alpha") && col("pass_symbol") && col("pass_stop"))
   }
 
+  /** Bigram-LM fluency scoring — the perplexity-filter stage of a CCNet-
+    * style curation pipeline (Wenzek et al. 2020 rank documents by the
+    * perplexity of a small LM trained on reference text and drop the
+    * worst tail; KenLM plays the scorer there).
+    *
+    * The LM is an add-one-smoothed bigram model TRAINED ON A DETERMINISTIC
+    * HASH SLICE of the corpus itself (`hash31(doc_id) % 100 < trainPct` —
+    * the same per-row gate `Sampling` uses, so "train on a sample, score
+    * everything" composes without a second scan of anything). Each
+    * transition scores `p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`.
+    *
+    * Transcendental-free by the same discipline as [[tfidfTopK]]/
+    * [[bm25TopK]]: instead of `exp(-mean log p)` the score is the mean
+    * INVERSE transition probability in fixed point —
+    * `(c(w1·) + V) * scale div (c(w1 w2) + 1)` is an exact BIGINT per
+    * transition, the per-doc sum is exact integer arithmetic (order-
+    * independent — safe under any partitioning or AQE re-plan), and the
+    * mean is ONE final IEEE division. Monotone in the same direction as
+    * perplexity (rare transitions ⇒ large inverse probability), so the
+    * filter keeps/drops the same tails; the substitution is stated, not
+    * hidden behind a tolerance compare.
+    *
+    * Shape at 100 TB: bigram extraction is a per-row projection; LM
+    * counts are two token-keyed partial-agg shuffles over the train
+    * slice; scoring is two equality joins keyed on (w1, w2) and (w1) —
+    * AQE broadcasts them while small, shuffles when the corpus vocabulary
+    * outgrows that; V is a 1-row broadcast. Docs with fewer than two
+    * tokens have no transition and drop out (the curation gate for those
+    * is [[quality]]'s length floor). `scale` bounds: `(c(w1·)+V)·scale`
+    * must fit i64, so the default 10^6 is safe to ~9·10^12 training
+    * bigrams per context; drop `scale` an order of magnitude per order
+    * beyond that.
+    */
+  def lmScore(docs: DataFrame, trainPct: Int = 50, scale: Long = 1000000L): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
+    val n = greatest(size(col("_toks")) - 1, lit(0))
+    val bigrams = tokenized
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("_toks"), lit(1), n).as("w1"),
+        slice(col("_toks"), lit(2), n).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val isTrain = hash31(col("doc_id").cast("string")) % 100 < lit(trainPct.toLong)
+    val trainBigrams = bigrams.filter(isTrain)
+    val lm = trainBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = trainBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.filter(isTrain)
+      .select(explode(toks).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bigrams
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("inv", expr(
+        s"((coalesce(c1, 0L) + v) * ${scale}L) div (coalesce(c12, 0L) + 1L)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("inv").as("sum_inv"))
+      .withColumn("lm_score", col("sum_inv").cast("double") / col("n_bigrams"))
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), toks.as("_toks"))
     val idx = when(size(col("_toks")) >= 2, sequence(lit(1), size(col("_toks")) - 1))

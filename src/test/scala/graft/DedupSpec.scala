@@ -903,6 +903,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lm fluency score matches a Scala replica bit-for-bit") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val rng = new scala.util.Random(4242L)
+    val docs = (0L until 60L).map { i =>
+      val n = 1 + rng.nextInt(12)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // replica with the operator's exact fixed-point arithmetic
+    def isTrain(id: Long) = graft.functions.Hash31.hash(id.toString, 9973L) % 100 < 50
+    def bigramsOf(t: String) = { val s = t.split(" ").toSeq; s.zip(s.drop(1)) }
+    val trainBg = docs.filter(d => isTrain(d._1)).flatMap(d => bigramsOf(d._2))
+    val c12 = trainBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = trainBg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.filter(d => isTrain(d._1))
+      .flatMap(_._2.split(" ")).distinct.size.toLong
+    assert(trainBg.nonEmpty && trainBg.size < docs.map(d => bigramsOf(d._2).size).sum,
+      "seed must yield a proper train slice")
+    val expected = docs.flatMap { case (id, t) =>
+      val bgs = bigramsOf(t)
+      if (bgs.isEmpty) None
+      else {
+        val invs = bgs.map { bg =>
+          ((c1.getOrElse(bg._1, 0L) + v) * 1000000L) / (c12.getOrElse(bg, 0L) + 1L)
+        }
+        Some((id, bgs.size.toLong, invs.sum, invs.sum.toDouble / bgs.size))
+      }
+    }.sortBy(_._1)
+    val got = graft.llm.TextAnalysis.lmScore(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected, "fixed-point LM scores must match the replica")
+  }
+
   test("knn graph matches mutual top-k computed from its own candidate pairs") {
     val rng = new scala.util.Random(77L)
     (1 to 3).foreach { round =>
