@@ -2006,6 +2006,8 @@ object Oracles {
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
+    // the streaming gate's batch form has the identical output contract
+    "dedup_ingest_gate" -> dedupIncremental,
     "dedup_keep_best" -> dedupKeepBest,
     "sample_stratified" -> sampleStratified,
     "split_assign" -> splitAssign,

@@ -426,6 +426,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0))
         .orderBy("doc_id")
     }),
+    // same contract as dedup_incremental but through the STREAMING gate's
+    // row-wise projected signatures (ingestGate run in batch mode — the
+    // stream-static join plan is what a live feed executes per micro-batch)
+    "dedup_ingest_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ingestGate(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
     "sample_stratified" -> ((s, dir) =>

@@ -132,6 +132,60 @@ object Dedup {
     * persists once and reuses per increment), then an equality join on the
     * signature columns. The increment is the small side; Spark broadcasts
     * it against the corpus-index stream. Nothing rescans corpus text. */
+  /** [[minhashSignatures]] as a PURE PROJECTION — the same signature tuple
+    * (identical hash family, identical values for any document with at
+    * least `n` tokens) computed row-wise with higher-order functions
+    * instead of explode + groupBy. No shuffle, no aggregation state, which
+    * makes it legal on a STREAMING DataFrame ([[ingestGate]]) and keeps
+    * batch scoring inside whole-stage codegen. Documents shorter than `n`
+    * tokens have no shingle: the aggregated form drops them, this form
+    * keeps them with null signature columns (callers treat null as
+    * "matches nothing").
+    */
+  def minhashProjected(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame = {
+    val P = 104729L // same prime as minhashSignatures
+    val toksC = split(col("text"), " ")
+    val idx = when(size(col("_toks")) >= n, sequence(lit(1), size(col("_toks")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val shingleArr = array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(col("_toks"), i + o)): _*)))
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(col("_sh"), s => (lit(i + 1L) * hash31(s, P) + lit(i.toLong)) % P))
+        .as(s"m$i")
+    }
+    docs.select(col("doc_id"), toksC.as("_toks"))
+      .select(col("doc_id"), shingleArr.as("_sh"))
+      .select(col("doc_id") +: sigs: _*)
+  }
+
+  /** Streaming ingestion dedup gate — [[incrementalFlags]] for a LIVE feed:
+    * documents arrive on a stream and each is flagged against the standing
+    * corpus index as it lands, instead of in a nightly batch.
+    *
+    * Shape: the corpus index is the same signature-keyed aggregate the
+    * batch path uses (built once per stream start; at 100 TB persist it
+    * like the IVF index and reload); the stream side is the row-wise
+    * [[minhashProjected]] (no streaming aggregation state, so the query
+    * runs in append mode with no watermark), and the gate is a
+    * stream-static equality left join on the signature columns — planned
+    * per micro-batch, broadcast while the index is small, shuffled when it
+    * is not. Output contract matches [[incrementalFlags]] exactly.
+    */
+  def ingestGate(
+      incoming: DataFrame, corpus: DataFrame,
+      n: Int = 2, numHashes: Int = 8): DataFrame = {
+    val sigCols = (0 until numHashes).map(i => s"m$i")
+    val index = minhashSignatures(corpus, n, numHashes)
+      .groupBy(sigCols.map(col): _*)
+      .agg(min("doc_id").as("dup_of"))
+    minhashProjected(incoming, n, numHashes)
+      .join(index, sigCols, "left")
+      .select(
+        col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   def incrementalFlags(
       corpus: DataFrame, incoming: DataFrame,
       n: Int = 2, numHashes: Int = 8): DataFrame = {

@@ -903,6 +903,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("projected minhash signatures equal the aggregated form on real docs") {
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val agg = Dedup.minhashSignatures(real).orderBy("doc_id").collect().toSeq
+    val proj = Dedup.minhashProjected(real).orderBy("doc_id").collect().toSeq
+    assert(proj.map(_.toSeq) === agg.map(_.toSeq),
+      "row-wise signatures must be bit-identical to the explode+groupBy form")
+  }
+
+  test("ingest gate (batch form) equals incrementalFlags") {
+    val inc = Dedup.incrementalFlags(docs.filter(col("doc_id") =!= 1L),
+      docs.filter(col("doc_id") === 1L)).collect().map(_.toSeq).toSeq
+    val gate = Dedup.ingestGate(docs.filter(col("doc_id") === 1L),
+      docs.filter(col("doc_id") =!= 1L)).collect().map(_.toSeq).toSeq
+    assert(gate === inc)
+    // doc 1 is an exact dup of doc 0 → flagged against the corpus
+    assert(gate === Seq(Seq(1L, true, 0L)))
+  }
+
   test("lm fluency score matches a Scala replica bit-for-bit") {
     val vocab = Vector("alpha", "beta", "gamma", "delta")
     val rng = new scala.util.Random(4242L)

@@ -698,4 +698,41 @@ class StreamingSpec extends SparkSpec {
       (900L, Some(100L)), (902L, Some(300L)),
       (910L, None), (911L, Some(200L))))
   }
+
+  test("streaming ingest dedup gate flags live docs against the corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "spark filter join table scan window batch merge"),
+      (5L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text")
+    val arrivals1 = Seq(
+      (10L, "spark filter join table scan window batch merge"), // dup of 0
+      (11L, "fresh unseen tokens nothing like the corpus rows"))
+    val arrivals2 = Seq(
+      (12L, "completely different words entirely other content here"), // dup of 5
+      (13L, "fresh unseen tokens nothing like the corpus rows")) // dup of... nothing in corpus
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.Dedup
+      .ingestGate(input.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    input.addData(arrivals1: _*)
+    q.processAllAvailable()
+    input.addData(arrivals2: _*)
+    q.processAllAvailable()
+    val got = spark.table("ingest_gate").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    q.stop()
+    // 13 matches no CORPUS doc (the static index is fixed at stream start;
+    // 11 arrived on the stream, and stream-side arrivals never join it)
+    assert(got === Seq(
+      (10L, true, 0L), (11L, false, -1L),
+      (12L, true, 5L), (13L, false, -1L)))
+    // parity with the batch incremental path on the union of arrivals
+    val batch = graft.llm.Dedup.incrementalFlags(
+      corpus, (arrivals1 ++ arrivals2).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === batch, "streaming gate == batch incrementalFlags")
+  }
 }
