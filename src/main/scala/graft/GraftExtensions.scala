@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, Hash31, LshBandKeys, WinnowMin}
+import graft.functions.{ArrayDot, Hash31, JsonEntries, LshBandKeys, RollingHashes, WinnowMin}
 
 /** Standard `SparkSessionExtensions` injector: add
   * `spark.sql.extensions=graft.GraftExtensions` and the graft native
@@ -19,6 +19,10 @@ import graft.functions.{ArrayDot, Hash31, LshBandKeys, WinnowMin}
   *   - `array_dot(a, b)` — codegen'd left-to-right dot product
   *   - `lsh_band_keys(emb, bandsLiteral, bitsLiteral[, dimsLiteral])` —
   *     fused signed-projection band keys (one embedding pass)
+  *   - `rolling_hashes(str, windowLiteral, modLiteral)` — every window
+  *     hash of a string in one pass
+  *   - `json_entries(json)` — all (field, value) pairs of a JSON object
+  *     in one parse
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -62,6 +66,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBandKeys(exprs.head,
           longLit(exprs(1), "lsh_band_keys bands").toInt,
           longLit(exprs(2), "lsh_band_keys bitsPerBand").toInt, dims)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo("graft.functions", "rolling_hashes"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3, "rolling_hashes(str, window, modulus) takes 3 arguments")
+        RollingHashes(exprs.head, longLit(exprs(1), "rolling window").toInt,
+          longLit(exprs(2), "rolling modulus"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("json_entries"),
+      new ExpressionInfo("graft.functions", "json_entries"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "json_entries(json) takes 1 argument")
+        JsonEntries(exprs.head)
       }))
   }
 }

@@ -55,9 +55,16 @@ object Clusters {
 
   /** Star edges (node → component root) for the graph given as candidate
     * pairs (a_id, b_id). Iterates Large-Star∘Small-Star to a fixed point,
-    * detected by an order-insensitive (count, xor-of-hashes) checksum —
-    * both star outputs are canonical-orientation and distinct, so equal
-    * edge SETS have equal checksums.
+    * detected STRUCTURALLY: a canonical (u > v) distinct edge set is a
+    * fixed point of the alternation iff it is a star forest — every child
+    * appears in exactly one edge and no child is also a root (the
+    * canonical orientation then forces each root to be its component's
+    * minimum, which is exactly the converged state). Testing that is one
+    * cheap aggregate over the already-checkpointed edges, where the
+    * previous checksum scheme had to run ONE MORE full contraction round
+    * (four shuffles) just to observe an unchanged edge set — on the
+    * common near-dup graph (tiny components, one round to converge) the
+    * structural test halves the loop's round count.
     *
     * Each round is checkpointed: without lineage truncation the logical
     * plan grows by a constant factor PER ROUND (each star references its
@@ -81,9 +88,9 @@ object Clusters {
       checkpointDir: Option[String] = None): DataFrame =
     starEdgesWithRounds(pairs, maxIter, checkpointDir)._1
 
-  /** [[starEdges]] plus the number of Large∘Small rounds it took to
-    * converge (the +1 confirming round included) — the observable the
-    * O(log n) claim is tested against. */
+  /** [[starEdges]] plus the number of Large∘Small contraction rounds it
+    * ran before the structural fixed-point test passed — the observable
+    * the O(log n) claim is tested against. */
   def starEdgesWithRounds(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -98,25 +105,33 @@ object Clusters {
         df => df.checkpoint()
       case None => df => df.localCheckpoint(false)
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    var e = persist(pairs.select(col("a_id").as("u"), col("b_id").as("v")).distinct())
-    var sum = checksum(e)
+    // canonical orientation (u > v) from the start: the structural test
+    // below relies on it, and both star operators preserve it
+    var e = persist(pairs
+      .select(
+        greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
     var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val next = persist(smallStar(largeStar(e)))
-      val nextSum = checksum(next)
-      converged = nextSum == sum
-      e = next
-      sum = nextSum
+    while (!isStarForest(e) && it < maxIter) {
+      e = persist(smallStar(largeStar(e)))
       it += 1
     }
     (e, it)
+  }
+
+  /** Fixed-point test: a canonical, distinct edge set is stable under
+    * Large∘Small iff every child `u` has exactly one edge and no child is
+    * also a root (then each root is its component's minimum by the u > v
+    * invariant). One aggregate + one equality join over checkpointed
+    * edges; `isEmpty` stops at the first violation. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    val roots = e.select(col("v").as("u")).distinct()
+    deg.filter(col("d") > 1).select("u")
+      .unionAll(deg.join(roots, "u").select("u"))
+      .isEmpty
   }
 
   /** Per-document cluster assignment over `docs` using the near-dup
