@@ -624,6 +624,43 @@ object Oracles {
       CAST(sum(n_tokens) AS DOUBLE) / (CAST(max(bin_end) + 1 AS BIGINT) * 512) AS mean_fill
     FROM p"""
 
+  /** Linear quality-classifier gate — mirrors `TextAnalysis.qualityLogit`:
+    * the identical left-to-right IEEE chain over the bit-exact quality
+    * features; keep is the logit's sign (no sigmoid in either engine). */
+  def qualityLogit: String = s"""WITH t AS (
+      SELECT doc_id, length(text) AS nc,
+        len(string_split(text, ' ')) AS nt,
+        len(list_distinct(string_split(text, ' '))) AS nd,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS ns
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS lenf,
+        CAST(nd AS DOUBLE) / nt AS ttr,
+        CAST(ns AS DOUBLE) / nt AS stop_r,
+        CAST(nc - nt + 1 AS DOUBLE) / nt AS atl
+      FROM t)
+    SELECT doc_id,
+      -1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl AS logit,
+      (-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0 AS keep
+    FROM f ORDER BY doc_id"""
+
+  /** Corpus snapshot diff — mirrors `Corpus.snapshotDiff` over the same
+    * deterministic v_old/v_new derivation; md5 digests compare content. */
+  val corpusSnapshotDiff: String = """WITH o AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+    n AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.h <> n.h THEN 'modified'
+           ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    ORDER BY doc_id"""
+
   /** Bigram-LM fluency scores — mirrors `TextAnalysis.lmScore`: add-one-
     * smoothed bigram counts over the hash31 half-slice, each transition's
     * inverse probability in fixed point (exact BIGINT `//`), per-doc exact
@@ -2030,6 +2067,8 @@ object Oracles {
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
     "text_lm_score" -> textLmScore,
+    "quality_logit" -> qualityLogit,
+    "corpus_snapshot_diff" -> corpusSnapshotDiff,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

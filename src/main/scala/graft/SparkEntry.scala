@@ -546,6 +546,22 @@ object SparkEntry {
     // train on the hash31 half-slice, score every doc in fixed point
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // linear quality-classifier gate (fastText-style filter; sign of a
+    // fixed left-to-right IEEE chain over the bit-exact quality features)
+    "quality_logit" -> ((s, dir) =>
+      TextAnalysis.qualityLogit(Tables.documents(s, dir)).orderBy("doc_id")),
+    // corpus snapshot diff: v_old drops doc_id%11==0, v_new drops
+    // doc_id%7==0 and revises the text of doc_id%13==0 — every status
+    // branch (added/removed/modified/unchanged) exercised deterministically
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vOld = docs.filter(col("doc_id") % 11 =!= 0)
+      val vNew = docs.filter(col("doc_id") % 7 =!= 0).select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      Corpus.snapshotDiff(vOld, vNew).orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>

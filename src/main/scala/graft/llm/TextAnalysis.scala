@@ -60,6 +60,29 @@ object TextAnalysis {
         (lit(1.0) - col("_n_stop").cast("double") / col("_n_toks"))).as("quality_score"))
   }
 
+  /** Linear quality-classifier gate — the model-based filter stage of a
+    * C4/CCNet-style pipeline (a fastText-family classifier scores every
+    * document; a threshold on the score gates it into the corpus). The
+    * weights here are FIXED literals standing in for the offline-trained
+    * model: training is not a pipeline stage, scoring at corpus scale is.
+    *
+    * The logit is a fixed left-to-right IEEE chain over [[quality]]'s
+    * bit-exact features, and the keep decision is the logit's SIGN — no
+    * sigmoid, deliberately: the monotone squash changes no decision and
+    * would drag a transcendental into the hash compare (same discipline
+    * as [[tfidfTopK]]/[[bm25TopK]]). Pure projection on top of
+    * [[quality]]'s projection: zero shuffles, scan-speed.
+    */
+  def qualityLogit(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val logit = lit(-1.0) +
+      lit(2.0) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+      lit(1.5) * col("ttr") +
+      lit(-3.0) * col("stopword_ratio") +
+      lit(-0.05) * col("avg_token_len")
+    q.select(col("doc_id"), logit.as("logit"), (logit > 0.0).as("keep"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish sub-token estimate
     * (runs of letters, digits, or single other symbols — the common
     * pre-tokenizer regex shape). */

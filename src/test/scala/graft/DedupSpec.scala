@@ -903,6 +903,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("quality logit gates stopword soup out and clean prose in") {
+    val soup = (1 to 40).map(_ => "the a of and to").mkString(" ") // all stopwords
+    val clean = (1 to 60).map(i => s"tok$i").mkString(" ") // long, diverse, no stopwords
+    val out = graft.llm.TextAnalysis.qualityLogit(
+      Seq((0L, clean), (1L, soup)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(0L)._2, s"clean doc must pass, logit=${out(0L)._1}")
+    assert(!out(1L)._2, s"stopword soup must fail, logit=${out(1L)._1}")
+    assert(out(0L)._1 > out(1L)._1)
+  }
+
+  test("snapshot diff classifies all four statuses") {
+    val vOld = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val vNew = Seq((2L, "c d"), (3L, "e f CHANGED"), (4L, "g h")).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.snapshotDiff(vOld, vNew)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "modified", 4L -> "added"))
+  }
+
   test("projected minhash signatures equal the aggregated form on real docs") {
     val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val agg = Dedup.minhashSignatures(real).orderBy("doc_id").collect().toSeq
