@@ -24,7 +24,10 @@ class PlansSpec extends SparkSpec {
     // SCALE.md claim holders
     "q_region_revenue", "q_supplier_nation", "q_events_asof",
     "ann_lsh_buckets", "ann_near_dup_banded", "cdc_apply_state",
-    "cdc_apply_json", "text_quality", "text_pii", "text_tokens")
+    "cdc_apply_json", "text_quality", "text_pii", "text_tokens",
+    // round-8 additions
+    "quality_logit", "corpus_snapshot_diff", "dedup_ingest_gate",
+    "text_lm_score")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -56,11 +59,19 @@ class PlansSpec extends SparkSpec {
   }
 
   test("text analysis runs at scan speed: no data shuffles, no joins") {
-    for (n <- Seq("text_quality", "text_pii", "text_tokens")) {
+    for (n <- Seq("text_quality", "text_pii", "text_tokens", "quality_logit")) {
       assert(count(n, "Exchange hashpartitioning") === 0,
         s"$n is a projection and must not shuffle")
       assert(count(n, "Join") === 0, s"$n must not join")
     }
+  }
+
+  test("snapshot diff is one keyed full-outer join over digests, not text") {
+    assert(count("corpus_snapshot_diff", "SortMergeJoin") +
+      count("corpus_snapshot_diff", "ShuffledHashJoin") === 1,
+      "diff must be a single keyed join")
+    assert(count("corpus_snapshot_diff", "FullOuter") === 1,
+      "and that join must be full-outer")
   }
 
   test("open-schema JSON apply is a single-shuffle pipeline") {
