@@ -85,6 +85,60 @@ class FailureDrillSpec extends SparkSpec {
       s"resume must deliver exactly the accumulated suffix, once: $seen")
   }
 
+  /** Restart drill for the LLM ingestion path: the streaming dedup gate
+    * (`Dedup.ingestGate` — stream-static join against the corpus signature
+    * index) is killed between micro-batches and resumed from its
+    * checkpoint; every arriving document must be flagged exactly once and
+    * the flags must equal the batch `incrementalFlags` over the union of
+    * arrivals (the gate is stateless on the stream side, so recovery is
+    * pure source-offset replay — the drill pins exactly that). */
+  test("restart drill: streaming ingest dedup gate resumes flagging exactly once") {
+    val root = Files.createTempDirectory("ingest_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val corpus = Seq(
+      (0L, "spark filter join table scan window batch merge"),
+      (5L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text")
+    val flagged = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Long)]()
+    def startQuery() = {
+      val arrivals = spark.readStream.schema("doc_id LONG, text STRING").json(srcDir.getPath)
+      graft.llm.Dedup.ingestGate(arrivals, corpus)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            flagged.add((r.getLong(0), r.getBoolean(1), r.getLong(2)))))
+        .start()
+    }
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+
+    writeDocs("day-1.json", Seq(
+      (10L, "spark filter join table scan window batch merge"),
+      (11L, "fresh unseen tokens nothing like the corpus rows")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    // arrivals continue while the gate is down
+    writeDocs("day-2.json", Seq(
+      (12L, "completely different words entirely other content here")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = flagged.toArray(Array.empty[(Long, Boolean, Long)]).toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(10L, 11L, 12L), s"each doc flagged exactly once: $got")
+    val batch = graft.llm.Dedup.incrementalFlags(corpus, Seq(
+      (10L, "spark filter join table scan window batch merge"),
+      (11L, "fresh unseen tokens nothing like the corpus rows"),
+      (12L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === batch, "kill/resume must not change any flag vs the batch path")
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * to the drill and restore the session default afterwards. */
   private def withRocksDb[T](body: => T): T = {
