@@ -2074,6 +2074,8 @@ object Oracles {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "vocab_topk" -> vocabTopk,
+    // sketch-then-recount output is deterministic and identical by design
+    "vocab_topk_sketch" -> vocabTopk,
     "corpus_filter" -> corpusFilter,
     "quality_percentiles" -> qualityPercentiles,
     "text_decontaminate" -> textDecontaminate,

@@ -535,6 +535,11 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir))
         .orderBy(col("n_occ").desc, col("tok"))),
+    // sketch-then-recount heavy hitters: Misra–Gries candidates + exact
+    // recount — deterministic output, so the vocab_topk oracle pins it
+    "vocab_topk_sketch" -> ((s, dir) =>
+      TextAnalysis.vocabularySketch(Tables.documents(s, dir))
+        .orderBy(col("n_occ").desc, col("tok"))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rnk")),

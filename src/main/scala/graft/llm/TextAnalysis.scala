@@ -152,6 +152,39 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("tok").asc)
       .limit(k)
 
+  /** [[vocabulary]] at unbounded domain width — the sketch-then-recount
+    * heavy-hitters pattern: when the token domain is too wide to
+    * hash-aggregate exactly (URLs, 5-grams, user agents at 100 TB), a
+    * Misra–Gries sketch ([[graft.functions.MisraGries]], bounded to
+    * `capacity` entries per partition and in the merge) nominates
+    * candidates, and ONE exact aggregation over just the candidate tokens
+    * produces the final counts. The sketch content is partition-order
+    * dependent, the OUTPUT is not: MG guarantees any item with frequency
+    * > N/(capacity+1) survives, so whenever the true k-th count clears
+    * that bar the candidate set is a superset of the true top-k and the
+    * exact recount returns the identical table [[vocabulary]] would —
+    * bit-for-bit, which is what lets the same DuckDB oracle pin both.
+    *
+    * The driver materializes only the ≤ `capacity`-entry final sketch
+    * (the same bounded 1-row pattern as the IVF centroid collect), then
+    * broadcasts the candidate filter back into the scan; the exact
+    * recount shuffles only candidate tokens. */
+  def vocabularySketch(docs: DataFrame, k: Int = 50, capacity: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketch = docs.select(explode(toks).as("tok")).as[String]
+      .select(new graft.functions.MisraGries(capacity).toColumn)
+      .head()
+    val cands = sketch.keys.toSeq.sorted
+    docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(cands: _*))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("tok").asc)
+      .limit(k)
+  }
+
   /** Per-document top-k salient terms by tf·idf-ratio — the keyword
     * extraction step of corpus exploration / topic tagging.
     *

@@ -903,6 +903,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries sketch: guarantee, error bound, and recount parity") {
+    // guarantee: any item with freq > N/(capacity+1) survives any stream
+    // order; error: kept weights underestimate by at most N/(capacity+1)
+    val rng = new scala.util.Random(31L)
+    val stream = rng.shuffle(
+      Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+        (1 to 300).map(i => s"cold$i"))
+    val n = stream.size
+    val cap = 8
+    val mg = new graft.functions.MisraGries(cap)
+    // simulate 4 partitions merged pairwise, like the distributed agg
+    val parts = stream.grouped((n + 3) / 4).toSeq
+      .map(p => p.foldLeft(mg.zero)((b, x) => mg.reduce(b, x)))
+    val merged = mg.finish(parts.reduce((a, b) => mg.merge(a, b)))
+    assert(merged.contains("hot") && merged.contains("warm"),
+      s"heavy items must survive: $merged")
+    assert(merged.size <= cap)
+    val bound = n / (cap + 1)
+    assert(merged("hot") >= 400L - bound && merged("hot") <= 400L)
+    assert(merged("warm") >= 150L - bound && merged("warm") <= 150L)
+    // end-to-end: sketch-then-recount equals the exact vocabulary table
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.llm.TextAnalysis.vocabulary(real).collect().map(_.toSeq).toSeq
+    val viaSketch = graft.llm.TextAnalysis.vocabularySketch(real)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSketch === exact, "recounted candidates must equal the exact top-k")
+  }
+
   test("quality logit gates stopword soup out and clean prose in") {
     val soup = (1 to 40).map(_ => "the a of and to").mkString(" ") // all stopwords
     val clean = (1 to 60).map(i => s"tok$i").mkString(" ") // long, diverse, no stopwords
