@@ -903,6 +903,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("round-8 operators survive empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val oneTok = Seq((7L, "solo")).toDF("doc_id", "text") // no bigram, no 2-shingle
+    // lmScore: no transitions anywhere → empty result, not a failure
+    assert(graft.llm.TextAnalysis.lmScore(empty).count() === 0L)
+    assert(graft.llm.TextAnalysis.lmScore(oneTok).count() === 0L)
+    // ingest gate: empty corpus index → nothing matches, nothing crashes
+    val gate = graft.llm.Dedup.ingestGate(oneTok, empty).collect()
+    assert(gate.toSeq.map(r => (r.getLong(0), r.getBoolean(1))) === Seq((7L, false)))
+    // snapshot diff with one empty side degenerates to all-added / all-removed
+    assert(graft.llm.Corpus.snapshotDiff(empty, oneTok)
+      .collect().map(_.getString(1)).toSeq === Seq("added"))
+    assert(graft.llm.Corpus.snapshotDiff(oneTok, empty)
+      .collect().map(_.getString(1)).toSeq === Seq("removed"))
+    // sketch on an empty corpus: empty sketch, empty top-k
+    assert(graft.llm.TextAnalysis.vocabularySketch(empty).count() === 0L)
+    assert(graft.llm.TextAnalysis.qualityLogit(empty).count() === 0L)
+  }
+
   test("misra-gries sketch: guarantee, error bound, and recount parity") {
     // guarantee: any item with freq > N/(capacity+1) survives any stream
     // order; error: kept weights underestimate by at most N/(capacity+1)
