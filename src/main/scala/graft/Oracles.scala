@@ -645,6 +645,43 @@ object Oracles {
       (-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0 AS keep
     FROM f ORDER BY doc_id"""
 
+  /** Admission controller — mirrors `Corpus.admissionGate` on the
+    * incremental %10 split: the qualityLogit chain (identical IEEE
+    * order), the PII total-count threshold (same three regexes as
+    * `text_pii`), and the signature-index dedup gate. */
+  def corpusAdmission: String = s"""WITH $minhashSigCte,
+    idx AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS dup_of
+      FROM sigs WHERE doc_id % 10 <> 0
+      GROUP BY m0, m1, m2, m3, m4, m5, m6, m7),
+    gate AS (
+      SELECT s.doc_id, idx.dup_of
+      FROM sigs s LEFT JOIN idx USING (m0, m1, m2, m3, m4, m5, m6, m7)
+      WHERE s.doc_id % 10 = 0),
+    feats AS (
+      SELECT doc_id,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS lenf,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS ttr,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_r,
+        CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+          / len(string_split(text, ' ')) AS atl,
+        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{4}\\b'))
+          + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+          AS npii
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT f.doc_id,
+      (-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0 AS pass_quality,
+      npii = 0 AS pass_pii,
+      g.dup_of IS NULL AS pass_dedup,
+      coalesce(g.dup_of, -1) AS dup_of,
+      ((-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0
+        AND npii = 0 AND g.dup_of IS NULL) AS admitted
+    FROM feats f JOIN gate g USING (doc_id)
+    ORDER BY doc_id"""
+
   /** Corpus snapshot diff — mirrors `Corpus.snapshotDiff` over the same
     * deterministic v_old/v_new derivation; md5 digests compare content. */
   val corpusSnapshotDiff: String = """WITH o AS (
@@ -2069,6 +2106,7 @@ object Oracles {
     "text_lm_score" -> textLmScore,
     "quality_logit" -> qualityLogit,
     "corpus_snapshot_diff" -> corpusSnapshotDiff,
+    "corpus_admission" -> corpusAdmission,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

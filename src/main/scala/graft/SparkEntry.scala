@@ -567,6 +567,15 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Corpus.snapshotDiff(vOld, vNew).orderBy("doc_id")
     }),
+    // the streaming admission controller in batch form: same %10 split as
+    // dedup_incremental; quality sign-gate + PII threshold + dedup gate
+    "corpus_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGate(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>

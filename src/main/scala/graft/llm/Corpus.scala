@@ -67,6 +67,52 @@ object Corpus {
         col("pass_repetition") && col("pass_dedup"))
   }
 
+  /** Streaming admission controller — the live-ingestion counterpart of
+    * [[filterFunnel]]: every ARRIVING document gets an admit/reject
+    * verdict with per-rule flags, in one pass, before it ever lands in
+    * the corpus. Rules: the linear quality gate (sign of
+    * [[TextAnalysis.qualityLogit]]'s chain), a PII threshold
+    * ([[Pii.piiCount]] == 0), and the near-dup gate against the standing
+    * corpus signature index ([[Dedup.ingestGate]]'s stream-static join).
+    *
+    * Stream-legal by construction: signatures, quality counts, and PII
+    * counts are per-row projections (the token array is named once,
+    * `quality`'s staged-projection discipline), and the only join is
+    * stream-static — append mode, no watermark, no streaming state. The
+    * same call works in batch (oracled as `corpus_admission`); the
+    * streaming parity is pinned in StreamingSpec.
+    */
+  def admissionGate(arrivals: DataFrame, corpus: DataFrame): DataFrame = {
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val index = Dedup.minhashSignatures(corpus)
+      .groupBy(sigCols.map(col): _*)
+      .agg(min("doc_id").as("dup_of"))
+    val staged = Dedup.withProjectedSignatures(arrivals)
+      .join(index, sigCols, "left")
+      .select(col("doc_id"), col("text"), col("dup_of"),
+        split(col("text"), " ").as("_toks"))
+      .select(col("doc_id"), col("dup_of"),
+        length(col("text")).as("_nc"),
+        size(col("_toks")).as("_nt"),
+        size(array_distinct(col("_toks"))).as("_nd"),
+        size(filter(col("_toks"),
+          t => t.isin(TextAnalysis.Stopwords.map(lit(_)): _*))).as("_ns"),
+        Pii.piiCount(col("text")).as("_npii"))
+    // the qualityLogit chain verbatim (same IEEE evaluation order)
+    val logit = lit(-1.0) +
+      lit(2.0) * least(col("_nt").cast("double") / 100.0, lit(1.0)) +
+      lit(1.5) * (col("_nd").cast("double") / col("_nt")) +
+      lit(-3.0) * (col("_ns").cast("double") / col("_nt")) +
+      lit(-0.05) * ((col("_nc") - col("_nt") + 1).cast("double") / col("_nt"))
+    staged.select(
+      col("doc_id"),
+      (logit > 0.0).as("pass_quality"),
+      (col("_npii") === 0).as("pass_pii"),
+      col("dup_of").isNull.as("pass_dedup"),
+      coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+      ((logit > 0.0) && col("_npii") === 0 && col("dup_of").isNull).as("admitted"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive: given two
     * snapshots of a corpus, classify every document as added / removed /
     * modified / unchanged. A training-data pipeline runs this per release

@@ -142,7 +142,17 @@ object Dedup {
     * keeps them with null signature columns (callers treat null as
     * "matches nothing").
     */
-  def minhashProjected(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame = {
+  def minhashProjected(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame =
+    withProjectedSignatures(docs, n, numHashes)
+      .select(col("doc_id") +: (0 until numHashes).map(i => col(s"m$i")): _*)
+
+  /** [[minhashProjected]]'s underlying transform: APPEND the signature
+    * columns `m0..m(numHashes-1)` to the input's existing columns (the
+    * composition form [[Corpus.admissionGate]] chains more per-row
+    * verdicts onto). Same staged-projection discipline as
+    * `TextAnalysis.quality`: the token and shingle arrays are named once
+    * so each is computed once per row. */
+  def withProjectedSignatures(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame = {
     val P = 104729L // same prime as minhashSignatures
     val toksC = split(col("text"), " ")
     val idx = when(size(col("_toks")) >= n, sequence(lit(1), size(col("_toks")) - (n - 1)))
@@ -153,9 +163,10 @@ object Dedup {
       array_min(transform(col("_sh"), s => (lit(i + 1L) * hash31(s, P) + lit(i.toLong)) % P))
         .as(s"m$i")
     }
-    docs.select(col("doc_id"), toksC.as("_toks"))
-      .select(col("doc_id"), shingleArr.as("_sh"))
-      .select(col("doc_id") +: sigs: _*)
+    val cols = docs.columns.map(col).toSeq
+    docs.select(cols :+ toksC.as("_toks"): _*)
+      .select(cols :+ shingleArr.as("_sh"): _*)
+      .select(cols ++ sigs: _*)
   }
 
   /** Streaming ingestion dedup gate — [[incrementalFlags]] for a LIVE feed:

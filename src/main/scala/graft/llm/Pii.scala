@@ -30,6 +30,11 @@ object Pii {
   private def countOf(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0)))
 
+  /** Total PII matches across all three classes — the per-row count an
+    * admission policy thresholds on ([[Corpus.admissionGate]]). */
+  def piiCount(c: Column): Column =
+    countOf(c, emailRe) + countOf(c, phoneRe) + countOf(c, ipRe)
+
   /** Per-row scrub report: match counts per PII class, the redacted text's
     * md5 (byte-exact check of the full replacement stream without shipping
     * the text), and the redacted length.

@@ -699,6 +699,47 @@ class StreamingSpec extends SparkSpec {
       (910L, None), (911L, Some(200L))))
   }
 
+  test("streaming admission controller == batch on live arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "spark filter join table scan window batch merge sort group value column key"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      // dup of corpus doc 0 → rejected on dedup
+      (20L, "spark filter join table scan window batch merge sort group value column key"),
+      // long, diverse, clean → admitted
+      (21L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      // carries an email → rejected on PII
+      (22L, (1 to 60).map(i => s"tok$i").mkString(" ") + " mail me a1@ex.com"),
+      // stopword soup → rejected on quality
+      (23L, (1 to 40).map(_ => "the a of and to").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.Corpus
+      .admissionGate(input.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("admission").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    q.stop()
+    assert(got.map(g => g._1 -> g._6) ===
+      Seq(20L -> false, 21L -> true, 22L -> false, 23L -> false))
+    assert(!got(0)._4 && got(0)._5 === 0L, "20 rejected by the dedup gate, provenance kept")
+    assert(!got(2)._3, "22 rejected by the PII gate")
+    assert(!got(3)._2, "23 rejected by the quality gate")
+    val batch = graft.llm.Corpus
+      .admissionGate(arrivals.toDF("doc_id", "text"), corpus)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    assert(got === batch, "streaming admission == batch admission")
+  }
+
   test("streaming ingest dedup gate flags live docs against the corpus index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
