@@ -27,7 +27,7 @@ class PlansSpec extends SparkSpec {
     "cdc_apply_json", "text_quality", "text_pii", "text_tokens",
     // round-8 additions
     "quality_logit", "corpus_snapshot_diff", "dedup_ingest_gate",
-    "text_lm_score")
+    "text_lm_score", "corpus_admission")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
