@@ -682,6 +682,20 @@ object Oracles {
     FROM feats f JOIN gate g USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Table profile — mirrors `Corpus.profile` over the documents table:
+    * per column, rows / nulls / exact distincts / min / max as strings. */
+  val corpusProfile: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        count(*) - count($c) AS n_nulls,
+        count(DISTINCT $c) AS n_distinct,
+        CAST(min($c) AS VARCHAR) AS min_value,
+        CAST(max($c) AS VARCHAR) AS max_value
+      FROM documents"""
+    Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+      .mkString("", "\n    UNION ALL ", "\n    ORDER BY col_name")
+  }
+
   /** Corpus snapshot diff — mirrors `Corpus.snapshotDiff` over the same
     * deterministic v_old/v_new derivation; md5 digests compare content. */
   val corpusSnapshotDiff: String = """WITH o AS (
@@ -2107,6 +2121,7 @@ object Oracles {
     "quality_logit" -> qualityLogit,
     "corpus_snapshot_diff" -> corpusSnapshotDiff,
     "corpus_admission" -> corpusAdmission,
+    "corpus_profile" -> corpusProfile,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,

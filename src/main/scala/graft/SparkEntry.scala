@@ -580,6 +580,11 @@ object SparkEntry {
       Corpus.filterFunnel(Tables.documents(s, dir)).orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>
       Corpus.qualityPercentiles(Tables.documents(s, dir)).orderBy("source")),
+    // pre-training data-quality profile of the corpus table
+    "corpus_profile" -> ((s, dir) =>
+      Corpus.profile(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

@@ -135,6 +135,36 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Table profile — the data-quality report a pipeline runs before
+    * anything trains on a new drop: per column, row count, null count,
+    * exact distinct count, and min/max rendered as strings. One wide
+    * aggregate over one scan, unpivoted with `stack` (the same
+    * single-job report shape as `Evaluate.lane`).
+    *
+    * Scale note: EXACT multi-column distinct plans through Spark's
+    * `Expand` (the scan is replicated once per counted column before the
+    * partial aggregate) — the honest cost of exactness, linear in
+    * #columns. At 100 TB profile runs either on a hash-sampled slice
+    * (`Sampling.stratifiedKeep`) or swap the distinct for a sketch (the
+    * [[graft.functions.MisraGries]]/HLL family) when ±2% is acceptable —
+    * exact is kept here because the DuckDB oracle compares bit-for-bit.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    row.selectExpr(
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', _n, _n - _nn_$c, _nd_$c, _mn_$c, _mx_$c").mkString(", ") +
+        ") AS (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
+
   /** Per-source quality distribution — the monitoring table a corpus build
     * watches to catch a domain going bad (a crawler regression shows up as
     * a falling p25 long before the mean moves). Scores are quantized to

@@ -961,6 +961,18 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
+  test("table profile reports rows, nulls, distincts, min/max per column") {
+    val df = Seq(
+      (1L, Some("b"), 10L), (2L, None, 20L), (3L, Some("a"), 20L))
+      .toDF("id", "s", "v")
+    val got = graft.llm.Corpus.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") === ((3L, 0L, 3L, "1", "3")))
+    assert(got("s") === ((3L, 1L, 2L, "a", "b"))) // null excluded from distinct+min
+    assert(got("v") === ((3L, 0L, 2L, "10", "20")))
+  }
+
   test("snapshot diff classifies all four statuses") {
     val vOld = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
     val vNew = Seq((2L, "c d"), (3L, "e f CHANGED"), (4L, "g h")).toDF("doc_id", "text")
