@@ -1469,6 +1469,17 @@ object Oracles {
     FROM f GROUP BY fp_winnow HAVING count(*) >= 2
     ORDER BY fp_winnow"""
 
+  /** Stub resize — mirrors `Multimodal.resizeBatch`: halved fake dims,
+    * first ⌈n/4⌉ bytes kept; the corpus text is ASCII so the byte
+    * truncation equals a char substring and md5 matches byte-for-byte. */
+  val mmResize: String = """
+    SELECT doc_id,
+      (640 + octet_length(encode(text)) % 640) // 2 AS out_width,
+      (360 + octet_length(encode(text)) % 360) // 2 AS out_height,
+      (octet_length(encode(text)) + 3) // 4 AS out_bytes,
+      md5(substr(text, 1, CAST((octet_length(encode(text)) + 3) // 4 AS INT))) AS resized_md5
+    FROM documents ORDER BY doc_id"""
+
   val mmBinaryMeta: String = """
     SELECT doc_id,
       octet_length(encode(text)) AS n_bytes,
@@ -2050,6 +2061,7 @@ object Oracles {
     "ann_ivf_persisted" -> annIvfTopK,
     "ann_ivf_recall" -> annIvfRecall,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_resize" -> mmResize,
     "cdc_verify_counts" -> cdcVerifyCounts,
     "cdc_verify_sample" -> cdcVerifySample,
     "cdc_log_capture" -> cdcLogCapture,

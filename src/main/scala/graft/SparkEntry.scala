@@ -836,6 +836,8 @@ object SparkEntry {
       Similarity.ivfRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeBatch(Tables.documents(s, dir)).orderBy("doc_id")),
     "cdc_verify_counts" -> ((s, dir) => {
       // source↔sink verify: sink := source minus every 50th key, plus a few
       // synthetic orphans — deterministic drift for the anti-join check

@@ -40,6 +40,37 @@ object Multimodal {
         concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
   }
 
+  case class MediaResized(
+      doc_id: Long, out_width: Long, out_height: Long, out_bytes: Long,
+      resized_md5: String)
+
+  /** Deterministic stub RESIZE — the down-scaling stage's batch shape
+    * (decode → scale → re-encode, per partition, binary in binary out).
+    * The stub contract halves each fake dimension and keeps the first
+    * ⌈n/4⌉ payload bytes (a quarter of the pixels ⇒ a quarter of the
+    * bytes), so the byte stream is bit-deterministic and the oracle can
+    * recompute the output hash without a codec; swap the body for a real
+    * scaler and the plumbing — typed `mapPartitions` batches, hash-only
+    * verification so full media never ships to the driver — is unchanged. */
+  def resizeBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaIn] = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        val (w, h, _) = fakeDecode(m.payload)
+        val outBytes = (m.payload.length + 3) / 4
+        val resized = java.util.Arrays.copyOfRange(m.payload, 0, outBytes)
+        md.reset()
+        val hash = md.digest(resized).map("%02x".format(_)).mkString
+        MediaResized(m.doc_id, (w / 2).toLong, (h / 2).toLong, outBytes.toLong, hash)
+      }
+    }.toDF()
+  }
+
   /** Build a binary media column from text (placeholder payload), then
     * extract metadata partition-parallel in typed batches. */
   def binaryMeta(docs: DataFrame): DataFrame = {

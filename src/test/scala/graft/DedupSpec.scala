@@ -961,6 +961,18 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
+  test("stub resize keeps a quarter of the bytes and halves the fake dims") {
+    val text = "abcdefghij" // 10 bytes → out 3 bytes "abc"
+    val out = graft.llm.Multimodal.resizeBatch(
+      Seq((5L, text)).toDF("doc_id", "text")).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectMd5 = md.digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getLong(1) === (640 + 10 % 640) / 2)
+    assert(out.getLong(2) === (360 + 10 % 360) / 2)
+    assert(out.getLong(3) === 3L)
+    assert(out.getString(4) === expectMd5)
+  }
+
   test("table profile reports rows, nulls, distincts, min/max per column") {
     val df = Seq(
       (1L, Some("b"), 10L), (2L, None, 20L), (3L, Some("a"), 20L))
