@@ -1111,9 +1111,20 @@ object Oracles {
         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s, e), 0) AS seg_start
       FROM segsrc),
     cleaned AS (
+      -- segment order restored by sorting AFTER aggregation (list_sort over
+      -- an lpad'd fixed-width offset prefix), NOT by an ordered aggregate:
+      -- `string_agg(... ORDER BY ...)` was the only ordered aggregate in
+      -- this oracle corpus, and an engine that does not honor in-aggregate
+      -- ORDER BY under parallel execution concatenates segments in
+      -- arbitrary order — silently, with identical rowcount and schema.
+      -- list_sort of a VARCHAR list post-aggregation has no such mode.
+      -- seg_start is unique per doc (merged interval ends strictly
+      -- increase), so the 12-digit prefix alone fixes the order.
       SELECT segs.doc_id,
-        string_agg(substr(wl.text, CAST(seg_start + 1 AS INT), CAST(s - seg_start AS INT)),
-                   '' ORDER BY seg_start) AS clean_text,
+        array_to_string(list_transform(
+          list_sort(list(lpad(CAST(seg_start AS VARCHAR), 12, '0') ||
+            substr(wl.text, CAST(seg_start + 1 AS INT), CAST(s - seg_start AS INT)))),
+          x -> substr(x, 13)), '') AS clean_text,
         count(*) - 1 AS n_spans_removed,
         sum(e - s) AS removed_chars
       FROM segs JOIN wl USING (doc_id) GROUP BY segs.doc_id)
