@@ -1480,25 +1480,47 @@ object Oracles {
     FROM f GROUP BY fp_winnow HAVING count(*) >= 2
     ORDER BY fp_winnow"""
 
-  /** Stub resize — mirrors `Multimodal.resizeBatch`: halved fake dims,
-    * first ⌈n/4⌉ bytes kept; the corpus text is ASCII so the byte
-    * truncation equals a char substring and md5 matches byte-for-byte. */
+  /** REAL resize — mirrors `Multimodal.resizeBatch`: the payload is a
+    * genuine PNG rasterised from the text (pixel i = char i mod len, see
+    * `Multimodal.encodePng`), decoded with `javax.imageio` and
+    * nearest-neighbor decimated by 2 (out(x,y)=in(2x,2y)). The oracle
+    * recomputes the decimated byte stream arithmetically — resized byte k
+    * is the char at (2·(k÷w₂)·w + 2·(k mod w₂)) mod n — so the md5 pins
+    * encode→decode→resample end-to-end without a SQL-side codec. ASCII
+    * corpus ⇒ char codes = bytes. */
   val mmResize: String = """
+    WITH base AS (
+      SELECT doc_id, text, len(text) AS n,
+        8 + len(text) % 24 AS w, 8 + len(text) % 16 AS h
+      FROM documents)
     SELECT doc_id,
-      (640 + octet_length(encode(text)) % 640) // 2 AS out_width,
-      (360 + octet_length(encode(text)) % 360) // 2 AS out_height,
-      (octet_length(encode(text)) + 3) // 4 AS out_bytes,
-      md5(substr(text, 1, CAST((octet_length(encode(text)) + 3) // 4 AS INT))) AS resized_md5
-    FROM documents ORDER BY doc_id"""
+      w // 2 AS out_width, h // 2 AS out_height,
+      (w // 2) * (h // 2) AS out_bytes,
+      md5(array_to_string(list_transform(range(0, (w // 2) * (h // 2)),
+        k -> substr(text,
+          CAST((2 * (k // (w // 2)) * w + 2 * (k % (w // 2))) % n AS INT) + 1, 1)),
+        '')) AS resized_md5
+    FROM base ORDER BY doc_id"""
 
+  /** Real decoded metadata — dims are the generator contract `dimsFor`
+    * recovered by an actual `ImageIO.read`, and sum_red is the decoded
+    * red-channel total: cyclic sum of the text's code points over
+    * width·height pixels = full_cycles·Σall + Σprefix(remainder). */
   val mmBinaryMeta: String = """
-    SELECT doc_id,
-      octet_length(encode(text)) AS n_bytes,
-      md5(text) AS content_hash,
-      640 + octet_length(encode(text)) % 640 AS fake_width,
-      360 + octet_length(encode(text)) % 360 AS fake_height,
-      1 + octet_length(encode(text)) % 120 AS fake_frames
-    FROM documents ORDER BY doc_id"""
+    WITH base AS (
+      SELECT doc_id, text, greatest(len(text), 1) AS n,
+        8 + len(text) % 24 AS width, 8 + len(text) % 16 AS height
+      FROM documents)
+    SELECT doc_id, width, height, 1 + len(text) % 120 AS n_frames,
+      ((width * height) // n) *
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(split(text, ''), c -> ascii(c)::BIGINT)),
+          (a, b) -> a + b) +
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(split(substr(text, 1, CAST((width * height) % n AS INT)), ''),
+          c -> ascii(c)::BIGINT)),
+        (a, b) -> a + b) AS sum_red
+    FROM base ORDER BY doc_id"""
 
   /** Harness evaluate() report on the polling lane — composes the diffLane
     * counts, delete capture, ordering scan, and state diff

@@ -588,7 +588,12 @@ object SparkEntry {
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>
-      Multimodal.binaryMeta(Tables.documents(s, dir)).orderBy("doc_id")),
+      // real decode: project the oracle-predictable decoded properties
+      // (dims + pixel sum); payload size/hash depend on the deflate
+      // stream and stay API-only
+      Multimodal.binaryMeta(Tables.documents(s, dir))
+        .select("doc_id", "width", "height", "n_frames", "sum_red")
+        .orderBy("doc_id")),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

@@ -1,92 +1,146 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: treat media payloads as opaque `binary`
-  * columns with typed metadata structs, processed batch-wise.
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed partition-parallel in typed batches (the
+  * Scala analogue of the `mapInPandas` batch shape).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`fakeDecode`); the Spark-side plumbing
-  * — binary column, schema, partition-parallel batch processing through a
-  * typed `mapPartitions` (the Scala analogue of `mapInPandas` batch shape) —
-  * is real and tested. Swap `fakeDecode` for a codec call and nothing else
-  * changes.
+  * The decode step is REAL: payloads are genuine PNG images (encoded with
+  * the JDK's `javax.imageio` — no external codec dependency), and the
+  * metadata/resize paths decode them back with `ImageIO.read` and operate
+  * on the decoded raster. Because the corpus has no native media, the
+  * payload GENERATOR is synthetic-but-lossless: each document's text is
+  * rasterised into a `dimsFor`-sized grayscale-in-RGB image (pixel i holds
+  * the code of text char i mod len in all three channels), so every decoded
+  * property — dimensions, per-channel pixel sums, resized bytes — is an
+  * exact arithmetic function of the text that a SQL oracle can predict
+  * WITHOUT a codec. A wrong encoder, a wrong decoder, or a wrong resample
+  * all break the oracle match, which makes the decode path end-to-end
+  * verified, not stubbed.
+  *
+  * Contract: generator domain is single-byte code points (the corpus is
+  * ASCII); pixel values are `char & 0xFF`. PNG truecolor is lossless, so
+  * decoded channel values equal the generated ones bit-for-bit on every
+  * compliant decoder.
   */
 object Multimodal {
 
-  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  /** Image dimensions derived from text length — the payload generator's
+    * contract, which decode must recover and the oracle predicts:
+    * width 8..31, height 8..23. */
+  def dimsFor(nChars: Int): (Int, Int) = (8 + nChars % 24, 8 + nChars % 16)
+
+  case class MediaIn(doc_id: Long, text: String)
   case class MediaMeta(
       doc_id: Long, n_bytes: Long, content_hash: String,
-      fake_width: Long, fake_height: Long, fake_frames: Long)
-
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would decode the container header here. */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    (640 + n % 640, 360 + n % 360, 1 + n % 120)
-  }
-
-  /** Deterministic frame sampling over the (stubbed) decoded media: every
-    * `stride`-th frame index up to the fake frame count — the batch shape a
-    * video pipeline uses (explode frames, process per frame, regroup).
-    * Returns one row per sampled frame with a content-addressed frame id. */
-  def frameSample(docs: org.apache.spark.sql.DataFrame, stride: Int = 10): org.apache.spark.sql.DataFrame = {
-    val meta = binaryMeta(docs)
-    meta
-      .select(col("doc_id"), col("content_hash"), col("fake_frames"),
-        explode(sequence(lit(0L), col("fake_frames") - 1, lit(stride.toLong))).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx"),
-        concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
-  }
-
+      width: Long, height: Long, n_frames: Long, sum_red: Long)
   case class MediaResized(
       doc_id: Long, out_width: Long, out_height: Long, out_bytes: Long,
       resized_md5: String)
 
-  /** Deterministic stub RESIZE — the down-scaling stage's batch shape
-    * (decode → scale → re-encode, per partition, binary in binary out).
-    * The stub contract halves each fake dimension and keeps the first
-    * ⌈n/4⌉ payload bytes (a quarter of the pixels ⇒ a quarter of the
-    * bytes), so the byte stream is bit-deterministic and the oracle can
-    * recompute the output hash without a codec; swap the body for a real
-    * scaler and the plumbing — typed `mapPartitions` batches, hash-only
-    * verification so full media never ships to the driver — is unchanged. */
-  def resizeBatch(docs: DataFrame): DataFrame = {
+  /** Rasterise text to a real PNG: pixel i (row-major) carries
+    * `text(i % len) & 0xFF` in R, G and B. TYPE_INT_RGB avoids any
+    * gray-colorspace conversion, so set/getRGB round-trip exactly. */
+  def encodePng(text: String): Array[Byte] = {
+    val (w, h) = dimsFor(text.length)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val v = if (text.isEmpty) 0 else text.charAt(i % text.length).toInt & 0xFF
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real JDK decode of the binary payload. */
+  def decode(payload: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(payload))
+
+  /** Build the binary media column (real PNG bytes), then decode each
+    * payload partition-parallel and extract REAL metadata: decoded
+    * dimensions, decoded red-channel sum, payload size and content hash.
+    * `n_frames` is the stub video layer ([[frameSample]]'s domain): a
+    * still image has one frame, the synthetic frame count models a clip.
+    *
+    * Scale shape: one typed `mapPartitions` pass, no shuffle — metadata
+    * extraction is scan-speed and the payload never leaves the executor
+    * (only the fixed-width metadata row comes back). */
+  def binaryMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaIn] = docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
+    val media: Dataset[MediaIn] = docs.select(col("doc_id"), col("text")).as[MediaIn]
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
-        val (w, h, _) = fakeDecode(m.payload)
-        val outBytes = (m.payload.length + 3) / 4
-        val resized = java.util.Arrays.copyOfRange(m.payload, 0, outBytes)
+        val payload = encodePng(m.text)
         md.reset()
-        val hash = md.digest(resized).map("%02x".format(_)).mkString
-        MediaResized(m.doc_id, (w / 2).toLong, (h / 2).toLong, outBytes.toLong, hash)
+        val hash = md.digest(payload).map("%02x".format(_)).mkString
+        val img = decode(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sumRed = 0L
+        var i = 0
+        while (i < w * h) {
+          sumRed += (img.getRGB(i % w, i / w) >> 16) & 0xFF
+          i += 1
+        }
+        MediaMeta(m.doc_id, payload.length.toLong, hash,
+          w.toLong, h.toLong, (1 + m.text.length % 120).toLong, sumRed)
       }
     }.toDF()
   }
 
-  /** Build a binary media column from text (placeholder payload), then
-    * extract metadata partition-parallel in typed batches. */
-  def binaryMeta(docs: DataFrame): DataFrame = {
+  /** REAL downscale: decode the PNG, nearest-neighbor decimate by 2
+    * (out(x,y) = in(2x,2y) — the rounding convention is pinned so the
+    * oracle can recompute the exact output), emit the resized raster as
+    * raw single-channel bytes plus its md5. Hash-only verification keeps
+    * full media off the driver; the raw-byte output (rather than a PNG
+    * re-encode) is what makes the hash engine-checkable — compressed
+    * bytes would pin the deflate implementation, not the pixels. */
+  def resizeBatch(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaIn] = docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
+    val media: Dataset[MediaIn] = docs.select(col("doc_id"), col("text")).as[MediaIn]
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
+        val img = decode(encodePng(m.text))
+        val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+        val out = new Array[Byte](w2 * h2)
+        var k = 0
+        while (k < out.length) {
+          out(k) = ((img.getRGB(2 * (k % w2), 2 * (k / w2)) >> 16) & 0xFF).toByte
+          k += 1
+        }
         md.reset()
-        val hash = md.digest(m.payload).map("%02x".format(_)).mkString
-        val (w, h, f) = fakeDecode(m.payload)
-        MediaMeta(m.doc_id, m.payload.length.toLong, hash, w.toLong, h.toLong, f.toLong)
+        val hash = md.digest(out).map("%02x".format(_)).mkString
+        MediaResized(m.doc_id, w2.toLong, h2.toLong, out.length.toLong, hash)
       }
     }.toDF()
+  }
+
+  /** Deterministic frame sampling over the stub VIDEO layer (a clip of
+    * `1 + len % 120` synthetic frames atop the real still image): every
+    * `stride`-th frame index, one row per sampled frame with a
+    * content-addressed frame id. Pure column expressions — sampling frame
+    * INDICES needs no decode, exactly like a real pipeline that plans
+    * frame extraction before touching pixels. */
+  def frameSample(docs: DataFrame, stride: Int = 10): DataFrame = {
+    docs
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("content_hash"),
+        (lit(1L) + length(col("text")).cast("long") % 120L).as("n_frames"))
+      .select(col("doc_id"), col("content_hash"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
   }
 }

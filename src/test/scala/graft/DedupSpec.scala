@@ -961,15 +961,42 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
-  test("stub resize keeps a quarter of the bytes and halves the fake dims") {
-    val text = "abcdefghij" // 10 bytes → out 3 bytes "abc"
+  test("png encode→decode roundtrip recovers dims and exact pixel values") {
+    val text = "abcdefghij" // n=10 → w=8+10=18, h=8+10=18
+    val img = graft.llm.Multimodal.decode(graft.llm.Multimodal.encodePng(text))
+    assert(img.getWidth === 18 && img.getHeight === 18)
+    // decoded red channel at pixel i must equal text(i % 10) exactly
+    for (i <- Seq(0, 9, 10, 17, 18, 323)) {
+      val v = (img.getRGB(i % 18, i / 18) >> 16) & 0xFF
+      assert(v === text(i % 10).toInt, s"pixel $i")
+    }
+  }
+
+  test("binaryMeta decodes real dimensions and red-channel sum") {
+    val text = "abcdefghij"
+    val out = graft.llm.Multimodal.binaryMeta(
+      Seq((5L, text)).toDF("doc_id", "text")).collect().head
+    val codes = text.map(_.toInt)
+    val expectSum = (0 until 18 * 18).map(i => codes(i % 10).toLong).sum
+    assert(out.getLong(3) === 18L) // width
+    assert(out.getLong(4) === 18L) // height
+    assert(out.getLong(5) === 11L) // n_frames = 1 + 10 % 120
+    assert(out.getLong(6) === expectSum) // sum_red from the DECODED raster
+    assert(out.getLong(1) > 0L) // real PNG payload has bytes
+  }
+
+  test("resize decimates the decoded raster 2x with the pinned convention") {
+    val text = "abcdefghij" // w=h=18 → out 9x9 = 81 raw bytes
     val out = graft.llm.Multimodal.resizeBatch(
       Seq((5L, text)).toDF("doc_id", "text")).collect().head
+    val expectBytes = Array.tabulate(81) { k =>
+      val (x, y) = (k % 9, k / 9)
+      text((2 * y * 18 + 2 * x) % 10).toByte // out(x,y) = in(2x,2y)
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
-    val expectMd5 = md.digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out.getLong(1) === (640 + 10 % 640) / 2)
-    assert(out.getLong(2) === (360 + 10 % 360) / 2)
-    assert(out.getLong(3) === 3L)
+    val expectMd5 = md.digest(expectBytes).map("%02x".format(_)).mkString
+    assert(out.getLong(1) === 9L && out.getLong(2) === 9L)
+    assert(out.getLong(3) === 81L)
     assert(out.getString(4) === expectMd5)
   }
 
