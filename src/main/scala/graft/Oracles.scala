@@ -2138,6 +2138,8 @@ object Oracles {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_clusters" -> dedupClusters,
+    // the persisted-index load must reproduce the in-memory assignment
+    "dedup_clusters_persisted" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
     // the streaming gate's batch form has the identical output contract
     "dedup_ingest_gate" -> dedupIncremental,

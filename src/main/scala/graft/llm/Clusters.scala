@@ -154,4 +154,17 @@ object Clusters {
     val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     all.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
   }
+
+  /** Build the near-dup cluster assignment once and persist it under
+    * `path` as a (doc_id, cluster_id, cluster_size) parquet — the
+    * pipeline shape real curation uses: the expensive star contraction
+    * runs ONCE per corpus snapshot, and every downstream gate (funnel,
+    * keep-best, incremental checks) reads the assignment instead of
+    * re-contracting. Mirrors `Similarity.ivfIndexWrite`. */
+  def indexWrite(docs: DataFrame, pairs: DataFrame, path: String): Unit =
+    assign(docs, pairs).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted cluster assignment written by [[indexWrite]]. */
+  def indexLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -38,12 +38,17 @@ object Corpus {
       docs: DataFrame,
       minTokens: Long = 20L,
       minQuality: Double = 0.2,
-      maxTopBigram: Double = 0.1): DataFrame = {
+      maxTopBigram: Double = 0.1,
+      clusterIndex: Option[DataFrame] = None): DataFrame = {
     val q = TextAnalysis.quality(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = TextAnalysis.repetitionStats(docs)
       .select(col("doc_id"), col("top_bigram_frac"))
-    val clusters = Clusters.assign(docs, Dedup.minhashCandidates(docs))
+    // a persisted assignment (Clusters.indexWrite) skips the star
+    // contraction entirely — the production shape: contract once per
+    // corpus snapshot, every downstream gate reads the index
+    val clusters = clusterIndex
+      .getOrElse(Clusters.assign(docs, Dedup.minhashCandidates(docs)))
       .select(col("doc_id"), col("cluster_id"))
     val best = clusters
       .join(q.select(col("doc_id"), col("quality_score")), "doc_id")

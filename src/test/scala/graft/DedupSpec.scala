@@ -961,6 +961,24 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
+  test("persisted cluster index reproduces the in-memory assignment, funnel included") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.llm.Dedup.minhashCandidates(docs)
+    val dir = java.nio.file.Files.createTempDirectory("clu_idx_spec").toString
+    graft.llm.Clusters.indexWrite(docs, pairs, dir)
+    val live = graft.llm.Clusters.assign(docs, pairs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val loaded = graft.llm.Clusters.indexLoad(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(loaded === live)
+    val funnelLive = graft.llm.Corpus.filterFunnel(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val funnelIdx = graft.llm.Corpus.filterFunnel(docs,
+      clusterIndex = Some(graft.llm.Clusters.indexLoad(spark, dir)))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(funnelIdx === funnelLive)
+  }
+
   test("png encode→decode roundtrip recovers dims and exact pixel values") {
     val text = "abcdefghij" // n=10 → w=8+10=18, h=8+10=18
     val img = graft.llm.Multimodal.decode(graft.llm.Multimodal.encodePng(text))
