@@ -150,15 +150,21 @@ object Bench {
       // transient spike shipped as "contaminated" forever.
       var all = first
       var flagSpread = if (first.nonEmpty) spreadOf(first) else 0.0
+      var shipped = if (first.nonEmpty) median(first) else 0.0
       if (!failed.contains(name) && first.nonEmpty && flagSpread > SpreadLimit) {
         val rerun = run(reps)
         if (rerun.nonEmpty) {
           all = first ++ rerun
           flagSpread = spreadOf(rerun)
+          // a cleared flag must mean the shipped number comes from the
+          // quiet sample — median over the fresh reps ONLY; if the rerun
+          // is also noisy the query ships flagged and the wider median
+          // (all reps) is the fairer noisy estimate
+          shipped = if (flagSpread <= SpreadLimit) median(rerun) else median(all)
         }
       }
       if (failed.contains(name) || all.isEmpty) None
-      else Some((name, median(all), flagSpread, warm ++ all))
+      else Some((name, shipped, flagSpread, warm ++ all))
     }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")

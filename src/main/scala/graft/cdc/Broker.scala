@@ -10,6 +10,15 @@ import graft.functions.GraftFunctions._
   * commit-drift reordering. All three use the reference's exact `hash31 mod
   * 9973` hash (see [[graft.functions.Hash31]]) so partition assignment, drop
   * decisions, and drift delays are bit-identical to the reference trace.
+  *
+  * Hash-parity CONTRACT: [[graft.functions.Hash31]] folds Unicode CODE
+  * POINTS, the reference's `charCodeAt` loop folds UTF-16 code units —
+  * identical on the Basic Multilingual Plane, divergent for supplementary-
+  * plane characters (emoji, rare CJK). Routing/drop/drift parity with the
+  * reference trace is therefore guaranteed for BMP keys only; keys
+  * containing astral code points are OUT OF CONTRACT for trace-level
+  * parity (the routing itself stays deterministic and well-distributed —
+  * only the specific partition/drop choices differ from the reference's).
   */
 object Broker {
 

@@ -93,6 +93,9 @@ object Corpus {
       .groupBy(sigCols.map(col): _*)
       .agg(min("doc_id").as("dup_of"))
     val staged = Dedup.withProjectedSignatures(arrivals)
+      // docs below the shingle resolution carry null signatures; drop them
+      // to match the batch/oracle contract (Dedup.ingestGate's rule)
+      .filter(col("m0").isNotNull)
       .join(index, sigCols, "left")
       .select(col("doc_id"), col("text"), col("dup_of"),
         split(col("text"), " ").as("_toks"))

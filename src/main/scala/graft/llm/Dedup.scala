@@ -180,7 +180,12 @@ object Dedup {
     * runs in append mode with no watermark), and the gate is a
     * stream-static equality left join on the signature columns — planned
     * per micro-batch, broadcast while the index is small, shuffled when it
-    * is not. Output contract matches [[incrementalFlags]] exactly.
+    * is not. Output contract matches [[incrementalFlags]] exactly,
+    * INCLUDING the short-doc rule: documents below the shingle resolution
+    * (< `n` tokens) have no signature and are dropped by both paths —
+    * near-dup similarity is undefined at that length, and the row-wise
+    * projection's null signature columns are filtered here so the
+    * streaming gate never emits a row the batch path wouldn't.
     */
   def ingestGate(
       incoming: DataFrame, corpus: DataFrame,
@@ -190,6 +195,7 @@ object Dedup {
       .groupBy(sigCols.map(col): _*)
       .agg(min("doc_id").as("dup_of"))
     minhashProjected(incoming, n, numHashes)
+      .filter(col("m0").isNotNull) // < n tokens ⇒ no signature: batch parity
       .join(index, sigCols, "left")
       .select(
         col("doc_id"),

@@ -961,6 +961,22 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
+  test("short docs below shingle resolution are dropped identically by batch and gate paths") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha beta gamma"), (11L, "solo"), (12L, ""))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.incrementalFlags(corpus, incoming)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gate = graft.llm.Dedup.ingestGate(incoming, corpus)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gate === batch, "gate output must equal the batch contract")
+    assert(batch.map(_.head) === Seq(10L), "sub-shingle docs (11, 12) dropped by both")
+    val admitted = graft.llm.Corpus.admissionGate(incoming, corpus)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(admitted === Seq(10L), "admission gate follows the same short-doc rule")
+  }
+
   test("persisted cluster index reproduces the in-memory assignment, funnel included") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = graft.llm.Dedup.minhashCandidates(docs)
