@@ -900,7 +900,21 @@ object Oracles {
     * the one blocked-join the fuzzy-dedup family shares; mirrors
     * `Dedup.minhashCandidates` (4 bands × 2 rows). Requires `sigs` in
     * scope ([[minhashSigCte]]). */
-  private def bandedPairsCtes: String = """banded AS (
+  private def bandedPairsCtes: String = bandedPairsCtesCapped(Long.MaxValue)
+
+  /** Banded pairs with the hot-bucket guard — mirrors
+    * `Dedup.minhashCandidates(maxBucket = cap)`: band keys whose bucket
+    * exceeds `cap` docs contribute no pairs. */
+  private def bandedPairsCtesCapped(cap: Long): String = {
+    val keep =
+      if (cap == Long.MaxValue) ""
+      else s"""
+    keepb AS (
+      SELECT band, band_key FROM banded
+      GROUP BY band, band_key HAVING count(*) <= $cap),
+    banded2 AS (SELECT banded.* FROM banded JOIN keepb USING (band, band_key)),"""
+    val src = if (cap == Long.MaxValue) "banded" else "banded2"
+    s"""banded AS (
       SELECT doc_id, band, band_key FROM (
         SELECT doc_id,
           unnest(['b0:' || CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR),
@@ -908,11 +922,12 @@ object Oracles {
                   'b2:' || CAST(m4 AS VARCHAR) || ':' || CAST(m5 AS VARCHAR),
                   'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
           unnest([0, 1, 2, 3]) AS band
-        FROM sigs)),
+        FROM sigs)),$keep
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      FROM $src a JOIN $src b ON a.band = b.band AND a.band_key = b.band_key
       WHERE a.doc_id < b.doc_id)"""
+  }
 
   /** Transitive closure of `pairs` over all documents (`e` both
     * orientations + recursive `reach`); callers take `min(r)` per id.
@@ -999,8 +1014,8 @@ object Oracles {
   /** Candidates→exact-verify — mirrors `Dedup.verifyCandidates`: banded
     * LSH candidate pairs (2-gram MinHash), exact trigram Jaccard computed
     * for those pairs only, every pair reported with its verified flag. */
-  def dedupVerifyCandidates(threshold: Double): String = s"""WITH $minhashSigCte,
-    $bandedPairsCtes,
+  def dedupVerifyCandidates(threshold: Double, cap: Long = Long.MaxValue): String = s"""WITH $minhashSigCte,
+    ${bandedPairsCtesCapped(cap)},
     $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -2152,6 +2167,8 @@ object Oracles {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
+    // the 100 TB form: hot band-key buckets (> 32 docs) contribute no pairs
+    "dedup_verify_capped" -> dedupVerifyCandidates(0.8, cap = 32L),
     "dedup_substring" -> dedupSubstring(),
     "dedup_substring_sampled" -> dedupSubstring(anchorMod = 8L),
     "dedup_substring_clean" -> dedupSubstringClean(),

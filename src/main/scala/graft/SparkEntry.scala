@@ -406,6 +406,12 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
     // the two-stage recall→precision pipeline: banded-LSH candidates,
     // exact trigram Jaccard computed on the candidate pairs only
+    // the scale form: hot-bucket guard on the banded candidates — the
+    // 10x rehearsal measured the uncapped pair set growing quadratically
+    // (SCALE.md); cap 32 restores linear growth with stated recall trade
+    "dedup_verify_capped" -> ((s, dir) =>
+      Dedup.verifyCandidates(Tables.documents(s, dir), maxBucket = 32)
+        .orderBy("a_id", "b_id")),
     "dedup_verify_candidates" -> ((s, dir) =>
       Dedup.verifyCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
     // character-level verbatim spans ≥60 chars via rolling 40-char window

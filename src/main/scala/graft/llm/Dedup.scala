@@ -88,16 +88,44 @@ object Dedup {
     * rows; docs sharing any full band become candidate near-dup pairs.
     * Equality join per band — the banded/bucketed design that scales (join
     * key cardinality ~P^rowsPerBand, no crossJoin).
+    *
+    * HOT-BUCKET GUARD (`maxBucket`): band keys whose bucket exceeds
+    * `maxBucket` docs contribute NO pairs. This is the load-bearing knob
+    * at 100 TB — minhash minima concentrate on globally COMMON shingles,
+    * so when the corpus grows faster than its vocabulary, degenerate
+    * band-key buckets grow ∝ n and their pair output ∝ n². Measured on
+    * the 10× rehearsal slice (SCALE.md): uncapped candidate pairs grew
+    * ×100.8 for ×10 docs (and `verifyCandidates` wall time ×101);
+    * `maxBucket = 32` restored ×10.9 — linear. The recall trade is
+    * stated, not hidden: a pair sharing ONLY oversized buckets is
+    * dropped. A >cap bucket at 2-row band resolution is a degenerate
+    * common-shingle key, not a set of genuine near-identicals — exact
+    * duplicates are assumed already removed upstream by [[exactKeep]]
+    * (run hash-dedup BEFORE minhash, the standard pipeline order).
+    * Default `Int.MaxValue` = no cap (small-corpus exact-recall form);
+    * the capped form is the default SCALE path.
     */
-  def minhashCandidates(docs: DataFrame, n: Int = 2, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+  def minhashCandidates(docs: DataFrame, n: Int = 2, bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, n, bands * rowsPerBand)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat_ws(":", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
+    // bucket-size pre-agg + key-equality join back: the size table is
+    // bucket-count-sized (small), the filter runs before any pair is
+    // materialized — an oversized bucket costs one count row, not sz²
+    val kept =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+          .select("band", "band_key"),
+        Seq("band", "band_key"))
+    val a = kept.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+    val b = kept.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
@@ -465,8 +493,9 @@ object Dedup {
   def verifyCandidates(
       docs: DataFrame,
       bandN: Int = 2, bands: Int = 4, rowsPerBand: Int = 2,
-      verifyN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(docs, bandN, bands, rowsPerBand)
+      verifyN: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = minhashCandidates(docs, bandN, bands, rowsPerBand, maxBucket)
     val sh = shingles(docs, verifyN)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand

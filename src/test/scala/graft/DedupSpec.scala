@@ -961,6 +961,22 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._1 > out(1L)._1)
   }
 
+  test("hot-bucket guard drops oversized band buckets, keeps small-bucket pairs") {
+    // 40 identical docs: all 8 minhashes equal → every band lands in one
+    // bucket of size 40 > cap → zero pairs from the clique (exact dups are
+    // exactKeep's job upstream). Two other identical docs: buckets of 2 →
+    // their pair survives the cap.
+    val hot = (0L until 40L).map(i => (i, "common words repeated across the clique"))
+    val pair = Seq((100L, "rare unique phrasing here"), (101L, "rare unique phrasing here"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val uncapped = graft.llm.Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.llm.Dedup.minhashCandidates(docs, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 40 * 39 / 2 + 1, "uncapped: full clique + the pair")
+    assert(capped === Set((100L, 101L)), s"capped: only the small-bucket pair: $capped")
+  }
+
   test("short docs below shingle resolution are dropped identically by batch and gate paths") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")

@@ -139,6 +139,63 @@ class FailureDrillSpec extends SparkSpec {
     assert(got === batch, "kill/resume must not change any flag vs the batch path")
   }
 
+  /** Restart drill for the streaming admission controller
+    * (`Corpus.admissionGate` — quality + PII + dedup verdicts per arriving
+    * doc): killed between micro-batches with arrivals continuing while
+    * down, resumed from checkpoint. Every document must receive exactly
+    * one verdict and the ADMITTED SET must equal the batch gate over the
+    * union of arrivals — a restart can neither re-admit, drop, nor flip
+    * any verdict. */
+  test("restart drill: admission controller's admitted set survives kill/resume") {
+    val root = Files.createTempDirectory("admission_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val corpus = Seq(
+      (0L, "spark filter join table scan window batch merge"),
+      (5L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text")
+    type Verdict = (Long, Boolean, Boolean, Boolean, Long, Boolean)
+    val verdicts = new java.util.concurrent.ConcurrentLinkedQueue[Verdict]()
+    def startQuery() = {
+      val arrivals = spark.readStream.schema("doc_id LONG, text STRING").json(srcDir.getPath)
+      graft.llm.Corpus.admissionGate(arrivals, corpus)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.collect().foreach(r => verdicts.add((r.getLong(0), r.getBoolean(1),
+            r.getBoolean(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5)))))
+        .start()
+    }
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    val clean1 = (1 to 60).map(i => s"alpha$i").mkString(" ") // admitted
+    val pii = (1 to 60).map(i => s"beta$i").mkString(" ") +
+      " reach me at someone@example.com" // quality-pass, PII-reject
+    val dup = "spark filter join table scan window batch merge" // dedup-reject
+    val clean2 = (1 to 60).map(i => s"gamma$i").mkString(" ") // admitted after resume
+    writeDocs("day-1.json", Seq((10L, clean1), (11L, pii), (12L, dup)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    writeDocs("day-2.json", Seq((13L, clean2))) // arrives while the gate is down
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = verdicts.toArray(Array.empty[Verdict]).toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(10L, 11L, 12L, 13L),
+      s"each arrival gets exactly one verdict: $got")
+    val batch = graft.llm.Corpus.admissionGate(
+      Seq((10L, clean1), (11L, pii), (12L, dup), (13L, clean2)).toDF("doc_id", "text"),
+      corpus)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    assert(got === batch, "kill/resume must not change any verdict vs the batch gate")
+    assert(got.filter(_._6).map(_._1) === Seq(10L, 13L),
+      s"admitted set exactly the clean docs: $got")
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * to the drill and restore the session default afterwards. */
   private def withRocksDb[T](body: => T): T = {
