@@ -909,9 +909,10 @@ class DedupSpec extends SparkSpec {
     // lmScore: no transitions anywhere → empty result, not a failure
     assert(graft.llm.TextAnalysis.lmScore(empty).count() === 0L)
     assert(graft.llm.TextAnalysis.lmScore(oneTok).count() === 0L)
-    // ingest gate: empty corpus index → nothing matches, nothing crashes
-    val gate = graft.llm.Dedup.ingestGate(oneTok, empty).collect()
-    assert(gate.toSeq.map(r => (r.getLong(0), r.getBoolean(1))) === Seq((7L, false)))
+    // ingest gate: empty corpus index → nothing crashes; the sub-shingle
+    // doc is DROPPED (round-9 short-doc rule: batch-contract parity —
+    // near-dup similarity is undefined below the shingle resolution)
+    assert(graft.llm.Dedup.ingestGate(oneTok, empty).count() === 0L)
     // snapshot diff with one empty side degenerates to all-added / all-removed
     assert(graft.llm.Corpus.snapshotDiff(empty, oneTok)
       .collect().map(_.getString(1)).toSeq === Seq("added"))
