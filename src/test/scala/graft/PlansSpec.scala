@@ -27,7 +27,10 @@ class PlansSpec extends SparkSpec {
     "cdc_apply_json", "text_quality", "text_pii", "text_tokens",
     // round-8 additions
     "quality_logit", "corpus_snapshot_diff", "dedup_ingest_gate",
-    "text_lm_score", "corpus_admission")
+    "text_lm_score", "corpus_admission",
+    // round-9 additions
+    "dedup_verify_capped", "dedup_clusters_persisted",
+    "mm_binary_meta", "mm_resize")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -90,8 +93,23 @@ class PlansSpec extends SparkSpec {
   test("banded dedup/ANN paths stay equality joins (no nested-loop)") {
     for (n <- Seq("dedup_clusters", "dedup_verify_candidates",
         "dedup_keep_best", "dedup_substring_clean", "corpus_filter",
-        "ann_lsh_buckets", "ann_near_dup_banded"))
+        "ann_lsh_buckets", "ann_near_dup_banded", "dedup_verify_capped"))
       assert(count(n, "BroadcastNestedLoopJoin") === 0,
         s"$n must never plan a nested-loop join")
+  }
+
+  test("persisted cluster index load is a pure scan: no joins, no data shuffle") {
+    assert(count("dedup_clusters_persisted", "Join") === 0,
+      "the persisted assignment must load without re-joining")
+    assert(count("dedup_clusters_persisted", "Exchange hashpartitioning") === 0,
+      "nothing to shuffle — the contraction already ran at build time")
+  }
+
+  test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
+    for (n <- Seq("mm_binary_meta", "mm_resize")) {
+      assert(count(n, "Exchange hashpartitioning") === 0,
+        s"$n is per-partition decode work and must not shuffle")
+      assert(count(n, "Join") === 0, s"$n must not join")
+    }
   }
 }
