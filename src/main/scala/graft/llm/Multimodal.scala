@@ -51,12 +51,14 @@ object Multimodal {
   def encodePng(text: String): Array[Byte] = {
     val (w, h) = dimsFor(text.length)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h) // bulk raster write: one JNI-free pass
     var i = 0
-    while (i < w * h) {
+    while (i < px.length) {
       val v = if (text.isEmpty) 0 else text.charAt(i % text.length).toInt & 0xFF
-      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      px(i) = (v << 16) | (v << 8) | v
       i += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -65,6 +67,11 @@ object Multimodal {
   /** Real JDK decode of the binary payload. */
   def decode(payload: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(payload))
+
+  /** Decoded image as a row-major sRGB int array (bulk `getRGB` — one
+    * array copy instead of w·h accessor calls). */
+  def pixels(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
 
   /** Build the binary media column (real PNG bytes), then decode each
     * payload partition-parallel and extract REAL metadata: decoded
@@ -87,10 +94,11 @@ object Multimodal {
         val hash = md.digest(payload).map("%02x".format(_)).mkString
         val img = decode(payload)
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = pixels(img)
         var sumRed = 0L
         var i = 0
-        while (i < w * h) {
-          sumRed += (img.getRGB(i % w, i / w) >> 16) & 0xFF
+        while (i < px.length) {
+          sumRed += (px(i) >> 16) & 0xFF
           i += 1
         }
         MediaMeta(m.doc_id, payload.length.toLong, hash,
@@ -114,11 +122,13 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
         val img = decode(encodePng(m.text))
-        val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+        val w = img.getWidth
+        val (w2, h2) = (w / 2, img.getHeight / 2)
+        val px = pixels(img)
         val out = new Array[Byte](w2 * h2)
         var k = 0
         while (k < out.length) {
-          out(k) = ((img.getRGB(2 * (k % w2), 2 * (k / w2)) >> 16) & 0xFF).toByte
+          out(k) = ((px(2 * (k / w2) * w + 2 * (k % w2)) >> 16) & 0xFF).toByte
           k += 1
         }
         md.reset()
