@@ -1190,6 +1190,104 @@ object Oracles {
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** Int8 symmetric quantization in SQL — mirrors `Similarity.quantizeInt8`:
+    * `scale = max|x|/127` (1 for an all-zero vector), `q_i = floor(x_i /
+    * scale + 0.5)`. Every quantized intermediate is an exact integer in
+    * double, so the scored CTE is bit-stable across engines. Shared by both
+    * `ann_quantized_*` oracles. */
+  private val quantizedCte: String = """
+    qbase AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> abs(embedding[i]::DOUBLE))),
+          (a, b) -> greatest(a, b)) AS mx
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+        list_transform(range(1, 65),
+          i -> floor(embedding[i]::DOUBLE /
+                     (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5)) AS qvec
+      FROM qbase),
+    qn AS (
+      SELECT vec_id, qvec,
+        greatest(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> qvec[i] * qvec[i])),
+          (acc, x) -> acc + x)), 1e-300) AS qnrm
+      FROM qz),
+    qscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> q.qvec[i] * c.qvec[i])),
+          (acc, x) -> acc + x) / (q.qnrm * c.qnrm) AS cos_q
+      FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    qranked AS (
+      SELECT q_id, n_id, cos_q,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id) AS rnk
+      FROM qscored)"""
+
+  val annQuantizedTopK: String = s"""WITH $quantizedCte
+    SELECT q_id, rnk, n_id, cos_q
+    FROM qranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  val annQuantizedRecall: String = s"""WITH $quantizedCte,
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored),
+    ex AS (SELECT q_id, n_id FROM ranked WHERE rnk <= 5),
+    qt AS (SELECT q_id, n_id FROM qranked WHERE rnk <= 5),
+    hits AS (
+      SELECT ex.q_id, count(*) AS n_hit
+      FROM ex JOIN qt ON ex.q_id = qt.q_id AND ex.n_id = qt.n_id
+      GROUP BY ex.q_id)
+    SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      coalesce(h.n_hit, 0)::DOUBLE / 5.0 AS recall
+    FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id
+    ORDER BY q.q_id"""
+
+  /** Sliding-window chunk plan in SQL — mirrors `Chunking.chunkPlan`. */
+  def chunkPlanSql(size: Int = 64, stride: Int = 48): String = s"""WITH
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM t),
+    c AS (SELECT doc_id, toks, n_tokens,
+            (1 + CAST(ceil(greatest(n_tokens - $size, 0)::DOUBLE / ${stride}.0)
+                 AS BIGINT)) AS n_chunks
+          FROM n),
+    e AS (SELECT doc_id, toks, n_tokens,
+            unnest(range(0, n_chunks)) AS chunk_idx
+          FROM c)
+    SELECT doc_id, chunk_idx, chunk_idx * $stride AS start_tok,
+      least($size, n_tokens - chunk_idx * $stride) AS n_tok,
+      md5(array_to_string(list_slice(toks, chunk_idx * $stride + 1,
+        chunk_idx * $stride + least($size, n_tokens - chunk_idx * $stride)),
+        ' ')) AS chunk_md5
+    FROM e ORDER BY doc_id, chunk_idx"""
+
+  /** Per-source chunk ledger in SQL — mirrors `Chunking.chunkStats`. */
+  def chunkStatsSql(size: Int = 64, stride: Int = 48): String = s"""WITH
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
+    c AS (SELECT doc_id, n_tokens,
+            (1 + CAST(ceil(greatest(n_tokens - $size, 0)::DOUBLE / ${stride}.0)
+                 AS BIGINT)) AS n_chunks
+          FROM n),
+    e AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx
+          FROM c),
+    p AS (SELECT doc_id,
+            least($size, n_tokens - chunk_idx * $stride) AS n_tok
+          FROM e),
+    j AS (SELECT d.source, p.doc_id, p.n_tok
+          FROM p JOIN documents d ON p.doc_id = d.doc_id)
+    SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      CAST(sum(n_tok) AS BIGINT) AS emitted_tokens,
+      sum(n_tok)::DOUBLE / (count(*) * $size) AS mean_fill
+    FROM j GROUP BY source ORDER BY source"""
+
   /** LSH bucket id in SQL — mirrors `Similarity.lshBucket`. */
   def lshBucketSql(emb: String, nPlanes: Int): String = {
     val planes = (0 until nPlanes).map { j =>
@@ -2173,6 +2271,10 @@ object Oracles {
     "dedup_substring_sampled" -> dedupSubstring(anchorMod = 8L),
     "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
+    "ann_quantized_topk" -> annQuantizedTopK,
+    "ann_quantized_recall" -> annQuantizedRecall,
+    "chunk_plan" -> chunkPlanSql(),
+    "chunk_stats" -> chunkStatsSql(),
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,
     "ann_semdedup" -> annSemDedup(0.42),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc._
 import graft.functions.GraftFunctions
-import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Clusters, Corpus, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin, Sessions}
 import graft.sources.{DebeziumSource, Tables}
 
@@ -502,6 +502,17 @@ object SparkEntry {
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // int8 scalar quantization (4x vector bytes): scales cancel in cosine,
+    // so the quantized score is integer-exact and hash-stable by design
+    "ann_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    "ann_quantized_recall" -> ((s, dir) =>
+      Similarity.quantizedRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
+    "chunk_plan" -> ((s, dir) =>
+      Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
+    "chunk_stats" -> ((s, dir) =>
+      Chunking.chunkStats(Tables.documents(s, dir)).orderBy("source")),
     "ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("bucket")),
     "ann_near_dup" -> ((s, dir) =>

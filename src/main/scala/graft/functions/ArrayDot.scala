@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Deterministic left-to-right dot product of two numeric arrays as double.
   *
@@ -26,23 +26,31 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  /** Physical element reader per declared element type — reading a long (or
+    * int) array through `getDouble` would silently reinterpret the raw bits
+    * as IEEE doubles (NaN garbage), so each numeric element type gets its
+    * own accessor. */
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val xf = elemIsFloat(left)
-    val yf = elemIsFloat(right)
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    val xt = elemType(left)
+    val yt = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += get(x, xt, i) * get(y, yt, i)
       i += 1
     }
     acc
@@ -53,13 +61,17 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      def get(arr: String, isFloat: Boolean): String =
-        if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      def get(arr: String, t: DataType): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case LongType => s"(double) $arr.getLong($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, elemIsFloat(left))} * ${get(b, elemIsFloat(right))};
+         |  $acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
          |}
          |${ev.value} = $acc;
        """.stripMargin

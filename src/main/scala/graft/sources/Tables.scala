@@ -5,15 +5,19 @@ import org.apache.spark.sql.types._
 
 /** Readers for the driver-provided parquet tables (`TESTDATA.md`).
   *
-  * `events.ts` is written as parquet `TIMESTAMP(NANOS)`, which Spark's parquet
-  * reader rejects (`PARQUET_TYPE_ILLEGAL`). We read the physical INT64 directly
-  * as epoch-nanoseconds via an explicit schema; all downstream logic works in
-  * epoch-milliseconds (`ts div 1_000_000`), which matches DuckDB's
-  * `epoch_ms(ts)` exactly for these (positive) timestamps.
+  * `events.ts` has been written as parquet `TIMESTAMP(NANOS)` (which Spark's
+  * parquet reader rejects outright — `PARQUET_TYPE_ILLEGAL`) in some rounds
+  * and `TIMESTAMP(MICROS)` in others. We read the physical INT64 directly via
+  * an explicit `LongType` schema (works for every INT64-backed unit), then
+  * normalize to epoch-NANOS by magnitude — the 2024-era epoch is ~1.7e9 s /
+  * ~1.7e12 ms / ~1.7e15 µs / ~1.7e18 ns, three decades apart per unit, so the
+  * band test is unambiguous for any timestamp between 1973 and 2200. All
+  * downstream logic keeps the nanos contract (`ts div 1_000_000` → ms), which
+  * matches DuckDB's `epoch_ms(ts)` exactly for these (positive) timestamps.
   */
 object Tables {
 
-  /** events.parquet with `ts` as raw epoch-nanos (see note above). */
+  /** events.parquet with `ts` normalized to raw epoch-nanos (see note above). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -22,8 +26,16 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val raw = col("ts")
+    val nanos = when(raw >= 100000000000000000L, raw)   // ≥ 1e17: already ns
+      .when(raw >= 100000000000000L, raw * 1000L)       // ≥ 1e14: µs → ns
+      .when(raw >= 100000000000L, raw * 1000000L)       // ≥ 1e11: ms → ns
+      .otherwise(raw * 1000000000L)                     //        s → ns
     spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", nanos)
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

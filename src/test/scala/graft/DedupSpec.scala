@@ -395,6 +395,34 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === keptAgain.toSeq)
   }
 
+  test("int8 quantization: integral codes in [-127,127], max-abs maps to ±127, recall holds") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb)
+    // every code is an integral double within the int8 range, and the
+    // largest-magnitude dimension of each vector saturates at ±127
+    val checked = q.select(
+      org.apache.spark.sql.functions.size(
+        filter(col("qvec"), v => abs(v) > 127.0 || v =!= floor(v).cast("double"))
+      ).as("bad"),
+      org.apache.spark.sql.functions.size(
+        filter(col("qvec"), v => abs(v) === 127.0)).as("saturated")).collect()
+    assert(checked.forall(_.getAs[Int]("bad") === 0), "non-integral or out-of-range code")
+    assert(checked.forall(_.getAs[Int]("saturated") >= 1),
+      "max-abs dimension must quantize to ±127")
+    // identical vectors stay top-ranked under the quantized metric
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (100L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (101L, Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(vecs, nQueries = 1, k = 2).collect()
+    assert(top.head.getAs[Long]("n_id") === 100L)
+    assert(math.abs(top.head.getAs[Double]("cos_q") - 1.0) < 1e-12)
+    // int8 keeps most of the true top-5 on the real corpus
+    val rec = Similarity.quantizedRecall(emb).agg(avg("recall")).collect().head.getDouble(0)
+    assert(rec >= 0.8, f"int8 recall@5 degraded to $rec%.2f")
+  }
+
   test("ANN top-k ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),

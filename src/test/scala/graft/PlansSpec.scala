@@ -30,7 +30,7 @@ class PlansSpec extends SparkSpec {
     "text_lm_score", "corpus_admission",
     // round-9 additions
     "dedup_verify_capped", "dedup_clusters_persisted",
-    "mm_binary_meta", "mm_resize")
+    "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -103,6 +103,21 @@ class PlansSpec extends SparkSpec {
       "the persisted assignment must load without re-joining")
     assert(count("dedup_clusters_persisted", "Exchange hashpartitioning") === 0,
       "nothing to shuffle — the contraction already ran at build time")
+  }
+
+  test("chunk plan is explode-at-scan: no data shuffle, no join") {
+    assert(count("chunk_plan", "Exchange hashpartitioning") === 0,
+      "chunking is per-row explode work and must not shuffle")
+    assert(count("chunk_plan", "Join") === 0, "chunking must not join")
+  }
+
+  test("quantized top-k broadcasts the query set, never shuffles the corpus") {
+    // the q_id =!= n_id predicate makes this a broadcast nested-loop of a
+    // 10-row query set against the streamed corpus — the same legitimate
+    // 'broadcast the tiny side' shape as cosineTopK; the corpus itself
+    // must not hash-shuffle before scoring
+    assert(count("ann_quantized_topk", "BroadcastNestedLoopJoin") === 1)
+    assert(count("ann_quantized_topk", "SortMergeJoin") === 0)
   }
 
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
