@@ -540,14 +540,16 @@ object Similarity {
     * how many of the true `k` neighbors the int8 scan kept. Queries with no
     * overlap still appear (recall 0) via the left join from the query set. */
   def quantizedRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // both top-k results are ≤ nQueries·k rows — broadcast them so the
+    // intersection and the left join never sort-merge at any corpus size
     val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
     val quant = quantizedTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
     val hits = exact
-      .join(quant, Seq("q_id", "n_id"))
+      .join(broadcast(quant), Seq("q_id", "n_id"))
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_hit"))
     exact.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(
         col("q_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
