@@ -1881,6 +1881,49 @@ object Oracles {
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
+  /** Three CTEs quantizing the `embedding` of `ranked` rows selected by
+    * `pred` — mirrors `Similarity.withQuantized` applied to the IVF
+    * assignment/probe frames. Emits `<p>q (vec_id, c_id, qvec, qnrm)`. */
+  private def sqCte(p: String, pred: String): String = s"""
+    ${p}0 AS (
+      SELECT vec_id, c_id, embedding,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> abs(embedding[i]::DOUBLE))),
+          (a, b) -> greatest(a, b)) AS mx
+      FROM ranked WHERE $pred),
+    ${p}1 AS (
+      SELECT vec_id, c_id,
+        list_transform(range(1, 65),
+          i -> floor(embedding[i]::DOUBLE /
+                     (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5)) AS qvec
+      FROM ${p}0),
+    ${p}q AS (
+      SELECT vec_id, c_id, qvec,
+        greatest(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> qvec[i] * qvec[i])),
+          (acc, x) -> acc + x)), 1e-300) AS qnrm
+      FROM ${p}1)"""
+
+  /** IVF-SQ — the validated IVF CTEs for list assignment + probe
+    * selection (float centroids), with candidate scoring on the int8
+    * codes. Mirrors `Similarity.ivfSqTopK`. */
+  val annIvfSqTopK: String = s"""WITH $ivfCtes,
+    ${sqCte("sqa", "c_rank = 1")},
+    ${sqCte("sqp", "c_rank <= 4 AND vec_id < 10")},
+    sq_scored AS (
+      SELECT p.vec_id AS q_id, a.vec_id AS n_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, 65), i -> p.qvec[i] * a.qvec[i])),
+          (acc, x) -> acc + x) / (p.qnrm * a.qnrm) AS cos_q
+      FROM sqpq p JOIN sqaq a ON p.c_id = a.c_id
+      WHERE p.vec_id <> a.vec_id),
+    sq_topk AS (
+      SELECT q_id, n_id, cos_q,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id) AS rnk
+      FROM sq_scored)
+    SELECT q_id, rnk, n_id, cos_q
+    FROM sq_topk WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
   /** Per-cluster profile — mirrors `Similarity.clusterProfile`: the
     * validated 2-iteration Lloyd CTEs, members scored against their
     * winning centroid, cohesion = Σ floor(cos·2²⁰) (exact BIGINT) over
@@ -2273,6 +2316,7 @@ object Oracles {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
+    "ann_ivfsq_topk" -> annIvfSqTopK,
     "chunk_plan" -> chunkPlanSql(),
     "chunk_stats" -> chunkStatsSql(),
     "ann_lsh_buckets" -> annLshBuckets,

@@ -508,6 +508,10 @@ object SparkEntry {
       Similarity.quantizedTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     "ann_quantized_recall" -> ((s, dir) =>
       Similarity.quantizedRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // IVF-SQ composition: coarse quantizer prunes the scan, int8 codes
+    // shrink the list payloads — the knobs multiply at corpus scale
+    "ann_ivfsq_topk" -> ((s, dir) =>
+      Similarity.ivfSqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
     "chunk_plan" -> ((s, dir) =>
       Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),

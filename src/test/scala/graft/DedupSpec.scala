@@ -423,6 +423,22 @@ class DedupSpec extends SparkSpec {
     assert(rec >= 0.8, f"int8 recall@5 degraded to $rec%.2f")
   }
 
+  test("IVF-SQ: quantized probe agrees with float IVF on most neighbors, deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sq = Similarity.ivfSqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    // same coarse quantizer, int8 scoring: the probed candidate set is
+    // identical, so disagreement can only come from int8 rank swaps
+    val fl = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    val agree = sq.toSet.intersect(fl.toSet).size.toDouble / fl.length
+    assert(agree >= 0.8, f"int8 scoring diverged from float IVF: $agree%.2f")
+    // bit-stable across runs (integer scores, integer Lloyd means)
+    val again = Similarity.ivfSqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(sq.toSeq === again.toSeq)
+  }
+
   test("ANN top-k ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),

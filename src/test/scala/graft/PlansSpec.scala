@@ -30,7 +30,8 @@ class PlansSpec extends SparkSpec {
     "text_lm_score", "corpus_admission",
     // round-9 additions
     "dedup_verify_capped", "dedup_clusters_persisted",
-    "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan")
+    "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan",
+    "ann_ivfsq_topk")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -109,6 +110,13 @@ class PlansSpec extends SparkSpec {
     assert(count("chunk_plan", "Exchange hashpartitioning") === 0,
       "chunking is per-row explode work and must not shuffle")
     assert(count("chunk_plan", "Join") === 0, "chunking must not join")
+  }
+
+  test("IVF-SQ scores through a broadcast-probes hash join") {
+    // the centroid joins are legitimate 16-row BNLJ broadcasts; the
+    // list-scoring join itself must be a broadcast hash join on list_id
+    assert(count("ann_ivfsq_topk", "BroadcastHashJoin") >= 1)
+    assert(count("ann_ivfsq_topk", "SortMergeJoin") === 0)
   }
 
   test("quantized top-k broadcasts the query set, never shuffles the corpus") {
