@@ -699,6 +699,35 @@ class StreamingSpec extends SparkSpec {
       (910L, None), (911L, Some(200L))))
   }
 
+  test("streaming chunk plan == batch on live arrivals (stateless explode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val arrivals = Seq(
+      (30L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 2 chunks at 6/4
+      (31L, "k l m"),                                    // 1 short chunk
+      (32L, (1 to 20).map(i => s"x$i").mkString(" ")))   // 4 chunks
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.Chunking
+      .chunkPlan(input.toDS().toDF("doc_id", "text"), size = 6, stride = 4)
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    val batch = graft.llm.Chunking
+      .chunkPlan(arrivals.toDF("doc_id", "text"), size = 6, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === batch, "streaming chunking == batch chunking")
+    assert(got.count(_._1 == 32L) === 5) // starts 0,4,8,12,16 at size 6 / stride 4
+  }
+
   test("streaming admission controller == batch on live arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
