@@ -967,6 +967,22 @@ class DedupSpec extends SparkSpec {
     assert(graft.llm.TextAnalysis.qualityLogit(empty).count() === 0L)
   }
 
+  test("round-9 operators survive empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // chunking: empty corpus → no chunks; empty text → one 1-token chunk
+    assert(graft.llm.Chunking.chunkPlan(emptyDocs).count() === 0L)
+    // quantization: empty corpus flows through; an all-zero vector takes
+    // scale 1 (no div-by-zero) and quantizes to the zero vector
+    assert(Similarity.quantizeInt8(emptyEmb).count() === 0L)
+    val zeroVec = Seq((0L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.quantizeInt8(zeroVec).collect().head
+    assert(z.getAs[Double]("scale") === 1.0)
+    assert(z.getSeq[Double](2).forall(_ === 0.0))
+    // quantized top-k on an empty corpus: no queries, no rows, no crash
+    assert(Similarity.quantizedTopK(emptyEmb).count() === 0L)
+  }
+
   test("misra-gries sketch: guarantee, error bound, and recount parity") {
     // guarantee: any item with freq > N/(capacity+1) survives any stream
     // order; error: kept weights underestimate by at most N/(capacity+1)
