@@ -2317,6 +2317,8 @@ object Oracles {
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_ivfsq_topk" -> annIvfSqTopK,
+    // packed byte-level scoring is integer-exact == the array form
+    "ann_quantized_persisted" -> annQuantizedTopK,
     "chunk_plan" -> chunkPlanSql(),
     "chunk_stats" -> chunkStatsSql(),
     "ann_lsh_buckets" -> annLshBuckets,

@@ -512,6 +512,16 @@ object SparkEntry {
     // shrink the list payloads — the knobs multiply at corpus scale
     "ann_ivfsq_topk" -> ((s, dir) =>
       Similarity.ivfSqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // packed-code form: 64-byte binary codes on parquet (the realized 4x
+    // compression), built once per JVM, scored byte-level via Int8Dot —
+    // row-identical to the array form, pinned by the same oracle
+    "ann_quantized_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = graft.sources.IndexCache.dirFor(s"sq:$dir")(d =>
+        Similarity.quantizedIndexWrite(emb, d))
+      Similarity.quantizedPersistedTopK(Similarity.quantizedIndexLoad(s, idxDir))
+        .orderBy("q_id", "rnk")
+    }),
     // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
     "chunk_plan" -> ((s, dir) =>
       Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),

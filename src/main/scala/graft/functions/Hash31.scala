@@ -112,6 +112,20 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Pack int8-quantized integral doubles to one byte per dim (see
+    * `PackInt8`). */
+  def packInt8(c: Column): Column =
+    GraftBridge.column(PackInt8(GraftBridge.expression(c)))
+
+  /** Unpack a `packInt8` code back to integral doubles (see
+    * `UnpackInt8`). */
+  def unpackInt8(c: Column): Column =
+    GraftBridge.column(UnpackInt8(GraftBridge.expression(c)))
+
+  /** Codegen'd byte-level int8 dot product (see `Int8Dot`). */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftBridge.column(Int8Dot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** All (field, value) entries of a JSON object in one parse (see
     * `JsonEntries`). */
   def jsonEntries(c: Column): Column =

@@ -586,6 +586,45 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_q"))
   }
 
+  /** Write the packed int8 code index under `path`: (vec_id, scale, code)
+    * with `code` = one signed byte per dimension ([[graft.functions.PackInt8]]).
+    * This is the artifact that REALIZES the 4× compression — 64 payload
+    * bytes per vector on parquet instead of 256 — built once and reused by
+    * every probe batch, like the IVF index. */
+  def quantizedIndexWrite(emb: DataFrame, path: String): Unit =
+    quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"),
+        graft.functions.GraftFunctions.packInt8(col("qvec")).as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+
+  /** Load a packed code index written by [[quantizedIndexWrite]]. */
+  def quantizedIndexLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+
+  /** Top-`k` over the PACKED code index — the production read path: each
+    * candidate score is a byte-level [[graft.functions.Int8Dot]] over two
+    * 64-byte codes, no array materialization anywhere. Integer-exact, so
+    * the result is row-identical to [[quantizedTopK]] and the array-form
+    * oracle pins this path too. */
+  def quantizedPersistedTopK(codes: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val dot8 = graft.functions.GraftFunctions.int8Dot _
+    val withNrm = codes.select(
+      col("vec_id"), col("code"),
+      greatest(sqrt(dot8(col("code"), col("code"))), lit(1e-300)).as("qnrm"))
+    val queries = withNrm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("q_c"), col("qnrm").as("q_nrm"))
+    val cand = withNrm.select(col("vec_id").as("n_id"), col("code").as("n_c"), col("qnrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos_q", dot8(col("q_c"), col("n_c")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_q").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_q"))
+  }
+
   /** Recall of the quantized top-`k` against the exact float top-`k` — the
     * accuracy ledger one publishes next to the 4× compression: per query,
     * how many of the true `k` neighbors the int8 scan kept. Queries with no

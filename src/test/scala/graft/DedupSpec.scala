@@ -423,6 +423,27 @@ class DedupSpec extends SparkSpec {
     assert(rec >= 0.8, f"int8 recall@5 degraded to $rec%.2f")
   }
 
+  test("persisted packed-code index: write once, load, byte-score — identical to the array path") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("sq_idx").toString
+    try {
+      Similarity.quantizedIndexWrite(emb, dir)
+      val loaded = Similarity.quantizedIndexLoad(spark, dir)
+      // on-disk payload is 64 bytes/vector (the realized 4x compression)
+      assert(loaded.select(org.apache.spark.sql.functions.length(col("code")))
+        .distinct().collect().map(_.getInt(0)).toSeq === Seq(64))
+      val packed = Similarity.quantizedPersistedTopK(loaded).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("n_id"), r.getAs[Double]("cos_q"))).toSeq
+      val direct = Similarity.quantizedTopK(emb).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("n_id"), r.getAs[Double]("cos_q"))).toSeq
+      assert(packed.sorted === direct.sorted, "packed scoring must be row-identical")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF-SQ: quantized probe agrees with float IVF on most neighbors, deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sq = Similarity.ivfSqTopK(emb).collect()

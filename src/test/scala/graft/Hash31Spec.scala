@@ -86,6 +86,24 @@ class Hash31Spec extends SparkSpec {
     assert(mixed === r.getDouble(0) * 2.0) // scaling by 2 commutes with rounding
   }
 
+  test("int8 codec: pack/unpack round-trip, byte dot == array dot bit-for-bit") {
+    import spark.implicits._
+    // integral doubles across the full int8 range, negative included
+    val a = Array.tabulate(64)(i => ((i * 37) % 255 - 127).toDouble)
+    val b = Array.tabulate(64)(i => ((i * 53 + 11) % 255 - 127).toDouble)
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.unpackInt8(GraftFunctions.packInt8(col("a"))).as("rt"),
+      GraftFunctions.int8Dot(
+        GraftFunctions.packInt8(col("a")), GraftFunctions.packInt8(col("b"))).as("d8"),
+      GraftFunctions.arrayDot(col("a"), col("b")).as("da"),
+      length(GraftFunctions.packInt8(col("a"))).as("bytes"))
+      .collect().head
+    assert(r.getSeq[Double](0).toArray === a, "pack→unpack must be identity")
+    assert(r.getDouble(1) === r.getDouble(2), "byte dot must equal array dot exactly")
+    assert(r.getInt(3) === 64, "64 dims pack to exactly 64 bytes (4x under float32's 256)")
+  }
+
   test("SQL registration makes hash31 usable inside lambdas") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT array_min(transform(array('ab','abc'), x -> hash31(x, 9973))) v")

@@ -31,7 +31,7 @@ class PlansSpec extends SparkSpec {
     // round-9 additions
     "dedup_verify_capped", "dedup_clusters_persisted",
     "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan",
-    "ann_ivfsq_topk")
+    "ann_ivfsq_topk", "ann_quantized_persisted")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -124,8 +124,13 @@ class PlansSpec extends SparkSpec {
     // 10-row query set against the streamed corpus — the same legitimate
     // 'broadcast the tiny side' shape as cosineTopK; the corpus itself
     // must not hash-shuffle before scoring
-    assert(count("ann_quantized_topk", "BroadcastNestedLoopJoin") === 1)
-    assert(count("ann_quantized_topk", "SortMergeJoin") === 0)
+    for (n <- Seq("ann_quantized_topk", "ann_quantized_persisted")) {
+      assert(count(n, "BroadcastNestedLoopJoin") === 1, s"$n broadcast shape")
+      assert(count(n, "SortMergeJoin") === 0, s"$n must not sort-merge")
+    }
+    // the persisted form scores straight off the 64-byte codes: exactly
+    // one hash exchange (the per-query top-k window), nothing wider
+    assert(count("ann_quantized_persisted", "Exchange hashpartitioning") === 1)
   }
 
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
