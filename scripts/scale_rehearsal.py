@@ -14,9 +14,10 @@ Shape-preserving, duplication-neutral replication:
   generated data, instead of every doc gaining K-1 clones (which would
   grow candidate pairs ~K^2 and measure a different workload).
   Replica 0 is the original corpus unchanged.
-- events: event_id/user_id offsets per replica, ts preserved as
-  TIMESTAMP(NANOS) (graft.sources.Tables reads ts as raw epoch-nanos
-  via an explicit LongType schema — micros would shift every lsn).
+- events: event_id/user_id offsets per replica, ts written as
+  TIMESTAMP(NANOS) (graft.sources.Tables reads the raw INT64 and
+  normalizes any unit to epoch-nanos by magnitude, so either unit
+  works; nanos kept here for continuity with earlier rehearsals).
 - embeddings: vec_id offset; embedding circularly shifted by replica
   index (norm-preserving, direction-changing — replicas are not
   near-neighbors of each other). Replica 0 unchanged keeps the
