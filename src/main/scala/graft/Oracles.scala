@@ -1345,6 +1345,35 @@ object Oracles {
     FROM cand WHERE cos >= 0.4 ORDER BY a_id, b_id"""
   }
 
+  /** Incremental embedding near-dup flags — mirrors
+    * `Similarity.incrementalNearDup` with the `vec_id % 10` corpus/
+    * increment split convention of `dedup_incremental`. */
+  val annIncremental: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${lshBandKeySql("embedding", b, 8)} AS key FROM base")
+      .mkString("\n      UNION ALL ")
+    s"""WITH
+    base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    keys AS ($bandSelects),
+    arr AS (SELECT * FROM keys WHERE vec_id % 10 = 0),
+    idx AS (SELECT * FROM keys WHERE vec_id % 10 <> 0),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, i.vec_id AS c_id,
+        ${dotSql("a.embedding", "i.embedding")} / (a.nrm * i.nrm) AS cos
+      FROM arr a JOIN idx i ON a.band = i.band AND a.key = i.key),
+    matches AS (SELECT * FROM cand WHERE cos >= 0.4),
+    flags AS (
+      SELECT a_id, count(*) AS n_matches, max(cos) AS best_cos,
+        min(c_id) AS first_match
+      FROM matches GROUP BY a_id)
+    SELECT e.vec_id, f.a_id IS NOT NULL AS is_dup,
+      CAST(coalesce(f.n_matches, 0) AS BIGINT) AS n_matches,
+      f.best_cos, f.first_match
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+    LEFT JOIN flags f ON e.vec_id = f.a_id
+    ORDER BY e.vec_id"""
+  }
+
   /** Mutual k-NN graph — mirrors `Similarity.knnGraph(k=3, 8 bands × 8
     * bits)`: banded candidates, per-vector top-3 by exact cosine (dst
     * tie-break), edge kept iff both directions rank each other. */
@@ -2319,6 +2348,7 @@ object Oracles {
     "ann_ivfsq_topk" -> annIvfSqTopK,
     // packed byte-level scoring is integer-exact == the array form
     "ann_quantized_persisted" -> annQuantizedTopK,
+    "ann_incremental" -> annIncremental,
     "chunk_plan" -> chunkPlanSql(),
     "chunk_stats" -> chunkStatsSql(),
     "ann_lsh_buckets" -> annLshBuckets,

@@ -529,6 +529,15 @@ object SparkEntry {
       Chunking.chunkStats(Tables.documents(s, dir)).orderBy("source")),
     "ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("bucket")),
+    // embedding-side incremental dedup: arrivals (vec_id % 10 == 0) flagged
+    // against the standing banded index — same split as dedup_incremental
+    "ann_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.incrementalNearDup(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0))
+        .orderBy("vec_id")
+    }),
     "ann_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
     // SemDeDup (Abbas et al. 2023): k-means clusters, screen each member

@@ -474,6 +474,51 @@ object Similarity {
         col("y.rnk").cast("long").as("rnk_ba"))
   }
 
+  /** Incremental embedding near-dup flags — the embedding-side counterpart
+    * of `Dedup.incrementalFlags`: the standing corpus becomes a banded
+    * SRP-key index (built once, persistable exactly like the minhash
+    * signature index), and each arriving vector is flagged against it —
+    * candidate generation by band-key equality join, exact cosine verify,
+    * one per-arrival rollup — without touching, rescoring, or
+    * re-clustering the standing corpus.
+    *
+    * Output per arrival: `is_dup`, `n_matches` (distinct corpus vectors
+    * ≥ threshold), `best_cos` (max verified cosine, null when clean),
+    * `first_match` (smallest matching corpus id — deterministic
+    * provenance). Scale shape: index is corpus×nBands rows keyed by
+    * (band, key); the increment explodes to arrivals×nBands rows and
+    * equality-joins — never an all-pairs scan of corpus or increment. */
+  def incrementalNearDup(arrivals: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.4, nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, id: String, emb: String, nrm: String): DataFrame = df
+      .select(
+        col("vec_id").as(id), col("embedding").as(emb),
+        norm(col("embedding")).as(nrm),
+        posexplode(graft.functions.GraftFunctions.lshBandKeys(
+          col("embedding"), nBands, bitsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    val idx = keyed(corpus, "c_id", "c_emb", "c_nrm")
+    val arr = keyed(arrivals, "a_id", "a_emb", "a_nrm")
+    val matches = arr.join(idx, Seq("band", "key"))
+      .withColumn("cos", dot(col("a_emb"), col("c_emb")) / (col("a_nrm") * col("c_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("c_id"), col("cos"))
+      .distinct()
+    val flags = matches.groupBy("a_id").agg(
+      count(lit(1)).as("n_matches"),
+      max(col("cos")).as("best_cos"),
+      min(col("c_id")).as("first_match"))
+    arrivals.select(col("vec_id"))
+      .join(flags.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("n_matches").isNotNull.as("is_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_cos"),
+        col("first_match"))
+  }
+
   // ------------------------------------------------------------ int8 SQ
 
   /** Per-vector symmetric int8 scalar quantization — the storage/bandwidth

@@ -423,6 +423,26 @@ class DedupSpec extends SparkSpec {
     assert(rec >= 0.8, f"int8 recall@5 degraded to $rec%.2f")
   }
 
+  test("incremental embedding flags: clone of standing vector flagged, novel arrival clean") {
+    val corpus = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (100L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)), // clone of 1
+      (101L, Array.tabulate(64)(i => math.sin(i * 7 + 3).toFloat)) // novel
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.incrementalNearDup(arrivals, corpus, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_dup"), r.getAs[Long]("n_matches")))).toMap
+    assert(out(100L)._1 && out(100L)._2 === 1L, "clone must flag against the index")
+    assert(!out(101L)._1 && out(101L)._2 === 0L, "novel vector must pass clean")
+    val full = Similarity.incrementalNearDup(arrivals, corpus, threshold = 0.9)
+      .collect().find(_.getAs[Long]("vec_id") == 100L).get
+    assert(full.getAs[Long]("first_match") === 1L, "provenance points at the corpus id")
+    assert(math.abs(full.getAs[Double]("best_cos") - 1.0) < 1e-12)
+  }
+
   test("persisted packed-code index: write once, load, byte-score — identical to the array path") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("sq_idx").toString

@@ -31,7 +31,7 @@ class PlansSpec extends SparkSpec {
     // round-9 additions
     "dedup_verify_capped", "dedup_clusters_persisted",
     "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan",
-    "ann_ivfsq_topk", "ann_quantized_persisted")
+    "ann_ivfsq_topk", "ann_quantized_persisted", "ann_incremental")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -94,7 +94,8 @@ class PlansSpec extends SparkSpec {
   test("banded dedup/ANN paths stay equality joins (no nested-loop)") {
     for (n <- Seq("dedup_clusters", "dedup_verify_candidates",
         "dedup_keep_best", "dedup_substring_clean", "corpus_filter",
-        "ann_lsh_buckets", "ann_near_dup_banded", "dedup_verify_capped"))
+        "ann_lsh_buckets", "ann_near_dup_banded", "dedup_verify_capped",
+        "ann_incremental"))
       assert(count(n, "BroadcastNestedLoopJoin") === 0,
         s"$n must never plan a nested-loop join")
   }
