@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Deterministic left-to-right dot product of two numeric arrays as double.
   *
@@ -43,7 +43,11 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       case FloatType => arr.getFloat(i).toDouble
       case LongType => arr.getLong(i).toDouble
       case IntegerType => arr.getInt(i).toDouble
-      case _ => arr.getDouble(i)
+      case ShortType => arr.getShort(i).toDouble
+      case ByteType => arr.getByte(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"array_dot: unsupported element type $other")
     }
     val xt = elemType(left)
     val yt = elemType(right)
@@ -65,7 +69,11 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
         case FloatType => s"(double) $arr.getFloat($i)"
         case LongType => s"(double) $arr.getLong($i)"
         case IntegerType => s"(double) $arr.getInt($i)"
-        case _ => s"$arr.getDouble($i)"
+        case ShortType => s"(double) $arr.getShort($i)"
+        case ByteType => s"(double) $arr.getByte($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case other => throw new IllegalArgumentException(
+          s"array_dot: unsupported element type $other")
       }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());

@@ -30,6 +30,9 @@ object Chunking {
     * 1 + ceil(max(0, n - size) / stride)` — exact integer arithmetic in
     * doubles far below 2⁵³, identical in the DuckDB oracle. */
   def chunkPlan(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= size,
+      s"chunkPlan requires 0 < stride <= size (got size=$size, stride=$stride): " +
+        "stride > size would silently drop the tokens between windows")
     val toks = docs.select(
       col("doc_id"),
       split(col("text"), " ").as("toks"))

@@ -388,17 +388,24 @@ object Similarity {
   /** One row per (vector, band) with the band's bucket key, self-joined on
     * (band, key): the banded candidate frame, carrying both embeddings for
     * the exact recheck. */
-  private def bandedJoin(emb: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame = {
-    // all band keys in one fused pass over the embedding (the composed
-    // per-band form walks the vector nBands·bits times) — bit-identical to
-    // array(lshBandKey(b) for b), asserted in DedupSpec
-    val keys = graft.functions.GraftFunctions.lshBandKeys(
-      col("embedding"), nBands, bitsPerBand)
-    val banded = emb
+  /** `(vec_id, embedding, nrm, band, key)` — the banded SRP key frame
+    * every LSH candidate path builds on. All band keys come from ONE fused
+    * pass over the embedding (the composed per-band form walks the vector
+    * nBands·bits times) — bit-identical to `array(lshBandKey(b) for b)`,
+    * asserted in DedupSpec. Shared by the self-join ([[bandedJoin]]) and
+    * the increment-vs-index form ([[incrementalNearDup]]) so the banding
+    * scheme cannot drift between them. */
+  private def bandedKeys(emb: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), posexplode(keys))
+        norm(col("embedding")).as("nrm"),
+        posexplode(graft.functions.GraftFunctions.lshBandKeys(
+          col("embedding"), nBands, bitsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
+
+  private def bandedJoin(emb: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame = {
+    val banded = bandedKeys(emb, nBands, bitsPerBand)
     val a = banded.select(col("band"), col("key"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = banded.select(col("band"), col("key"), col("vec_id").as("b_id"),
@@ -490,14 +497,10 @@ object Similarity {
     * equality-joins — never an all-pairs scan of corpus or increment. */
   def incrementalNearDup(arrivals: DataFrame, corpus: DataFrame,
       threshold: Double = 0.4, nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
-    def keyed(df: DataFrame, id: String, emb: String, nrm: String): DataFrame = df
-      .select(
-        col("vec_id").as(id), col("embedding").as(emb),
-        norm(col("embedding")).as(nrm),
-        posexplode(graft.functions.GraftFunctions.lshBandKeys(
-          col("embedding"), nBands, bitsPerBand)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
+    def keyed(df: DataFrame, id: String, emb: String, nrm: String): DataFrame =
+      bandedKeys(df, nBands, bitsPerBand).select(
+        col("band"), col("key"), col("vec_id").as(id),
+        col("embedding").as(emb), col("nrm").as(nrm))
     val idx = keyed(corpus, "c_id", "c_emb", "c_nrm")
     val arr = keyed(arrivals, "a_id", "a_emb", "a_nrm")
     val matches = arr.join(idx, Seq("band", "key"))
@@ -541,22 +544,9 @@ object Similarity {
     * hot path runs on the quantized arrays through the codegen'd
     * [[graft.functions.ArrayDot]].
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val x = col("embedding")
-    emb
-      .select(
-        col("vec_id"),
-        x,
-        aggregate(x, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double")))).as("mx"))
-      .withColumn("scale", when(col("mx") === 0.0, lit(1.0)).otherwise(col("mx") / 127.0))
-      .select(
-        col("vec_id"),
-        col("scale"),
-        // floor() yields LONG; cast back so qvec is array<double> (integral
-        // values) — the element type ArrayDot reads without reinterpreting
-        transform(x, v => floor(v.cast("double") / col("scale") + 0.5).cast("double"))
-          .as("qvec"))
-  }
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    withQuantized(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("qscale").as("scale"), col("qvec"))
 
   /** Brute-force top-`k` under the quantized metric — same broadcast-the-
     * queries / stream-the-corpus shape as [[cosineTopK]], but each score is
@@ -580,11 +570,18 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_q"))
   }
 
-  /** Add `qvec`/`qnrm` int8-quantization columns to any frame carrying an
-    * `embedding` column (same per-vector formula as [[quantizeInt8]]),
-    * preserving the frame's other columns — the composition hook that lets
-    * an index pipeline quantize payloads IN PLACE instead of paying a
-    * corpus-wide self-join against a separately-quantized table. */
+  /** Add `qscale`/`qvec`/`qnrm` int8-quantization columns to any frame
+    * carrying an `embedding` column, preserving the frame's other columns.
+    * THE single holder of the quantization formula (`scale = max|x|/127`,
+    * 1 for all-zero; `q_i = floor(x_i/scale + 0.5)`) — [[quantizeInt8]]
+    * and [[ivfSqTopK]] both delegate here, and the DuckDB mirrors
+    * (`Oracles.quantizedCte`, `Oracles.sqCte`) transcribe exactly this
+    * expression. Also the composition hook that lets an index pipeline
+    * quantize payloads IN PLACE instead of paying a corpus-wide self-join
+    * against a separately-quantized table.
+    *
+    * `floor()` yields LONG; the cast back makes qvec `array<double>`
+    * (integral values) — the element type the codegen'd ArrayDot reads. */
   private def withQuantized(df: DataFrame): DataFrame = {
     val x = col("embedding")
     df
@@ -594,7 +591,7 @@ object Similarity {
       .withColumn("qvec",
         transform(x, v => floor(v.cast("double") / col("qscale") + 0.5).cast("double")))
       .withColumn("qnrm", greatest(sqrt(dot(col("qvec"), col("qvec"))), lit(1e-300)))
-      .drop("mx", "qscale")
+      .drop("mx")
   }
 
   /** IVF-SQ top-`k` — the composed production scale path: the IVF coarse
@@ -612,6 +609,9 @@ object Similarity {
     * the SQ scores are integer-exact, ties break on neighbor id. */
   def ivfSqTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
       nQueries: Int = 10, k: Int = 3, kmeansIters: Int = 2): DataFrame = {
+    // ivfIndexBuild persists the nLists-row centroid frame and leaves it
+    // cached (same convention as ivfTopK): ~KBs per call, and the real
+    // amortized path is the persisted index (IndexCache), which unpersists
     val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
     val lists = withQuantized(assigned)
       .select(col("vec_id").as("n_id"), col("list_id"),

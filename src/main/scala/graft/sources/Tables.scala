@@ -27,12 +27,18 @@ object Tables {
     StructField("props", StringType)))
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
     val raw = col("ts")
     val nanos = when(raw >= 100000000000000000L, raw)   // ≥ 1e17: already ns
       .when(raw >= 100000000000000L, raw * 1000L)       // ≥ 1e14: µs → ns
       .when(raw >= 100000000000L, raw * 1000000L)       // ≥ 1e11: ms → ns
-      .otherwise(raw * 1000000000L)                     //        s → ns
+      .when(raw >= 100000000L, raw * 1000000000L)       // ≥ 1e8:  s → ns
+      // below every band floor (null, negative, pre-1973): the magnitude
+      // test is ambiguous there — fail loudly instead of silently scaling
+      // by the wrong factor (the exact failure mode this loader closes)
+      .otherwise(raise_error(concat(
+        lit("events.ts outside the 1973+ magnitude bands, unit undecidable: "),
+        coalesce(raw.cast("string"), lit("null")))))
     spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", nanos)
   }
