@@ -424,9 +424,12 @@ object SparkEntry {
       Dedup.substringSpans(Tables.documents(s, dir), anchorMod = 8L)
         .orderBy("a_id", "b_id")),
     // the cleaning artifact: shared spans excised from the later doc,
-    // unaffected docs pass through verbatim
+    // unaffected docs pass through verbatim. Per-SEGMENT contract (row per
+    // kept segment, md5-verified) — row-sorted comparison needs no ordered
+    // reassembly on either side; the full-text form is DedupSpec-pinned.
     "dedup_substring_clean" -> ((s, dir) =>
-      Dedup.substringClean(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.substringCleanSegments(Tables.documents(s, dir))
+        .orderBy("doc_id", "seg_idx")),
     "dedup_cross_source" -> ((s, dir) =>
       Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {

@@ -403,6 +403,79 @@ object Dedup {
       window: Int = 40,
       minSpan: Int = 60,
       modulus: Long = 2199023255531L): DataFrame = {
+    val (withLen, _, segments) = cleanPipeline(docs, window, minSpan, modulus)
+    val cleaned = segments
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_start"), col("seg")))),
+          x => x.getField("seg")), "").as("clean_text"),
+        (count(lit(1)) - 1).as("n_spans_removed"),
+        sum(col("cut")).as("removed_chars"))
+    withLen.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"))
+  }
+
+  /** Per-SEGMENT form of [[substringClean]] — same excision semantics, but
+    * the contract is one row per KEPT segment: `(doc_id, seg_idx,
+    * seg_start, seg_len, seg_md5, n_spans_removed, removed_chars)` with the
+    * per-doc totals carried on `seg_idx = 0` only (NULL elsewhere).
+    * Unaffected docs emit a single whole-text segment with zero totals, so
+    * the row set still covers the full corpus and `seg_md5` +
+    * `(seg_start, seg_len)` fully determine the cleaned text (segments
+    * concatenate in `seg_idx` order — [[substringClean]] is the reassembled
+    * proof, pinned by DedupSpec).
+    *
+    * Why this is the verification contract: a row-per-segment result is
+    * compared row-sorted by the harness, so NO engine-side ordered
+    * aggregation / list reassembly is needed to check it — the construct
+    * class that proved dialect-sensitive across DuckDB builds. At scale the
+    * shape is also strictly better: segment rows stay doc-keyed and
+    * pipeline through the same windows as the interval scan, with no
+    * per-doc string concat at the end.
+    */
+  def substringCleanSegments(
+      docs: DataFrame,
+      window: Int = 40,
+      minSpan: Int = 60,
+      modulus: Long = 2199023255531L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (withLen, merged, segments) = cleanPipeline(docs, window, minSpan, modulus)
+    val stats = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("cut_total"))
+    val idxW = Window.partitionBy("doc_id").orderBy("seg_start")
+    val affected = segments
+      .withColumn("seg_idx", (row_number().over(idxW) - 1).cast("long"))
+      .join(stats, "doc_id")
+      .select(col("doc_id"), col("seg_idx"), col("seg_start"),
+        col("seg_len"),
+        md5(col("seg").cast("binary")).as("seg_md5"),
+        when(col("seg_idx") === 0, col("n_spans")).as("n_spans_removed"),
+        when(col("seg_idx") === 0, col("cut_total")).as("removed_chars"))
+    val untouched = withLen
+      .join(merged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("seg_idx"), lit(0L).as("seg_start"),
+        col("len").cast("long").as("seg_len"),
+        md5(col("text").cast("binary")).as("seg_md5"),
+        lit(0L).as("n_spans_removed"), lit(0L).as("removed_chars"))
+    affected.unionByName(untouched)
+  }
+
+  /** Shared interval/segment pipeline behind the [[substringClean]] family:
+    * rolling-hash windows → cross-doc diagonal runs → keep-first removal
+    * intervals on the later doc → island-merge → kept segments. Returns
+    * `(withLen, merged, segments)`: the length-annotated corpus, the merged
+    * removal intervals `(doc_id, island, s, e)`, and the kept segments of
+    * AFFECTED docs `(doc_id, seg_start, seg_len, seg, cut)`.
+    */
+  private def cleanPipeline(
+      docs: DataFrame,
+      window: Int,
+      minSpan: Int,
+      modulus: Long): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(minSpan > window, "minSpan must exceed window (collision filter)")
     val wins = docs
@@ -452,22 +525,11 @@ object Dedup {
       .join(withLen, "doc_id")
       .select(col("doc_id"),
         col("seg_start"),
+        (col("s") - col("seg_start")).as("seg_len"),
         substring(col("text"), (col("seg_start") + 1).cast("int"),
           (col("s") - col("seg_start")).cast("int")).as("seg"),
         (col("e") - col("s")).as("cut"))
-    val cleaned = segments
-      .groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("seg_start"), col("seg")))),
-          x => x.getField("seg")), "").as("clean_text"),
-        (count(lit(1)) - 1).as("n_spans_removed"),
-        sum(col("cut")).as("removed_chars"))
-    withLen.join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
-        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-        coalesce(col("clean_text"), col("text")).as("clean_text"))
+    (withLen, merged, segments)
   }
 
   /** Candidates→exact-verify composition — the two-stage near-dup pipeline

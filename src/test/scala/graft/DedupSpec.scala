@@ -304,6 +304,48 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._1 === 0L)
   }
 
+  test("substring clean segments reassemble to the full-text clean contract") {
+    // the per-segment verification contract (row per kept segment, md5)
+    // must be information-equivalent to the reassembled clean_text: cutting
+    // (seg_start, seg_len) windows out of the original text in seg_idx
+    // order reproduces clean_text exactly, and every seg_md5 matches
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Dedup.substringClean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val segs = Dedup.substringCleanSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      .groupBy(_._1)
+    assert(segs.keySet === full.keySet, "segment rows must cover every doc")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((docId, rows) <- segs) {
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === ordered.indices.map(_.toLong),
+        s"doc $docId: seg_idx must be dense from 0")
+      // offsets are code points (matches RollingHashes / Spark substring)
+      val cps = original(docId).codePoints().toArray
+      val rebuilt = ordered.map { case (_, _, start, len, h, _, _) =>
+        val seg = new String(cps.slice(start.toInt, (start + len).toInt),
+          0, len.toInt)
+        assert(md5hex(seg) === h, s"doc $docId seg@$start md5 mismatch")
+        seg
+      }.mkString
+      assert(rebuilt === full(docId)._3, s"doc $docId reassembly mismatch")
+      // totals ride seg_idx 0 only
+      assert(ordered.head._6 === Some(full(docId)._1) &&
+        ordered.head._7 === Some(full(docId)._2),
+        s"doc $docId totals mismatch on seg_idx 0")
+      assert(ordered.tail.forall(r => r._6.isEmpty && r._7.isEmpty),
+        s"doc $docId totals must be NULL past seg_idx 0")
+    }
+  }
+
   test("substring clean is deterministic: repeated runs hash identically") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(): Seq[Seq[Any]] =
