@@ -38,6 +38,7 @@ object Multimodal {
   def dimsFor(nChars: Int): (Int, Int) = (8 + nChars % 24, 8 + nChars % 16)
 
   case class MediaIn(doc_id: Long, text: String)
+  case class MediaPayload(doc_id: Long, text_len: Int, payload: Array[Byte])
   case class MediaMeta(
       doc_id: Long, n_bytes: Long, content_hash: String,
       width: Long, height: Long, n_frames: Long, sum_red: Long)
@@ -73,26 +74,42 @@ object Multimodal {
   def pixels(img: BufferedImage): Array[Int] =
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
 
-  /** Build the binary media column (real PNG bytes), then decode each
-    * payload partition-parallel and extract REAL metadata: decoded
-    * dimensions, decoded red-channel sum, payload size and content hash.
-    * `n_frames` is the stub video layer ([[frameSample]]'s domain): a
-    * still image has one frame, the synthetic frame count models a clip.
-    *
-    * Scale shape: one typed `mapPartitions` pass, no shuffle — metadata
-    * extraction is scan-speed and the payload never leaves the executor
-    * (only the fixed-width metadata row comes back). */
-  def binaryMeta(docs: DataFrame): DataFrame = {
+  /** Encode the corpus into its binary media column ONCE: one row per doc
+    * `(doc_id, text_len, payload)`, payload a real PNG. In a real pipeline
+    * encoding happens at INGEST and every downstream pass reads the stored
+    * bytes — persist this via `IndexCache` (one build per JVM per data dir)
+    * so the decode paths time decode+process, not re-encode. `text_len`
+    * rides along as the typed metadata a media column always carries
+    * (here it determines the stub clip's frame count). */
+  def encodeCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val media: Dataset[MediaIn] = docs.select(col("doc_id"), col("text")).as[MediaIn]
     media.mapPartitions { batch =>
+      batch.map(m => MediaPayload(m.doc_id, m.text.length, encodePng(m.text)))
+    }.toDF()
+  }
+
+  /** Decode each stored payload partition-parallel and extract REAL
+    * metadata: decoded dimensions, decoded red-channel sum, payload size
+    * and content hash. `n_frames` is the stub video layer
+    * ([[frameSample]]'s domain): a still image has one frame, the
+    * synthetic frame count models a clip.
+    *
+    * Scale shape: one typed `mapPartitions` pass over the media scan, no
+    * shuffle — metadata extraction is scan-speed and the payload never
+    * leaves the executor (only the fixed-width metadata row comes back). */
+  def metaFromPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaPayload] =
+      media.select(col("doc_id"), col("text_len"), col("payload")).as[MediaPayload]
+    typed.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
-        val payload = encodePng(m.text)
         md.reset()
-        val hash = md.digest(payload).map("%02x".format(_)).mkString
-        val img = decode(payload)
+        val hash = md.digest(m.payload).map("%02x".format(_)).mkString
+        val img = decode(m.payload)
         val (w, h) = (img.getWidth, img.getHeight)
         val px = pixels(img)
         var sumRed = 0L
@@ -101,11 +118,17 @@ object Multimodal {
           sumRed += (px(i) >> 16) & 0xFF
           i += 1
         }
-        MediaMeta(m.doc_id, payload.length.toLong, hash,
-          w.toLong, h.toLong, (1 + m.text.length % 120).toLong, sumRed)
+        MediaMeta(m.doc_id, m.payload.length.toLong, hash,
+          w.toLong, h.toLong, (1 + m.text_len % 120).toLong, sumRed)
       }
     }.toDF()
   }
+
+  /** Encode-then-extract in one pass — the ingest-time form (no stored
+    * media yet). Composes [[encodeCorpus]] → [[metaFromPayloads]]; both
+    * stages pipeline inside the same task, so there is still no shuffle. */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    metaFromPayloads(encodeCorpus(docs))
 
   /** REAL downscale: decode the PNG, nearest-neighbor decimate by 2
     * (out(x,y) = in(2x,2y) — the rounding convention is pinned so the
@@ -114,14 +137,21 @@ object Multimodal {
     * full media off the driver; the raw-byte output (rather than a PNG
     * re-encode) is what makes the hash engine-checkable — compressed
     * bytes would pin the deflate implementation, not the pixels. */
-  def resizeBatch(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def resizeBatch(docs: DataFrame): DataFrame =
+    resizeFromPayloads(encodeCorpus(docs))
+
+  /** Decode-and-downscale over the STORED media column — the amortized
+    * form [[resizeBatch]] composes onto; see that method for the resample
+    * and hashing contract. */
+  def resizeFromPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaIn] = docs.select(col("doc_id"), col("text")).as[MediaIn]
-    media.mapPartitions { batch =>
+    val typed: Dataset[MediaPayload] =
+      media.select(col("doc_id"), col("text_len"), col("payload")).as[MediaPayload]
+    typed.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { m =>
-        val img = decode(encodePng(m.text))
+        val img = decode(m.payload)
         val w = img.getWidth
         val (w2, h2) = (w / 2, img.getHeight / 2)
         val px = pixels(img)
