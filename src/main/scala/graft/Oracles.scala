@@ -904,8 +904,9 @@ object Oracles {
 
   /** Banded pairs with the hot-bucket guard — mirrors
     * `Dedup.minhashCandidates(maxBucket = cap)`: band keys whose bucket
-    * exceeds `cap` docs contribute no pairs. */
-  private def bandedPairsCtesCapped(cap: Long): String = {
+    * exceeds `cap` docs contribute no pairs. The final CTE is named
+    * `out` so [[scalablePairsCtes]] can compose on top. */
+  private def bandedPairsCtesCapped(cap: Long, out: String = "pairs"): String = {
     val keep =
       if (cap == Long.MaxValue) ""
       else s"""
@@ -923,11 +924,34 @@ object Oracles {
                   'b3:' || CAST(m6 AS VARCHAR) || ':' || CAST(m7 AS VARCHAR)]) AS band_key,
           unnest([0, 1, 2, 3]) AS band
         FROM sigs)),$keep
-    pairs AS (
+    $out AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM $src a JOIN $src b ON a.band = b.band AND a.band_key = b.band_key
       WHERE a.doc_id < b.doc_id)"""
   }
+
+  /** Capped banded pairs ∪ full-signature star edges — mirrors
+    * `Dedup.scalableCandidates` (the SCALE-default retention candidate
+    * set): band buckets over `cap` docs contribute no pairs (linear
+    * growth), and each full-signature duplicate group contributes doc →
+    * min(doc_id) star edges (g−1 edges for g members — restores the
+    * exact-dup recall the cap drops when a verbatim group exceeds the
+    * bucket cap). Emits final CTE `pairs`; requires `sigs` in scope. */
+  private def scalablePairsCtes(
+      cap: Long = graft.llm.Dedup.DefaultMaxBucket.toLong): String =
+    s"""${bandedPairsCtesCapped(cap, "bpairs")},
+    sigg AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS a_id
+      FROM sigs GROUP BY m0, m1, m2, m3, m4, m5, m6, m7
+      HAVING count(*) > 1),
+    sige AS (
+      SELECT sigg.a_id, s.doc_id AS b_id
+      FROM sigs s JOIN sigg USING (m0, m1, m2, m3, m4, m5, m6, m7)
+      WHERE s.doc_id > sigg.a_id),
+    pairs AS (
+      SELECT a_id, b_id FROM bpairs
+      UNION
+      SELECT a_id, b_id FROM sige)"""
 
   /** Transitive closure of `pairs` over all documents (`e` both
     * orientations + recursive `reach`); callers take `min(r)` per id.
@@ -964,7 +988,7 @@ object Oracles {
     * (set-at-a-time recursion; cluster diameters are tiny at oracle SF);
     * the engine runs Kiveris-style alternating star contraction instead. */
   def dedupClusters: String = s"""WITH RECURSIVE $minhashSigCte,
-    $bandedPairsCtes,
+    ${scalablePairsCtes()},
     $nearDupClosureCtes,
     lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
     SELECT l.doc_id, l.cluster_id, s.cluster_size
@@ -1578,7 +1602,7 @@ object Oracles {
     r AS (
       SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
       FROM c GROUP BY doc_id),
-    $bandedPairsCtes,
+    ${scalablePairsCtes()},
     $nearDupClosureCtes,
     cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
     d AS (

@@ -27,7 +27,7 @@ object SparkEntry {
   private def clusterIndexDir(s: SparkSession, dir: String): String =
     graft.sources.IndexCache.dirFor(s"clusters:$dir") { d =>
       val docs = Tables.documents(s, dir)
-      Clusters.indexWrite(docs, Dedup.minhashCandidates(docs), d)
+      Clusters.indexWrite(docs, Dedup.scalableCandidates(docs), d)
     }
 
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM
@@ -419,7 +419,8 @@ object SparkEntry {
     // 10x rehearsal measured the uncapped pair set growing quadratically
     // (SCALE.md); cap 32 restores linear growth with stated recall trade
     "dedup_verify_capped" -> ((s, dir) =>
-      Dedup.verifyCandidates(Tables.documents(s, dir), maxBucket = 32)
+      Dedup.verifyCandidates(Tables.documents(s, dir),
+          maxBucket = Dedup.DefaultMaxBucket)
         .orderBy("a_id", "b_id")),
     "dedup_verify_candidates" -> ((s, dir) =>
       Dedup.verifyCandidates(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
@@ -443,7 +444,7 @@ object SparkEntry {
       Dedup.crossSourceMatrix(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Clusters.assign(docs, Dedup.minhashCandidates(docs)).orderBy("doc_id")
+      Clusters.assign(docs, Dedup.scalableCandidates(docs)).orderBy("doc_id")
     }),
     // the amortized build-once form: star contraction persisted as a
     // (doc_id, cluster_id, cluster_size) parquet index, loaded back —

@@ -87,7 +87,19 @@ object Verify {
         s"${q(k)}: {\"first\": ${q(h1)}, \"second\": ${q(h2)}, " +
           s"\"stable\": ${h1 == h2}}"
       }.mkString("{", ",", "}")
-      s"""{"queries": $qs, "double_run": $dr}"""
+      // per-query DEFINITION fingerprint (sha256 of the oracle SQL): the
+      // cross-round drift gate (scripts/selfhash_drift.py) fails a round
+      // when a self-hash moves while its definition did not — a standing
+      // tripwire for silent nondeterminism or testdata drift
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def sha(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val defs = SparkEntry.oracleSql
+        .filter { case (k, _) => hashes.contains(k) }
+        .map { case (k, v) => s"${q(k)}: ${q(sha(v))}" }.mkString("{", ",", "}")
+      s"""{"sf": ${q(sfDir)}, "queries": $qs, "defs": $defs, "double_run": $dr}"""
     }
     Files.writeString(Paths.get(s"$outDir/SELFHASH.json"), selfJson)
     sys.env.get("SPARK_GRAFT_SELFHASH_OUT")

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -14,9 +15,21 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * Values are truncated to byte range by the Java narrowing cast; inputs
   * outside [-127, 127] are a contract violation upstream (quantizeInt8
   * saturates at ±127 by construction), not something this codec defends.
+  *
+  * Input type is CHECKED (`array<double>`): `nullSafeEval`/codegen read
+  * elements via `getDouble`, which bit-reinterprets any other element
+  * storage (the raw `array<float>` embedding column would silently pack
+  * garbage) — `checkInputDataTypes` turns that misuse into an analysis
+  * error instead; callers cast explicitly.
   */
 case class PackInt8(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_int8 requires array<double> (getDouble would bit-reinterpret " +
+        s"other element storage), got ${other.simpleString}")
+  }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pack_int8"
 
@@ -56,6 +69,11 @@ case class PackInt8(child: Expression) extends UnaryExpression {
   * hot path goes through [[Int8Dot]] and never materializes arrays. */
 case class UnpackInt8(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unpack_int8 requires binary (a pack_int8 code), got ${other.simpleString}")
+  }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "unpack_int8"
 
@@ -97,6 +115,13 @@ case class UnpackInt8(child: Expression) extends UnaryExpression {
   */
 case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int8_dot requires two binary pack_int8 codes, " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "int8_dot"
 

@@ -48,7 +48,7 @@ object Corpus {
     // contraction entirely — the production shape: contract once per
     // corpus snapshot, every downstream gate reads the index
     val clusters = clusterIndex
-      .getOrElse(Clusters.assign(docs, Dedup.minhashCandidates(docs)))
+      .getOrElse(Clusters.assign(docs, Dedup.scalableCandidates(docs)))
       .select(col("doc_id"), col("cluster_id"))
     val best = clusters
       .join(q.select(col("doc_id"), col("quality_score")), "doc_id")

@@ -106,8 +106,14 @@ object Dedup {
     * the capped form is the default SCALE path.
     */
   def minhashCandidates(docs: DataFrame, n: Int = 2, bands: Int = 4, rowsPerBand: Int = 2,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigs = minhashSignatures(docs, n, bands * rowsPerBand)
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    bandedPairs(minhashSignatures(docs, n, bands * rowsPerBand), bands, rowsPerBand, maxBucket)
+
+  /** Banded pair join over an existing signature frame — the body of
+    * [[minhashCandidates]], split out so [[scalableCandidates]] can share
+    * one signature computation between the band join and the star edges. */
+  private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map { b =>
@@ -130,6 +136,43 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+  }
+
+  /** Default hot-bucket cap for the SCALE-path candidate set — the value
+    * the 10× rehearsal measured back to linear pair growth (SCALE.md:
+    * ×10.9 at ×10 data vs ×100.8 uncapped). */
+  val DefaultMaxBucket: Int = 32
+
+  /** SCALE-default candidate set for retention composites (the cluster
+    * index, [[graft.llm.Corpus.filterFunnel]], `dedup_clusters`):
+    * [[minhashCandidates]] with the [[DefaultMaxBucket]] hot-bucket cap,
+    * UNIONed with one signature STAR EDGE per duplicate doc (doc → min
+    * doc_id of its full-signature group, groups of 1 emit nothing).
+    *
+    * The cap keeps candidate growth linear; the star edges restore the
+    * recall the cap costs on exact/near-exact duplicates: a group of g
+    * identical docs lands in ONE bucket per band, so at g > cap the
+    * banded path drops the whole group, while signature grouping emits
+    * g−1 edges (linear, never pairwise) and keeps the cluster connected
+    * for [[Clusters.assign]]. Composites therefore inherit neither the
+    * measured quadratic nor a recall hole on verbatim dups; the uncapped
+    * [[minhashCandidates]] stays available as the exact-recall opt-in.
+    * The signature frame is persisted so the band join and the star
+    * edges share one shingle→minhash scan (Bench clears cache per rep). */
+  def scalableCandidates(docs: DataFrame, n: Int = 2, bands: Int = 4,
+      rowsPerBand: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nh = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, n, nh).persist()
+    val sigCols = (0 until nh).map(i => s"m$i")
+    val groups = sigs.groupBy(sigCols.map(col): _*)
+      .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("_g"))
+      .filter(col("_g") > 1)
+      .drop("_g")
+    val edges = sigs.join(groups, sigCols)
+      .filter(col("doc_id") > col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+    bandedPairs(sigs, bands, rowsPerBand, maxBucket)
+      .unionByName(edges).distinct()
   }
 
   /** Winnowing-fingerprint dedup candidates (Schleimer et al. '03 — the

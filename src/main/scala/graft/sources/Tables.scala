@@ -29,15 +29,21 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
     val raw = col("ts")
+    // each band is guarded on BOTH sides: the floor keeps the unit test
+    // unambiguous (pre-1973 / null / negative → undecidable), the ceiling
+    // keeps the nanos multiply representable (a µs/ms/s value past ~2262
+    // would wrap the Long silently under non-ANSI eval — fail loudly on
+    // both sides, symmetrically)
     val nanos = when(raw >= 100000000000000000L, raw)   // ≥ 1e17: already ns
-      .when(raw >= 100000000000000L, raw * 1000L)       // ≥ 1e14: µs → ns
-      .when(raw >= 100000000000L, raw * 1000000L)       // ≥ 1e11: ms → ns
-      .when(raw >= 100000000L, raw * 1000000000L)       // ≥ 1e8:  s → ns
-      // below every band floor (null, negative, pre-1973): the magnitude
-      // test is ambiguous there — fail loudly instead of silently scaling
-      // by the wrong factor (the exact failure mode this loader closes)
+      .when(raw >= 100000000000000L &&
+        raw <= Long.MaxValue / 1000L, raw * 1000L)      // ≥ 1e14: µs → ns
+      .when(raw >= 100000000000L &&
+        raw <= Long.MaxValue / 1000000L, raw * 1000000L)    // ≥ 1e11: ms → ns
+      .when(raw >= 100000000L &&
+        raw <= Long.MaxValue / 1000000000L, raw * 1000000000L) // ≥ 1e8: s → ns
       .otherwise(raise_error(concat(
-        lit("events.ts outside the 1973+ magnitude bands, unit undecidable: "),
+        lit("events.ts outside the decidable magnitude bands "),
+        lit("(pre-1973/null → unit undecidable; post-2262 → nanos overflow): "),
         coalesce(raw.cast("string"), lit("null")))))
     spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", nanos)

@@ -447,9 +447,16 @@ class DedupSpec extends SparkSpec {
         filter(col("qvec"), v => abs(v) > 127.0 || v =!= floor(v).cast("double"))
       ).as("bad"),
       org.apache.spark.sql.functions.size(
-        filter(col("qvec"), v => abs(v) === 127.0)).as("saturated")).collect()
+        filter(col("qvec"), v => abs(v) === 127.0)).as("saturated"),
+      org.apache.spark.sql.functions.size(
+        filter(col("qvec"), v => v =!= 0.0)).as("nonzero")).collect()
     assert(checked.forall(_.getAs[Int]("bad") === 0), "non-integral or out-of-range code")
-    assert(checked.forall(_.getAs[Int]("saturated") >= 1),
+    // an all-zero embedding quantizes to all-zero codes by the scale=1
+    // convention (tested below) — only vectors with a nonzero dimension
+    // must saturate, so a regenerated corpus containing a zero vector
+    // cannot spuriously fail this
+    assert(checked.filter(_.getAs[Int]("nonzero") > 0)
+        .forall(_.getAs[Int]("saturated") >= 1),
       "max-abs dimension must quantize to ±127")
     // identical vectors stay top-ranked under the quantized metric
     val vecs = Seq(
@@ -1119,6 +1126,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.size === 40 * 39 / 2 + 1, "uncapped: full clique + the pair")
     assert(capped === Set((100L, 101L)), s"capped: only the small-bucket pair: $capped")
+  }
+
+  test("scalable candidates: star edges rescue a verbatim clique the cap drops") {
+    // same degenerate clique as the hot-bucket test: the cap alone loses
+    // ALL 40 identical docs (no pairs → no dedup); the SCALE-default path
+    // must instead emit 39 linear star edges (0 → each other member) so
+    // Clusters.assign keeps the clique as ONE cluster — and must never
+    // fall back to the 780-pair quadratic form
+    val hot = (0L until 40L).map(i => (i, "common words repeated across the clique"))
+    val pair = Seq((100L, "rare unique phrasing here"), (101L, "rare unique phrasing here"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val cands = graft.llm.Dedup.scalableCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starEdges = (1L until 40L).map(b => (0L, b)).toSet
+    assert(cands === starEdges + ((100L, 101L)),
+      s"capped pairs ∪ star edges, nothing quadratic: ${cands.size} pairs")
+    val clusters = graft.llm.Clusters.assign(docs, cands.toSeq.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).map(clusters).toSet.size === 1,
+      "the verbatim clique must stay one cluster under the SCALE default")
+    assert(clusters(100L) === clusters(101L))
   }
 
   test("short docs below shingle resolution are dropped identically by batch and gate paths") {

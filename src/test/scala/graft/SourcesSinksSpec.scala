@@ -164,6 +164,50 @@ class SourcesSinksSpec extends SparkSpec {
     assert(state(twice) === expected)
   }
 
+  test("events.ts magnitude bands: in-band units normalize, out-of-band raises both sides") {
+    import graft.sources.Tables
+    def load(ts: Long*): () => Seq[Long] = {
+      val dir = Files.createTempDirectory("events_band").toString
+      ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, 1L, "click", 0.5, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      () => Tables.events(spark, dir).orderBy("event_id")
+        .select("ts").as[Long].collect().toSeq
+    }
+    // one in-band value per unit, all the same instant (2024-ish)
+    val sec = 1700000000L
+    assert(load(sec, sec * 1000, sec * 1000000, sec * 1000000000L)()
+      === Seq.fill(4)(sec * 1000000000L), "all four units → the same nanos")
+    // below-band (pre-1973 / unit-undecidable) raises
+    val low = intercept[Exception](load(99999999L)())
+    assert(low.getMessage.contains("decidable magnitude bands"), low.getMessage)
+    // in-band µs value whose ×1000 would wrap the Long (year ~2294) must
+    // raise, not wrap to a bogus negative — symmetric with the low guard
+    val high = intercept[Exception](load(Long.MaxValue / 1000L + 1L)())
+    assert(high.getMessage.contains("decidable magnitude bands"), high.getMessage)
+  }
+
+  test("int8 codec declares its types: float arrays are an analysis error, not garbage codes") {
+    import graft.functions.GraftFunctions
+    val emb = Seq((1L, Array(0.5f, 1.0f))).toDF("vec_id", "embedding")
+    // the raw array<float> embedding through packInt8 used to silently
+    // bit-reinterpret element storage via getDouble; now it fails analysis
+    val e = intercept[Exception](
+      emb.select(GraftFunctions.packInt8(col("embedding"))).collect())
+    assert(e.getMessage.toLowerCase.contains("array<double>")
+      || e.getMessage.contains("pack_int8"), e.getMessage)
+    // the documented contract (cast first) still round-trips exactly
+    val ok = emb.select(GraftFunctions.unpackInt8(GraftFunctions.packInt8(
+      col("embedding").cast("array<double>"))).as("v"))
+      .as[Seq[Double]].collect().head
+    assert(ok === Seq(0.0, 1.0), "trunc-to-byte of 0.5 and 1.0")
+    val bad = intercept[Exception](
+      emb.select(GraftFunctions.int8Dot(col("embedding"), col("embedding"))).collect())
+    assert(bad.getMessage.contains("int8_dot") ||
+      bad.getMessage.toLowerCase.contains("binary"), bad.getMessage)
+  }
+
   test("workload generators are deterministic and honor their contracts") {
     val a = WorkloadGen.randomScenario(7, "t0")
     val b = WorkloadGen.randomScenario(7, "t0")
