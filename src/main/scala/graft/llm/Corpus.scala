@@ -87,11 +87,29 @@ object Corpus {
     * same call works in batch (oracled as `corpus_admission`); the
     * streaming parity is pinned in StreamingSpec.
     */
-  def admissionGate(arrivals: DataFrame, corpus: DataFrame): DataFrame = {
+  def admissionGate(arrivals: DataFrame, corpus: DataFrame): DataFrame =
+    admissionGateWithIndex(arrivals, admissionIndex(corpus))
+
+  /** The standing corpus signature index the admission gate joins against:
+    * one row per distinct 8-hash MinHash signature with the lowest owning
+    * doc_id (`dup_of`). Build it once per corpus snapshot and PERSIST it
+    * (the [[graft.sources.IndexCache]] / `Clusters.indexWrite` pattern) —
+    * at 100 TB the index build is the expensive half of admission (full
+    * corpus scan + signature shuffle) and amortizes across every arriving
+    * batch, while the gate itself stays a per-arrival projection plus one
+    * signature-keyed equality join. */
+  def admissionIndex(corpus: DataFrame): DataFrame = {
     val sigCols = (0 until 8).map(i => s"m$i")
-    val index = Dedup.minhashSignatures(corpus)
+    Dedup.minhashSignatures(corpus)
       .groupBy(sigCols.map(col): _*)
       .agg(min("doc_id").as("dup_of"))
+  }
+
+  /** [[admissionGate]] against a PREBUILT (typically persisted) signature
+    * index — the production shape: index built once per corpus snapshot,
+    * every admission batch pays only its own row-wise work + the join. */
+  def admissionGateWithIndex(arrivals: DataFrame, index: DataFrame): DataFrame = {
+    val sigCols = (0 until 8).map(i => s"m$i")
     val staged = Dedup.withProjectedSignatures(arrivals)
       // docs below the shingle resolution carry null signatures; drop them
       // to match the batch/oracle contract (Dedup.ingestGate's rule)

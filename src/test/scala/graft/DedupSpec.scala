@@ -1167,7 +1167,10 @@ class DedupSpec extends SparkSpec {
 
   test("persisted cluster index reproduces the in-memory assignment, funnel included") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-    val pairs = graft.llm.Dedup.minhashCandidates(docs)
+    // same candidate family as the production index build (SparkEntry's
+    // clusterIndexDir) and the funnel's in-line default — the capped+star
+    // SCALE default, so live and persisted funnels compare like for like
+    val pairs = graft.llm.Dedup.scalableCandidates(docs)
     val dir = java.nio.file.Files.createTempDirectory("clu_idx_spec").toString
     graft.llm.Clusters.indexWrite(docs, pairs, dir)
     val live = graft.llm.Clusters.assign(docs, pairs)

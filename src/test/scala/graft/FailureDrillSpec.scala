@@ -196,6 +196,62 @@ class FailureDrillSpec extends SparkSpec {
       s"admitted set exactly the clean docs: $got")
   }
 
+  /** Restart drill for the chunking path (`Chunking.chunkPlan` — the RAG
+    * indexing feed): killed between micro-batches with documents arriving
+    * while down, resumed from checkpoint. Chunking is stateless per-row
+    * work (projection + posexplode), so recovery is pure source-offset
+    * replay — but the EXACTLY-ONCE consequence still needs pinning: a
+    * restart must neither re-emit any (doc, chunk) nor lose the chunks of
+    * a document that arrived during the outage, and the streamed chunk set
+    * must equal the batch `chunkPlan` over the union of arrivals
+    * (batch==streaming parity, now also under fault). */
+  test("restart drill: streaming chunk plan emits each (doc, chunk) exactly once across kill") {
+    val root = Files.createTempDirectory("chunk_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type Chunk = (Long, Long, Long, Long, String)
+    val chunks = new java.util.concurrent.ConcurrentLinkedQueue[Chunk]()
+    def startQuery() = {
+      val arrivals = spark.readStream.schema("doc_id LONG, text STRING").json(srcDir.getPath)
+      graft.llm.Chunking.chunkPlan(arrivals, size = 8, stride = 6)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.collect().foreach(r => chunks.add((r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getString(4)))))
+        .start()
+    }
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n"))
+    // 20 tokens → 3 chunks at (8,6); 7 tokens → 1 short chunk
+    val long1 = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val short1 = (1 to 7).map(i => s"beta$i").mkString(" ")
+    val long2 = (1 to 15).map(i => s"gamma$i").mkString(" ") // arrives during outage
+
+    writeDocs("day-1.json", Seq((10L, long1), (11L, short1)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    val preCrash = chunks.size
+    assert(preCrash === 4, s"pre-crash chunk count (3 + 1): $preCrash")
+    writeDocs("day-2.json", Seq((12L, long2))) // arrives while the chunker is down
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = chunks.toArray(Array.empty[Chunk]).toSeq.sortBy(c => (c._1, c._2))
+    assert(got.map(c => (c._1, c._2)).distinct.size === got.size,
+      s"no (doc, chunk) may emit twice across the kill: $got")
+    val batch = graft.llm.Chunking.chunkPlan(
+      Seq((10L, long1), (11L, short1), (12L, long2)).toDF("doc_id", "text"),
+      size = 8, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(c => (c._1, c._2)).toSeq
+    assert(got === batch,
+      "kill/resume must not change any chunk vs the batch plan over the union")
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * to the drill and restore the session default afterwards. */
   private def withRocksDb[T](body: => T): T = {

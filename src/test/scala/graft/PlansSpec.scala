@@ -134,6 +134,18 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_quantized_persisted", "Exchange hashpartitioning") === 1)
   }
 
+  test("admission gate consumes the persisted signature index: no index build in-plan") {
+    // the standing index is a parquet scan, not a groupBy in this query —
+    // zero aggregates prove the index build stayed at build time, and the
+    // whole gate is the arrivals' row-wise work plus ONE equality join
+    assert(count("corpus_admission", "HashAggregate") +
+      count("corpus_admission", "ObjectHashAggregate") +
+      count("corpus_admission", "SortAggregate") === 0,
+      "the signature index must be persisted, not rebuilt per query")
+    assert(count("corpus_admission", "Join") === 1,
+      "admission is exactly one signature-keyed join")
+  }
+
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
     for (n <- Seq("mm_binary_meta", "mm_resize")) {
       assert(count(n, "Exchange hashpartitioning") === 0,
