@@ -1180,6 +1180,97 @@ object Oracles {
     ORDER BY doc_id, seg_idx"""
   }
 
+  /** Overlap coefficient — mirrors `Dedup.containmentPairs(n=3)`:
+    * |A∩B| / min(|A|,|B|) over the shared 3-shingle CTE. */
+  def dedupContainment3(threshold: Double): String = s"""WITH $shingles3Cte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    c AS (
+      SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+        CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id)
+    SELECT a_id, b_id, n_inter, containment FROM c
+    WHERE containment >= $threshold ORDER BY a_id, b_id"""
+
+  /** KMV distinct sketch beside the exact distinct — mirrors
+    * `TextAnalysis.kmvShingleDistinct` (3-shingles, k=16, M=1073741789):
+    * the k-th smallest DISTINCT hash gives n̂ = (k−1)·M / h_(k); below k
+    * distinct hashes the sketch is exact. */
+  val vocabKmv: String = {
+    val k = 16
+    val m = 1073741789L
+    s"""WITH $shingles3Cte,
+    src AS (
+      SELECT sh3.shingle, d.source
+      FROM sh3 JOIN documents d USING (doc_id)),
+    hs AS (SELECT DISTINCT source, ${h31("shingle", m)} AS h FROM src),
+    ranked AS (
+      SELECT source, h,
+        row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM hs),
+    cnt AS (SELECT source, count(DISTINCT shingle) AS n_exact FROM src GROUP BY source),
+    hcnt AS (SELECT source, count(*) AS nh FROM hs GROUP BY source),
+    kth AS (SELECT source, h AS kth_min FROM ranked WHERE r = $k)
+    SELECT c.source, c.n_exact,
+      CAST(least(hc.nh, $k) AS BIGINT) AS n_kept, kt.kth_min,
+      CASE WHEN hc.nh < $k THEN CAST(hc.nh AS DOUBLE)
+           ELSE ${(k - 1).toDouble} * $m / kt.kth_min END AS est_kmv
+    FROM cnt c
+    JOIN hcnt hc USING (source)
+    LEFT JOIN kth kt USING (source)
+    ORDER BY c.source"""
+  }
+
+  /** Per-source OOV rate vs the corpus top-20 vocabulary head — mirrors
+    * `TextAnalysis.oovStats` (same deterministic cut: count desc, token). */
+  val vocabOov: String = """WITH
+    occ AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM occ GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 20))
+    SELECT o.source,
+      count(*) AS n_occ_total,
+      count(CASE WHEN t.tok IS NULL THEN 1 END) AS n_occ_oov,
+      CAST(count(CASE WHEN t.tok IS NULL THEN 1 END) AS DOUBLE) / count(*) AS oov_rate
+    FROM occ o LEFT JOIN top t ON o.tok = t.tok
+    GROUP BY o.source ORDER BY o.source"""
+
+  /** Power-of-two length-bucket ledger — mirrors `Packing.lengthBuckets`. */
+  val batchBuckets: String = """WITH
+    t AS (SELECT len(string_split(text, ' ')) AS nt FROM documents),
+    b AS (
+      SELECT CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                       WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                       WHEN nt <= 256 THEN 256 ELSE 512 END AS BIGINT) AS bucket,
+             nt
+      FROM t)
+    SELECT bucket, count(*) AS n_docs,
+      CAST(sum(nt) AS BIGINT) AS total_tokens,
+      CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+      CAST(count(*) * bucket - sum(nt) AS DOUBLE) / (count(*) * bucket) AS waste_frac
+    FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** Integer-exact weighted priority sampling — mirrors
+    * `Sampling.prioritySample` (k=10, M=1073741789): priority =
+    * (hash31(doc_id)·2²⁰) div n_tokens, k smallest per source win. */
+  val samplePriority: String = s"""WITH
+    w AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+        (${h31("CAST(doc_id AS VARCHAR)", 1073741789L)} * 1048576) // n_tokens AS priority
+      FROM w),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rnk
+      FROM p)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, priority
+    FROM r WHERE rnk <= 10 ORDER BY source, rnk"""
+
   def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -2044,6 +2135,27 @@ object Oracles {
     * Lloyd clusters (the validated IVF CTE pieces), members ranked by
     * ASCENDING centroid cosine (vec_id ties), each screened against the
     * max cosine to any prior-ranked cluster-mate. */
+  /** Incremental IVF assignment — mirrors `Similarity.ivfIncrementalAssign`
+    * over the arrival batch SparkEntry synthesizes (reversed embeddings of
+    * vec_id < 50, ids offset by 1e6): nearest final-Lloyd centroid by
+    * cosine, ties to the smaller c_id, NO retraining. The reversal is the
+    * explicit index transform (no list_reverse dependency) and both
+    * engines fold the reversed array left-to-right, so the norms/dots
+    * match bit-for-bit. */
+  val annIvfIncremental: String = s"""WITH $ivfCtes,
+    arr0 AS (
+      SELECT vec_id + 1000000 AS vec_id,
+        list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+      FROM embeddings WHERE vec_id < 50),
+    arrn AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM arr0),
+    arrsc AS (
+      SELECT a.vec_id, c.c_id,
+        ${dotSql("a.embedding", "c.c_emb")} / (a.nrm * c.c_nrm) AS cos_c,
+        row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY ${dotSql("a.embedding", "c.c_emb")} / (a.nrm * c.c_nrm) DESC, c.c_id) AS r
+      FROM arrn a, cent2n c)
+    SELECT vec_id, c_id AS list_id, cos_c FROM arrsc WHERE r = 1 ORDER BY vec_id"""
+
   def annSemDedup(eps: Double): String = s"""WITH
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
     cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
@@ -2307,6 +2419,8 @@ object Oracles {
     // one oracle pins both paths
     "ann_ivf_persisted" -> annIvfTopK,
     "ann_ivf_recall" -> annIvfRecall,
+    // per-batch index maintenance vs the same final-Lloyd centroids
+    "ann_ivf_incremental" -> annIvfIncremental,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "cdc_verify_counts" -> cdcVerifyCounts,
@@ -2365,6 +2479,11 @@ object Oracles {
     "dedup_winnow" -> dedupWinnow,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
+    "dedup_containment" -> dedupContainment3(0.8),
+    "vocab_kmv" -> vocabKmv,
+    "vocab_oov" -> vocabOov,
+    "batch_buckets" -> batchBuckets,
+    "sample_priority" -> samplePriority,
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     // the 100 TB form: hot band-key buckets (> 32 docs) contribute no pairs
     "dedup_verify_capped" -> dedupVerifyCandidates(0.8, cap = 32L),

@@ -507,6 +507,11 @@ object SparkEntry {
     // exactly the planted near-duplicate pairs
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8).orderBy("a_id", "b_id")),
+    // overlap coefficient |A∩B|/min(|A|,|B|): the quote/boilerplate-
+    // inclusion detector Jaccard's union-dilution misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
+        .orderBy("a_id", "b_id")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
@@ -621,6 +626,22 @@ object SparkEntry {
     "vocab_topk_sketch" -> ((s, dir) =>
       TextAnalysis.vocabularySketch(Tables.documents(s, dir))
         .orderBy(col("n_occ").desc, col("tok"))),
+    // KMV distinct sketch beside the exact count: the bounded-state
+    // replacement for countDistinct at scale, bit-deterministic (min-k is
+    // a pure function of the input set) so the estimate oracles exactly
+    "vocab_kmv" -> ((s, dir) =>
+      TextAnalysis.kmvShingleDistinct(Tables.documents(s, dir)).orderBy("source")),
+    // per-source OOV rate against the corpus top-20 vocabulary head
+    "vocab_oov" -> ((s, dir) =>
+      TextAnalysis.oovStats(Tables.documents(s, dir)).orderBy("source")),
+    // power-of-two length-bucketed batching ledger: the padding waste the
+    // bucket-and-pad batching shape pays vs pack_plan's concatenation
+    "batch_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(Tables.documents(s, dir)).orderBy("bucket")),
+    // integer-exact weighted priority sampling: k winners per source,
+    // inclusion odds proportional-ish to token count, reproducible anywhere
+    "sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(Tables.documents(s, dir)).orderBy("source", "rnk")),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rnk")),
@@ -931,6 +952,21 @@ object SparkEntry {
     }),
     "ann_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // incremental index maintenance: a synthetic arrival batch (reversed
+    // embeddings of vec_id < 50, offset ids — deterministic, not near
+    // their sources) assigned to the PERSISTED centroids without any
+    // retraining — the per-ingest-batch path; retraining is a periodic
+    // rebuild. Shares the ivf:$dir IndexCache build with ann_ivf_persisted.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = graft.sources.IndexCache.dirFor(s"ivf:$dir")(d =>
+        Similarity.ivfIndexWrite(emb, d))
+      val (centroids, _) = Similarity.ivfIndexLoad(s, idxDir)
+      val arrivals = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      Similarity.ivfIncrementalAssign(arrivals, centroids).orderBy("vec_id")
+    }),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir)).orderBy("doc_id", "frame_idx")),
     "mm_resize" -> ((s, dir) =>

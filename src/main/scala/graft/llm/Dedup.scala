@@ -652,6 +652,36 @@ object Dedup {
     * distribution has a tail, route candidates through `minhashCandidates`
     * and use this operator as the exact verifier on candidates only.
     */
+  /** Overlap-coefficient (containment) pairs — the asymmetric companion of
+    * [[jaccardPairs]]: `|A∩B| / min(|A|,|B|)` over n-gram shingle sets.
+    * Jaccard misses a short document quoted verbatim inside a long one
+    * (the union dilutes it); containment is exactly the quote/citation/
+    * boilerplate-inclusion detector a curation pass runs next to the
+    * symmetric near-dup sweep.
+    *
+    * Shape: the same shingle-keyed equality join + pair-count partial agg
+    * as Jaccard, with per-doc set sizes from a doc-keyed window. No size-
+    * compatibility pruning exists for containment (any size ratio can hit
+    * the threshold — that asymmetry is the operator's point), so hot
+    * shingles cost what they cost; at scale the candidate feed is the
+    * banded/capped LSH family, not all-pairs. */
+  def containmentPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, n)
+    val withSize = sh.withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = withSize.select(col("shingle"), col("doc_id").as("a_id"), col("n_sh").as("a_sh"))
+    val b = withSize.select(col("shingle"), col("doc_id").as("b_id"), col("n_sh").as("b_sh"))
+    a.join(b, "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_sh", "b_sh")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("a_sh"), col("b_sh")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("containment"))
+  }
+
   def jaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, n)

@@ -35,6 +35,41 @@ object Packing {
       .withColumn("crosses", col("bin_end") > col("bin_start"))
   }
 
+  /** Length-bucketed batching plan — the padding-based alternative to
+    * concatenation that SFT/encoder training uses: each document goes to
+    * the smallest power-of-two bucket ≥ its token count (floor 16, cap
+    * 512 = the window size [[packPlan]] packs into), and every batch pads
+    * its members to the bucket width. The per-bucket ledger shows the
+    * padding waste that bucketing pays vs packing — the table the
+    * batching decision is made on.
+    *
+    * Bucket assignment is a branch ladder on exact integers (no float
+    * log2), so the bucketing — like the split/sample assignments — is
+    * reproducible anywhere. Shape: one scan projection + one partial-agg
+    * shuffle on the ≤ 7-value bucket key; `waste_frac` is one division of
+    * exact integers. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("_nt"))
+    val bucket = when(col("_nt") <= 16, 16L)
+      .when(col("_nt") <= 32, 32L)
+      .when(col("_nt") <= 64, 64L)
+      .when(col("_nt") <= 128, 128L)
+      .when(col("_nt") <= 256, 256L)
+      .otherwise(512L)
+    toks
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("total_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste_frac",
+        (col("padded_tokens") - col("total_tokens")).cast("double") /
+          col("padded_tokens"))
+  }
+
   /** One-row packing-efficiency report over [[packPlan]] — the number a
     * batch-shape decision is made on: how many training windows the
     * corpus packs into, what fraction of documents straddle a window

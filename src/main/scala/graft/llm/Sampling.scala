@@ -120,6 +120,37 @@ object Sampling {
           col("kept_tokens").cast("double") / col("target_tokens")))
   }
 
+  /** Deterministic weighted priority sampling — k winners per source with
+    * inclusion probability increasing in document weight (token count):
+    * the "exponential race" shape of Efraimidis–Spirakis A-Res, made
+    * integer-exact so any engine reproduces the same sample. Each doc's
+    * priority is `(hash31(doc_id)·2²⁰) div n_tokens` — a BIGINT division
+    * of exact integers (hash < 2³⁰, so the product is < 2⁵⁰; no float
+    * `u^(1/w)` and its libm `pow` divergence) — and the k smallest
+    * priorities per source win, ties broken by doc_id. A heavier doc
+    * divides its hash by more, lands lower, wins more often; rerunning,
+    * re-partitioning or rebuilding one source never changes a winner.
+    *
+    * Shape at 100 TB: priority is a pure projection; per-source top-k is
+    * a source-keyed window — and because only k rows per source survive,
+    * the production form pre-filters with a per-partition local top-k
+    * before the shuffle (Spark's TakeOrderedAndProject does exactly this
+    * for the global case). */
+  def prioritySample(docs: DataFrame, k: Int = 10,
+      modulus: Long = 1073741789L): DataFrame = {
+    val weighted = docs.select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val prioritized = weighted
+      .withColumn("_hp", hash31(col("doc_id").cast("string"), modulus) * lit(1048576L))
+      .withColumn("priority", expr("_hp div n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+    prioritized
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_tokens"), col("priority"))
+  }
+
   /** Deterministic train/val/test assignment — the split a 100 TB corpus
     * build must make REPRODUCIBLY: re-running the pipeline, adding a
     * source, or rebuilding one partition must never move a document

@@ -196,6 +196,29 @@ object Similarity {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/lists"))
 
+  /** Incremental IVF update — assign a batch of NEW vectors to the
+    * standing centroids without retraining: the index-maintenance path a
+    * production ANN deployment runs per ingest batch (Lloyd retraining is
+    * a periodic rebuild, not a per-batch cost). Emits one row per arrival
+    * `(vec_id, list_id, cos_c)` — the appendable inverted-list delta.
+    *
+    * Shape at 100 TB: the nLists-row centroid table broadcasts; the
+    * arrivals stream through one codegen'd scoring projection and one
+    * vec_id-keyed `max_by` partial agg (the [[assignNearest]] argmax, not
+    * a sort-window — an ingest batch can be arbitrarily large). Same
+    * cosine + tie-break (smaller c_id) as the build-time assignment, so
+    * the delta is exactly what a rebuild would have produced. */
+  def ivfIncrementalAssign(newVecs: DataFrame, centroids: DataFrame): DataFrame =
+    newVecs
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(centroids), col("vec_id").isNotNull)
+      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("c_id"), col("c_cos")),
+        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("list_id"), col("best.c_cos").as("cos_c"))
+
   /** Per-cluster corpus profile over the deterministic k-means index — the
     * topic-distribution view a curation pass reads before deciding what to
     * keep: how big each cluster is, how label-pure it is (majority label +

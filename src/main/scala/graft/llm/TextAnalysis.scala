@@ -152,6 +152,59 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("tok").asc)
       .limit(k)
 
+  /** Per-source distinct 3-shingle cardinality: exact count beside the
+    * K-minimum-values estimate ([[graft.functions.KMinValues]]) — the
+    * audit table that justifies replacing `countDistinct` with the sketch
+    * at scale. At 100 TB the exact side is the one that stops being
+    * runnable (it shuffles every distinct shingle); the KMV side shuffles
+    * ≤ k longs per partition per source and, because min-k is a pure
+    * function of the input set, its estimate is bit-deterministic — which
+    * is why the oracle can pin a "probabilistic" sketch exactly.
+    *
+    * Estimate: n̂ = (k−1)·M / h_(k) with h = hash31(shingle) uniform on
+    * [0, M); below k distinct hashes the sketch is the exact set and
+    * n̂ = |sketch|. One double division of exact integers per source. */
+  def kmvShingleDistinct(docs: DataFrame, n: Int = 3, k: Int = 16,
+      modulus: Long = 1073741789L): DataFrame = {
+    val sh = Dedup.shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle"),
+        hash31(col("shingle"), modulus).as("_h"))
+    val kmv = udaf(new graft.functions.KMinValues(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    sh.groupBy("source")
+      .agg(
+        countDistinct(col("shingle")).as("n_exact"),
+        kmv(col("_h")).as("_kmins"))
+      .select(
+        col("source"), col("n_exact"),
+        size(col("_kmins")).cast("long").as("n_kept"),
+        when(size(col("_kmins")) >= k, element_at(col("_kmins"), k)).as("kth_min"),
+        when(size(col("_kmins")) < k, size(col("_kmins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * modulus) / element_at(col("_kmins"), k))
+          .as("est_kmv"))
+  }
+
+  /** Per-source out-of-vocabulary rate against the corpus top-`v` token
+    * vocabulary — the coverage table a tokenizer/vocab decision reads: a
+    * source whose OOV rate spikes is about to shred into byte-fallback
+    * tokens. The vocab head is [[vocabulary]]'s deterministic cut (count
+    * desc, token asc — total order at the boundary); the scan side is one
+    * explode + broadcast membership + source-keyed partial agg. At 100 TB
+    * the v-row vocab broadcasts trivially and nothing wider than (source)
+    * ever shuffles. `oov_rate` is one division of two exact counts. */
+  def oovStats(docs: DataFrame, v: Int = 20): DataFrame = {
+    val occ = docs.select(col("source"), explode(toks).as("tok"))
+    val vocab = vocabulary(docs, v).select(col("tok"), lit(1).as("_in"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_occ_total"),
+        count(when(col("_in").isNull, 1)).as("n_occ_oov"))
+      .withColumn("oov_rate",
+        col("n_occ_oov").cast("double") / col("n_occ_total"))
+  }
+
   /** [[vocabulary]] at unbounded domain width — the sketch-then-recount
     * heavy-hitters pattern: when the token domain is too wide to
     * hash-aggregate exactly (URLs, 5-grams, user agents at 100 TB), a

@@ -788,6 +788,109 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(("x", 4L, 2L), ("y", 3L, 2L), ("q", 1L, 1L)))
   }
 
+  test("KMinValues: min-k set is order-independent, distinct, exact below k") {
+    val agg = new graft.functions.KMinValues(4)
+    // reduce dedups and keeps only the k smallest
+    val fwd = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(fwd.toSeq === Seq(1L, 2L, 3L, 7L))
+    // any merge split of any permutation gives the identical sketch
+    val rev = Seq(2L, 8L, 1L, 3L, 7L, 3L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(fwd.clone(), rev.clone()).toSeq === fwd.toSeq)
+    val (l, r) = Seq(9L, 3L, 7L).foldLeft(agg.zero)(agg.reduce) ->
+      Seq(3L, 1L, 8L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(l, r).toSeq === fwd.toSeq)
+    // below k distinct values the sketch IS the exact distinct set
+    val small = Seq(5L, 5L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(small.toSeq === Seq(2L, 5L))
+  }
+
+  test("kmvShingleDistinct: exact regime below k, estimate within 2x above it") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.llm.TextAnalysis.kmvShingleDistinct(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nExact, nKept, est) =
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_kept"), r.getAs[Double]("est_kmv"))
+      if (nKept < 16) assert(est === nExact.toDouble, "exact regime must be exact")
+      else assert(est > nExact / 2.0 && est < nExact * 2.0,
+        s"KMV estimate $est vs exact $nExact out of the k=16 error regime")
+    }
+  }
+
+  test("oovStats: rate against the deterministic vocab cut, tie at the boundary") {
+    // corpus vocab by (count desc, tok): x(4) y(3) then {a(1), b(1)} ties —
+    // v=3 must cut at 'a' (token asc), leaving b OOV
+    val docs = Seq(
+      (1L, "x x y a", "en", "s1"),
+      (2L, "x x y y b", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.TextAnalysis.oovStats(docs, v = 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(("s1", 4L, 0L, 0.0), ("s2", 5L, 1L, 0.2)))
+  }
+
+  test("lengthBuckets: power-of-two boundaries, exact padding ledger") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "), "en", "s")
+    val docs = Seq(doc(1, 16), doc(2, 17), doc(3, 64), doc(4, 300), doc(5, 999))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.llm.Packing.lengthBuckets(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (16L, 1L, 16L, 16L),   // exactly 16 stays in the 16 bucket (zero waste)
+      (32L, 1L, 17L, 32L),   // 17 spills to the next power of two
+      (64L, 1L, 64L, 64L),
+      (512L, 2L, 1299L, 1024L))) // 300 and 999 both land in the 512 cap
+  }
+
+  test("prioritySample: integer-exact priorities, deterministic winners under repartition") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val once = graft.llm.Sampling.prioritySample(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val again = graft.llm.Sampling.prioritySample(docs.repartition(13), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(once === again, "the sample must not depend on partitioning")
+    assert(once.groupBy(_._1).values.forall(_.size <= 5))
+    // priority formula spot-check: (hash31(id)·2^20) div n_tokens
+    val row = graft.llm.Sampling.prioritySample(docs, k = 5)
+      .orderBy("source", "rnk").limit(1).collect().head
+    val h = graft.functions.Hash31.hash(row.getAs[Long]("doc_id").toString, 1073741789L)
+    assert(row.getAs[Long]("priority") ===
+      h * 1048576L / row.getAs[Long]("n_tokens"))
+  }
+
+  test("containmentPairs: full quote detected at containment 1.0 where jaccard misses it") {
+    // doc 2 is a verbatim contiguous slice of doc 1: every 2-shingle of 2
+    // appears in 1 → containment 1.0, while jaccard is diluted to ~1/3
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "c d e f g")
+    ).toDF("doc_id", "text")
+    val cont = graft.llm.Dedup.containmentPairs(docs, n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cont === Array((1L, 2L, 4L, 1.0)))
+    val jac = graft.llm.Dedup.jaccardPairs(docs, n = 2, threshold = 0.9).count()
+    assert(jac === 0L, "jaccard at the same threshold must miss the inclusion")
+  }
+
+  test("ivfIncrementalAssign: delta equals the build-time assignment, ties to smaller c_id") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (centroids, lists) = {
+      val dir = java.nio.file.Files.createTempDirectory("ivf_inc_spec").toString
+      graft.llm.Similarity.ivfIndexWrite(emb, dir)
+      graft.llm.Similarity.ivfIndexLoad(spark, dir)
+    }
+    // re-assigning the corpus vectors themselves through the incremental
+    // path must reproduce the persisted build-time lists exactly
+    val delta = graft.llm.Similarity.ivfIncrementalAssign(emb, centroids)
+      .select("vec_id", "list_id").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // list_id is the partition directory key and reads back as int
+    val built = lists.select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(delta === built)
+  }
+
   test("connected components: transitive chain collapses to one cluster") {
     // chain 1–2, 2–3, 3–4 plus isolated pair 10–11 and singleton 20:
     // components {1,2,3,4}, {10,11}, {20}

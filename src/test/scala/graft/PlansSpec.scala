@@ -31,7 +31,10 @@ class PlansSpec extends SparkSpec {
     // round-9 additions
     "dedup_verify_capped", "dedup_clusters_persisted",
     "mm_binary_meta", "mm_resize", "ann_quantized_topk", "chunk_plan",
-    "ann_ivfsq_topk", "ann_quantized_persisted", "ann_incremental")
+    "ann_ivfsq_topk", "ann_quantized_persisted", "ann_incremental",
+    // round-10 additions
+    "vocab_kmv", "vocab_oov", "batch_buckets", "sample_priority",
+    "dedup_containment", "ann_ivf_incremental")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -144,6 +147,26 @@ class PlansSpec extends SparkSpec {
       "the signature index must be persisted, not rebuilt per query")
     assert(count("corpus_admission", "Join") === 1,
       "admission is exactly one signature-keyed join")
+  }
+
+  test("OOV rate broadcasts the vocab head, never sort-merges") {
+    assert(count("vocab_oov", "BroadcastHashJoin") >= 1,
+      "the 20-row vocab must broadcast onto the occurrence stream")
+    assert(count("vocab_oov", "SortMergeJoin") === 0)
+  }
+
+  test("length buckets and priority sampling never join") {
+    for (n <- Seq("batch_buckets", "sample_priority"))
+      assert(count(n, "Join") === 0, s"$n is projection + keyed agg only")
+  }
+
+  test("incremental IVF assignment broadcasts centroids, no sort-window") {
+    assert(count("ann_ivf_incremental", "BroadcastNestedLoopJoin") === 1,
+      "the 16-row centroid table is the only broadcast side")
+    assert(count("ann_ivf_incremental", "SortMergeJoin") === 0)
+    assert(count("ann_ivf_incremental", "Window") === 0,
+      "assignment is the max_by argmax agg, not a rank window — " +
+        "an ingest batch can be arbitrarily large")
   }
 
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
