@@ -2402,6 +2402,153 @@ object Oracles {
     ORDER BY e.part, e.lsn"""
   }
 
+  /** n-gram novelty — mirrors `TextAnalysis.noveltyStats(n=3)`: per doc,
+    * the count/fraction of its distinct trigrams whose first corpus
+    * occurrence (min doc_id over docs containing the trigram) is this doc.
+    * All integer counts + one exact double division. */
+  val textNovelty: String = s"""WITH $shingles3Cte,
+    f AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh3)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_shingles,
+      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS novelty_rate
+    FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Character-collision diversity — mirrors `TextAnalysis.charStats`:
+    * per-doc char histogram (spaces excluded), collision probability
+    * Σcnt²/n² and effective alphabet n²/Σcnt² — integer sums, one double
+    * division each, no transcendentals. */
+  val textCharStats: String = """WITH
+    c AS (SELECT doc_id, unnest(split(text, '')) AS ch FROM documents),
+    cf AS (SELECT doc_id, ch FROM c WHERE ch <> ' ' AND ch <> ''),
+    h AS (SELECT doc_id, ch, count(*) AS cnt FROM cf GROUP BY doc_id, ch),
+    s AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS d, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, n AS n_chars_nospace, d AS n_distinct_chars,
+      CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS collision_p,
+      CAST(n * n AS DOUBLE) / CAST(ss AS DOUBLE) AS renyi2_diversity
+    FROM s ORDER BY doc_id"""
+
+  /** Duplicate-rate sweep — mirrors `Dedup.thresholdCurve(n=3)`: exact
+    * trigram-Jaccard pairs at the loosest cut fanned out to each threshold
+    * they clear; pair and affected-doc counts per threshold. */
+  val dedupThresholdCurve: String = s"""WITH $shingles3Cte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT a_id, b_id,
+        CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id),
+    p AS (SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5),
+    th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+    att AS (
+      SELECT t.threshold, p.a_id, p.b_id
+      FROM p JOIN th t ON p.jaccard >= t.threshold),
+    pc AS (SELECT threshold, count(*) AS n_pairs FROM att GROUP BY threshold),
+    dc AS (
+      SELECT threshold, count(DISTINCT dd) AS n_docs_affected FROM (
+        SELECT threshold, unnest([a_id, b_id]) AS dd FROM att)
+      GROUP BY threshold)
+    SELECT pc.threshold, CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+      CAST(dc.n_docs_affected AS BIGINT) AS n_docs_affected
+    FROM pc JOIN dc USING (threshold) ORDER BY pc.threshold"""
+
+  /** MinHash calibration — mirrors `Dedup.minhashCalibration`: for every
+    * capped banded candidate pair, the signature-match estimate of the
+    * 2-gram Jaccard beside the exact 2-gram Jaccard and |error|. */
+  def dedupMinhashCalibration(cap: Long = graft.llm.Dedup.DefaultMaxBucket.toLong): String = {
+    val matchSum = (0 until 8)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashSigCte,
+    ${bandedPairsCtesCapped(cap)},
+    est AS (
+      SELECT p.a_id, p.b_id,
+        CAST($matchSum AS DOUBLE) / 8.0 AS est_jaccard
+      FROM pairs p
+      JOIN sigs a ON a.doc_id = p.a_id
+      JOIN sigs b ON b.doc_id = p.b_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a_id, p.b_id, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.a_id
+      JOIN sh b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+      GROUP BY p.a_id, p.b_id),
+    v AS (
+      SELECT e.a_id, e.b_id, e.est_jaccard,
+        CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+          (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS exact_jaccard
+      FROM est e
+      LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+      JOIN sizes sa ON sa.doc_id = e.a_id
+      JOIN sizes sb ON sb.doc_id = e.b_id)
+    SELECT a_id, b_id, est_jaccard, exact_jaccard,
+      abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM v ORDER BY a_id, b_id"""
+  }
+
+  /** Two-stage rerank — mirrors `Similarity.rerankTopK`: int8 coarse
+    * top-20 (the `ann_quantized_topk` chain) re-scored by the exact float
+    * cosine, final top-5 per query with the coarse rank carried. */
+  val annRerank: String = s"""WITH $quantizedCte,
+    qcand AS (SELECT q_id, n_id, rnk AS coarse_rnk FROM qranked WHERE rnk <= 20),
+    fn AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    rescored AS (
+      SELECT c.q_id, c.n_id, c.coarse_rnk,
+        ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos_exact
+      FROM qcand c
+      JOIN fn q ON q.vec_id = c.q_id
+      JOIN fn n ON n.vec_id = c.n_id),
+    rr AS (
+      SELECT q_id, n_id, coarse_rnk, cos_exact,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, n_id) AS rnk
+      FROM rescored)
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos_exact,
+      CAST(coarse_rnk AS BIGINT) AS coarse_rnk
+    FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Token-budget selection — mirrors `Corpus.tokenBudget(budget=10000)`:
+    * qualityLogit ordering (identical IEEE chain), exact BIGINT running
+    * token total, selected = fits-in-budget. */
+  val corpusTokenBudget: String = s"""WITH t AS (
+      SELECT doc_id, length(text) AS nc,
+        len(string_split(text, ' ')) AS nt,
+        len(list_distinct(string_split(text, ' '))) AS nd,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS ns
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS lenf,
+        CAST(nd AS DOUBLE) / nt AS ttr,
+        CAST(ns AS DOUBLE) / nt AS stop_r,
+        CAST(nc - nt + 1 AS DOUBLE) / nt AS atl,
+        nt
+      FROM t),
+    l AS (
+      SELECT doc_id,
+        -1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl AS logit,
+        CAST(nt AS BIGINT) AS n_tokens
+      FROM f),
+    r AS (
+      SELECT doc_id, logit, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY logit DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM l)
+    SELECT doc_id, logit, n_tokens, cum_tokens,
+      cum_tokens <= 10000 AS selected
+    FROM r ORDER BY cum_tokens"""
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -2480,6 +2627,12 @@ object Oracles {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_containment" -> dedupContainment3(0.8),
+    "dedup_threshold_curve" -> dedupThresholdCurve,
+    "dedup_minhash_calibration" -> dedupMinhashCalibration(),
+    "text_novelty" -> textNovelty,
+    "text_char_stats" -> textCharStats,
+    "ann_rerank" -> annRerank,
+    "corpus_token_budget" -> corpusTokenBudget,
     "vocab_kmv" -> vocabKmv,
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,

@@ -512,6 +512,15 @@ object SparkEntry {
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)
         .orderBy("a_id", "b_id")),
+    // duplicate-rate sweep: pair/doc counts at each candidate threshold —
+    // the tuning curve read before fixing a dedup threshold; pairs are
+    // computed once at the loosest cut and fanned out by a 5-row broadcast
+    "dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(Tables.documents(s, dir)).orderBy("threshold")),
+    // sketch calibration: minhash Jaccard estimate vs the exact same-gram
+    // Jaccard on every capped banded candidate pair
+    "dedup_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
@@ -553,6 +562,11 @@ object SparkEntry {
       Similarity.quantizedPersistedTopK(Similarity.quantizedIndexLoad(s, idxDir))
         .orderBy("q_id", "rnk")
     }),
+    // two-stage retrieval: int8 coarse top-20 re-scored by exact float
+    // cosine — the serving shape; winners keep their coarse rank so the
+    // ledger shows where the quantized stage mis-ordered the head
+    "ann_rerank" -> ((s, dir) =>
+      Similarity.rerankTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
     "chunk_plan" -> ((s, dir) =>
       Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
@@ -688,6 +702,19 @@ object SparkEntry {
         .orderBy("doc_id")),
     "quality_percentiles" -> ((s, dir) =>
       Corpus.qualityPercentiles(Tables.documents(s, dir)).orderBy("source")),
+    // token-budget selection: best-first by classifier logit until the
+    // budget fills — cumsum via GlobalOrder.runningSum, never a
+    // single-partition window
+    "corpus_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudget(Tables.documents(s, dir)).orderBy("cum_tokens")),
+    // n-gram novelty: fraction of a doc's trigrams first seen in it —
+    // the marginal-contribution ranking signal for sources and documents
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // char-collision diversity (Rényi-2 surrogate): integer sums + one
+    // division, no transcendentals — bit-stable across engines
+    "text_char_stats" -> ((s, dir) =>
+      TextAnalysis.charStats(Tables.documents(s, dir)).orderBy("doc_id")),
     // pre-training data-quality profile of the corpus table
     "corpus_profile" -> ((s, dir) =>
       Corpus.profile(Tables.documents(s, dir),

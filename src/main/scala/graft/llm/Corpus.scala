@@ -215,4 +215,30 @@ object Corpus {
         expr("round(percentile(_qs, 0.75), 3)").as("p75_q20"),
         max(col("_qs")).as("max_q20"))
   }
+
+  /** Token-budget selection — "fill a B-token training budget with the
+    * best documents": rank the corpus by the [[TextAnalysis.qualityLogit]]
+    * classifier score (ties by doc_id), take the running token total over
+    * that order, and mark every document whose cumulative total fits the
+    * budget. Returns the full ledger (doc_id, logit, n_tokens,
+    * cum_tokens, selected) so the audit shows what the cut excluded, not
+    * just what survived.
+    *
+    * Scale shape: the global running total is
+    * [[graft.cdc.GlobalOrder.runningSum]] — range-partition on the sort
+    * key, per-partition cumulative window, tiny triangular prefix
+    * combine, broadcast back. NO single-partition window anywhere, which
+    * is what a naive `Window.orderBy(...)` cumsum would be; the cumsum is
+    * exact long arithmetic so the cut point is bit-stable. */
+  def tokenBudget(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val scored = TextAnalysis.qualityLogit(docs).select("doc_id", "logit")
+    val toks = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ledger = scored.join(toks, "doc_id")
+    graft.cdc.GlobalOrder
+      .runningSum(ledger, Seq(col("logit").desc, col("doc_id")), "n_tokens", "cum_tokens")
+      .select(
+        col("doc_id"), col("logit"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("selected"))
+  }
 }

@@ -706,4 +706,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Duplicate-rate sweep: for each candidate Jaccard threshold, how many
+    * exact n-gram near-dup pairs exist and how many distinct docs they
+    * touch — the tuning curve a pipeline owner reads BEFORE fixing the
+    * dedup threshold (the knee of `n_docs_affected` vs threshold is where
+    * boilerplate ends and genuine duplication begins).
+    *
+    * One pass: the exact pairs are computed ONCE at the loosest threshold
+    * ([[jaccardPairs]] — bucketed by shingle, size-pruned), then a 5-row
+    * broadcast non-equi join fans each pair out to every threshold it
+    * clears; two keyed aggregations finish it. Counts are exact integers. */
+  def thresholdCurve(docs: DataFrame, n: Int = 3,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(docs, n, thresholds.min)
+    val tdf = thresholds.toDF("threshold")
+    val at = pairs.join(broadcast(tdf), col("jaccard") >= col("threshold"))
+    // single pass over the fanned-out pairs: each pair contributes its two
+    // endpoints, so n_pairs = rows/2 exactly and the distinct endpoint
+    // count is the affected-doc count — one aggregation, pairs computed once
+    at.select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy("threshold")
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs_affected"))
+      .select("threshold", "n_pairs", "n_docs_affected")
+  }
+
+  /** MinHash estimator CALIBRATION: for every capped banded candidate pair,
+    * the sketch's Jaccard estimate (matching signature components / k)
+    * beside the exact same-n Jaccard, with the absolute error — the table
+    * that answers "how many hashes do I need" before anyone trusts the
+    * sketch at 100 TB. Both sides are n-gram-matched (estimate and truth
+    * measure the SAME similarity), unlike the verify path which estimates
+    * on 2-grams and verifies on 3-grams by design.
+    *
+    * Scale shape: signatures and candidates come from the standard banded
+    * path (hot-bucket capped); the estimate is a doc-keyed join of the
+    * k-column signature rows onto the pair list (pair list ≪ corpus); the
+    * exact side reuses the [[verifyCandidates]] intersection shape keyed
+    * by (pair, shingle). Integer match counts; two exact double
+    * divisions; |a−b| of exact doubles is exact. */
+  def minhashCalibration(docs: DataFrame, n: Int = 2, bands: Int = 4,
+      rowsPerBand: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, n, k)
+    val cand = bandedPairs(sigs, bands, rowsPerBand, maxBucket)
+    val aSig = sigs.select(
+      col("doc_id").as("a_id") +: (0 until k).map(i => col(s"m$i").as(s"am$i")): _*)
+    val bSig = sigs.select(
+      col("doc_id").as("b_id") +: (0 until k).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"am$i") === col(s"bm$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(aSig, "a_id").join(bSig, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
+      .withColumn("exact_jaccard",
+        coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_sh") + col("b_sh") - coalesce(col("n_inter"), lit(0L))))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .select("a_id", "b_id", "est_jaccard", "exact_jaccard", "abs_err")
+  }
 }

@@ -713,4 +713,40 @@ object Similarity {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
   }
+
+  /** Two-stage retrieval — the production ANN serving shape: a CHEAP int8
+    * coarse scan keeps `coarseK` candidates per query (4× less memory
+    * traffic than float, [[quantizedTopK]]), then ONLY those candidates are
+    * re-scored with the exact float cosine and re-ranked to the final
+    * top-`k`. Output keeps each winner's coarse rank so the ledger shows
+    * where the quantized stage would have mis-ordered the head.
+    *
+    * Scale shape: the coarse result is ≤ nQueries·coarseK rows — it
+    * BROADCASTS onto the embedding scan for the re-score (the corpus is
+    * read, never shuffled), and the query vectors broadcast as in every
+    * other ANN path. The final window partitions by query (nQueries
+    * groups, never a global sort). */
+  def rerankTopK(emb: DataFrame, nQueries: Int = 10, coarseK: Int = 20,
+      k: Int = 5): DataFrame = {
+    val coarse = quantizedTopK(emb, nQueries, coarseK)
+      .select(col("q_id"), col("n_id"), col("rnk").as("coarse_rnk"))
+    val withNorm = emb.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val queries = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cand = withNorm.select(
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(coarse), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos_exact",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
+        col("cos_exact"), col("coarse_rnk"))
+  }
 }

@@ -443,4 +443,67 @@ object TextAnalysis {
         ((col("n_bigrams") - col("_n_distinct")).cast("double") / col("n_bigrams"))
           .as("dup_bigram_frac"))
   }
+
+  /** Per-document n-gram NOVELTY against the whole corpus: the fraction of a
+    * doc's distinct `n`-gram shingles whose first corpus occurrence
+    * (minimum doc_id over every doc containing the shingle) is this doc —
+    * the marginal-contribution signal data-curation pipelines use to rank
+    * sources/documents by how much genuinely new text they add (a doc that
+    * only re-combines already-seen n-grams scores ~0 even when no single
+    * pairwise near-dup crosses a dedup threshold).
+    *
+    * Scale shape: one shuffle keyed by shingle (a keyed window computes the
+    * corpus-wide first occurrence in place — no per-shingle side table, no
+    * second shingle-keyed join) then one doc-keyed partial aggregation.
+    * Same skeleton as [[Dedup.jaccardPairs]]'s size window; all counts are
+    * integers, the rate is one exact double division. Docs shorter than `n`
+    * tokens have no shingles and are absent — same contract as the shingle
+    * family. */
+  def noveltyStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Dedup.shingles(docs, n)
+    val withFirst = sh.withColumn("_first_doc",
+      min(col("doc_id")).over(Window.partitionBy("shingle")))
+    withFirst
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate", col("n_novel").cast("double") / col("n_shingles"))
+  }
+
+  /** Per-document character-collision statistics — the transcendental-free
+    * diversity detector: `collision_p` = Σ_c (count_c / n)² is the
+    * probability two uniformly drawn characters match (the Rényi-2 /
+    * Simpson-index surrogate for character entropy; gibberish and
+    * single-char flood text push it toward 1, diverse text toward
+    * 1/alphabet). `renyi2_diversity` = n²/Σcount_c² is the effective
+    * alphabet size (exp of Rényi-2 entropy), computed with ONLY integer
+    * sums and one double division so the oracle matches bit-for-bit — no
+    * log/exp whose libm rounding could differ across engines.
+    *
+    * Scale shape: explode to (doc, char) then two partial aggregations —
+    * the first groupBy's map-side combine collapses each partition's
+    * per-doc char stream to ≤ |alphabet| rows before the shuffle, so the
+    * exchange carries histogram rows, not characters. Spaces are excluded
+    * (they measure tokenization, not content). */
+  def charStats(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "" && col("ch") =!= " ")
+    chars
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_chars_nospace"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * col("cnt")).as("_sum_sq"))
+      .select(
+        col("doc_id"), col("n_chars_nospace"), col("n_distinct_chars"),
+        (col("_sum_sq").cast("double") /
+          (col("n_chars_nospace") * col("n_chars_nospace")).cast("double"))
+          .as("collision_p"),
+        ((col("n_chars_nospace") * col("n_chars_nospace")).cast("double") /
+          col("_sum_sq").cast("double")).as("renyi2_diversity"))
+  }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+
+/** Round-10 pipeline operators: novelty, char-collision stats, threshold
+  * sweep, minhash calibration, two-stage rerank, token-budget selection.
+  * Hand-computable fixtures — every assertion is checkable on paper. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("noveltyStats: first-seen trigrams count as novel, re-seen do not") {
+    val docs = Seq(
+      (0L, "a b c d"),     // trigrams {a b c, b c d} — both first here
+      (1L, "a b c e"),     // {a b c} seen in doc 0, {b c e} novel
+      (2L, "a b c d")      // exact copy: nothing novel
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyStats(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L)))
+    assert(out(1).getAs[Double]("novelty_rate") === 0.5)
+  }
+
+  test("charStats: exact collision probability, spaces excluded") {
+    val docs = Seq((7L, "aa ab")).toDF("doc_id", "text")
+    // chars without spaces: a,a,a,b → n=4, distinct=2, Σcnt² = 9+1 = 10
+    val r = TextAnalysis.charStats(docs).collect().head
+    assert(r.getAs[Long]("n_chars_nospace") === 4L)
+    assert(r.getAs[Long]("n_distinct_chars") === 2L)
+    assert(r.getAs[Double]("collision_p") === 10.0 / 16.0)
+    assert(r.getAs[Double]("renyi2_diversity") === 16.0 / 10.0)
+  }
+
+  test("thresholdCurve: identical docs ride every threshold, near docs drop off") {
+    val docs = Seq(
+      (0L, "x y z w v u t s"),
+      (1L, "x y z w v u t s"),          // identical to 0 → J = 1.0
+      (2L, "x y z w v u q r")           // shares 4 of 8 pos → J in (0.5, 0.8)
+    ).toDF("doc_id", "text")
+    val curve = Dedup.thresholdCurve(docs).orderBy("threshold").collect()
+    val at = curve.map(r => r.getAs[Double]("threshold") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected"))).toMap
+    // trigrams of doc2: {x y z, y z w, z w v, w v u, v u q, u q r}; docs 0/1
+    // have {x y z, y z w, z w v, w v u, v u t, u t s} → inter 4, union 8 →
+    // J(0,2) = J(1,2) = 0.5; J(0,1) = 1.0
+    assert(at(0.5) === (3L, 3L))
+    assert(at(0.6) === (1L, 2L))
+    assert(at(0.9) === (1L, 2L))
+  }
+
+  test("minhashCalibration: identical docs estimate 1.0 with zero error; errors bounded") {
+    val docs = Seq(
+      (0L, "p q r s t u"),
+      (1L, "p q r s t u"),
+      (2L, "p q r s t x")
+    ).toDF("doc_id", "text")
+    val cal = Dedup.minhashCalibration(docs).collect()
+    assert(cal.nonEmpty)
+    val ident = cal.find(r => r.getLong(0) === 0L && r.getLong(1) === 1L).get
+    assert(ident.getAs[Double]("est_jaccard") === 1.0)
+    assert(ident.getAs[Double]("exact_jaccard") === 1.0)
+    assert(ident.getAs[Double]("abs_err") === 0.0)
+    cal.foreach { r =>
+      assert(r.getAs[Double]("est_jaccard") >= 0.0 && r.getAs[Double]("est_jaccard") <= 1.0)
+      assert(r.getAs[Double]("abs_err") >= 0.0 && r.getAs[Double]("abs_err") <= 1.0)
+    }
+  }
+
+  test("rerankTopK: with a full-width coarse stage the rerank equals exact top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val exact = Similarity.cosineTopK(emb, nQueries = 5, k = 3)
+      .select("q_id", "rnk", "n_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rr = Similarity.rerankTopK(emb, nQueries = 5, coarseK = n, k = 3)
+      .select("q_id", "rnk", "n_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rr.sorted.toSeq === exact.sorted.toSeq)
+  }
+
+  test("rerankTopK: identical vector wins rank 1 with exact cosine 1") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (50L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (51L, Array.tabulate(64)(i => math.cos(i * 3 + 2).toFloat)),
+      (52L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.01 * math.cos(i)).toFloat))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.rerankTopK(vecs, nQueries = 1, coarseK = 3, k = 2)
+      .orderBy("rnk").collect()
+    assert(top.head.getAs[Long]("n_id") === 50L)
+    assert(math.abs(top.head.getAs[Double]("cos_exact") - 1.0) < 1e-12)
+    assert(top.head.getAs[Long]("coarse_rnk") === 1L)
+  }
+
+  test("tokenBudget: cum_tokens follows logit-desc order and the cut is exact") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.tokenBudget(docs, budget = 500L).orderBy("cum_tokens").collect()
+    assert(out.length === docs.count())
+    // cumulative total is strictly increasing and consistent with n_tokens
+    var prev = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") === prev + r.getAs[Long]("n_tokens"))
+      prev = r.getAs[Long]("cum_tokens")
+    }
+    // the selected prefix is exactly the rows fitting the budget, and the
+    // cum order is the (logit desc, doc_id) order
+    val logits = out.map(r => (r.getAs[Double]("logit"), r.getAs[Long]("doc_id")))
+    assert(logits.sortBy { case (l, id) => (-l, id) }.toSeq === logits.toSeq)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("selected") === (r.getAs[Long]("cum_tokens") <= 500L))
+    }
+    assert(out.exists(_.getAs[Boolean]("selected")))
+    assert(out.exists(!_.getAs[Boolean]("selected")))
+  }
+}

@@ -34,7 +34,9 @@ class PlansSpec extends SparkSpec {
     "ann_ivfsq_topk", "ann_quantized_persisted", "ann_incremental",
     // round-10 additions
     "vocab_kmv", "vocab_oov", "batch_buckets", "sample_priority",
-    "dedup_containment", "ann_ivf_incremental")
+    "dedup_containment", "ann_ivf_incremental",
+    "text_novelty", "text_char_stats", "dedup_threshold_curve",
+    "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -167,6 +169,40 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_ivf_incremental", "Window") === 0,
       "assignment is the max_by argmax agg, not a rank window — " +
         "an ingest batch can be arbitrarily large")
+  }
+
+  test("novelty and char stats are join-free keyed aggregations") {
+    for (n <- Seq("text_novelty", "text_char_stats")) {
+      assert(count(n, "Join") === 0, s"$n must not join")
+      assert(count(n, "Exchange hashpartitioning") <= 2,
+        s"$n is at most one keyed window/histogram pass + one doc aggregation")
+    }
+  }
+
+  test("threshold curve fans pairs out through ONE tiny broadcast, single agg pass") {
+    // the only nested-loop is the 5-row threshold fanout; the pair list is
+    // computed once (two BNLJs would mean both aggregate branches rebuilt it)
+    assert(count("dedup_threshold_curve", "BroadcastNestedLoopJoin") === 1,
+      "pairs must fan out through exactly one 5-row broadcast")
+  }
+
+  test("minhash calibration stays equality joins end to end") {
+    assert(count("dedup_minhash_calibration", "BroadcastNestedLoopJoin") === 0,
+      "calibration joins are doc-/shingle-keyed equality joins only")
+  }
+
+  test("two-stage rerank broadcasts the coarse result, never shuffles the corpus") {
+    // one BNLJ: the int8 coarse scan's 10-row query broadcast; the rerank
+    // joins (coarse pairs + query vectors onto the scan) must hash-broadcast
+    assert(count("ann_rerank", "BroadcastNestedLoopJoin") === 1)
+    assert(count("ann_rerank", "BroadcastHashJoin") >= 2)
+    assert(count("ann_rerank", "SortMergeJoin") === 0)
+  }
+
+  test("token budget cumsum never plans a single-partition exchange") {
+    assert(count("corpus_token_budget", "Exchange SinglePartition") === 0,
+      "the running total must be the distributed prefix sum, not a global window")
+    assert(count("corpus_token_budget", "SortMergeJoin") === 0)
   }
 
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
