@@ -2549,6 +2549,64 @@ object Oracles {
       cum_tokens <= 10000 AS selected
     FROM r ORDER BY cum_tokens"""
 
+  /** Source containment matrix — mirrors `Dedup.sourceOverlap(n=3)`:
+    * distinct (source, trigram) vocabulary, directed pairwise common-gram
+    * counts, containment = n_common / |a's grams|. */
+  val dedupSourceOverlap: String = s"""WITH $shingles3Cte,
+    sg AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh3 s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source <> b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+      CAST(z.n_grams AS BIGINT) AS a_grams,
+      CAST(i.n_common AS DOUBLE) / z.n_grams AS containment
+    FROM inter i JOIN sizes z ON z.source = i.source_a
+    ORDER BY i.source_a, i.source_b"""
+
+  /** IVF probe sweep — mirrors `Similarity.ivfProbeCurve`: the validated
+    * IVF CTE chain built once, probed at nProbe ∈ {1,2,4,8}; pooled hits
+    * against the exact float top-3 per probe setting. */
+  def annIvfProbeCurve(probes: Seq[Int] = Seq(1, 2, 4, 8)): String = {
+    val per = probes.map { p =>
+      s"""probes$p AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id AS list_id
+      FROM ranked WHERE c_rank <= $p AND vec_id < 10),
+    scored$p AS (
+      SELECT q_id, n_id, ${dotSql("q_emb", "n_emb")} / (q_nrm * n_nrm) AS cos
+      FROM probes$p JOIN assigned USING (list_id)
+      WHERE q_id <> n_id),
+    topk$p AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored$p),
+    hit$p AS (
+      SELECT count(*) AS n_hits
+      FROM exact e
+      JOIN (SELECT q_id, n_id FROM topk$p WHERE rnk <= 3) i USING (q_id, n_id))"""
+    }.mkString(",\n    ")
+    val union = probes.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS n_probe, CAST((SELECT n_hits FROM hit$p) AS BIGINT) AS n_hits"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $ivfCtes,
+    bscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    branked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM bscored),
+    exact AS (SELECT q_id, n_id FROM branked WHERE rnk <= 3),
+    $per
+    SELECT n_probe, n_hits, CAST(n_hits AS DOUBLE) / 30.0 AS recall
+    FROM ($union)
+    ORDER BY n_probe"""
+  }
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -2633,6 +2691,8 @@ object Oracles {
     "text_char_stats" -> textCharStats,
     "ann_rerank" -> annRerank,
     "corpus_token_budget" -> corpusTokenBudget,
+    "dedup_source_overlap" -> dedupSourceOverlap,
+    "ann_probe_curve" -> annIvfProbeCurve(),
     "vocab_kmv" -> vocabKmv,
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,

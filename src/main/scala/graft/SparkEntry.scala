@@ -521,6 +521,10 @@ object SparkEntry {
     // Jaccard on every capped banded candidate pair
     "dedup_minhash_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Tables.documents(s, dir)).orderBy("a_id", "b_id")),
+    // directed source-level n-gram containment matrix: which feed mirrors
+    // which — per-shingle fanout bounded by n_sources², never doc-pairwise
+    "dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
@@ -567,6 +571,9 @@ object SparkEntry {
     // ledger shows where the quantized stage mis-ordered the head
     "ann_rerank" -> ((s, dir) =>
       Similarity.rerankTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // recall-vs-nProbe tuning curve over ONE IVF index build
+    "ann_probe_curve" -> ((s, dir) =>
+      Similarity.ivfProbeCurve(Tables.embeddings(s, dir)).orderBy("n_probe")),
     // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
     "chunk_plan" -> ((s, dir) =>
       Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),

@@ -781,4 +781,37 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
       .select("a_id", "b_id", "est_jaccard", "exact_jaccard", "abs_err")
   }
+
+  /** SOURCE-level n-gram containment matrix: for every ordered source pair
+    * (a, b), what fraction of a's distinct `n`-grams also appear in b —
+    * the corpus-composition view that catches one feed mirroring another
+    * (containment is DIRECTED: a small scraped blog inside a big crawl
+    * shows a→crawl ≈ 1 while crawl→a ≈ 0, which a symmetric Jaccard would
+    * flatten to ≈ 0). Doc-level near-dup pairs can't see this — two
+    * sources can share most of their text without any single doc pair
+    * crossing a dedup threshold.
+    *
+    * Scale shape: distinct (source, shingle) — a keyed aggregation that
+    * collapses the corpus to its per-source vocabulary — then a
+    * shingle-keyed self-join whose per-shingle fanout is bounded by
+    * n_sources² (source count is small and fixed, so the join output is
+    * linear in distinct grams, never pairwise in docs); source sizes
+    * broadcast. Integer counts, one exact division. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sg = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select("source", "shingle").distinct()
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val a = sg.select(col("source").as("source_a"), col("shingle"))
+    val b = sg.select(col("source").as("source_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(
+        sizes.select(col("source").as("source_a"), col("n_grams").as("a_grams"))),
+        "source_a")
+      .select(col("source_a"), col("source_b"), col("n_common"), col("a_grams"),
+        (col("n_common").cast("double") / col("a_grams")).as("containment"))
+  }
 }

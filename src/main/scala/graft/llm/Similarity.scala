@@ -749,4 +749,31 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
         col("cos_exact"), col("coarse_rnk"))
   }
+
+  /** IVF recall-vs-nProbe sweep — the tuning curve read before fixing the
+    * probe count: total exact-top-k hits (and pooled recall) at each probe
+    * setting, over ONE index build. The index (centroids + assignment) and
+    * the exact baseline are computed once and persisted; each probe
+    * setting reuses them, so the sweep costs one k-means + |probes| cheap
+    * probe joins instead of |probes| full index builds.
+    *
+    * Pooled recall = Σ hits / (nQueries·k) — integer sums, one exact
+    * division (per-query recall already exists as `ann_ivf_recall`). */
+  def ivfProbeCurve(emb: DataFrame, nLists: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8), nQueries: Int = 10, k: Int = 3,
+      kmeansIters: Int = 2): DataFrame = {
+    val (centroids, assigned0) = ivfIndexBuild(emb, nLists, kmeansIters)
+    val assigned = assigned0.persist()
+    val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id")).persist()
+    val queries = emb.filter(col("vec_id") < nQueries)
+    probes.map { p =>
+      val ivf = ivfProbe(queries, centroids, assigned, p, k)
+        .select(col("q_id"), col("n_id"))
+      exact.join(broadcast(ivf), Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit((nQueries * k).toDouble))
+  }
 }

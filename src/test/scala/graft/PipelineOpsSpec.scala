@@ -91,6 +91,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("coarse_rnk") === 1L)
   }
 
+  test("sourceOverlap: directed containment from hand-counted gram sets") {
+    val docs = Seq(
+      (0L, "a b c d", "srcA"),   // grams {a b c, b c d}
+      (1L, "x y z w", "srcA"),   // grams {x y z, y z w} → A has 4
+      (2L, "a b c e", "srcB")    // grams {a b c, b c e} → B has 2
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("a_grams"), r.getAs[Double]("containment"))).toMap
+    // common gram: {a b c} only
+    assert(m(("srcA", "srcB")) === ((1L, 4L, 0.25)))
+    assert(m(("srcB", "srcA")) === ((1L, 2L, 0.5)))
+  }
+
+  test("ivfProbeCurve: hits monotone in nProbe; probing every list is exact") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val curve = Similarity.ivfProbeCurve(emb).orderBy("n_probe").collect()
+    assert(curve.map(_.getAs[Long]("n_probe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    val hits = curve.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "recall cannot drop when probing more lists")
+    curve.foreach(r => assert(r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0))
+    // nProbe = nLists probes every list → IVF degenerates to brute force
+    val full = Similarity.ivfProbeCurve(emb, probes = Seq(16)).collect().head
+    assert(full.getAs[Double]("recall") === 1.0)
+  }
+
   test("tokenBudget: cum_tokens follows logit-desc order and the cut is exact") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.tokenBudget(docs, budget = 500L).orderBy("cum_tokens").collect()

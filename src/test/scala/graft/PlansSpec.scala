@@ -36,7 +36,8 @@ class PlansSpec extends SparkSpec {
     "vocab_kmv", "vocab_oov", "batch_buckets", "sample_priority",
     "dedup_containment", "ann_ivf_incremental",
     "text_novelty", "text_char_stats", "dedup_threshold_curve",
-    "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget")
+    "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget",
+    "dedup_source_overlap", "ann_probe_curve")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -197,6 +198,17 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_rerank", "BroadcastNestedLoopJoin") === 1)
     assert(count("ann_rerank", "BroadcastHashJoin") >= 2)
     assert(count("ann_rerank", "SortMergeJoin") === 0)
+  }
+
+  test("source overlap is equality joins with the size table broadcast") {
+    assert(count("dedup_source_overlap", "BroadcastNestedLoopJoin") === 0,
+      "the gram self-join and size join are keyed equality joins")
+  }
+
+  test("probe curve reuses one index: every per-probe hit join broadcasts") {
+    // 4 probe settings → 4 tiny broadcast hit joins against the exact set
+    assert(count("ann_probe_curve", "BroadcastHashJoin") >= 4)
+    assert(count("ann_probe_curve", "CartesianProduct") === 0)
   }
 
   test("token budget cumsum never plans a single-partition exchange") {
