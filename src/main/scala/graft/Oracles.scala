@@ -2463,6 +2463,42 @@ object Oracles {
       CAST(dc.n_docs_affected AS BIGINT) AS n_docs_affected
     FROM pc JOIN dc USING (threshold) ORDER BY pc.threshold"""
 
+  /** Capped-candidate threshold sweep — mirrors `Dedup.thresholdCurveCapped`:
+    * the dedupVerifyCandidates chain (capped banded pairs + exact trigram
+    * Jaccard on candidates only) feeding the same curve aggregation. */
+  def dedupThresholdCurveCapped(
+      cap: Long = graft.llm.Dedup.DefaultMaxBucket.toLong): String = s"""WITH $minhashSigCte,
+    ${bandedPairsCtesCapped(cap)},
+    $shingles3Cte,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT p.a_id, p.b_id, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh3 a ON a.doc_id = p.a_id
+      JOIN sh3 b ON b.doc_id = p.b_id AND b.shingle = a.shingle
+      GROUP BY p.a_id, p.b_id),
+    v AS (
+      SELECT p.a_id, p.b_id,
+        CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+          (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+      JOIN sizes sa ON sa.doc_id = p.a_id
+      JOIN sizes sb ON sb.doc_id = p.b_id),
+    cp AS (SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5),
+    th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+    att AS (
+      SELECT t.threshold, cp.a_id, cp.b_id
+      FROM cp JOIN th t ON cp.jaccard >= t.threshold),
+    pc AS (SELECT threshold, count(*) AS n_pairs FROM att GROUP BY threshold),
+    dc AS (
+      SELECT threshold, count(DISTINCT dd) AS n_docs_affected FROM (
+        SELECT threshold, unnest([a_id, b_id]) AS dd FROM att)
+      GROUP BY threshold)
+    SELECT pc.threshold, CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+      CAST(dc.n_docs_affected AS BIGINT) AS n_docs_affected
+    FROM pc JOIN dc USING (threshold) ORDER BY pc.threshold"""
+
   /** MinHash calibration — mirrors `Dedup.minhashCalibration`: for every
     * capped banded candidate pair, the signature-match estimate of the
     * 2-gram Jaccard beside the exact 2-gram Jaccard and |error|. */
@@ -2607,6 +2643,22 @@ object Oracles {
     ORDER BY n_probe"""
   }
 
+  /** Per-source budget gate — mirrors `Corpus.sourceBudget(2000)`: running
+    * token total per source in doc_id order, admitted = fits the budget.
+    * (The window form IS the oracle; the engine side computes the same
+    * totals with the keyed distributed prefix sum.) */
+  val corpusBudgetBySource: String = """WITH t AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+      CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_source_tokens,
+      (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) <= 2000 AS admitted
+    FROM t ORDER BY source, doc_id"""
+
   /** All oracle SQL, keyed by query name (must match `SparkEntry.queries`). */
   val all: Map[String, String] = Map(
     "cdc_evaluate" -> cdcEvaluate,
@@ -2686,6 +2738,7 @@ object Oracles {
     "dedup_jaccard" -> dedupJaccard3(0.8),
     "dedup_containment" -> dedupContainment3(0.8),
     "dedup_threshold_curve" -> dedupThresholdCurve,
+    "dedup_threshold_curve_capped" -> dedupThresholdCurveCapped(),
     "dedup_minhash_calibration" -> dedupMinhashCalibration(),
     "text_novelty" -> textNovelty,
     "text_char_stats" -> textCharStats,
@@ -2693,6 +2746,7 @@ object Oracles {
     "corpus_token_budget" -> corpusTokenBudget,
     "dedup_source_overlap" -> dedupSourceOverlap,
     "ann_probe_curve" -> annIvfProbeCurve(),
+    "corpus_budget_by_source" -> corpusBudgetBySource,
     "vocab_kmv" -> vocabKmv,
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,

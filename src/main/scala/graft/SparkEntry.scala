@@ -517,6 +517,11 @@ object SparkEntry {
     // computed once at the loosest cut and fanned out by a 5-row broadcast
     "dedup_threshold_curve" -> ((s, dir) =>
       Dedup.thresholdCurve(Tables.documents(s, dir)).orderBy("threshold")),
+    // the scale form: same sweep over capped banded candidates + verified
+    // trigram jaccard (the exact all-pairs join measured exponent 1.17 at
+    // the 10x rehearsal; this one rides the linear capped-candidate path)
+    "dedup_threshold_curve_capped" -> ((s, dir) =>
+      Dedup.thresholdCurveCapped(Tables.documents(s, dir)).orderBy("threshold")),
     // sketch calibration: minhash Jaccard estimate vs the exact same-gram
     // Jaccard on every capped banded candidate pair
     "dedup_minhash_calibration" -> ((s, dir) =>
@@ -714,6 +719,10 @@ object SparkEntry {
     // single-partition window
     "corpus_token_budget" -> ((s, dir) =>
       Corpus.tokenBudget(Tables.documents(s, dir)).orderBy("cum_tokens")),
+    // per-source ingestion-order budget gate: the ingest-time quota (the
+    // streaming twin carries the same running total as keyed state)
+    "corpus_budget_by_source" -> ((s, dir) =>
+      Corpus.sourceBudget(Tables.documents(s, dir)).orderBy("source", "doc_id")),
     // n-gram novelty: fraction of a doc's trigrams first seen in it —
     // the marginal-contribution ranking signal for sources and documents
     "text_novelty" -> ((s, dir) =>

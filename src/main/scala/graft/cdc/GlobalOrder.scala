@@ -110,4 +110,45 @@ object GlobalOrder {
       .withColumn(dstCol, col("_go_offset") + col(localSum))
       .drop(pid, localSum, "_go_p", "_go_offset")
   }
+
+  /** Per-KEY distributed prefix sum: `dstCol` = Σ `srcCol` over all rows of
+    * the same `keyCols` at or before this one in `sortCols` order. The
+    * keyed generalization of [[runningSum]] for when a single key's rows
+    * exceed one partition (a `Window.partitionBy(key)` cumsum funnels each
+    * key through ONE task — fine for small keys, fatal for a key holding a
+    * 100 TB corpus slice): range-partition on (key, sort) so each key
+    * spans a contiguous partition run, local cumsum per (key, partition),
+    * per-(key, partition) totals combined by a key-local triangular join,
+    * broadcast back. `keyCols ++ sortCols` must be a total order. */
+  def keyedRunningSum(
+      df: DataFrame,
+      keyNames: Seq[String],
+      sortCols: Seq[Column],
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val pid = "_go_pid"
+    val localSum = "_go_lsum"
+    val keyCols = keyNames.map(col)
+    val ranged = df.repartitionByRange(keyCols ++ sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+    val cum = Window.partitionBy((keyCols :+ col(pid)): _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn(localSum, sum(col(srcCol)).over(cum)).persist()
+    val parts = local.groupBy((keyCols :+ col(pid)): _*).agg(sum(col(srcCol)).as("_go_psum"))
+    val a = parts.select(keyCols :+ col(pid).as("_go_p"): _*)
+    val b = parts.select(
+      keyNames.map(n => col(n).as(s"_gq_$n")) ++
+        Seq(col(pid).as("_go_q"), col("_go_psum")): _*)
+    val sameKey = keyNames.map(n => col(n) === col(s"_gq_$n")).reduce(_ && _)
+    val offsets = a.join(b, sameKey && col("_go_q") < col("_go_p"), "left")
+      .groupBy((keyCols :+ col("_go_p")): _*)
+      .agg(coalesce(sum("_go_psum"), lit(0L)).as("_go_offset"))
+    val offsetsR = offsets.select(
+      keyNames.map(n => col(n).as(s"_gk_$n")) ++ Seq(col("_go_p"), col("_go_offset")): _*)
+    val joinCond = keyNames.map(n => col(n) === col(s"_gk_$n")).reduce(_ && _) &&
+      col(pid) === col("_go_p")
+    local.join(broadcast(offsetsR), joinCond)
+      .withColumn(dstCol, col("_go_offset") + col(localSum))
+      .drop(keyNames.map(n => s"_gk_$n") ++ Seq(pid, localSum, "_go_p", "_go_offset"): _*)
+  }
 }

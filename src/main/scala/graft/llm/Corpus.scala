@@ -234,11 +234,40 @@ object Corpus {
     val scored = TextAnalysis.qualityLogit(docs).select("doc_id", "logit")
     val toks = docs.select(
       col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val ledger = scored.join(toks, "doc_id")
+    // persisted: the scoring chain (wide split/HOF expressions) compiles
+    // and runs ONCE — runningSum's range-boundary sampling, local cumsum
+    // and partition-summary branches all read the tiny 3-column ledger
+    // from cache instead of re-deriving quality per branch
+    val ledger = scored.join(toks, "doc_id").persist()
     graft.cdc.GlobalOrder
       .runningSum(ledger, Seq(col("logit").desc, col("doc_id")), "n_tokens", "cum_tokens")
       .select(
         col("doc_id"), col("logit"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("selected"))
+  }
+
+  /** Per-source ingestion-order budget gate (batch form): every source gets
+    * `budgetPerSource` tokens; documents are admitted in doc_id (arrival)
+    * order until their source's running total passes the budget. This is
+    * the INGEST-time quota — caps a runaway crawler feed at write time —
+    * where [[tokenBudget]] is the curation-time global cut by quality.
+    * The streaming twin ([[graft.streaming.Streams.budgetAdmissionStream]])
+    * carries the same running total as keyed state across micro-batches and
+    * must agree with this batch form on ordered arrivals.
+    *
+    * Scale shape: [[graft.cdc.GlobalOrder.keyedRunningSum]] — a
+    * `Window.partitionBy(source)` cumsum would funnel EACH source through
+    * one task (fatal when one source is a 100 TB crawl); the keyed prefix
+    * sum range-partitions on (source, doc_id) and combines per-(source,
+    * partition) totals with a key-local triangular join instead. */
+  def sourceBudget(docs: DataFrame, budgetPerSource: Long = 2000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.cdc.GlobalOrder
+      .keyedRunningSum(toks, Seq("source"), Seq(col("doc_id")), "n_tokens",
+        "cum_source_tokens")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_source_tokens"),
+        (col("cum_source_tokens") <= budgetPerSource).as("admitted"))
   }
 }

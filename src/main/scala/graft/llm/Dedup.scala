@@ -718,22 +718,44 @@ object Dedup {
     * broadcast non-equi join fans each pair out to every threshold it
     * clears; two keyed aggregations finish it. Counts are exact integers. */
   def thresholdCurve(docs: DataFrame, n: Int = 3,
-      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
-    val spark = docs.sparkSession
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame =
+    curveOver(jaccardPairs(docs, n, thresholds.min), thresholds)
+
+  /** The curve aggregation shared by [[thresholdCurve]] and
+    * [[thresholdCurveCapped]]: fan each (a_id, b_id, jaccard) pair out to
+    * every threshold it clears via a tiny broadcast, then ONE aggregation
+    * pass — each pair contributes its two endpoints, so n_pairs = rows/2
+    * exactly and the distinct endpoint count is the affected-doc count. */
+  private def curveOver(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    val pairs = jaccardPairs(docs, n, thresholds.min)
     val tdf = thresholds.toDF("threshold")
-    val at = pairs.join(broadcast(tdf), col("jaccard") >= col("threshold"))
-    // single pass over the fanned-out pairs: each pair contributes its two
-    // endpoints, so n_pairs = rows/2 exactly and the distinct endpoint
-    // count is the affected-doc count — one aggregation, pairs computed once
-    at.select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("d"))
+    pairs.join(broadcast(tdf), col("jaccard") >= col("threshold"))
+      .select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("d"))
       .groupBy("threshold")
       .agg(
         (count(lit(1)) / 2).cast("long").as("n_pairs"),
         countDistinct(col("d")).as("n_docs_affected"))
       .select("threshold", "n_pairs", "n_docs_affected")
   }
+
+  /** The SCALE form of [[thresholdCurve]]: the same sweep computed over the
+    * capped banded candidate pairs (2-gram MinHash bands, hot buckets
+    * dropped) with exact trigram Jaccard verified per candidate — instead
+    * of the exact all-pairs shingle self-join, whose row count grows with
+    * Σ df² (measured exponent 1.17 at the 10× rehearsal; the exact form
+    * stays the small-corpus truth). Recall bound stated: pairs the banded
+    * candidates miss are absent from every threshold's count — the curve's
+    * SHAPE (where the knee sits) is what survives, which is what the
+    * threshold decision needs. */
+  def thresholdCurveCapped(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    curveOver(
+      verifyCandidates(docs, threshold = thresholds.min, maxBucket = maxBucket)
+        .filter(col("jaccard") >= thresholds.min)
+        .select("a_id", "b_id", "jaccard"),
+      thresholds)
 
   /** MinHash estimator CALIBRATION: for every capped banded candidate pair,
     * the sketch's Jaccard estimate (matching signature components / k)

@@ -660,4 +660,67 @@ object Streams {
           }
         })
   }
+
+  /** A document arriving at the ingest gate: (source, doc id, token count). */
+  case class BudgetIn(source: String, docId: Long, nTokens: Long)
+
+  /** Budget-gate verdict: the running per-source token total INCLUDING this
+    * doc, and whether it still fits the source's budget. */
+  case class BudgetOut(
+      source: String, docId: Long, nTokens: Long,
+      cumSourceTokens: Long, admitted: Boolean)
+
+  /** One budget step: fold a batch of same-source arrivals (docId order —
+    * the arrival order contract every fold here shares) onto the running
+    * token total. `used` counts ALL arrived tokens, admitted or not, so the
+    * verdict matches the batch window form (`Corpus.sourceBudget`) exactly:
+    * admitted ⇔ cum ≤ budget. Deterministic: chopped == one-shot on
+    * docId-ordered feeds (FoldPropertiesSpec). */
+  def budgetFold(
+      key: String,
+      start: Option[Long],
+      incoming: Seq[BudgetIn],
+      budget: Long): (Long, Seq[BudgetOut]) = {
+    var used = start.getOrElse(0L)
+    val out = incoming.sortBy(_.docId).map { r =>
+      used += r.nTokens
+      BudgetOut(key, r.docId, r.nTokens, used, used <= budget)
+    }
+    (used, out)
+  }
+
+  /** Streaming per-source token-budget admission — the ingest-time quota
+    * gate: state is ONE long (tokens consumed) per source, carried across
+    * micro-batches, so a runaway feed is cut off at write time without any
+    * global coordination. Keyed by source ⇒ shards across executors; the
+    * single-counter-per-key state is exactly-once under checkpoint resume
+    * (FailureDrillSpec). A strict GLOBAL budget would serialize the world
+    * through one key — the per-source shard is the scalable contract, and
+    * the curation-time global cut stays a batch job
+    * ([[graft.llm.Corpus.tokenBudget]]). */
+  def budgetAdmissionStream(
+      rows: Dataset[BudgetIn],
+      budgetPerSource: Long = 2000L,
+      ttlMs: Long = 3600000L): Dataset[BudgetOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: String, incoming: Iterator[BudgetIn], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (used, out) = budgetFold(key, state.getOption, incoming.toSeq,
+              budgetPerSource)
+            state.update(used)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
 }

@@ -196,6 +196,65 @@ class FailureDrillSpec extends SparkSpec {
       s"admitted set exactly the clean docs: $got")
   }
 
+  /** Restart drill for the streaming per-source budget gate
+    * (`Streams.budgetAdmissionStream`): the consumed-token counter is
+    * keyed state — a kill between micro-batches must neither reset it
+    * (which would re-open a spent budget) nor double-count the batch that
+    * committed before the crash. Verdicts over the union of arrivals must
+    * equal the batch `Corpus.sourceBudget` ledger exactly. */
+  test("restart drill: budget gate's consumed-token state survives kill/resume") {
+    val root = Files.createTempDirectory("budget_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type V = (String, Long, Long, Long, Boolean)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[V]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("source STRING, docId LONG, nTokens LONG").json(srcDir.getPath)
+        .as[graft.streaming.Streams.BudgetIn]
+      graft.streaming.Streams
+        .budgetAdmissionStream(arrivals, budgetPerSource = 10L, ttlMs = 0L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[graft.streaming.Streams.BudgetOut], _: Long) =>
+          df.collect().foreach(o =>
+            out.add((o.source, o.docId, o.nTokens, o.cumSourceTokens, o.admitted))))
+        .start()
+    }
+    def writeRows(name: String, rows: Seq[(String, Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        rows.map { case (s, id, t) => s"""{"source":"$s","docId":$id,"nTokens":$t}""" }
+          .mkString("\n"))
+    // s0: 6 then (after the kill) 7 — the second must see cum 13 > 10,
+    // which only happens if the 6 survived the crash in state
+    writeRows("b1.json", Seq(("s0", 1L, 6L), ("s1", 2L, 9L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    writeRows("b2.json", Seq(("s0", 3L, 7L), ("s1", 4L, 1L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = out.toArray(Array.empty[V]).toSeq.sortBy(v => (v._1, v._2))
+    assert(got === Seq(
+      ("s0", 1L, 6L, 6L, true),
+      ("s0", 3L, 7L, 13L, false),   // pre-kill spend persisted: 6 + 7 > 10
+      ("s1", 2L, 9L, 9L, true),
+      ("s1", 4L, 1L, 10L, true)),   // exactly exhausts the budget
+      s"budget state must survive the restart: $got")
+    // and the streamed ledger equals the batch form over the union
+    val docsDf = Seq(
+      (1L, "w w w w w w", "s0"), (3L, "w w w w w w w", "s0"),
+      (2L, (1 to 9).map(_ => "w").mkString(" "), "s1"), (4L, "w", "s1"))
+      .toDF("doc_id", "text", "source")
+    val batch = graft.llm.Corpus.sourceBudget(docsDf, budgetPerSource = 10L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_source_tokens"),
+        r.getAs[Boolean]("admitted"))).sortBy(v => (v._1, v._2)).toSeq
+    assert(got === batch, "streamed ledger == batch keyed prefix sum over the union")
+  }
+
   /** Restart drill for the chunking path (`Chunking.chunkPlan` — the RAG
     * indexing feed): killed between micro-batches with documents arriving
     * while down, resumed from checkpoint. Chunking is stateless per-row

@@ -159,4 +159,22 @@ class FoldPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("budgetFold: chopped == one-shot on docId-ordered feeds") {
+    val feedGen: Gen[List[Streams.BudgetIn]] = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 120L))
+    } yield toks.zipWithIndex.map { case (t, i) => Streams.BudgetIn("s", i + 1L, t) }
+    samples(feedGen, 60, 7300L).foreach { feed =>
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val oneShot = Streams.budgetFold("s", None, feed, budget = 1000L)._2
+        val chopped = chop.foldLeft((Option.empty[Long], Seq.empty[Streams.BudgetOut])) {
+          case ((st, acc), batch) =>
+            val (used, out) = Streams.budgetFold("s", st, batch, budget = 1000L)
+            (Some(used), acc ++ out)
+        }._2
+        assert(chopped === oneShot, s"feed=$feed chop=$chop")
+      }
+    }
+  }
 }

@@ -49,6 +49,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(at(0.9) === (1L, 2L))
   }
 
+  test("thresholdCurveCapped: a lower bound of the exact curve, tight on this corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected"))).toMap
+    val exact = toMap(Dedup.thresholdCurve(docs))
+    val capped = toMap(Dedup.thresholdCurveCapped(docs))
+    capped.foreach { case (t, (p, d)) =>
+      assert(p <= exact.getOrElse(t, (0L, 0L))._1,
+        s"capped pairs at $t must lower-bound the exact count")
+      assert(d <= exact.getOrElse(t, (0L, 0L))._2)
+    }
+    // the banded candidates catch the high-similarity head — at 0.9 the
+    // capped curve must agree with the exact one on this corpus
+    assert(capped.get(0.9) === exact.get(0.9),
+      "near-identical pairs must survive the banded candidate generation")
+  }
+
   test("minhashCalibration: identical docs estimate 1.0 with zero error; errors bounded") {
     val docs = Seq(
       (0L, "p q r s t u"),

@@ -37,7 +37,8 @@ class PlansSpec extends SparkSpec {
     "dedup_containment", "ann_ivf_incremental",
     "text_novelty", "text_char_stats", "dedup_threshold_curve",
     "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget",
-    "dedup_source_overlap", "ann_probe_curve")
+    "dedup_source_overlap", "ann_probe_curve",
+    "dedup_threshold_curve_capped", "corpus_budget_by_source")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -215,6 +216,16 @@ class PlansSpec extends SparkSpec {
     assert(count("corpus_token_budget", "Exchange SinglePartition") === 0,
       "the running total must be the distributed prefix sum, not a global window")
     assert(count("corpus_token_budget", "SortMergeJoin") === 0)
+  }
+
+  test("per-source budget gate: keyed prefix sum, no single-partition exchange") {
+    assert(count("corpus_budget_by_source", "Exchange SinglePartition") === 0,
+      "keyedRunningSum must never funnel a source through one task")
+  }
+
+  test("capped threshold curve stays on the banded-candidate path") {
+    // exactly the 5-row threshold fanout; candidates + verify are equality
+    assert(count("dedup_threshold_curve_capped", "BroadcastNestedLoopJoin") === 1)
   }
 
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {

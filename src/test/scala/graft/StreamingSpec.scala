@@ -769,6 +769,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, "streaming admission == batch admission")
   }
 
+  test("streaming per-source budget gate == batch sourceBudget on ordered arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b c d e", "s0"),                          // 5 tokens
+      (2L, (1 to 8).map(_ => "w").mkString(" "), "s0"), // 8 → s0 cum 13 > 10
+      (3L, "x y z", "s1"),                              // 3
+      (4L, "p q r s", "s1"),                            // 4 → s1 cum 7 ≤ 10
+      (5L, "k l m n o", "s1"))                          // 5 → s1 cum 12 > 10
+    val input = MemoryStream[graft.streaming.Streams.BudgetIn]
+    val q = graft.streaming.Streams
+      .budgetAdmissionStream(input.toDS(), budgetPerSource = 10L, ttlMs = 0L)
+      .writeStream.format("memory").queryName("budget_gate")
+      .outputMode("append").start()
+    def asIn(d: (Long, String, String)) =
+      graft.streaming.Streams.BudgetIn(d._3, d._1, d._2.split(" ").length.toLong)
+    input.addData(docs.take(3).map(asIn): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(3).map(asIn): _*)
+    q.processAllAvailable()
+    val got = spark.table("budget_gate").as[graft.streaming.Streams.BudgetOut]
+      .collect().sortBy(o => (o.source, o.docId)).toSeq
+    q.stop()
+    val batch = graft.llm.Corpus
+      .sourceBudget(docs.toDF("doc_id", "text", "source"), budgetPerSource = 10L)
+      .orderBy("source", "doc_id").collect()
+      .map(r => graft.streaming.Streams.BudgetOut(
+        r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_source_tokens"),
+        r.getAs[Boolean]("admitted"))).toSeq
+    assert(got === batch, "streaming budget gate == batch keyed prefix sum")
+    assert(got.map(o => o.docId -> o.admitted) ===
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
+  }
+
   test("streaming ingest dedup gate flags live docs against the corpus index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
