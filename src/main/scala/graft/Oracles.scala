@@ -2643,6 +2643,110 @@ object Oracles {
     ORDER BY n_probe"""
   }
 
+  /** aHash CTE shared by the mm_phash oracles — recomputes the decoded
+    * raster's 8×8 mean-threshold hash arithmetically from the payload
+    * generator contract (`Multimodal.encodePng`: pixel i = code of
+    * text[i % len]; w = 8+len%24, h = 8+len%16; `Multimodal.aHash`:
+    * sample (x,y) at ((y·h/8)·w + x·w/8), bit ⇔ 64·sample > Σ). Emits
+    * `ph (doc_id, sum64, phash_hi, phash_lo)`. */
+  private val phashCte: String = """
+    pt AS (SELECT doc_id, text, length(text) AS len,
+             8 + length(text) % 24 AS w, 8 + length(text) % 16 AS h
+           FROM documents),
+    psmp AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), k ->
+          CAST(ascii(text[CAST((((k // 8) * h) // 8) * w + (((k % 8) * w) // 8) AS BIGINT) % len + 1]) AS BIGINT)) AS smp
+      FROM pt),
+    pm AS (
+      SELECT doc_id, smp,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), smp), (a, b) -> a + b) AS sum64
+      FROM psmp),
+    ph AS (
+      SELECT doc_id, sum64,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(32, 64), k ->
+            CASE WHEN 64 * smp[k + 1] > sum64
+                 THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER) ELSE 0 END)),
+          (a, b) -> a + b) AS phash_hi,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 32), k ->
+            CASE WHEN 64 * smp[k + 1] > sum64
+                 THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)),
+          (a, b) -> a + b) AS phash_lo
+      FROM pm)"""
+
+  /** Perceptual hash table — mirrors `Multimodal.aHash` over the stored
+    * media column. */
+  val mmPhash: String = s"""WITH $phashCte
+    SELECT doc_id, sum64, phash_hi, phash_lo FROM ph ORDER BY doc_id"""
+
+  /** Banded pHash near-dup pairs — mirrors `Multimodal.phashDups(7)`:
+    * eight 8-bit bands, equality join, exact popcount verify. */
+  val mmPhashDups: String = s"""WITH $phashCte,
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, j AS band,
+        CASE WHEN j < 4 THEN (phash_lo >> CAST(8 * j AS INTEGER)) & 255
+             ELSE (phash_hi >> CAST(8 * (j - 4) AS INTEGER)) & 255 END AS band_val
+      FROM ph, unnest(range(0, 8)) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.phash_hi AS a_hi, a.phash_lo AS a_lo,
+        b.phash_hi AS b_hi, b.phash_lo AS b_lo
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+      CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
+    ORDER BY a_id, b_id"""
+
+  /** Matryoshka truncation sweep — mirrors `Similarity.matryoshkaRecall`:
+    * per candidate width d, cosine over the first d dims (same
+    * left-to-right fold), top-5 per query, pooled hits vs the full-width
+    * exact top-5. */
+  def annMatryoshka(dims: Seq[Int] = Seq(16, 32, 64)): String = {
+    def dotD(a: String, b: String, d: Int): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(range(1, ${d + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+         (acc, x) -> acc + x)"""
+    val per = dims.map { d =>
+      s"""n$d AS (
+      SELECT vec_id, embedding,
+        sqrt(${dotD("embedding", "embedding", d)}) AS nrm
+      FROM embeddings),
+    scored$d AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotD("q.embedding", "c.embedding", d)} / (q.nrm * c.nrm) AS cos
+      FROM n$d q JOIN n$d c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    top$d AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        FROM scored$d) WHERE rnk <= 5),
+    hit$d AS (
+      SELECT count(*) AS n_hits FROM exact e JOIN top$d t USING (q_id, n_id))"""
+    }.mkString(",\n    ")
+    val union = dims.map { d =>
+      s"SELECT CAST($d AS BIGINT) AS dims, CAST((SELECT n_hits FROM hit$d) AS BIGINT) AS n_hits"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH
+    fn AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    fscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM fn q JOIN fn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+        FROM fscored) WHERE rnk <= 5),
+    $per
+    SELECT dims, n_hits, CAST(n_hits AS DOUBLE) / 50.0 AS recall
+    FROM ($union)
+    ORDER BY dims"""
+  }
+
   /** Per-source budget gate — mirrors `Corpus.sourceBudget(2000)`: running
     * token total per source in doc_id order, admitted = fits the budget.
     * (The window form IS the oracle; the engine side computes the same
@@ -2747,6 +2851,9 @@ object Oracles {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,
+    "ann_matryoshka" -> annMatryoshka(),
+    "mm_phash" -> mmPhash,
+    "mm_phash_dups" -> mmPhashDups,
     "vocab_kmv" -> vocabKmv,
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,

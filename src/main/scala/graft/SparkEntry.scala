@@ -579,6 +579,10 @@ object SparkEntry {
     // recall-vs-nProbe tuning curve over ONE IVF index build
     "ann_probe_curve" -> ((s, dir) =>
       Similarity.ivfProbeCurve(Tables.embeddings(s, dir)).orderBy("n_probe")),
+    // matryoshka truncation sweep: recall of prefix-width cosine top-5 vs
+    // the full width — the embedding-width serving tradeoff curve
+    "ann_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir)).orderBy("dims")),
     // sliding-window chunk plan (RAG/SFT prep): explode-only, shuffle-free
     "chunk_plan" -> ((s, dir) =>
       Chunking.chunkPlan(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
@@ -746,6 +750,16 @@ object SparkEntry {
       Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir)))
         .select("doc_id", "width", "height", "n_frames", "sum_red")
         .orderBy("doc_id")),
+    // perceptual aHash over the decoded raster — the oracle recomputes the
+    // same 64 bits arithmetically from the payload generator's contract
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir))).orderBy("doc_id")),
+    // image near-dup pairs: 8×8-bit banded equality join (full recall to
+    // Hamming 7 by pigeonhole) + exact popcount verify — never all-pairs
+    "mm_phash_dups" -> ((s, dir) =>
+      Multimodal.phashDups(
+        Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir))))
+        .orderBy("a_id", "b_id")),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

@@ -183,4 +183,88 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         concat(col("content_hash"), lit(":"), col("frame_idx").cast("string")).as("frame_id"))
   }
+
+  case class MediaHash(doc_id: Long, sum64: Long, phash_hi: Long, phash_lo: Long)
+
+  /** Perceptual average-hash (aHash) over the DECODED raster — the image
+    * near-dup fingerprint every media pipeline computes at ingest. The
+    * convention is pinned exactly so the oracle can recompute it from the
+    * payload generator's arithmetic: sample an 8×8 grid
+    * (`sample(x,y) = red(px[(y·h/8)·w + (x·w/8)])`, integer division),
+    * take the integer sum, and set bit k ⇔ `64·sample_k > sum` (the
+    * mean-threshold rule written multiply-only, so there is no division
+    * rounding to disagree about). The 64 bits are returned as two signed
+    * BIGINT halves (hi = bits 32..63) because a bit-63 hash would
+    * overflow a single signed 64-bit literal in SQL.
+    *
+    * Scale shape: one typed `mapPartitions` decode pass, no shuffle —
+    * same as every decode path here. */
+  def aHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[MediaPayload] =
+      media.select(col("doc_id"), col("text_len"), col("payload")).as[MediaPayload]
+    typed.mapPartitions { batch =>
+      batch.map { m =>
+        val img = decode(m.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = pixels(img)
+        val smp = new Array[Long](64)
+        var sum = 0L
+        var k = 0
+        while (k < 64) {
+          val sy = (k / 8) * h / 8
+          val sx = (k % 8) * w / 8
+          smp(k) = (px(sy * w + sx) >> 16) & 0xFF
+          sum += smp(k)
+          k += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (64L * smp(k) > sum) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        MediaHash(m.doc_id, sum, hi, lo)
+      }
+    }.toDF()
+  }
+
+  /** Image near-dup pairs by banded perceptual-hash join: split the 64-bit
+    * aHash into eight 8-bit bands; any pair with Hamming distance ≤ 7
+    * shares at least one band EXACTLY (pigeonhole — 7 differing bits
+    * cannot touch all 8 bands), so the equality join on (band, value)
+    * has full recall at the threshold it verifies. Candidates are then
+    * verified with the exact popcount distance. Never an all-pairs
+    * comparison — the same banded shape as every dedup path here.
+    *
+    * `maxHamming` must stay ≤ 7 for the recall guarantee; the default IS
+    * the pigeonhole bound. */
+  def phashDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8 bands of 8 bits guarantee recall only to Hamming 7")
+    val banded = hashes.select(
+      col("doc_id"),
+      col("phash_hi"), col("phash_lo"),
+      posexplode(array((0 until 8).map { j =>
+        if (j < 4) shiftright(col("phash_lo"), 8 * j).bitwiseAND(lit(255L))
+        else shiftright(col("phash_hi"), 8 * (j - 4)).bitwiseAND(lit(255L))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("doc_id").as("a_id"), col("phash_hi").as("a_hi"),
+      col("phash_lo").as("a_lo"), col("band"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("phash_hi").as("b_hi"),
+      col("phash_lo").as("b_lo"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        bit_count(col("a_hi").bitwiseXOR(col("b_hi"))).cast("long") +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
 }

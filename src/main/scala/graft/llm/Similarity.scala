@@ -759,6 +759,31 @@ object Similarity {
     *
     * Pooled recall = Σ hits / (nQueries·k) — integer sums, one exact
     * division (per-query recall already exists as `ann_ivf_recall`). */
+  /** Matryoshka truncation sweep — the embedding-width tradeoff curve
+    * (Kusupati et al. 2022's MRL serving trick: score on a PREFIX of the
+    * embedding, cutting memory traffic proportionally): pooled recall of
+    * the top-`k` under cosine over the first `d` dims against the
+    * full-width exact top-`k`, one row per candidate width. The full
+    * width is included as the self-check row (recall 1 by construction).
+    *
+    * Scale shape: each width is the [[cosineTopK]] broadcast-scan shape
+    * over `slice(embedding, 1, d)` — the corpus is scanned, never
+    * shuffled; the tiny per-width top-k sets broadcast into the hit
+    * join. Integer hit counts, one exact division. */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(16, 32, 64),
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id")).persist()
+    dims.map { d =>
+      val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val top = cosineTopK(trunc, nQueries, k).select(col("q_id"), col("n_id"))
+      exact.join(broadcast(top), Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit((nQueries * k).toDouble))
+  }
+
   def ivfProbeCurve(emb: DataFrame, nLists: Int = 16,
       probes: Seq[Int] = Seq(1, 2, 4, 8), nQueries: Int = 10, k: Int = 3,
       kmeansIters: Int = 2): DataFrame = {

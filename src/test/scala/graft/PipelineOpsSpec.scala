@@ -137,6 +137,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full.getAs[Double]("recall") === 1.0)
   }
 
+  test("matryoshkaRecall: full width is exact; recall bounded and present per width") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val curve = Similarity.matryoshkaRecall(emb).orderBy("dims").collect()
+    assert(curve.map(_.getAs[Long]("dims")).toSeq === Seq(16L, 32L, 64L))
+    curve.foreach(r => assert(r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0))
+    assert(curve.last.getAs[Double]("recall") === 1.0,
+      "truncating to the full width must reproduce the exact top-k")
+  }
+
+  test("aHash: the decoded-raster hash equals the arithmetic contract, corpus-wide") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = graft.llm.Multimodal.encodeCorpus(docs)
+    val got = graft.llm.Multimodal.aHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute WITHOUT any codec, straight from the generator contract
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val len = text.length
+      val (w, h) = (8 + len % 24, 8 + len % 16)
+      val smp = Array.tabulate(64) { k =>
+        val idx = ((k / 8) * h / 8) * w + (k % 8) * w / 8
+        (text.charAt(idx % len).toInt & 0xFF).toLong
+      }
+      val sum = smp.sum
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { k =>
+        if (64L * smp(k) > sum) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      assert(got(id) === ((sum, hi, lo)),
+        s"doc $id: decode path and arithmetic contract disagree")
+    }
+  }
+
+  test("phashDups: identical images collide at hamming 0; bound enforced") {
+    val docs = Seq(
+      (0L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 50).map(i => s"w$i").mkString(" ")),   // identical → hamming 0
+      (2L, (1 to 50).map(i => s"z${i * 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val hashes = graft.llm.Multimodal.aHash(graft.llm.Multimodal.encodeCorpus(docs))
+    val pairs = graft.llm.Multimodal.phashDups(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((0L, 1L, 0L)), s"identical payloads must pair at 0: ${pairs.toSeq}")
+    pairs.foreach { case (_, _, d) => assert(d <= 7L) }
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.phashDups(hashes, maxHamming = 8)
+    }
+  }
+
   test("tokenBudget: cum_tokens follows logit-desc order and the cut is exact") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.tokenBudget(docs, budget = 500L).orderBy("cum_tokens").collect()

@@ -38,7 +38,8 @@ class PlansSpec extends SparkSpec {
     "text_novelty", "text_char_stats", "dedup_threshold_curve",
     "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget",
     "dedup_source_overlap", "ann_probe_curve",
-    "dedup_threshold_curve_capped", "corpus_budget_by_source")
+    "dedup_threshold_curve_capped", "corpus_budget_by_source",
+    "ann_matryoshka", "mm_phash", "mm_phash_dups")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -228,8 +229,13 @@ class PlansSpec extends SparkSpec {
     assert(count("dedup_threshold_curve_capped", "BroadcastNestedLoopJoin") === 1)
   }
 
+  test("phash dup join is a banded equality join, never nested-loop") {
+    assert(count("mm_phash_dups", "BroadcastNestedLoopJoin") === 0)
+    assert(count("mm_phash_dups", "CartesianProduct") === 0)
+  }
+
   test("multimodal decode paths are scan-speed typed batches: no shuffle, no join") {
-    for (n <- Seq("mm_binary_meta", "mm_resize")) {
+    for (n <- Seq("mm_binary_meta", "mm_resize", "mm_phash")) {
       assert(count(n, "Exchange hashpartitioning") === 0,
         s"$n is per-partition decode work and must not shuffle")
       assert(count(n, "Join") === 0, s"$n must not join")
