@@ -1370,6 +1370,113 @@ object Oracles {
     FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id
     ORDER BY q.q_id"""
 
+  /** Left-fold dot product over the first `dims` elements (the
+    * [[dotSql]] formula at a parametric width — PQ works on 8-dim
+    * subvectors). */
+  private def dotNSql(a: String, b: String, dims: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       (acc, x) -> acc + x)"""
+
+  /** Per-(vector, subspace) nearest-codeword assignment — mirrors
+    * `Similarity.pqAssign`: rank by `‖c‖² − 2⟨x,c⟩` (the ‖x‖² term is
+    * constant per subvector), ties on the smaller code id. */
+  private def pqAssignCte(name: String, cb: String): String = s"""$name AS (
+      SELECT vec_id, s, code, sub FROM (
+        SELECT subs.vec_id, subs.s, c.code, subs.sub,
+          row_number() OVER (PARTITION BY subs.vec_id, subs.s
+            ORDER BY c.c_dot - 2.0 * ${dotNSql("subs.sub", "c.c_sub", 8)} ASC,
+              c.code) AS r
+        FROM subs JOIN $cb c USING (s)) WHERE r = 1)"""
+
+  /** One Lloyd step per subspace — quantized-integer means exactly as
+    * `Similarity.pqCodebooks` (Σ floor(x·2²⁰) as BIGINT, one division). */
+  private def pqLloydStep(assign: String, sums: String, cb: String): String = s"""$sums AS (
+      SELECT a.s, a.code, t.i,
+        sum(CAST(floor(a.sub[t.i] * 1048576.0) AS BIGINT)) AS ssum,
+        count(*) AS cnt
+      FROM $assign a, range(1, 9) t(i)
+      GROUP BY a.s, a.code, t.i),
+    $cb AS (
+      SELECT s, code, list(ssum::DOUBLE / (1048576.0 * cnt) ORDER BY i) AS c_sub
+      FROM $sums GROUP BY s, code),
+    ${cb}d AS (SELECT s, code, c_sub, ${dotNSql("c_sub", "c_sub", 8)} AS c_dot
+      FROM $cb)"""
+
+  /** Product quantization (m=8 × 8-dim subspaces, kSub=32, 2 Lloyd
+    * iterations, seeds = vec_id < 32) + ADC scoring for queries vec_id < 10
+    * — mirrors `Similarity.pqCodebooks`/`pqEncode`/`pqTopK`. The ADC sum
+    * folds the per-subspace LUT values in ascending subspace order
+    * (list_reduce over `ORDER BY s` — the same left fold Spark's
+    * `aggregate` over `sequence(0, m-1)` runs). Ends in `pqtopk`. */
+  private def pqCtes: String = s"""
+    subs AS (
+      SELECT vec_id, t.s,
+        list_transform(range(1, 9), i -> (embedding[t.s * 8 + i])::DOUBLE) AS sub
+      FROM embeddings, range(0, 8) t(s)),
+    cb0d AS (
+      SELECT s, vec_id AS code, sub AS c_sub, ${dotNSql("sub", "sub", 8)} AS c_dot
+      FROM subs WHERE vec_id < 32),
+    ${pqAssignCte("pasg1", "cb0d")},
+    ${pqLloydStep("pasg1", "psums1", "pcb1")},
+    ${pqAssignCte("pasg2", "pcb1d")},
+    ${pqLloydStep("pasg2", "psums2", "pcb2")},
+    ${pqAssignCte("pasgf", "pcb2d")},
+    enc AS (
+      SELECT a.vec_id,
+        list(a.code ORDER BY a.s) AS codes,
+        greatest(sqrt(list_reduce(
+          list_prepend(0.0::DOUBLE, list(c.c_dot ORDER BY a.s)),
+          (acc, x) -> acc + x)), 1e-300) AS r_nrm
+      FROM pasgf a JOIN pcb2d c USING (s, code)
+      GROUP BY a.vec_id),
+    pquery AS (SELECT vec_id AS q_id, embedding, ${normSql("embedding")} AS q_nrm
+      FROM embeddings WHERE vec_id < 10),
+    qsub AS (
+      SELECT q_id, q_nrm, t.s,
+        list_transform(range(1, 9), i -> (embedding[t.s * 8 + i])::DOUBLE) AS qs
+      FROM pquery, range(0, 8) t(s)),
+    qlut AS (
+      SELECT qsub.q_id, qsub.q_nrm, qsub.s, c.code,
+        ${dotNSql("qsub.qs", "c.c_sub", 8)} AS lval
+      FROM qsub JOIN pcb2d c USING (s)),
+    pqscored AS (
+      SELECT l.q_id, e.vec_id AS n_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list(l.lval ORDER BY l.s)),
+          (acc, x) -> acc + x) / (max(l.q_nrm) * max(e.r_nrm)) AS cos_pq
+      FROM enc e JOIN qlut l ON l.code = e.codes[l.s + 1]
+      WHERE l.q_id <> e.vec_id
+      GROUP BY l.q_id, e.vec_id),
+    pqtopk AS (
+      SELECT q_id, n_id, cos_pq,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, n_id) AS rnk
+      FROM pqscored)"""
+
+  val annPqTopK: String = s"""WITH $pqCtes
+    SELECT q_id, rnk, n_id, cos_pq
+    FROM pqtopk WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  val annPqRecall: String = s"""WITH $pqCtes,
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored),
+    ex AS (SELECT q_id, n_id FROM ranked WHERE rnk <= 5),
+    pq AS (SELECT q_id, n_id FROM pqtopk WHERE rnk <= 5),
+    hits AS (
+      SELECT ex.q_id, count(*) AS n_hit
+      FROM ex JOIN pq ON ex.q_id = pq.q_id AND ex.n_id = pq.n_id
+      GROUP BY ex.q_id)
+    SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      coalesce(h.n_hit, 0)::DOUBLE / 5.0 AS recall
+    FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id
+    ORDER BY q.q_id"""
+
   /** Sliding-window chunk plan in SQL — mirrors `Chunking.chunkPlan`. */
   def chunkPlanSql(size: Int = 64, stride: Int = 48): String = s"""WITH
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2867,6 +2974,8 @@ object Oracles {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
+    "ann_pq_topk" -> annPqTopK,
+    "ann_pq_recall" -> annPqRecall,
     "ann_ivfsq_topk" -> annIvfSqTopK,
     // packed byte-level scoring is integer-exact == the array form
     "ann_quantized_persisted" -> annQuantizedTopK,

@@ -557,6 +557,12 @@ object SparkEntry {
       Similarity.quantizedTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     "ann_quantized_recall" -> ((s, dir) =>
       Similarity.quantizedRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // product quantization: m=4 subspace codebooks + ADC lookup scoring —
+    // the 64x-compression scan (m code bytes per candidate, no float reads)
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    "ann_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     // IVF-SQ composition: coarse quantizer prunes the scan, int8 codes
     // shrink the list payloads — the knobs multiply at corpus scale
     "ann_ivfsq_topk" -> ((s, dir) =>

@@ -801,4 +801,147 @@ object Similarity {
       .withColumn("recall",
         col("n_hits").cast("double") / lit((nQueries * k).toDouble))
   }
+
+  // ──────────────────── Product quantization (Jégou et al. 2011) ──────────
+
+  /** Subvector view: one row per (vector, subspace) carrying that
+    * subspace's `subDim` components. `slice` is positional (no per-element
+    * lambda); elements stay float — [[graft.functions.ArrayDot]] reads each
+    * declared element type natively and widens to double, matching the
+    * oracle's `::DOUBLE` casts. */
+  private def pqSubvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"), posexplode(array((0 until m).map(s =>
+      slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
+
+  /** Nearest codeword per (vector, subspace) under L2, as a hash
+    * AGGREGATION (the [[assignNearest]] argmax shape, never a sort-window
+    * over the corpus). `‖x‖²` is constant per subvector so the argmin ranks
+    * by `‖c‖² − 2⟨x,c⟩` only — fewer float ops and one fewer parity
+    * surface. Ties break on the smaller code id via the struct ordering. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", col("c_dot") - lit(2.0) * dot(col("sub"), col("c_sub")))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("code"), col("sub")),
+        struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"),
+        col("best.code").as("code"), col("best.sub").as("sub"))
+
+  /** Per-subspace Lloyd codebooks — product quantization's training step:
+    * the 64-dim space splits into `m` independent `64/m`-dim subspaces,
+    * each clustered to `kSub` codewords, so a vector encodes to `m` code
+    * ids (m bytes at kSub ≤ 256) against 256 float bytes — 32× smaller at
+    * the default m=8. Codebook size is m·kSub rows (tiny, broadcasts);
+    * training reuses the [[kmeansCentroids]] determinism contract: seeds
+    * are the first `kSub` vectors' subvectors, means sum `floor(x·2²⁰)` as
+    * exact BIGINTs, so the codebooks are bit-identical across partitionings
+    * and reproducible in the DuckDB oracle.
+    *
+    * Scale shape per iteration: one broadcast of m·kSub codewords, one
+    * corpus-subvector pass (m rows per vector, a constant fan-out), one
+    * (s, code, pos)-keyed partial agg. No collect, no quadratic term. */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, kSub: Int = 32,
+      iters: Int = 2): DataFrame = {
+    val q = 1048576.0 // 2^20
+    val subDim = 64 / m
+    val subs = pqSubvectors(emb, m, subDim)
+    val seed = subs.filter(col("vec_id") < kSub)
+      .select(col("s"), col("vec_id").as("code"),
+        transform(col("sub"), v => v.cast("double")).as("c_sub"))
+      .withColumn("c_dot", dot(col("c_sub"), col("c_sub")))
+    (1 to iters).foldLeft(seed) { (cb, _) =>
+      pqAssign(subs, cb)
+        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("s", "code", "pos")
+        .agg(sum(floor(col("x").cast("double") * q)).as("ssum"),
+          count(lit(1)).as("cnt"))
+        .select(col("s"), col("code"), col("pos"),
+          (col("ssum").cast("double") / (lit(q) * col("cnt"))).as("comp"))
+        .groupBy("s", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+        .select(col("s"), col("code"),
+          transform(col("pc"), p => p.getField("comp")).as("c_sub"))
+        .withColumn("c_dot", dot(col("c_sub"), col("c_sub")))
+    }
+  }
+
+  /** Encode every vector as its `m` nearest-codeword ids plus the
+    * reconstructed norm `‖x̂‖ = √Σ_s ‖c_{s,code_s}‖²` (the norm of the
+    * codeword concatenation — cross-subspace terms are zero by
+    * construction). One corpus-subvector pass + one vec_id-keyed agg; the
+    * codes row is the 100-TB artifact: m small ints + one double per
+    * vector. */
+  def pqEncode(emb: DataFrame, cb: DataFrame, m: Int = 8): DataFrame =
+    pqAssign(pqSubvectors(emb, m, 64 / m), cb)
+      .join(broadcast(cb.select(col("s"), col("code"), col("c_dot"))), Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("code"), col("c_dot")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("code")).as("codes"),
+        greatest(sqrt(aggregate(transform(col("sc"), p => p.getField("c_dot")),
+          lit(0.0), (acc, x) => acc + x)), lit(1e-300)).as("r_nrm"))
+
+  /** PQ top-`k` by asymmetric distance computation (ADC): each query
+    * precomputes its m·kSub lookup table of subspace dot products against
+    * the codebooks (a few hundred doubles — broadcast with the query), and
+    * every corpus candidate scores as `m` TABLE LOOKUPS summed in subspace
+    * order — no float vector is ever read on the corpus side. The score is
+    * the approximate cosine `Σ_s lut[s][code_s] / (‖q‖·‖x̂‖)`.
+    *
+    * Scale shape: codebooks and per-query LUTs broadcast; the corpus codes
+    * table (m ids + a norm per vector) streams through one projection and
+    * a per-query top-k window — the same shape as [[quantizedTopK]] but
+    * touching m code bytes instead of 256 float bytes: at 100 TB of
+    * float32 embeddings the PQ scan reads ~3% of the bytes. Deterministic: the
+    * LUT fold runs in ascending subspace order (left fold, exactly the
+    * oracle's `list_reduce` over `ORDER BY s`), ties break on n_id. */
+  def pqTopK(emb: DataFrame, m: Int = 8, kSub: Int = 32, nQueries: Int = 10,
+      k: Int = 5, iters: Int = 2): DataFrame = {
+    val subDim = 64 / m
+    // m·kSub rows behind an iterated-aggregation lineage — persist so the
+    // encode and LUT branches build the codebooks once
+    val cb = pqCodebooks(emb, m, kSub, iters).persist()
+    val codes = pqEncode(emb, cb, m)
+      .select(col("vec_id").as("n_id"), col("codes"), col("r_nrm"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"),
+        norm(col("embedding")).as("q_nrm"))
+    val luts = queries.join(broadcast(cb), col("q_id").isNotNull)
+      .withColumn("lval",
+        dot(slice(col("embedding"), col("s") * subDim + lit(1), lit(subDim)),
+          col("c_sub")))
+      .groupBy("q_id", "q_nrm")
+      .agg(map_from_entries(collect_list(struct(
+        (col("s").cast("long") * 1024L + col("code")).as("key"),
+        col("lval").as("value")))).as("lut"))
+    val scored = codes.join(broadcast(luts), col("q_id") =!= col("n_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          s.cast("long") * 1024L + element_at(col("codes"), s + 1))))
+      .withColumn("cos_pq", col("adc") / (col("q_nrm") * col("r_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
+  }
+
+  /** Recall of the PQ/ADC top-`k` against the exact float top-`k` — the
+    * accuracy ledger published next to PQ's 32× compression (the
+    * [[quantizedRecall]] contract, code-path swapped). */
+  def pqRecall(emb: DataFrame, m: Int = 8, kSub: Int = 32, nQueries: Int = 10,
+      k: Int = 5, iters: Int = 2): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    val pq = pqTopK(emb, m, kSub, nQueries, k, iters).select(col("q_id"), col("n_id"))
+    val hits = exact
+      .join(broadcast(pq), Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    exact.select("q_id").distinct()
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
 }

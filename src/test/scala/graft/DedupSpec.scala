@@ -1452,4 +1452,44 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(shuffled === got)
   }
+
+  test("product quantization: codebook shape, duplicate-code invariance, recall ledger") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebooks(emb)
+    val cbRows = cb.collect()
+    // m=8 subspaces of 8-dim codewords, (s, code) unique, ≤ kSub codes each
+    assert(cbRows.forall(_.getAs[scala.collection.Seq[Double]]("c_sub").length === 8))
+    assert(cbRows.map(r => (r.getAs[Int]("s"), r.getAs[Long]("code")))
+      .distinct.length === cbRows.length)
+    assert((0 until 8).forall(s =>
+      cbRows.count(_.getAs[Int]("s") == s) <= 32), "at most kSub codes per subspace")
+    // identical embeddings encode to identical codes and identical r_nrm
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(999000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding")))
+    val encDup = Similarity.pqEncode(dup, cb).collect()
+    assert(encDup.length === 2)
+    assert(encDup.map(_.getAs[scala.collection.Seq[Long]]("codes").toList).distinct.length === 1,
+      "equal vectors must take equal codes")
+    assert(encDup.map(_.getAs[Double]("r_nrm")).distinct.length === 1)
+    // recall ledger consistency: n_hit is exactly |pq top-k ∩ exact top-k|
+    val exact = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rec = Similarity.pqRecall(emb).collect()
+    assert(rec.map(_.getLong(0)).toSeq.sorted === (0L until 10L))
+    rec.foreach { r =>
+      val q = r.getLong(0)
+      val expect = (exact intersect pq).count(_._1 == q).toLong
+      assert(r.getLong(1) === expect, s"n_hit for query $q")
+      assert(r.getDouble(2) === expect / 5.0)
+    }
+    // codes are stable under repartitioning (the determinism contract)
+    val enc1 = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
+    val enc2 = Similarity.pqEncode(emb.repartition(7), cb).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
+    assert(enc1 === enc2)
+  }
 }

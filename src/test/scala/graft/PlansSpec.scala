@@ -39,7 +39,7 @@ class PlansSpec extends SparkSpec {
     "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget",
     "dedup_source_overlap", "ann_probe_curve",
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
-    "ann_matryoshka", "mm_phash", "mm_phash_dups")
+    "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -200,6 +200,16 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_rerank", "BroadcastNestedLoopJoin") === 1)
     assert(count("ann_rerank", "BroadcastHashJoin") >= 2)
     assert(count("ann_rerank", "SortMergeJoin") === 0)
+  }
+
+  test("PQ/ADC top-k: codebooks and LUTs broadcast, the code stream never shuffles wide") {
+    assert(count("ann_pq_topk", "SortMergeJoin") === 0,
+      "every PQ join side is tiny (codebooks, LUTs) — nothing may sort-merge")
+    assert(count("ann_pq_topk", "BroadcastNestedLoopJoin") === 2,
+      "exactly two tiny-side BNLJs: the query×codebook LUT build and the " +
+        "10-row LUT table onto the corpus code stream")
+    assert(count("ann_pq_topk", "BroadcastHashJoin") >= 2,
+      "subspace-keyed assignment/encode joins must hash-broadcast the codebooks")
   }
 
   test("source overlap is equality joins with the size table broadcast") {
