@@ -2710,6 +2710,67 @@ object Oracles {
     FROM inter i JOIN sizes z ON z.source = i.source_a
     ORDER BY i.source_a, i.source_b"""
 
+  /** Bloom ingest gate — mirrors `Dedup.bloomGate` (mBits=65536, k=4,
+    * salted hash31 mod 1000003): membership through the bitmask equals
+    * membership in the distinct corpus-position set, which is what this
+    * SQL tests directly. */
+  val dedupBloomGate: String = s"""WITH
+    corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    arriv AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    cpos AS (SELECT DISTINCT
+        ${h31("c.text || ':' || CAST(t.i AS VARCHAR)", 1000003L)} % 65536 AS pos
+      FROM corpus c, range(0, 4) t(i)),
+    apos AS (SELECT a.doc_id,
+        ${h31("a.text || ':' || CAST(t.i AS VARCHAR)", 1000003L)} % 65536 AS pos
+      FROM arriv a, range(0, 4) t(i)),
+    maybe AS (
+      SELECT a.doc_id, bool_and(c.pos IS NOT NULL) AS maybe_present
+      FROM apos a LEFT JOIN cpos c USING (pos)
+      GROUP BY a.doc_id),
+    dup AS (
+      SELECT a.doc_id, (d.chash IS NOT NULL) AS is_dup
+      FROM arriv a LEFT JOIN (SELECT DISTINCT md5(text) AS chash FROM corpus) d
+        ON md5(a.text) = d.chash)
+    SELECT m.doc_id, m.maybe_present, p.is_dup,
+      (m.maybe_present AND NOT p.is_dup) AS false_positive
+    FROM maybe m JOIN dup p USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Duplicate-growth curve — mirrors `Dedup.growthCurve` (10 ingest-order
+    * buckets; exact = md5, near = full MinHash-signature equality). */
+  val dedupGrowthCurve: String = {
+    val sigCols = (0 until 8).map(i => s"m$i").mkString(", ")
+    s"""WITH $minhashSigCte,
+    ghash AS (SELECT doc_id, md5(text) AS chash FROM documents),
+    efirst AS (SELECT chash, min(doc_id) AS first_id FROM ghash GROUP BY chash),
+    eflag AS (
+      SELECT h.doc_id, (h.doc_id <> f.first_id) AS is_exact
+      FROM ghash h JOIN efirst f USING (chash)),
+    nfirst AS (SELECT $sigCols, min(doc_id) AS nfirst FROM sigs GROUP BY $sigCols),
+    nflag AS (
+      SELECT s.doc_id, (s.doc_id <> f.nfirst) AS is_near
+      FROM sigs s JOIN nfirst f USING ($sigCols)),
+    mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    per AS (
+      SELECT e.doc_id * 10 // (m.max_id + 1) AS bucket,
+        count(*) AS n_docs,
+        sum(CASE WHEN e.is_exact THEN 1 ELSE 0 END) AS n_exact,
+        sum(CASE WHEN n.is_near THEN 1 ELSE 0 END) AS n_near
+      FROM eflag e JOIN nflag n USING (doc_id), mx m
+      GROUP BY 1)
+    SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_exact AS BIGINT) AS n_exact,
+      CAST(n_near AS BIGINT) AS n_near,
+      CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+      CAST(sum(n_exact) OVER w AS BIGINT) AS cum_exact,
+      CAST(sum(n_near) OVER w AS BIGINT) AS cum_near,
+      (sum(n_exact) OVER w)::DOUBLE / (sum(n_docs) OVER w) AS cum_exact_rate,
+      (sum(n_near) OVER w)::DOUBLE / (sum(n_docs) OVER w) AS cum_near_rate
+    FROM per
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket"""
+  }
+
   /** IVF probe sweep — mirrors `Similarity.ivfProbeCurve`: the validated
     * IVF CTE chain built once, probed at nProbe ∈ {1,2,4,8}; pooled hits
     * against the exact float top-3 per probe setting. */
@@ -2956,6 +3017,8 @@ object Oracles {
     "ann_rerank" -> annRerank,
     "corpus_token_budget" -> corpusTokenBudget,
     "dedup_source_overlap" -> dedupSourceOverlap,
+    "dedup_bloom_gate" -> dedupBloomGate,
+    "dedup_growth_curve" -> dedupGrowthCurve,
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,
     "ann_matryoshka" -> annMatryoshka(),

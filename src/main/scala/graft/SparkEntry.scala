@@ -530,6 +530,18 @@ object SparkEntry {
     // which — per-shingle fanout bounded by n_sources², never doc-pairwise
     "dedup_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
+    // Bloom ingest gate: corpus digests fold into one broadcastable 8 KB
+    // bitmask; arrivals screened row-wise, exact join audits the filter
+    "dedup_bloom_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomGate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0)).orderBy("doc_id")
+    }),
+    // cumulative exact-dup rate by ingest-order decile: the curve that
+    // says whether dedup investment grows with the crawl
+    "dedup_growth_curve" -> ((s, dir) =>
+      Dedup.growthCurve(Tables.documents(s, dir)).orderBy("bucket")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.hash31
@@ -835,5 +836,103 @@ object Dedup {
         "source_a")
       .select(col("source_a"), col("source_b"), col("n_common"), col("a_grams"),
         (col("n_common").cast("double") / col("a_grams")).as("containment"))
+  }
+
+  /** The `kHashes` Bloom bit positions of a text: salted hash31 folds
+    * (Kirsch–Mitzenmacher-style independence via per-hash salt suffix)
+    * reduced mod `mBits`. THE single holder of the position formula — the
+    * mask build, the membership probe and the DuckDB oracle all read it. */
+  private def bloomPositions(text: Column, mBits: Int, kHashes: Int): Column =
+    array((0 until kHashes).map(i =>
+      hash31(concat(text, lit(":" + i)), 1000003L) % mBits): _*)
+
+  /** Bloom-filter ingest gate — the constant-size membership screen an
+    * ingest pipeline runs BEFORE any exact-dedup join: the corpus digests
+    * fold into one `mBits`-bit mask ([[graft.functions.BloomMask]], 8 KB at
+    * the 2¹⁶ default), the mask broadcasts as a 1-row aggregate, and every
+    * arrival tests its `kHashes` salted positions row-wise. Definite-absent
+    * arrivals (the overwhelming majority of a healthy crawl) need nothing
+    * else; the exact digest join is only semantically REQUIRED for the
+    * maybe-present minority. This ledger form keeps the exact join on all
+    * arrivals to audit the filter itself: per arrival
+    * `(doc_id, maybe_present, is_dup, false_positive)` — no false
+    * negatives by construction (`is_dup → maybe_present`), false-positive
+    * rate bounded by the (1−e^(−kn/m))^k envelope.
+    *
+    * Scale shape: one corpus pass folding into ≤ mBits/64 longs per
+    * partition (commutative-idempotent OR — no shuffle wider than the
+    * 1-row mask), one broadcast of the mask, row-wise probes, and one
+    * digest-keyed equality join for the audit column. At 100 TB only the
+    * mask build scans the corpus, and it is built once per snapshot. */
+  def bloomGate(corpus: DataFrame, arrivals: DataFrame,
+      mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    val bloom = udaf(new graft.functions.BloomMask(mBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mask = corpus
+      .select(explode(bloomPositions(col("text"), mBits, kHashes)).as("p"))
+      .agg(bloom(col("p")).as("bits"))
+    val corpusDigests = corpus
+      .select(md5(col("text").cast("binary")).as("chash")).distinct()
+      .withColumn("matched", lit(true))
+    arrivals
+      .select(col("doc_id"),
+        bloomPositions(col("text"), mBits, kHashes).as("pos"),
+        md5(col("text").cast("binary")).as("chash"))
+      .join(broadcast(mask), col("doc_id").isNotNull)
+      .withColumn("maybe_present", expr(
+        "forall(pos, p -> (shiftright(element_at(bits, cast(p div 64 as int) + 1), " +
+          "cast(p % 64 as int)) & 1) = 1)"))
+      .join(corpusDigests, Seq("chash"), "left")
+      .select(col("doc_id"), col("maybe_present"),
+        coalesce(col("matched"), lit(false)).as("is_dup"),
+        (col("maybe_present") && !coalesce(col("matched"), lit(false)))
+          .as("false_positive"))
+  }
+
+  /** Duplicate-growth curve — cumulative duplicate rate as the corpus
+    * grows in ingest order (doc_id), bucketed into `buckets` equal-width
+    * ingest slices, at TWO granularities: exact (md5 content hash) and
+    * near-dup (full MinHash-signature equality — the same clustering key
+    * [[keepBestByQuality]] and [[incrementalFlags]] use). This is the
+    * measurement behind every web-corpus dedup decision: duplicate rate
+    * RISES with crawl size (each new document can duplicate any earlier
+    * one), and this curve is the evidence — flat means dedup can wait,
+    * rising means the exact/near-dup passes pay for themselves. A doc is
+    * a duplicate iff an EARLIER doc shares its key, so each bucket's count
+    * is exactly the marginal dedup cost of ingesting that slice.
+    *
+    * Scale shape: one digest-keyed and one signature-keyed aggregation
+    * (first occurrence per key), keyed joins back, a 1-row max broadcast
+    * for the bucket width, one bucket-keyed partial agg — every wide op
+    * is keyed by content hash, signature or bucket, nothing pairwise. The
+    * cumulative window runs over `buckets` rows (a constant), never over
+    * documents. */
+  def growthCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val hashed = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("chash"))
+    val exactFirst = hashed.groupBy("chash").agg(min("doc_id").as("first_id"))
+    val exactFlag = hashed.join(exactFirst, "chash")
+      .select(col("doc_id"), (col("doc_id") =!= col("first_id")).as("is_exact"))
+    val sigs = minhashSignatures(docs)
+    val nearFirst = sigs.groupBy(sigCols.map(col): _*).agg(min("doc_id").as("nfirst"))
+    val nearFlag = sigs.join(nearFirst, sigCols)
+      .select(col("doc_id"), (col("doc_id") =!= col("nfirst")).as("is_near"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val perBucket = exactFlag.join(nearFlag, "doc_id")
+      .join(broadcast(maxId), col("doc_id").isNotNull)
+      .withColumn("bucket", expr(s"doc_id * $buckets div (max_id + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("is_near"), 1L).otherwise(0L)).as("n_near"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_exact", sum("n_exact").over(w))
+      .withColumn("cum_near", sum("n_near").over(w))
+      .withColumn("cum_exact_rate", col("cum_exact").cast("double") / col("cum_docs"))
+      .withColumn("cum_near_rate", col("cum_near").cast("double") / col("cum_docs"))
   }
 }

@@ -1492,4 +1492,52 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("codes").toList).toMap
     assert(enc1 === enc2)
   }
+
+  test("bloom gate: no false negatives, ledger consistency, mask stable under partitioning") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+      // plant a guaranteed duplicate: corpus doc 1's text under a fresh id
+      .unionByName(corpus.filter(col("doc_id") === 1)
+        .withColumn("doc_id", lit(999001L)))
+    val out = Dedup.bloomGate(corpus, arrivals).collect()
+    assert(out.length === arrivals.count())
+    // the Bloom contract: a true duplicate can NEVER be screened out
+    assert(out.filter(_.getBoolean(2)).forall(_.getBoolean(1)),
+      "is_dup implies maybe_present (no false negatives)")
+    assert(out.exists(r => r.getLong(0) == 999001L && r.getBoolean(1) && r.getBoolean(2)),
+      "the planted duplicate must be maybe_present and is_dup")
+    // ledger consistency: false_positive == maybe && !dup, row-wise
+    assert(out.forall(r =>
+      r.getBoolean(3) === (r.getBoolean(1) && !r.getBoolean(2))))
+    // mask is a pure function of the corpus SET: bit-OR is commutative,
+    // associative, idempotent — repartitioning must not move one flag
+    val re = Dedup.bloomGate(corpus.repartition(13), arrivals).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(out.map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap === re)
+  }
+
+  test("growth curve: cumulative sums, totals, and a planted duplicate lands in its bucket") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Dedup.growthCurve(docs).orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    // cum columns are exact running sums of the per-bucket columns
+    var (cd, ce, cn) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      cd += r.getLong(1); ce += r.getLong(2); cn += r.getLong(3)
+      assert(r.getLong(4) === cd); assert(r.getLong(5) === ce); assert(r.getLong(6) === cn)
+      assert(r.getDouble(7) === ce.toDouble / cd)
+      assert(r.getDouble(8) === cn.toDouble / cd)
+    }
+    assert(cd === docs.count())
+    assert(ce <= cn, "signature equality is implied by text equality: near ≥ exact")
+    // a planted exact duplicate of doc 0 at the END of ingest order counts
+    // as BOTH exact and near dup in the last bucket
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(maxId + 1)))
+    val last = Dedup.growthCurve(planted).orderBy("bucket").collect().last
+    assert(last.getLong(5) === ce + 1, "planted exact dup must raise cum_exact by 1")
+    assert(last.getLong(6) === cn + 1, "planted exact dup is also a near dup")
+  }
 }

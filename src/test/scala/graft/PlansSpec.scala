@@ -39,7 +39,8 @@ class PlansSpec extends SparkSpec {
     "dedup_minhash_calibration", "ann_rerank", "corpus_token_budget",
     "dedup_source_overlap", "ann_probe_curve",
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
-    "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk")
+    "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
+    "dedup_bloom_gate", "dedup_growth_curve")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -210,6 +211,24 @@ class PlansSpec extends SparkSpec {
         "10-row LUT table onto the corpus code stream")
     assert(count("ann_pq_topk", "BroadcastHashJoin") >= 2,
       "subspace-keyed assignment/encode joins must hash-broadcast the codebooks")
+  }
+
+  test("bloom gate probes through the 1-row mask broadcast; audit join stays keyed") {
+    // exactly one BNLJ: the single-row bitmask onto the arrival stream;
+    // the digest audit join is chash-keyed equality, never nested-loop
+    assert(count("dedup_bloom_gate", "BroadcastNestedLoopJoin") === 1,
+      "the mask is the only nested-loop (1-row) broadcast")
+  }
+
+  test("growth curve: keyed aggregations only, bucket window never sees doc rows") {
+    // one BNLJ (the 1-row max broadcast); the exact/near first-occurrence
+    // joins are digest-/signature-keyed; the cumulative window input is
+    // the bucket aggregate (constant rows), so a single-partition sort
+    // there is legitimate
+    assert(count("dedup_growth_curve", "BroadcastNestedLoopJoin") === 1,
+      "only the 1-row max-id aggregate may nested-loop broadcast")
+    assert(count("dedup_growth_curve", "Window") === 1,
+      "one cumulative window, fed by the bucket aggregate")
   }
 
   test("source overlap is equality joins with the size table broadcast") {
