@@ -1477,6 +1477,43 @@ object Oracles {
     FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits h ON q.q_id = h.q_id
     ORDER BY q.q_id"""
 
+  /** PQ coarse top-20 re-scored by exact float cosine — mirrors
+    * `Similarity.pqRerank` (the `rescoreExact` stage over `pqtopk`). */
+  val annPqRerank: String = s"""WITH $pqCtes,
+    coarse AS (SELECT q_id, n_id, rnk AS coarse_rnk FROM pqtopk WHERE rnk <= 20),
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    rescored AS (
+      SELECT c.q_id, c.n_id, c.coarse_rnk,
+        ${dotSql("q.embedding", "x.embedding")} / (q.nrm * x.nrm) AS cos_exact
+      FROM coarse c
+      JOIN n q ON q.vec_id = c.q_id
+      JOIN n x ON x.vec_id = c.n_id),
+    reranked AS (
+      SELECT q_id, n_id, cos_exact, coarse_rnk,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, n_id) AS rnk
+      FROM rescored)
+    SELECT q_id, rnk, n_id, cos_exact, coarse_rnk
+    FROM reranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Heaps-law vocabulary growth — mirrors `TextAnalysis.vocabGrowth`. */
+  val vocabGrowth: String = s"""WITH
+    mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    toks AS (
+      SELECT d.doc_id * 10 // (m.max_id + 1) AS bucket, t.tok
+      FROM documents d, mx m, unnest(string_split(d.text, ' ')) AS t(tok)),
+    occ AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+    firsts AS (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok),
+    newt AS (SELECT bucket, count(*) AS n_new_types FROM firsts GROUP BY bucket)
+    SELECT o.bucket, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+      CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+      CAST(sum(o.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      CAST(sum(coalesce(n.n_new_types, 0)) OVER w AS BIGINT) AS cum_types,
+      (sum(coalesce(n.n_new_types, 0)) OVER w)::DOUBLE /
+        (sum(o.n_tokens) OVER w) AS type_token_ratio
+    FROM occ o LEFT JOIN newt n USING (bucket)
+    WINDOW w AS (ORDER BY o.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o.bucket"""
+
   /** Sliding-window chunk plan in SQL — mirrors `Chunking.chunkPlan`. */
   def chunkPlanSql(size: Int = 64, stride: Int = 48): String = s"""WITH
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3019,6 +3056,7 @@ object Oracles {
     "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_bloom_gate" -> dedupBloomGate,
     "dedup_growth_curve" -> dedupGrowthCurve,
+    "vocab_growth" -> vocabGrowth,
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,
     "ann_matryoshka" -> annMatryoshka(),
@@ -3039,6 +3077,7 @@ object Oracles {
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,
     "ann_pq_recall" -> annPqRecall,
+    "ann_pq_rerank" -> annPqRerank,
     "ann_ivfsq_topk" -> annIvfSqTopK,
     // packed byte-level scoring is integer-exact == the array form
     "ann_quantized_persisted" -> annQuantizedTopK,

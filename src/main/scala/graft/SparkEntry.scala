@@ -542,6 +542,10 @@ object SparkEntry {
     // says whether dedup investment grows with the crawl
     "dedup_growth_curve" -> ((s, dir) =>
       Dedup.growthCurve(Tables.documents(s, dir)).orderBy("bucket")),
+    // Heaps-law vocabulary growth: new-type yield per ingest decile and
+    // the running type/token ratio - the vocabulary-side twin of the curve
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir)).orderBy("bucket")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
@@ -575,6 +579,10 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     "ann_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // PQ coarse scan -> exact float rescore: the recall-repair composition
+    // PQ serving ships (coarseK float dots per query, never a corpus scan)
+    "ann_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerank(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     // IVF-SQ composition: coarse quantizer prunes the scan, int8 codes
     // shrink the list payloads — the knobs multiply at corpus scale
     "ann_ivfsq_topk" -> ((s, dir) =>

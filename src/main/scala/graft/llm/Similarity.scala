@@ -727,9 +727,18 @@ object Similarity {
     * other ANN path. The final window partitions by query (nQueries
     * groups, never a global sort). */
   def rerankTopK(emb: DataFrame, nQueries: Int = 10, coarseK: Int = 20,
-      k: Int = 5): DataFrame = {
-    val coarse = quantizedTopK(emb, nQueries, coarseK)
-      .select(col("q_id"), col("n_id"), col("rnk").as("coarse_rnk"))
+      k: Int = 5): DataFrame =
+    rescoreExact(emb,
+      quantizedTopK(emb, nQueries, coarseK)
+        .select(col("q_id"), col("n_id"), col("rnk").as("coarse_rnk")),
+      nQueries, k)
+
+  /** Exact-rescore stage shared by the two-stage retrievers: the tiny
+    * coarse candidate set (≤ nQueries·coarseK rows, with its coarse rank)
+    * broadcasts onto the embedding scan, winners re-rank under exact
+    * float cosine. The corpus is read, never shuffled. */
+  private def rescoreExact(emb: DataFrame, coarse: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val withNorm = emb.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val queries = withNorm
@@ -749,6 +758,22 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"),
         col("cos_exact"), col("coarse_rnk"))
   }
+
+  /** PQ-then-rerank — the recall-repair composition PQ serving actually
+    * ships: the 32×-compressed ADC scan keeps `coarseK` candidates per
+    * query (cheap, low-recall head ordering), then ONLY those re-score
+    * under exact float cosine. On this corpus the raw ADC top-5 recall is
+    * ~0.3 ([[pqRecall]]); the reranked top-5 recovers every true neighbor
+    * the coarse stage kept — the measured answer to "is PQ usable at its
+    * compression": yes, behind a rescore stage whose cost is `coarseK`
+    * float dots per query, not a corpus scan. */
+  def pqRerank(emb: DataFrame, m: Int = 8, kSub: Int = 32,
+      nQueries: Int = 10, coarseK: Int = 20, k: Int = 5,
+      iters: Int = 2): DataFrame =
+    rescoreExact(emb,
+      pqTopK(emb, m, kSub, nQueries, coarseK, iters)
+        .select(col("q_id"), col("n_id"), col("rnk").as("coarse_rnk")),
+      nQueries, k)
 
   /** IVF recall-vs-nProbe sweep — the tuning curve read before fixing the
     * probe count: total exact-top-k hits (and pooled recall) at each probe

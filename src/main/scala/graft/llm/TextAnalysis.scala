@@ -506,4 +506,45 @@ object TextAnalysis {
         ((col("n_chars_nospace") * col("n_chars_nospace")).cast("double") /
           col("_sum_sq").cast("double")).as("renyi2_diversity"))
   }
+
+  /** Heaps-law vocabulary growth curve — distinct-type count vs token
+    * volume as the corpus grows in ingest order (doc_id), bucketed into
+    * `buckets` equal-width slices: per bucket, the token occurrences it
+    * contributes and the types whose FIRST corpus occurrence falls in it,
+    * plus cumulative totals and the running type/token ratio. The
+    * declining ratio is Heaps' law observed on the corpus itself — the
+    * number that sizes tokenizer vocabularies and predicts how much NEW
+    * vocabulary the next crawl increment buys (the vocabulary-side twin
+    * of [[graft.llm.Dedup.growthCurve]]'s duplication curve).
+    *
+    * Scale shape: one token explode over the corpus, a 1-row max
+    * broadcast for the bucket width, one bucket-keyed and one
+    * token-keyed partial agg (min-bucket per type = first occurrence,
+    * exploiting bucket's monotonicity in doc_id) — nothing pairwise. The
+    * cumulative window runs over `buckets` rows, a constant. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(maxId), col("doc_id").isNotNull)
+      .withColumn("bucket", expr(s"doc_id * $buckets div (max_id + 1)"))
+    // ONE corpus-wide aggregate keyed (tok, bucket) feeds both branches:
+    // the identical exchange is deduplicated by ReuseExchange at runtime,
+    // so the token explode runs once, and map-side combine collapses
+    // per-token multiplicity before anything shuffles
+    val perTokBucket = toks.groupBy("tok", "bucket").agg(count(lit(1)).as("cnt"))
+    val occ = perTokBucket.groupBy("bucket").agg(sum("cnt").as("n_tokens"))
+    val newTypes = perTokBucket.groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    occ.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .withColumn("type_token_ratio",
+        col("cum_types").cast("double") / col("cum_tokens"))
+  }
 }

@@ -210,4 +210,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Boolean]("selected")))
     assert(out.exists(!_.getAs[Boolean]("selected")))
   }
+
+  test("pqRerank: winners come from the coarse stage and beat raw PQ recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rawPq = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val coarse = Similarity.pqTopK(emb, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.pqRerank(emb).collect()
+    val rrPairs = rr.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every winner carries a coarse rank within the coarse budget
+    assert(rr.forall(_.getLong(4) <= 20))
+    assert(rrPairs.subsetOf(coarse))
+    // the rescore recovers EVERY exact neighbor the coarse stage kept —
+    // so reranked recall can never fall below the raw ADC recall
+    assert((exact intersect coarse) === (exact intersect rrPairs),
+      "exact neighbors surviving the coarse stage must all survive the rerank")
+    assert((exact intersect rrPairs).size >= (exact intersect rawPq).size)
+    // per query, the reranked list is in exact-cosine order
+    rr.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse, "rerank order must follow exact cosine")
+    }
+  }
+
+  test("vocabGrowth: running sums, Heaps decline, totals tie to the corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.vocabGrowth(docs).orderBy("bucket").collect()
+    var (ct, cy) = (0L, 0L)
+    rows.foreach { r =>
+      ct += r.getLong(1); cy += r.getLong(2)
+      assert(r.getLong(3) === ct); assert(r.getLong(4) === cy)
+      assert(r.getDouble(5) === cy.toDouble / ct)
+    }
+    // totals: all token occurrences, all distinct types, exactly once each
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    assert(ct === toks.count())
+    assert(cy === toks.distinct().count())
+    // Heaps-flavored sanity that survives a testdata regeneration: the
+    // final ratio cannot exceed the first bucket's (vocabulary yield per
+    // token never grows over the whole corpus)
+    assert(rows.last.getDouble(5) <= rows.head.getDouble(5) + 1e-15,
+      "cumulative type/token ratio must not rise over the corpus")
+  }
 }

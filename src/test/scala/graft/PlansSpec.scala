@@ -40,7 +40,7 @@ class PlansSpec extends SparkSpec {
     "dedup_source_overlap", "ann_probe_curve",
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
     "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
-    "dedup_bloom_gate", "dedup_growth_curve")
+    "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -229,6 +229,29 @@ class PlansSpec extends SparkSpec {
       "only the 1-row max-id aggregate may nested-loop broadcast")
     assert(count("dedup_growth_curve", "Window") === 1,
       "one cumulative window, fed by the bucket aggregate")
+  }
+
+  test("vocab growth: token-keyed aggs plus the 1-row width broadcast only") {
+    // the 1-row max-id BNLJ appears under BOTH consumers of the shared
+    // (tok, bucket) aggregate in the initial plan; ReuseExchange collapses
+    // the duplicated subtree at runtime, so demand the reuse marker too
+    assert(count("vocab_growth", "BroadcastNestedLoopJoin") === 2,
+      "only the (twice-referenced) 1-row max-id aggregate may nested-loop broadcast")
+    // (the duplicated (tok, bucket) exchange subtrees are canonically
+    // identical — AQE's exchange reuse executes them as ONE shuffle stage;
+    // the pre-AQE print shown here has no Reused marker to pin)
+    assert(count("vocab_growth", "SortMergeJoin") === 0,
+      "the bucket-level join is over ≤10 rows — must not sort-merge at width")
+    assert(count("vocab_growth", "Window") === 1,
+      "one cumulative window, fed by the bucket aggregate")
+  }
+
+  test("PQ rerank: rescore stage broadcasts the coarse result, never re-shuffles the corpus") {
+    assert(count("ann_pq_rerank", "SortMergeJoin") === 0)
+    // coarse PQ scan (2 BNLJs: LUT build + LUT onto codes) — the rescore
+    // adds only broadcast hash joins for the candidate and query sides
+    assert(count("ann_pq_rerank", "BroadcastNestedLoopJoin") === 2)
+    assert(count("ann_pq_rerank", "BroadcastHashJoin") >= 4)
   }
 
   test("source overlap is equality joins with the size table broadcast") {
