@@ -3078,6 +3078,8 @@ object Oracles {
     "ann_pq_topk" -> annPqTopK,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
+    // the standing-index probe must return EXACTLY the in-memory result
+    "ann_pq_persisted" -> annPqTopK,
     "ann_ivfsq_topk" -> annIvfSqTopK,
     // packed byte-level scoring is integer-exact == the array form
     "ann_quantized_persisted" -> annQuantizedTopK,

@@ -583,6 +583,16 @@ object SparkEntry {
     // PQ serving ships (coarseK float dots per query, never a corpus scan)
     "ann_pq_rerank" -> ((s, dir) =>
       Similarity.pqRerank(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // standing PQ index: codebooks + 32x-compressed code table on parquet,
+    // built once per JVM; queries never touch the float corpus. Same
+    // codebooks => row-identical to ann_pq_topk, same oracle pins it
+    "ann_pq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = graft.sources.IndexCache.dirFor(s"pq:$dir")(d =>
+        Similarity.pqIndexWrite(emb, d))
+      val (cb, codes) = Similarity.pqIndexLoad(s, idxDir)
+      Similarity.pqPersistedTopK(emb, cb, codes).orderBy("q_id", "rnk")
+    }),
     // IVF-SQ composition: coarse quantizer prunes the scan, int8 codes
     // shrink the list payloads — the knobs multiply at corpus scale
     "ann_ivfsq_topk" -> ((s, dir) =>

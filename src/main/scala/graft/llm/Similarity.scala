@@ -922,11 +922,19 @@ object Similarity {
     * oracle's `list_reduce` over `ORDER BY s`), ties break on n_id. */
   def pqTopK(emb: DataFrame, m: Int = 8, kSub: Int = 32, nQueries: Int = 10,
       k: Int = 5, iters: Int = 2): DataFrame = {
-    val subDim = 64 / m
     // m·kSub rows behind an iterated-aggregation lineage — persist so the
     // encode and LUT branches build the codebooks once
     val cb = pqCodebooks(emb, m, kSub, iters).persist()
-    val codes = pqEncode(emb, cb, m)
+    adcTopK(emb, cb, pqEncode(emb, cb, m), m, nQueries, k)
+  }
+
+  /** The ADC scoring stage shared by [[pqTopK]] and [[pqPersistedTopK]]:
+    * per-query LUTs built from the float queries × codebooks, corpus codes
+    * streamed through m lookups + the per-query top-k window. */
+  private def adcTopK(emb: DataFrame, cb: DataFrame, codesIn: DataFrame,
+      m: Int, nQueries: Int, k: Int): DataFrame = {
+    val subDim = 64 / m
+    val codes = codesIn
       .select(col("vec_id").as("n_id"), col("codes"), col("r_nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
@@ -950,6 +958,34 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
   }
+
+  /** Write the PQ index under `path`: `codebooks/` (m·kSub tiny rows) and
+    * `codes/` — the 32×-compressed corpus payload (m code ids + one norm
+    * per vector), the artifact a 100 TB deployment builds once and serves
+    * every query batch from. */
+  def pqIndexWrite(emb: DataFrame, path: String, m: Int = 8, kSub: Int = 32,
+      iters: Int = 2): Unit = {
+    val cb = pqCodebooks(emb, m, kSub, iters).persist()
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(emb, cb, m).write.mode("overwrite").parquet(s"$path/codes")
+    cb.unpersist()
+  }
+
+  /** Load a prebuilt PQ index written by [[pqIndexWrite]]. */
+  def pqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Top-`k` over the STANDING PQ index — the serving read path: LUTs come
+    * from the persisted codebooks, candidates stream off the persisted
+    * code parquet (never touching the float corpus), so a query batch
+    * costs m·kSub subspace dots per query plus a code-table scan at ~3% of
+    * the float bytes. Same codebooks ⇒ row-identical to [[pqTopK]]; the
+    * array-form oracle pins this path too. */
+  def pqPersistedTopK(emb: DataFrame, cb: DataFrame, codes: DataFrame,
+      m: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame =
+    adcTopK(emb, cb, codes, m, nQueries, k)
 
   /** Recall of the PQ/ADC top-`k` against the exact float top-`k` — the
     * accuracy ledger published next to PQ's 32× compression (the

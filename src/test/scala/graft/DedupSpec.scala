@@ -1176,6 +1176,42 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.quantizedTopK(emptyEmb).count() === 0L)
   }
 
+  test("round-10 wave-3 operators survive empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val oneDoc = Seq((0L, "alpha beta alpha")).toDF("doc_id", "text")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // bloom gate: empty corpus → all-zero mask → nothing maybe-present;
+    // empty arrivals → no rows; arrival identical to the only corpus doc
+    // → maybe and dup
+    val g1 = graft.llm.Dedup.bloomGate(emptyDocs, oneDoc).collect()
+    assert(g1.length === 1 && !g1.head.getBoolean(1) && !g1.head.getBoolean(2))
+    assert(graft.llm.Dedup.bloomGate(oneDoc, emptyDocs).count() === 0L)
+    val g2 = graft.llm.Dedup.bloomGate(oneDoc,
+      oneDoc.withColumn("doc_id", lit(7L))).collect()
+    assert(g2.head.getBoolean(1) && g2.head.getBoolean(2) && !g2.head.getBoolean(3))
+    // growth/vocab curves: empty corpus → no buckets; single doc → one
+    // bucket, zero dups, all types new
+    assert(graft.llm.Dedup.growthCurve(emptyDocs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))).count() === 0L)
+    val vg = graft.llm.TextAnalysis.vocabGrowth(oneDoc).collect()
+    assert(vg.length === 1 && vg.head.getLong(1) === 3L && vg.head.getLong(2) === 2L)
+    assert(graft.llm.TextAnalysis.vocabGrowth(emptyDocs).count() === 0L)
+    // PQ on an empty corpus: empty codebooks, empty codes, empty top-k
+    assert(Similarity.pqCodebooks(emptyEmb).count() === 0L)
+    assert(Similarity.pqTopK(emptyEmb).count() === 0L)
+    // PQ with an all-zero corpus vector: codes still defined (nearest
+    // codeword of the zero subvector), reconstructed norm floored, no NaN
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val withZero = emb.select("vec_id", "embedding").unionByName(
+      Seq((999000L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val cbz = Similarity.pqCodebooks(withZero)
+    val encZ = Similarity.pqEncode(withZero, cbz)
+      .filter(col("vec_id") === 999000L).collect().head
+    assert(encZ.getAs[scala.collection.Seq[Long]]("codes").length === 8)
+    assert(!encZ.getAs[Double]("r_nrm").isNaN && encZ.getAs[Double]("r_nrm") > 0.0)
+  }
+
   test("misra-gries sketch: guarantee, error bound, and recount parity") {
     // guarantee: any item with freq > N/(capacity+1) survives any stream
     // order; error: kept weights underestimate by at most N/(capacity+1)

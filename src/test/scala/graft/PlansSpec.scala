@@ -40,7 +40,8 @@ class PlansSpec extends SparkSpec {
     "dedup_source_overlap", "ann_probe_curve",
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
     "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
-    "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth")
+    "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth",
+    "ann_pq_persisted")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -252,6 +253,16 @@ class PlansSpec extends SparkSpec {
     // adds only broadcast hash joins for the candidate and query sides
     assert(count("ann_pq_rerank", "BroadcastNestedLoopJoin") === 2)
     assert(count("ann_pq_rerank", "BroadcastHashJoin") >= 4)
+  }
+
+  test("persisted PQ index serves without rebuilding: no Lloyd in-plan") {
+    // the standing index is two parquet scans (codebooks + codes); the
+    // only wide ops the serve path may plan are the per-query LUT build
+    // and the top-k window — the codebook training (many keyed exchanges)
+    // must have stayed at build time
+    assert(count("ann_pq_persisted", "Exchange hashpartitioning") <= 2,
+      "serving may shuffle only the LUT build and the top-k window")
+    assert(count("ann_pq_persisted", "SortMergeJoin") === 0)
   }
 
   test("source overlap is equality joins with the size table broadcast") {
