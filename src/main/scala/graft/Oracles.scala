@@ -997,6 +997,18 @@ object Oracles {
       USING (cluster_id)
     ORDER BY l.doc_id"""
 
+  /** Cluster-size distribution — mirrors `Clusters.sizeHistogram` over
+    * the same closure the clusters oracle computes. */
+  def dedupClusterSizes: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      count(*) AS n_clusters,
+      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sized GROUP BY cluster_size ORDER BY cluster_size"""
+
   /** Incremental dedup — mirrors `Dedup.incrementalFlags` over the
     * doc_id%10 corpus/increment split (signature-equality semi-match
     * against the standing corpus index). */
@@ -1479,6 +1491,28 @@ object Oracles {
 
   /** PQ coarse top-20 re-scored by exact float cosine — mirrors
     * `Similarity.pqRerank` (the `rescoreExact` stage over `pqtopk`). */
+  /** IVF-PQ — mirrors `Similarity.ivfPqTopK`: the validated IVF CTEs for
+    * probe selection/list assignment composed with the validated PQ CTEs
+    * for codes and per-query LUTs; candidates in probed lists score by the
+    * subspace-ordered ADC fold. */
+  val annIvfPqTopK: String = s"""WITH $ivfCtes, $pqCtes,
+    ivfpq AS (
+      SELECT p.q_id, a.n_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list(l.lval ORDER BY l.s)),
+          (acc, x) -> acc + x) / (max(p.q_nrm) * max(e.r_nrm)) AS cos_pq
+      FROM probes p
+      JOIN assigned a USING (list_id)
+      JOIN enc e ON e.vec_id = a.n_id
+      JOIN qlut l ON l.q_id = p.q_id AND l.code = e.codes[l.s + 1]
+      WHERE p.q_id <> a.n_id
+      GROUP BY p.q_id, a.n_id),
+    ivfpqtop AS (
+      SELECT q_id, n_id, cos_pq,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_pq DESC, n_id) AS rnk
+      FROM ivfpq)
+    SELECT q_id, rnk, n_id, cos_pq
+    FROM ivfpqtop WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   val annPqRerank: String = s"""WITH $pqCtes,
     coarse AS (SELECT q_id, n_id, rnk AS coarse_rnk FROM pqtopk WHERE rnk <= 20),
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -3032,6 +3066,7 @@ object Oracles {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     // the persisted-index load must reproduce the in-memory assignment
     "dedup_clusters_persisted" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
@@ -3078,6 +3113,7 @@ object Oracles {
     "ann_pq_topk" -> annPqTopK,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
+    "ann_ivfpq_topk" -> annIvfPqTopK,
     // the standing-index probe must return EXACTLY the in-memory result
     "ann_pq_persisted" -> annPqTopK,
     "ann_ivfsq_topk" -> annIvfSqTopK,

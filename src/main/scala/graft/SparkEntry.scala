@@ -465,6 +465,11 @@ object SparkEntry {
     "dedup_clusters_persisted" -> ((s, dir) => {
       Clusters.indexLoad(s, clusterIndexDir(s, dir)).orderBy("doc_id")
     }),
+    // cluster-size distribution off the persisted index: the retention-
+    // policy ledger, no re-contraction in-plan
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Clusters.sizeHistogram(Clusters.indexLoad(s, clusterIndexDir(s, dir)))
+        .orderBy("cluster_size")),
     // daily-increment split: every 10th doc arrives as the new batch
     "dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -607,6 +612,10 @@ object SparkEntry {
       Similarity.quantizedPersistedTopK(Similarity.quantizedIndexLoad(s, idxDir))
         .orderBy("q_id", "rnk")
     }),
+    // IVF-PQ: the FAISS-shape composed index — coarse lists prune the
+    // scan, ADC lookups score the probed candidates at ~3% of float bytes
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     // two-stage retrieval: int8 coarse top-20 re-scored by exact float
     // cosine — the serving shape; winners keep their coarse rank so the
     // ledger shows where the quantized stage mis-ordered the head

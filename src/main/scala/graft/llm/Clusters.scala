@@ -167,4 +167,19 @@ object Clusters {
   /** Load a persisted cluster assignment written by [[indexWrite]]. */
   def indexLoad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Cluster-size distribution — the ledger read before choosing a dedup
+    * retention policy: how many near-dup clusters exist at each size and
+    * how many documents they hold (size 1 = unique docs; a heavy tail of
+    * large clusters means keep-one dedup reclaims the corpus, a flat head
+    * means it buys little). One keyed agg over the (already size-annotated)
+    * assignment — at scale this reads the persisted cluster index, so the
+    * histogram never re-runs the contraction. */
+  def sizeHistogram(assignment: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    assignment
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+  }
 }

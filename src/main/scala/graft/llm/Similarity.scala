@@ -933,13 +933,28 @@ object Similarity {
     * streamed through m lookups + the per-query top-k window. */
   private def adcTopK(emb: DataFrame, cb: DataFrame, codesIn: DataFrame,
       m: Int, nQueries: Int, k: Int): DataFrame = {
-    val subDim = 64 / m
     val codes = codesIn
       .select(col("vec_id").as("n_id"), col("codes"), col("r_nrm"))
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val scored = codes.join(broadcast(pqLuts(emb, cb, m, nQueries)),
+        col("q_id") =!= col("n_id"))
+      .withColumn("cos_pq", adcScore(m))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
+  }
+
+  /** Per-query ADC lookup tables: one row per query `(q_id, q_nrm, lut)`
+    * where `lut` maps `s·1024 + code` to `⟨q_s, c_{s,code}⟩` — m·kSub
+    * doubles per query, the whole frame broadcasts. */
+  private def pqLuts(emb: DataFrame, cb: DataFrame, m: Int,
+      nQueries: Int): DataFrame = {
+    val subDim = 64 / m
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
         norm(col("embedding")).as("q_nrm"))
-    val luts = queries.join(broadcast(cb), col("q_id").isNotNull)
+      .join(broadcast(cb), col("q_id").isNotNull)
       .withColumn("lval",
         dot(slice(col("embedding"), col("s") * subDim + lit(1), lit(subDim)),
           col("c_sub")))
@@ -947,11 +962,47 @@ object Similarity {
       .agg(map_from_entries(collect_list(struct(
         (col("s").cast("long") * 1024L + col("code")).as("key"),
         col("lval").as("value")))).as("lut"))
-    val scored = codes.join(broadcast(luts), col("q_id") =!= col("n_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("lut"),
-          s.cast("long") * 1024L + element_at(col("codes"), s + 1))))
-      .withColumn("cos_pq", col("adc") / (col("q_nrm") * col("r_nrm")))
+  }
+
+  /** The ADC approximate cosine of a row carrying `lut`, `codes`, `q_nrm`,
+    * `r_nrm`: m table lookups folded in ascending subspace order (the
+    * oracle's `list_reduce` over `ORDER BY s`), one division. */
+  private def adcScore(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("lut"),
+        s.cast("long") * 1024L + element_at(col("codes"), s + 1))) /
+      (col("q_nrm") * col("r_nrm"))
+
+  /** IVF-PQ top-`k` — the composed index web-scale ANN actually deploys
+    * (the FAISS `IVFPQ` shape): the IVF coarse quantizer prunes candidate
+    * scoring to `nProbe` of `nLists` inverted lists, and within the probed
+    * lists every candidate is scored by PQ/ADC table lookups — at 100 TB
+    * the probes read nProbe/nLists of the corpus at ~3% of the float
+    * bytes, the two reductions multiplying exactly like [[ivfSqTopK]]'s
+    * but at PQ's deeper compression.
+    *
+    * Probe selection stays on the FLOAT centroids (nLists rows); the
+    * per-query LUTs ride the probe rows into the list join (both tiny,
+    * broadcast); candidate scoring is m lookups per code row. Everything
+    * deterministic: both trainings are quantized-integer Lloyd, the ADC
+    * fold is subspace-ordered, ties break on n_id. */
+  def ivfPqTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kSub: Int = 32, nQueries: Int = 10, k: Int = 5,
+      kmeansIters: Int = 2, pqIters: Int = 2): DataFrame = {
+    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    val cb = pqCodebooks(emb, m, kSub, pqIters).persist()
+    val lists = assigned.select(col("vec_id"), col("list_id"))
+      .join(pqEncode(emb, cb, m), "vec_id")
+      .select(col("vec_id").as("n_id"), col("list_id"), col("codes"), col("r_nrm"))
+    val qNorm = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val probes = rankCentroids(qNorm, centroids)
+      .filter(col("c_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("list_id"))
+      .join(broadcast(pqLuts(emb, cb, m, nQueries)), "q_id")
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_pq", adcScore(m))
     val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))

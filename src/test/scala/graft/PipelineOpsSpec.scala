@@ -255,4 +255,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last.getDouble(5) <= rows.head.getDouble(5) + 1e-15,
       "cumulative type/token ratio must not rise over the corpus")
   }
+
+  test("ivfPqTopK: probing every list degenerates to the full PQ scan") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val allProbes = Similarity.ivfPqTopK(emb, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(allProbes === full,
+      "nProbe = nLists must score every candidate — identical to brute-force ADC")
+    // pruned probes only shrink the candidate set: per-query scores of the
+    // pruned result must all appear in the full candidate ordering
+    val pruned = Similarity.ivfPqTopK(emb).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(_.getLong(1) <= 5L))
+  }
+
+  test("sizeHistogram: ties to the assignment, rowwise size arithmetic exact") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val assign = graft.llm.Clusters.assign(
+      docs, graft.llm.Dedup.scalableCandidates(docs))
+    val hist = graft.llm.Clusters.sizeHistogram(assign).collect()
+    // every row: n_docs = cluster_size * n_clusters
+    assert(hist.forall(r => r.getLong(2) === r.getLong(0) * r.getLong(1)))
+    // totals tie back to the corpus and the distinct cluster count
+    assert(hist.map(_.getLong(2)).sum === docs.count())
+    assert(hist.map(_.getLong(1)).sum ===
+      assign.select("cluster_id").distinct().count())
+  }
 }

@@ -41,7 +41,7 @@ class PlansSpec extends SparkSpec {
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
     "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
     "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth",
-    "ann_pq_persisted")
+    "ann_pq_persisted", "ann_ivfpq_topk", "dedup_cluster_sizes")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -263,6 +263,18 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_pq_persisted", "Exchange hashpartitioning") <= 2,
       "serving may shuffle only the LUT build and the top-k window")
     assert(count("ann_pq_persisted", "SortMergeJoin") === 0)
+  }
+
+  test("IVF-PQ scores probed lists through broadcast joins, never sort-merge") {
+    // probe selection and LUTs broadcast; the list-scoring join is a
+    // broadcast hash join on list_id (the ivfSqTopK contract at PQ depth)
+    assert(count("ann_ivfpq_topk", "BroadcastHashJoin") >= 2)
+    assert(count("ann_ivfpq_topk", "SortMergeJoin") === 0)
+  }
+
+  test("cluster-size histogram reads the persisted index: no joins, no contraction") {
+    assert(count("dedup_cluster_sizes", "Join") === 0,
+      "the histogram is one keyed agg over the standing assignment")
   }
 
   test("source overlap is equality joins with the size table broadcast") {
