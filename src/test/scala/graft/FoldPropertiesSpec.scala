@@ -177,4 +177,37 @@ class FoldPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BloomMask: merge order, partitioning and duplication never move a bit") {
+    // bit-OR accumulation is commutative, associative and idempotent, so
+    // the mask is a pure function of the position SET — the exactness
+    // claim that lets the DuckDB oracle pin a 'probabilistic' filter.
+    // Random feeds, random chops, random shuffles, random duplication.
+    val mBits = 256
+    val mg = new graft.functions.BloomMask(mBits)
+    def build(positions: Seq[Long]): Seq[Long] =
+      positions.foldLeft(mg.zero)((b, p) => mg.reduce(b, p)).toSeq
+    val gen = for {
+      feed <- Gen.listOf(Gen.choose(0L, mBits - 1L))
+      chop <- Gen.choose(1, 5)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (feed, chop, seed)
+    var seed = Seed(7L)
+    (1 to 200).foreach { _ =>
+      val (feed, chop, s0) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val oneShot = build(feed)
+      // arbitrary partitioning + pairwise merge (the distributed agg path)
+      val parts = feed.grouped(math.max(1, (feed.size + chop - 1) / chop)).toSeq
+        .map(p => p.foldLeft(mg.zero)((b, x) => mg.reduce(b, x)))
+      val merged = parts.foldLeft(mg.zero)((a, b) => mg.merge(a, b)).toSeq
+      assert(merged === oneShot, s"partition merge moved a bit: $feed")
+      // shuffled + duplicated input — idempotence and commutativity
+      val rng = new scala.util.Random(s0)
+      val noisy = rng.shuffle(feed ++ feed.take(feed.size / 2))
+      assert(build(noisy) === build(feed ++ feed.take(feed.size / 2)))
+      if (feed.nonEmpty)
+        assert(build(rng.shuffle(feed)) === oneShot)
+    }
+  }
 }
