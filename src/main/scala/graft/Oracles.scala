@@ -3114,6 +3114,8 @@ object Oracles {
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopK,
+    // the standing-index composition must return EXACTLY the in-memory result
+    "ann_ivfpq_persisted" -> annIvfPqTopK,
     // the standing-index probe must return EXACTLY the in-memory result
     "ann_pq_persisted" -> annPqTopK,
     "ann_ivfsq_topk" -> annIvfSqTopK,

@@ -616,6 +616,19 @@ object SparkEntry {
     // scan, ADC lookups score the probed candidates at ~3% of float bytes
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // IVF-PQ off BOTH standing indexes: probe the persisted centroids,
+    // score persisted codes in the probed lists — zero training in-plan
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ivfDir = graft.sources.IndexCache.dirFor(s"ivf:$dir")(d =>
+        Similarity.ivfIndexWrite(emb, d))
+      val pqDir = graft.sources.IndexCache.dirFor(s"pq:$dir")(d =>
+        Similarity.pqIndexWrite(emb, d))
+      val (centroids, lists) = Similarity.ivfIndexLoad(s, ivfDir)
+      val (cb, codes) = Similarity.pqIndexLoad(s, pqDir)
+      Similarity.ivfPqPersistedTopK(emb, centroids, lists, cb, codes)
+        .orderBy("q_id", "rnk")
+    }),
     // two-stage retrieval: int8 coarse top-20 re-scored by exact float
     // cosine — the serving shape; winners keep their coarse rank so the
     // ledger shows where the quantized stage mis-ordered the head

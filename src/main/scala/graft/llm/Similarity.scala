@@ -1038,6 +1038,35 @@ object Similarity {
       m: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame =
     adcTopK(emb, cb, codes, m, nQueries, k)
 
+  /** IVF-PQ over the two STANDING indexes — the full serving composition:
+    * probe selection on the persisted float centroids, candidate codes
+    * read from the persisted PQ table restricted to the probed lists.
+    * Nothing trains in-plan; with the list side partitioned by `list_id`
+    * the probe join prunes the scan to nProbe/nLists partitions of a
+    * table already 32× smaller than the floats. Same indexes ⇒
+    * row-identical to [[ivfPqTopK]], pinned by the same oracle. */
+  def ivfPqPersistedTopK(emb: DataFrame, centroids: DataFrame,
+      lists: DataFrame, cb: DataFrame, codes: DataFrame, m: Int = 8,
+      nProbe: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val listCodes = lists.select(col("vec_id"), col("list_id"))
+      .join(codes, "vec_id")
+      .select(col("vec_id").as("n_id"), col("list_id"), col("codes"), col("r_nrm"))
+    val qNorm = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val probes = rankCentroids(qNorm, centroids)
+      .filter(col("c_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("list_id"))
+      .join(broadcast(pqLuts(emb, cb, m, nQueries)), "q_id")
+    val scored = listCodes.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_pq", adcScore(m))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
+  }
+
   /** Recall of the PQ/ADC top-`k` against the exact float top-`k` — the
     * accuracy ledger published next to PQ's 32× compression (the
     * [[quantizedRecall]] contract, code-path swapped). */

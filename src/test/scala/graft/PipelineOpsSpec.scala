@@ -271,6 +271,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pruned.forall(_.getLong(1) <= 5L))
   }
 
+  test("ivfPqPersistedTopK: both standing indexes compose to the in-memory result") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq_ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_pq").toString
+    try {
+      Similarity.ivfIndexWrite(emb, ivfDir)
+      Similarity.pqIndexWrite(emb, pqDir)
+      val (centroids, lists) = Similarity.ivfIndexLoad(spark, ivfDir)
+      val (cb, codes) = Similarity.pqIndexLoad(spark, pqDir)
+      val persisted = Similarity
+        .ivfPqPersistedTopK(emb, centroids, lists, cb, codes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val direct = Similarity.ivfPqTopK(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(persisted === direct,
+        "serving off the persisted centroids + codes must match the one-shot query")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ivfDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pqDir))
+    }
+  }
+
   test("sizeHistogram: ties to the assignment, rowwise size arithmetic exact") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val assign = graft.llm.Clusters.assign(

@@ -41,7 +41,8 @@ class PlansSpec extends SparkSpec {
     "dedup_threshold_curve_capped", "corpus_budget_by_source",
     "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
     "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth",
-    "ann_pq_persisted", "ann_ivfpq_topk", "dedup_cluster_sizes")
+    "ann_pq_persisted", "ann_ivfpq_topk", "dedup_cluster_sizes",
+    "ann_ivfpq_persisted")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -270,6 +271,16 @@ class PlansSpec extends SparkSpec {
     // broadcast hash join on list_id (the ivfSqTopK contract at PQ depth)
     assert(count("ann_ivfpq_topk", "BroadcastHashJoin") >= 2)
     assert(count("ann_ivfpq_topk", "SortMergeJoin") === 0)
+  }
+
+  test("persisted IVF-PQ serves off both standing indexes: pruned scan, no training") {
+    // probe selection runs on the persisted centroids and DYNAMICALLY
+    // PRUNES the list-partitioned parquet scan to the probed lists —
+    // at scale only nProbe/nLists of the code table is ever read
+    assert(plans("ann_ivfpq_persisted").contains("dynamicpruning"),
+      "probe join must prune the list-partitioned scan")
+    assert(count("ann_ivfpq_persisted", "BroadcastHashJoin") >= 2)
+    assert(count("ann_ivfpq_persisted", "SortMergeJoin") === 0)
   }
 
   test("cluster-size histogram reads the persisted index: no joins, no contraction") {
