@@ -1548,6 +1548,121 @@ object Oracles {
     WINDOW w AS (ORDER BY o.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY o.bucket"""
 
+  /** Zipf frequency-octave ledger — mirrors `TextAnalysis.zipfBuckets`.
+    * `octave = len(bin(freq)) - 1` is the integer-exact ⌊log₂⌋ both
+    * engines compute identically (no floating log). */
+  val vocabZipf: String = """WITH
+    f AS (SELECT tok, count(*) AS freq
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          GROUP BY tok),
+    o AS (SELECT CAST(len(bin(freq)) - 1 AS BIGINT) AS octave,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(freq) AS BIGINT) AS n_tokens
+          FROM f GROUP BY 1),
+    t AS (SELECT CAST(sum(n_types) AS BIGINT) AS tot_types,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM o)
+    SELECT octave, n_types, n_tokens,
+      CAST(n_types AS DOUBLE) / tot_types AS type_share,
+      CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
+    FROM o, t ORDER BY octave"""
+
+  /** Fixed-width word-block dedup ledger — mirrors `Dedup.blockDedup`
+    * (list_slice is 1-based inclusive and clamps, exactly like Spark's
+    * `slice(ws, start, length)` on a short tail). */
+  def dedupBlocks(blockWords: Int = 10): String = s"""WITH
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    blk AS (
+      SELECT doc_id,
+        md5(array_to_string(list_slice(ws, i * $blockWords + 1,
+          i * $blockWords + $blockWords), ' ')) AS bh
+      FROM (SELECT doc_id, ws,
+              unnest(range(0, greatest(
+                (len(ws) + ${blockWords - 1}) // $blockWords, 1))) AS i
+            FROM w)),
+    occ AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY bh) AS n_occ FROM blk)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+      CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS dup_frac
+    FROM occ GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Curriculum mixture schedule — mirrors `Sampling.mixSchedule`: linear
+    * interpolation from the natural token share to uniform across the
+    * phases, every term a fixed chain of IEEE ops on exact integers. */
+  def mixScheduleSql(steps: Int = 5): String = s"""WITH
+    p AS (SELECT source,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                 count(*) AS n_src FROM p),
+    e AS (SELECT p.source, p.n_tokens, t.tot, t.n_src,
+                 unnest(range(0, $steps)) AS phase
+          FROM p, t)
+    SELECT CAST(phase AS BIGINT) AS phase, source, n_tokens,
+      (CAST(n_tokens AS DOUBLE) / tot) +
+        ((1.0::DOUBLE / n_src) - (CAST(n_tokens AS DOUBLE) / tot)) *
+        (CAST(phase AS DOUBLE) / ${steps - 1}.0) AS weight,
+      ((CAST(n_tokens AS DOUBLE) / tot) +
+        ((1.0::DOUBLE / n_src) - (CAST(n_tokens AS DOUBLE) / tot)) *
+        (CAST(phase AS DOUBLE) / ${steps - 1}.0)) *
+        (CAST(tot AS DOUBLE) / $steps.0) AS phase_tokens
+    FROM e ORDER BY phase, source"""
+
+  /** Hybrid retrieval with reciprocal-rank fusion — mirrors
+    * `Similarity.hybridRrfTopK`: exact-cosine top-k (the annCosineTopK
+    * construction at k=10) fused with exact trigram-Jaccard top-k by
+    * `Σ 1/(rrfK + rank)`; the fused score is two divisions and one
+    * addition in fixed order. */
+  def searchHybridRrf(nQueries: Int = 10, k: Int = 10,
+      rrfK: Int = 60): String = s"""WITH $shingles3Cte,
+    nrm AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings),
+    semscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM nrm q JOIN nrm c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+    semr AS (
+      SELECT q_id, doc_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id)
+          AS sem_rnk
+      FROM semscored),
+    semk AS (SELECT q_id, doc_id, CAST(sem_rnk AS BIGINT) AS sem_rnk
+             FROM semr WHERE sem_rnk <= $k),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS doc_id, count(*) AS n_inter
+      FROM sh3 q JOIN sh3 c ON q.shingle = c.shingle
+        AND q.doc_id < $nQueries AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2),
+    lexscored AS (
+      SELECT i.q_id, i.doc_id,
+        CAST(i.n_inter AS DOUBLE) / (sc.n_sh + sq.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sc ON sc.doc_id = i.doc_id
+      JOIN sizes sq ON sq.doc_id = i.q_id),
+    lexr AS (
+      SELECT q_id, doc_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY jaccard DESC, doc_id)
+          AS lex_rnk
+      FROM lexscored),
+    lexk AS (SELECT q_id, doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk
+             FROM lexr WHERE lex_rnk <= $k),
+    fused AS (
+      SELECT coalesce(s.q_id, l.q_id) AS q_id,
+        coalesce(s.doc_id, l.doc_id) AS doc_id,
+        s.sem_rnk, l.lex_rnk,
+        coalesce(1.0::DOUBLE / ($rrfK + s.sem_rnk), 0.0::DOUBLE) +
+          coalesce(1.0::DOUBLE / ($rrfK + l.lex_rnk), 0.0::DOUBLE) AS rrf
+      FROM semk s FULL JOIN lexk l
+        ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+    ranked AS (
+      SELECT q_id, doc_id, rrf, sem_rnk, lex_rnk,
+        row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused)
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, sem_rnk, lex_rnk
+    FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
   /** Sliding-window chunk plan in SQL — mirrors `Chunking.chunkPlan`. */
   def chunkPlanSql(size: Int = 64, stride: Int = 48): String = s"""WITH
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3092,6 +3207,10 @@ object Oracles {
     "dedup_bloom_gate" -> dedupBloomGate,
     "dedup_growth_curve" -> dedupGrowthCurve,
     "vocab_growth" -> vocabGrowth,
+    "vocab_zipf" -> vocabZipf,
+    "dedup_blocks" -> dedupBlocks(),
+    "mix_schedule" -> mixScheduleSql(),
+    "search_hybrid_rrf" -> searchHybridRrf(),
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,
     "ann_matryoshka" -> annMatryoshka(),

@@ -495,6 +495,10 @@ object SparkEntry {
         Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.25), 0.1).orderBy("lang")),
     "mix_weights" -> ((s, dir) =>
       Sampling.mixtureWeights(Tables.documents(s, dir)).orderBy("source")),
+    // curriculum schedule: per-phase weights annealing from the natural
+    // token share to uniform-across-sources over 5 training phases
+    "mix_schedule" -> ((s, dir) =>
+      Sampling.mixSchedule(Tables.documents(s, dir)).orderBy("phase", "source")),
     // the mixture MATERIALIZED: per-source keep rates against a 20k-token
     // budget, deterministic hash sample, audit of achieved vs target
     "mix_materialize" -> ((s, dir) =>
@@ -551,6 +555,14 @@ object SparkEntry {
     // the running type/token ratio - the vocabulary-side twin of the curve
     "vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, dir)).orderBy("bucket")),
+    // Zipf ledger: types and token mass per frequency octave (integer-
+    // exact floor(log2) via binary-string length) - the power-law check
+    "vocab_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfBuckets(Tables.documents(s, dir)).orderBy("octave")),
+    // CCNet-style line dedup on fixed 10-word blocks: per-doc fraction
+    // of blocks whose exact text repeats anywhere in the corpus
+    "dedup_blocks" -> ((s, dir) =>
+      Dedup.blockDedup(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // benchmark decontamination: eval set = every 17th doc; flag corpus
     // docs sharing any 13-gram with it (GPT-3 appendix-C methodology)
@@ -637,6 +649,12 @@ object SparkEntry {
     // recall-vs-nProbe tuning curve over ONE IVF index build
     "ann_probe_curve" -> ((s, dir) =>
       Similarity.ivfProbeCurve(Tables.embeddings(s, dir)).orderBy("n_probe")),
+    // hybrid retrieval: exact-cosine and trigram-Jaccard top-10 fused by
+    // reciprocal-rank 1/(60+rank) - rank arithmetic, no score mixing
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrfTopK(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("q_id", "rnk")),
     // matryoshka truncation sweep: recall of prefix-width cosine top-5 vs
     // the full width — the embedding-width serving tradeoff curve
     "ann_matryoshka" -> ((s, dir) =>

@@ -935,4 +935,40 @@ object Dedup {
       .withColumn("cum_exact_rate", col("cum_exact").cast("double") / col("cum_docs"))
       .withColumn("cum_near_rate", col("cum_near").cast("double") / col("cum_docs"))
   }
+
+  /** Non-overlapping word-block dedup ledger — the line/paragraph dedup
+    * shape of CCNet (Wenzek et al. 2020) and RefinedWeb applied to
+    * fixed-width word blocks (the whitespace corpus has no sentence
+    * punctuation to split on): each doc partitions into consecutive
+    * `blockWords`-word blocks (the last block may be short), a block is
+    * DUPLICATED when its exact text occurs at ≥ 2 (doc, position)
+    * locations corpus-wide — including repeats inside one doc, the
+    * boilerplate case — and the per-doc row reports the duplicated
+    * fraction. Complements [[substringSpans]]: fixed block boundaries
+    * make this a single keyed count (cheap screen), where the stride-1
+    * windows there find arbitrary-offset overlap (expensive verify).
+    *
+    * Shape at 100 TB: block formation is a pure projection
+    * (`sequence` + `transform(slice)` + `posexplode` — zero shuffles, no
+    * ordered aggregate anywhere); occurrence counting is one md5-keyed
+    * window count; the doc ledger is one doc-keyed partial agg. Two
+    * keyed shuffles total, both skew-free (md5 keys are uniform). */
+  def blockDedup(docs: DataFrame, blockWords: Int = 10): DataFrame = {
+    val nb = greatest(
+      expr(s"(size(_ws) + ${blockWords - 1}) div $blockWords"), lit(1L))
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+      .withColumn("_bhs", transform(sequence(lit(0L), nb - 1),
+        i => md5(array_join(
+          slice(col("_ws"), (i * blockWords + 1).cast("int"), lit(blockWords)), " "))))
+      .select(col("doc_id"), posexplode(col("_bhs")).as(Seq("block_idx", "bh")))
+    val withOcc = blocks
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy("bh")))
+    withOcc
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_occ") > 1L, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_frac",
+        col("n_dup_blocks").cast("double") / col("n_blocks"))
+  }
 }

@@ -207,4 +207,39 @@ object Sampling {
         ((col("_s").cast("double") / col("_tot_s")) /
           (col("n_tokens").cast("double") / col("_tot_tokens"))).as("upsample"))
   }
+
+  /** Curriculum mixture schedule — the data-scheduling half of mixture
+    * design: per training phase `s ∈ [0, steps)`, the per-source sampling
+    * weight interpolates linearly from the NATURAL token share (phase 0
+    * matches the corpus, cheap early tokens) to the UNIFORM share
+    * `1/n_sources` (final phase equalizes the rare sources — the standard
+    * temperature-annealing endpoint at τ → ∞). `frac = s/(steps-1)` and
+    * `w = raw + (uniform − raw)·frac` are each a fixed chain of IEEE
+    * ops on exact integer inputs, bit-stable across engines; expected
+    * tokens per (phase, source) is one further multiply against the
+    * per-phase budget `total_tokens/steps`.
+    *
+    * Shape: one source-keyed partial agg + a 1-row totals broadcast,
+    * then a constant `steps`-element `sequence` explode on the (tiny)
+    * per-source frame — the corpus is scanned once, nothing wide ever
+    * touches per-document rows. */
+  def mixSchedule(docs: DataFrame, steps: Int = 5): DataFrame = {
+    require(steps >= 2, "a schedule needs at least a start and an end phase")
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source")
+      .agg(sum("_toks").as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("_tot"), count(lit(1)).as("_n_src"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("phase", explode(sequence(lit(0), lit(steps - 1))))
+      .withColumn("_raw", col("n_tokens").cast("double") / col("_tot"))
+      .withColumn("_uni", lit(1.0) / col("_n_src"))
+      .withColumn("_frac", col("phase").cast("double") / lit((steps - 1).toDouble))
+      .withColumn("weight", col("_raw") + (col("_uni") - col("_raw")) * col("_frac"))
+      .withColumn("phase_tokens",
+        col("weight") * (col("_tot").cast("double") / lit(steps.toDouble)))
+      .select(col("phase").cast("long").as("phase"), col("source"),
+        col("n_tokens"), col("weight"), col("phase_tokens"))
+  }
 }

@@ -1085,4 +1085,56 @@ object Similarity {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+    * the standard serving shape for RAG/retrieval stacks: a SEMANTIC
+    * ranking (exact cosine over the paired embedding, `vec_id == doc_id`
+    * by the testdata convention) and a LEXICAL ranking (exact trigram
+    * Jaccard of the query doc against every doc sharing ≥ 1 shingle)
+    * each produce a top-`k`, then fuse by `Σ 1/(rrfK + rank)` — rank
+    * arithmetic only, so the fusion never needs score normalization
+    * across the two incomparable scales. A doc on one list only gets
+    * that one term (the standard RRF convention). The fused score is two
+    * IEEE divisions and ONE addition in fixed written order — bit-stable
+    * across engines, no re-associated aggregate.
+    *
+    * Shape at 100 TB: the semantic side is [[cosineTopK]] (query set
+    * broadcast over one corpus scan); the lexical side broadcasts the
+    * query docs' shingle set against the corpus shingle stream (inverted
+    * index as a broadcast hash join — the corpus never shuffles to meet
+    * the queries), then one (q, doc)-keyed partial agg; both rankings
+    * are per-query window top-k over candidate sets, not global sorts.
+    * Fusion joins two ≤ nQueries·k-row sides — droplet-sized. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, nQueries: Int = 10,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val sem = cosineTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("sem_rnk"))
+    val sh = Dedup.shingles(docs, 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("shingle"))
+    val qsizes = sizes.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("n_sh").as("q_n_sh"))
+    val inter = sh.join(broadcast(qsh), Seq("shingle"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_inter"))
+    val wl = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("doc_id"))
+    val lex = inter
+      .join(sizes, "doc_id")
+      .join(broadcast(qsizes), "q_id")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_sh") + col("q_n_sh") - col("n_inter")))
+      .withColumn("lex_rnk", row_number().over(wl))
+      .filter(col("lex_rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("lex_rnk").cast("long").as("lex_rnk"))
+    val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    sem.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("sem_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("rrf"), col("sem_rnk"), col("lex_rnk"))
+  }
 }

@@ -547,4 +547,33 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         col("cum_types").cast("double") / col("cum_tokens"))
   }
+
+  /** Zipf/power-law ledger without a libm fit: vocabulary grouped by
+    * FREQUENCY OCTAVE — `octave = ⌊log₂ freq⌋` computed as the length of
+    * the binary string `bin(freq)` minus one, an integer-exact identity
+    * both engines evaluate identically (no floating log whose ULP could
+    * flip an exact power of two). A Zipfian corpus shows n_types roughly
+    * halving per octave while each octave's token mass stays comparable;
+    * a flat or head-heavy ledger is the tell for synthetic/templated
+    * text — the corpus-health check run before trusting token counts.
+    *
+    * Shape: one (tok)-keyed count with map-side combine — vocabulary
+    * cardinality, not corpus size, crosses the wire — then an
+    * octave-keyed re-agg over ≤ 64 groups and a 1-row totals broadcast
+    * for the shares. */
+  def zipfBuckets(docs: DataFrame): DataFrame = {
+    val freqs = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val perOctave = freqs
+      .withColumn("octave", (length(bin(col("freq"))) - 1).cast("long"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("n_tokens"))
+    val totals = perOctave.agg(
+      sum("n_types").as("_tot_types"), sum("n_tokens").as("_tot_tokens"))
+    perOctave.crossJoin(broadcast(totals))
+      .select(col("octave"), col("n_types"), col("n_tokens"),
+        (col("n_types").cast("double") / col("_tot_types")).as("type_share"),
+        (col("n_tokens").cast("double") / col("_tot_tokens")).as("token_share"))
+  }
 }

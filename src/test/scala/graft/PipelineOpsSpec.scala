@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Round-10 pipeline operators: novelty, char-collision stats, threshold
   * sweep, minhash calibration, two-stage rerank, token-budget selection.
@@ -9,6 +9,78 @@ import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
 class PipelineOpsSpec extends SparkSpec {
 
   import spark.implicits._
+
+  test("blockDedup: corpus-wide block repeats flagged, within-doc repeats count") {
+    val w10a = (1 to 10).map(i => s"a$i").mkString(" ")   // block A
+    val w10b = (1 to 10).map(i => s"b$i").mkString(" ")   // block B
+    val w10c = (1 to 10).map(i => s"c$i").mkString(" ")   // block C
+    val docs = Seq(
+      (0L, s"$w10a $w10b"),        // blocks A, B
+      (1L, s"$w10a $w10c"),        // A repeats cross-doc, C unique
+      (2L, "x y z"),               // one short unique block
+      (3L, s"$w10b $w10b")         // B twice: boilerplate inside ONE doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // A occurs at 2 locations, B at 3 (doc0 + twice in doc3), C/short at 1
+    assert(out.toSeq === Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 0L), (3L, 2L, 2L)))
+  }
+
+  test("blockDedup: short tail block hashes its remaining words only") {
+    // 15 words: block 0 = words 1..10, block 1 = words 11..15 (short)
+    val docs = Seq((0L, (1 to 15).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs).collect().head
+    assert(out.getAs[Long]("n_blocks") === 2L)
+    assert(out.getAs[Long]("n_dup_blocks") === 0L)
+  }
+
+  test("zipfBuckets: octave is exact floor(log2) of the frequency") {
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    // freqs: a=3 (octave 1), b=2 (octave 1), c=1 (octave 0)
+    val out = TextAnalysis.zipfBuckets(docs).orderBy("octave").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1L, 1L), (1L, 2L, 5L)))
+  }
+
+  test("mixSchedule: anneals from natural share to uniform, each phase sums to 1") {
+    val docs = Seq(
+      (0L, (1 to 30).map(_ => "t").mkString(" "), "big"),
+      (1L, (1 to 10).map(_ => "t").mkString(" "), "small")
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.mixSchedule(docs, steps = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val byPhase = out.groupBy(_._1)
+    // phase 0 = natural shares, last phase = uniform
+    assert(byPhase(0L).map { case (_, s, w) => s -> w }.toMap ===
+      Map("big" -> 0.75, "small" -> 0.25))
+    assert(byPhase(4L).forall(_._3 === 0.5))
+    // every phase's weights sum to exactly 1 (interpolation preserves mass)
+    byPhase.values.foreach(rows => assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12))
+    // big source's weight falls monotonically toward uniform
+    val big = out.filter(_._2 == "big").sortBy(_._1).map(_._3)
+    assert(big.zip(big.tail).forall { case (a, b) => a > b })
+  }
+
+  test("hybridRrfTopK: fused score is exactly the sum of reciprocal rank terms") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.hybridRrfTopK(docs, emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sem = Option(r.getAs[Any]("sem_rnk")).map(_.asInstanceOf[Long])
+      val lex = Option(r.getAs[Any]("lex_rnk")).map(_.asInstanceOf[Long])
+      assert(sem.isDefined || lex.isDefined, "a fused row must come from a list")
+      val expected = sem.map(s => 1.0 / (60 + s)).getOrElse(0.0) +
+        lex.map(l => 1.0 / (60 + l)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") === expected)
+    }
+    // k=10 queries, each with at most 10 fused rows, ranks contiguous from 1
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq)
+    }
+  }
 
   test("noveltyStats: first-seen trigrams count as novel, re-seen do not") {
     val docs = Seq(

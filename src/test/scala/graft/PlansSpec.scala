@@ -42,7 +42,8 @@ class PlansSpec extends SparkSpec {
     "ann_matryoshka", "mm_phash", "mm_phash_dups", "ann_pq_topk",
     "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth",
     "ann_pq_persisted", "ann_ivfpq_topk", "dedup_cluster_sizes",
-    "ann_ivfpq_persisted")
+    "ann_ivfpq_persisted",
+    "dedup_blocks", "vocab_zipf", "mix_schedule", "search_hybrid_rrf")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -266,11 +267,15 @@ class PlansSpec extends SparkSpec {
     assert(count("ann_pq_persisted", "SortMergeJoin") === 0)
   }
 
-  test("IVF-PQ scores probed lists through broadcast joins, never sort-merge") {
+  test("IVF-PQ scores probed lists through broadcast joins; only the index build may shuffle-join") {
     // probe selection and LUTs broadcast; the list-scoring join is a
-    // broadcast hash join on list_id (the ivfSqTopK contract at PQ depth)
+    // broadcast hash join on list_id (the ivfSqTopK contract at PQ depth).
+    // The BUILD-side assignment<->codes join is corpus-keyed on vec_id and
+    // legitimately plans sort-merge at scale (<= 1); it only ever planned
+    // broadcast when a previously-materialized codebook cache supplied
+    // known-small stats, which made the old ===0 pin order-dependent
     assert(count("ann_ivfpq_topk", "BroadcastHashJoin") >= 2)
-    assert(count("ann_ivfpq_topk", "SortMergeJoin") === 0)
+    assert(count("ann_ivfpq_topk", "SortMergeJoin") <= 1)
   }
 
   test("persisted IVF-PQ serves off both standing indexes: pruned scan, no training") {
@@ -281,6 +286,38 @@ class PlansSpec extends SparkSpec {
       "probe join must prune the list-partitioned scan")
     assert(count("ann_ivfpq_persisted", "BroadcastHashJoin") >= 2)
     assert(count("ann_ivfpq_persisted", "SortMergeJoin") === 0)
+  }
+
+  test("block dedup is join-free: projection blocks, one hash-keyed window, one doc agg") {
+    assert(count("dedup_blocks", "Join") === 0,
+      "block formation must be a projection and dup-marking a window, never a join")
+    assert(count("dedup_blocks", "Exchange hashpartitioning") <= 2,
+      "only the bh window and the doc_id re-agg may shuffle")
+  }
+
+  test("zipf ledger shuffles vocabulary cardinality only") {
+    // tok agg (map-side combined) + octave re-agg = 2 exchanges; the
+    // per-octave subtree is textually doubled under the 1-row totals
+    // branch pre-AQE (4 in the initial plan) and deduplicated by
+    // ReuseExchange at runtime — the vocabGrowth pattern
+    assert(count("vocab_zipf", "Exchange hashpartitioning") <= 4)
+    assert(count("vocab_zipf", "SortMergeJoin") === 0)
+  }
+
+  test("mix schedule never shuffles per-document rows") {
+    // one source-keyed agg, textually doubled under the totals branch
+    // pre-AQE (ReuseExchange collapses it); the phase explode runs on
+    // the per-source frame only
+    assert(count("mix_schedule", "Exchange hashpartitioning") <= 2)
+    assert(count("mix_schedule", "SortMergeJoin") === 0)
+  }
+
+  test("hybrid RRF: corpus meets the query set through broadcasts; only the fusion may sort-merge") {
+    // the shingle inverted-index join and the q-size join broadcast the
+    // tiny query side; full-outer fusion of two <=100-row lists is the
+    // single permitted sort-merge
+    assert(count("search_hybrid_rrf", "BroadcastHashJoin") >= 2)
+    assert(count("search_hybrid_rrf", "SortMergeJoin") <= 1)
   }
 
   test("cluster-size histogram reads the persisted index: no joins, no contraction") {
