@@ -1663,6 +1663,62 @@ object Oracles {
     SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, sem_rnk, lex_rnk
     FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
 
+  /** First BPE merge-round pair table — mirrors
+    * `TextAnalysis.bpePairStats`: adjacent char pairs inside words,
+    * weighted by word occurrence, top-k with lexical tiebreak. */
+  def bpePairs(k: Int = 20): String = s"""WITH
+    w AS (SELECT w, count(*) AS wfreq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+    p AS (SELECT substr(w, i, 2) AS pair, wfreq
+          FROM (SELECT w, wfreq, unnest(range(1, len(w))) AS i
+                FROM w WHERE len(w) >= 2)),
+    c AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_count
+          FROM p GROUP BY pair)
+    SELECT pair, pair_count FROM c
+    ORDER BY pair_count DESC, pair LIMIT $k"""
+
+  /** Semantic decontamination — mirrors
+    * `Similarity.semanticDecontaminate`: nearest eval vector (every
+    * `mod`-th) per corpus vector, cosine via the deterministic left-fold
+    * dot, threshold flag. */
+  def annDecontaminate(mod: Long = 17L,
+      threshold: Double = 0.9): String = s"""WITH
+    nrm AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, e.vec_id AS eval_id,
+        ${dotSql("c.embedding", "e.embedding")} / (c.nrm * e.nrm) AS cos
+      FROM nrm c JOIN nrm e
+        ON c.vec_id % $mod <> 0 AND e.vec_id % $mod = 0
+           AND c.vec_id <> e.vec_id),
+    ranked AS (
+      SELECT vec_id, eval_id, cos,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id)
+          AS rn
+      FROM scored)
+    SELECT vec_id, eval_id, cos AS max_cos, cos >= $threshold AS contaminated
+    FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+
+  /** Join-key skew ledger — mirrors `SaltedJoin.skewProfile` on the
+    * events table (`⌈share × parts⌉` is autoSalts' overload factor; the
+    * running share divides an exact integer cumulative count). */
+  def eventsSkewProfile(k: Int = 10, parts: Int = 32): String = s"""WITH
+    c AS (SELECT user_id, count(*) AS key_count FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(key_count) AS BIGINT) AS total FROM c),
+    r AS (SELECT user_id, CAST(key_count AS BIGINT) AS key_count,
+            row_number() OVER (ORDER BY key_count DESC, user_id) AS rnk,
+            CAST(sum(key_count) OVER (ORDER BY key_count DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_count
+          FROM c)
+    SELECT CAST(rnk AS BIGINT) AS rnk, user_id, key_count,
+      CAST(key_count AS DOUBLE) / total AS share,
+      CAST(cum_count AS DOUBLE) / total AS cum_share,
+      CAST(ceil(CAST(key_count AS DOUBLE) / total * $parts) AS BIGINT)
+        AS salts_needed
+    FROM r, t WHERE rnk <= $k ORDER BY rnk"""
+
   /** Sliding-window chunk plan in SQL — mirrors `Chunking.chunkPlan`. */
   def chunkPlanSql(size: Int = 64, stride: Int = 48): String = s"""WITH
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3211,6 +3267,9 @@ object Oracles {
     "dedup_blocks" -> dedupBlocks(),
     "mix_schedule" -> mixScheduleSql(),
     "search_hybrid_rrf" -> searchHybridRrf(),
+    "bpe_pairs" -> bpePairs(),
+    "ann_decontaminate" -> annDecontaminate(),
+    "events_skew_profile" -> eventsSkewProfile(),
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,
     "ann_matryoshka" -> annMatryoshka(),

@@ -407,6 +407,12 @@ object SparkEntry {
       SaltedJoin.joinAuto(ev, dim, Seq("user_id"), fraction = 0.2)._1
         .orderBy("event_id")
     }),
+    // join-key skew audit: exact top-10 heaviest user_ids with share,
+    // running head share and the salt count autoSalts would derive
+    "events_skew_profile" -> ((s, dir) =>
+      SaltedJoin.skewProfile(
+        Tables.events(s, dir).select("user_id", "event_id"), Seq("user_id"))
+        .orderBy("rnk")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -559,6 +565,11 @@ object SparkEntry {
     // exact floor(log2) via binary-string length) - the power-law check
     "vocab_zipf" -> ((s, dir) =>
       TextAnalysis.zipfBuckets(Tables.documents(s, dir)).orderBy("octave")),
+    // first BPE merge-round: corpus-wide adjacent char-pair frequencies
+    // weighted by word occurrence - the distributed tokenizer-training step
+    "bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, dir))
+        .orderBy(col("pair_count").desc, col("pair"))),
     // CCNet-style line dedup on fixed 10-word blocks: per-doc fraction
     // of blocks whose exact text repeats anywhere in the corpus
     "dedup_blocks" -> ((s, dir) =>
@@ -655,6 +666,11 @@ object SparkEntry {
       Similarity.hybridRrfTopK(
         Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("q_id", "rnk")),
+    // semantic decontamination: nearest eval vector (every 17th, the
+    // text_decontaminate convention) per corpus vector + threshold flag
+    "ann_decontaminate" -> ((s, dir) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, dir))
+        .orderBy("vec_id")),
     // matryoshka truncation sweep: recall of prefix-width cosine top-5 vs
     // the full width — the embedding-width serving tradeoff curve
     "ann_matryoshka" -> ((s, dir) =>

@@ -1086,6 +1086,39 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** Semantic decontamination — the embedding-space twin of the 13-gram
+    * text screen (`Dedup.contamination`): the eval/benchmark set is every
+    * `mod`-th vector (the `text_decontaminate` convention), and every
+    * corpus vector reports its NEAREST eval vector and cosine, flagged
+    * when the similarity clears `threshold`. Catches the leakage n-gram
+    * overlap misses: paraphrases and translations of eval items that
+    * share no 13-gram but sit on top of the eval point in embedding
+    * space (the Phi/GPT-4 contamination-report methodology).
+    *
+    * Shape at 100 TB: the eval side is 1/`mod` of the corpus and
+    * broadcasts (at real scale the eval set is a few thousand vectors);
+    * the corpus scans ONCE against it — same broadcast-scan contract as
+    * [[cosineTopK]] — and the per-vector argmax is a window over the
+    * eval-set-sized candidate group, never a global sort. */
+  def semanticDecontaminate(emb: DataFrame, mod: Long = 17L,
+      threshold: Double = 0.9): DataFrame = {
+    val withNorm = emb.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val evals = withNorm.filter(col("vec_id") % mod === 0L)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("nrm").as("e_nrm"))
+    val corpus = withNorm.filter(col("vec_id") % mod =!= 0L)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("eval_id"))
+    corpus.join(broadcast(evals), col("vec_id") =!= col("eval_id"))
+      .withColumn("cos", dot(col("embedding"), col("e_emb")) /
+        (col("nrm") * col("e_nrm")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cos").as("max_cos"),
+        (col("cos") >= threshold).as("contaminated"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
     * the standard serving shape for RAG/retrieval stacks: a SEMANTIC
     * ranking (exact cosine over the paired embedding, `vec_id == doc_id`

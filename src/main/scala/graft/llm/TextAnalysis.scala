@@ -548,6 +548,34 @@ object TextAnalysis {
         col("cum_types").cast("double") / col("cum_tokens"))
   }
 
+  /** First BPE merge-round statistics (Sennrich et al. 2016) — the
+    * distributed piece of tokenizer training: the corpus-wide frequency
+    * of every ADJACENT CHARACTER PAIR inside words, weighted by word
+    * occurrence count; the top pair is exactly the first merge a BPE
+    * trainer would perform, and the top-`k` table is the merge queue's
+    * head. Ties break lexically (both engines compare ASCII bytewise),
+    * so the k-boundary is deterministic.
+    *
+    * Shape at 100 TB: words aggregate FIRST (map-side combine — word
+    * TYPES cross the wire, not the corpus), the pair explode then runs
+    * on the vocabulary (×(len−1) of the type table, corpus-independent),
+    * one pair-keyed re-agg, and the cut is `TakeOrderedAndProject` —
+    * never a global sort. This per-type weighting is also why BPE
+    * training parallelizes: the corpus is touched once, every subsequent
+    * merge round iterates the (tiny) weighted type table. */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wfreq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .withColumn("pair", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")))
+      .groupBy("pair").agg(sum("wfreq").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Zipf/power-law ledger without a libm fit: vocabulary grouped by
     * FREQUENCY OCTAVE — `octave = ⌊log₂ freq⌋` computed as the length of
     * the binary string `bin(freq)` minus one, an integer-exact identity

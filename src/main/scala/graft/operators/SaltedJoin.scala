@@ -124,4 +124,39 @@ object SaltedJoin {
     val salts = autoSalts(left, keys, fraction, maxSalts, seed)
     (join(left, right, keys, salts, joinType), salts)
   }
+
+  /** Exact join-key skew ledger — the audit a pipeline engineer runs
+    * BEFORE choosing between a plain join, AQE skew split, or [[join]]:
+    * the top-`k` heaviest keys with their row share, the running share
+    * of the head, and the per-key salt count [[autoSalts]]' estimator
+    * would derive at `parts` reducers (`⌈share × parts⌉` — the overload
+    * factor). `cum_share` divides an exact integer running count by the
+    * exact total (one division per row — never a re-associated running
+    * double sum), so the ledger hashes identically on any engine.
+    *
+    * Shape at 100 TB: one keyed count with map-side combine (key
+    * cardinality crosses the wire, not rows), a 1-row total broadcast,
+    * and a `TakeOrderedAndProject` top-k — the running-share window runs
+    * over the k surviving rows only, never over the key universe. */
+  def skewProfile(df: DataFrame, keys: Seq[String], k: Int = 10,
+      parts: Int = 32): DataFrame = {
+    val keyCols = keys.map(col)
+    val ord = col("key_count").desc +: keyCols
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("key_count"))
+    val total = counts.agg(sum("key_count").as("_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val cumW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    counts.orderBy(ord: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("share", col("key_count").cast("double") / col("_total"))
+      .withColumn("cum_share",
+        sum("key_count").over(cumW).cast("double") / col("_total"))
+      .withColumn("salts_needed",
+        ceil(col("key_count").cast("double") / col("_total") * parts).cast("long"))
+      .select((col("rnk") +: keyCols) ++ Seq(col("key_count"), col("share"),
+        col("cum_share"), col("salts_needed")): _*)
+  }
 }

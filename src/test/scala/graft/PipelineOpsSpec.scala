@@ -82,6 +82,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpePairStats: pair counts weight by word occurrence; the top pair is the first merge") {
+    val docs = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
+    // "ab"×2 contributes pair ab twice; "abc" contributes ab, bc once each
+    val out = TextAnalysis.bpePairStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("ab", 3L), ("bc", 1L)))
+  }
+
+  test("semanticDecontaminate: colinear vector flags, orthogonal does not") {
+    val dims = 64
+    val e0 = Array.tabulate(dims)(i => if (i == 0) 1.0f else 0.0f)
+    val vecs = Seq(
+      (0L, e0),                                                  // eval (0 % 17 == 0)
+      (1L, e0.map(_ * 3.0f)),                                    // colinear: cos 1
+      (2L, Array.tabulate(dims)(i => if (i == 1) 2.0f else 0.0f)) // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(vecs)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[Long]("eval_id") === 0L)
+    assert(out(0).getAs[Double]("max_cos") === 1.0)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Double]("max_cos") === 0.0)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("skewProfile: exact shares, integer-cumsum running share, autoSalts overload factor") {
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("user_id", "event_id")
+    val out = graft.operators.SaltedJoin.skewProfile(df, Seq("user_id"), k = 10, parts = 32)
+      .orderBy("rnk").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "a", 5L), (2L, "b", 3L), (3L, "c", 1L)))
+    assert(out.map(_.getAs[Double]("share")).toSeq ===
+      Seq(5.0 / 9, 3.0 / 9, 1.0 / 9))
+    assert(out.map(_.getAs[Double]("cum_share")).toSeq ===
+      Seq(5.0 / 9, 8.0 / 9, 1.0))
+    // ceil(share * 32): the per-key way-split autoSalts would derive
+    assert(out.map(_.getAs[Long]("salts_needed")).toSeq === Seq(18L, 11L, 4L))
+  }
+
   test("noveltyStats: first-seen trigrams count as novel, re-seen do not") {
     val docs = Seq(
       (0L, "a b c d"),     // trigrams {a b c, b c d} — both first here

@@ -43,7 +43,8 @@ class PlansSpec extends SparkSpec {
     "dedup_bloom_gate", "dedup_growth_curve", "ann_pq_rerank", "vocab_growth",
     "ann_pq_persisted", "ann_ivfpq_topk", "dedup_cluster_sizes",
     "ann_ivfpq_persisted",
-    "dedup_blocks", "vocab_zipf", "mix_schedule", "search_hybrid_rrf")
+    "dedup_blocks", "vocab_zipf", "mix_schedule", "search_hybrid_rrf",
+    "bpe_pairs", "ann_decontaminate", "events_skew_profile")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -318,6 +319,29 @@ class PlansSpec extends SparkSpec {
     // single permitted sort-merge
     assert(count("search_hybrid_rrf", "BroadcastHashJoin") >= 2)
     assert(count("search_hybrid_rrf", "SortMergeJoin") <= 1)
+  }
+
+  test("BPE pair table explodes the vocabulary, not the corpus, and cuts via TakeOrdered") {
+    // word-type agg + pair re-agg only; the top-k is a TakeOrdered, never
+    // a global sort of the pair universe
+    assert(count("bpe_pairs", "Join") === 0)
+    assert(count("bpe_pairs", "Exchange hashpartitioning") <= 2)
+    assert(plans("bpe_pairs").contains("TakeOrderedAndProject"))
+  }
+
+  test("semantic decontamination broadcasts the eval set over one corpus scan") {
+    // the eval side broadcasts (cosineTopK contract); the only wide op is
+    // the per-vector argmax window
+    assert(count("ann_decontaminate", "SortMergeJoin") === 0)
+    assert(count("ann_decontaminate", "Exchange hashpartitioning") <= 1)
+  }
+
+  test("skew profile shuffles key cardinality once; the window runs post-limit") {
+    assert(count("events_skew_profile", "Exchange hashpartitioning") <= 2,
+      "one keyed count, textually doubled under the 1-row totals branch " +
+        "pre-AQE (ReuseExchange collapses it); the running share sees k rows")
+    assert(count("events_skew_profile", "SortMergeJoin") === 0)
+    assert(plans("events_skew_profile").contains("TakeOrderedAndProject"))
   }
 
   test("cluster-size histogram reads the persisted index: no joins, no contraction") {
