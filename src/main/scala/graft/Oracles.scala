@@ -1682,8 +1682,8 @@ object Oracles {
     * `Similarity.semanticDecontaminate`: nearest eval vector (every
     * `mod`-th) per corpus vector, cosine via the deterministic left-fold
     * dot, threshold flag. */
-  def annDecontaminate(mod: Long = 17L,
-      threshold: Double = 0.9): String = s"""WITH
+  def annDecontaminate(mod: Long = 17L, threshold: Double = 0.9,
+      evalCap: Long = Long.MaxValue): String = s"""WITH
     nrm AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
             FROM embeddings),
     scored AS (
@@ -1691,7 +1691,7 @@ object Oracles {
         ${dotSql("c.embedding", "e.embedding")} / (c.nrm * e.nrm) AS cos
       FROM nrm c JOIN nrm e
         ON c.vec_id % $mod <> 0 AND e.vec_id % $mod = 0
-           AND c.vec_id <> e.vec_id),
+           AND e.vec_id < $evalCap AND c.vec_id <> e.vec_id),
     ranked AS (
       SELECT vec_id, eval_id, cos,
         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id)
@@ -3269,6 +3269,7 @@ object Oracles {
     "search_hybrid_rrf" -> searchHybridRrf(),
     "bpe_pairs" -> bpePairs(),
     "ann_decontaminate" -> annDecontaminate(),
+    "ann_decontaminate_capped" -> annDecontaminate(evalCap = 500L),
     "events_skew_profile" -> eventsSkewProfile(),
     "ann_probe_curve" -> annIvfProbeCurve(),
     "corpus_budget_by_source" -> corpusBudgetBySource,

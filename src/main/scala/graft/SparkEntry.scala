@@ -671,6 +671,12 @@ object SparkEntry {
     "ann_decontaminate" -> ((s, dir) =>
       Similarity.semanticDecontaminate(Tables.embeddings(s, dir))
         .orderBy("vec_id")),
+    // the scale form: eval set FIXED (ids < 500) so only one join side
+    // grows with the corpus - the fraction-of-corpus eval definition
+    // above measured exponent 1.50 at the 10x rehearsal
+    "ann_decontaminate_capped" -> ((s, dir) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, dir), evalCap = 500L)
+        .orderBy("vec_id")),
     // matryoshka truncation sweep: recall of prefix-width cosine top-5 vs
     // the full width — the embedding-width serving tradeoff curve
     "ann_matryoshka" -> ((s, dir) =>

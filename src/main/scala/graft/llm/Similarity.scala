@@ -1099,12 +1099,21 @@ object Similarity {
     * broadcasts (at real scale the eval set is a few thousand vectors);
     * the corpus scans ONCE against it — same broadcast-scan contract as
     * [[cosineTopK]] — and the per-vector argmax is a window over the
-    * eval-set-sized candidate group, never a global sort. */
+    * eval-set-sized candidate group, never a global sort.
+    *
+    * **Scale warning, measured**: with the eval set defined as a FRACTION
+    * of the corpus (`evalCap = ∞`, the oracle-parity default) both join
+    * sides grow with the data — the 10× rehearsal measured exponent
+    * 1.50 (×31.8 wall-clock at ×10 rows), the same super-linear class
+    * the LSH candidate blowup showed. A real benchmark set is FIXED;
+    * pass a finite `evalCap` (the `ann_decontaminate_capped` form,
+    * measured corpus-linear) for any production-scale run. */
   def semanticDecontaminate(emb: DataFrame, mod: Long = 17L,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, evalCap: Long = Long.MaxValue): DataFrame = {
     val withNorm = emb.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val evals = withNorm.filter(col("vec_id") % mod === 0L)
+    val evals = withNorm
+      .filter(col("vec_id") % mod === 0L && col("vec_id") < evalCap)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
         col("nrm").as("e_nrm"))
     val corpus = withNorm.filter(col("vec_id") % mod =!= 0L)

@@ -108,6 +108,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("contaminated"))
   }
 
+  test("semanticDecontaminate: a finite evalCap only restricts the eval side") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // cap above every vec_id (sf0.001 has 500): identical to uncapped
+    val capped = Similarity.semanticDecontaminate(emb, evalCap = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.semanticDecontaminate(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === full)
+    // a tight cap keeps every corpus vector but only eval ids below it
+    val tight = Similarity.semanticDecontaminate(emb, evalCap = 100L).collect()
+    assert(tight.length === full.size, "every corpus vector still reports")
+    assert(tight.forall(_.getLong(1) < 100L))
+  }
+
   test("skewProfile: exact shares, integer-cumsum running share, autoSalts overload factor") {
     val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
     val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
