@@ -1283,6 +1283,78 @@ object Oracles {
     SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, priority
     FROM r WHERE rnk <= 10 ORDER BY source, rnk"""
 
+  /** UniMax epoch-capped allocation — mirrors
+    * `Sampling.unimaxAllocation(budget=100000, maxEpochs=4)`: water-filling
+    * with an integer capped test and one double division for the open
+    * equal share. */
+  val mixUnimax: String = """WITH
+    t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    c AS (SELECT *, CAST(n_tokens * 4 AS BIGINT) AS cap_tokens FROM t),
+    r AS (SELECT *,
+        row_number() OVER (ORDER BY cap_tokens, source) AS rn,
+        count(*) OVER () AS n_src,
+        COALESCE(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+      FROM c),
+    f AS (SELECT *,
+        (cap_tokens * (n_src - rn + 1) <= 100000 - prev_cum) AS capped
+      FROM r),
+    g AS (SELECT
+        CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) AS BIGINT)
+          AS capped_mass,
+        CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_open
+      FROM f)
+    SELECT source, n_docs, n_tokens, cap_tokens, capped,
+      CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+           ELSE CAST(100000 - capped_mass AS DOUBLE) / n_open END
+        AS alloc_tokens,
+      (CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+            ELSE CAST(100000 - capped_mass AS DOUBLE) / n_open END)
+        / n_tokens AS epochs
+    FROM f, g ORDER BY source"""
+
+  /** Shared CTE for the DSIR importance family — mirrors
+    * `Sampling.importanceAffinity` (target = lang 'en'): per word
+    * occurrence, the word's corpus-wide and target-slice occurrence
+    * counts via one word-partition window; per doc, exact integer mass
+    * sums and one double division. */
+  private val importanceCte: String = """
+    wds AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+    wf AS (SELECT doc_id, lang, word FROM wds WHERE word <> ''),
+    msk AS (
+      SELECT doc_id,
+        count(*) OVER (PARTITION BY word) AS corpus_c,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (PARTITION BY word)
+          AS target_c
+      FROM wf),
+    aff AS (
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(target_c) AS BIGINT) AS target_mass,
+        CAST(sum(corpus_c) AS BIGINT) AS corpus_mass,
+        CAST(sum(target_c) AS DOUBLE) / CAST(sum(corpus_c) AS DOUBLE)
+          AS affinity
+      FROM msk GROUP BY doc_id)"""
+
+  /** DSIR-style importance affinity ledger — one row per doc. */
+  val sampleImportance: String = s"""WITH $importanceCte
+    SELECT doc_id, n_words, target_mass, corpus_mass, affinity
+    FROM aff ORDER BY doc_id"""
+
+  /** The resampling half: top-50 docs by (affinity DESC, doc_id) with
+    * stratum columns — mirrors `Sampling.importanceResample(k=50)`. */
+  val sampleImportanceTop: String = s"""WITH $importanceCte
+    SELECT
+      CAST(row_number() OVER (ORDER BY affinity DESC, a.doc_id) AS BIGINT)
+        AS rnk,
+      a.doc_id, d.lang, d.source, a.n_words, a.target_mass, a.corpus_mass,
+      a.affinity
+    FROM aff a JOIN documents d ON d.doc_id = a.doc_id
+    ORDER BY affinity DESC, a.doc_id LIMIT 50"""
+
   def dedupJaccard3(threshold: Double): String = s"""WITH $shingles3Cte,
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
     inter AS (
@@ -3280,6 +3352,9 @@ object Oracles {
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,
     "sample_priority" -> samplePriority,
+    "sample_importance" -> sampleImportance,
+    "sample_importance_top" -> sampleImportanceTop,
+    "mix_unimax" -> mixUnimax,
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     // the 100 TB form: hot band-key buckets (> 32 docs) contribute no pairs
     "dedup_verify_capped" -> dedupVerifyCandidates(0.8, cap = 32L),

@@ -505,6 +505,11 @@ object SparkEntry {
     // token share to uniform-across-sources over 5 training phases
     "mix_schedule" -> ((s, dir) =>
       Sampling.mixSchedule(Tables.documents(s, dir)).orderBy("phase", "source")),
+    // UniMax (Chung et al. 2023): equal-share token allocation under an
+    // explicit per-source repeat cap — integer water-filling boundary,
+    // one double division for the open equal share
+    "mix_unimax" -> ((s, dir) =>
+      Sampling.unimaxAllocation(Tables.documents(s, dir)).orderBy("source")),
     // the mixture MATERIALIZED: per-source keep rates against a 20k-token
     // budget, deterministic hash sample, audit of achieved vs target
     "mix_materialize" -> ((s, dir) =>
@@ -770,6 +775,14 @@ object SparkEntry {
     // inclusion odds proportional-ish to token count, reproducible anywhere
     "sample_priority" -> ((s, dir) =>
       Sampling.prioritySample(Tables.documents(s, dir)).orderBy("source", "rnk")),
+    // DSIR-style importance scoring (Xie et al. 2023) with a rational
+    // affinity (integer word-mass sums, one division) in place of the
+    // log-likelihood ratio, so the oracle compares bit-exactly
+    "sample_importance" -> ((s, dir) =>
+      Sampling.importanceAffinity(Tables.documents(s, dir)).orderBy("doc_id")),
+    // the resampling half: top-50 by (affinity desc, doc_id) with strata
+    "sample_importance_top" -> ((s, dir) =>
+      Sampling.importanceResample(Tables.documents(s, dir)).orderBy("rnk")),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rnk")),

@@ -242,4 +242,117 @@ object Sampling {
       .select(col("phase").cast("long").as("phase"), col("source"),
         col("n_tokens"), col("weight"), col("phase_tokens"))
   }
+
+  /** UniMax epoch-capped uniform allocation (Chung et al. 2023): split a
+    * token `budget` across sources as EQUALLY as possible, subject to no
+    * source repeating more than `maxEpochs` times — the mixture recipe
+    * that replaces temperature tuning with an explicit repeat cap. The
+    * classic water-filling solution: sort sources ascending by cap
+    * `maxEpochs·n_tokens`; a source is CAPPED iff granting it (and, by
+    * monotonicity, every prefix source) its full cap still leaves the
+    * per-survivor equal share at-or-above its cap —
+    * `cap·(n−rank+1) ≤ budget − prefix_cap_mass`, a pure INTEGER
+    * comparison, so the capped set is bit-stable across engines. Every
+    * uncapped source then gets the exact equal share
+    * `λ* = (budget − capped_mass) / n_uncapped` (one double division;
+    * capped rows allocate their integer cap). `epochs = alloc/n_tokens`
+    * lands exactly on `maxEpochs` for capped rows.
+    *
+    * Scale shape: one source-keyed partial agg reduces the corpus to one
+    * row per source; the water-filling windows run on that tiny frame
+    * (single-partition by construction — sources number in the dozens,
+    * not millions), and nothing wide ever re-touches per-document rows. */
+  def unimaxAllocation(
+      docs: DataFrame,
+      budgetTokens: Long = 100000L,
+      maxEpochs: Int = 4): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val totals = perSource.agg(count(lit(1)).as("_n_src"))
+    val ranked = perSource.crossJoin(broadcast(totals))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_prev_cum", coalesce(
+        sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        col("cap_tokens") * (col("_n_src") - col("_rn") + 1L) <=
+          lit(budgetTokens) - col("_prev_cum"))
+    val closed = ranked.agg(
+      sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("_capped_mass"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("_n_open"))
+    ranked.crossJoin(broadcast(closed))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens").cast("double"))
+          .otherwise((lit(budgetTokens) - col("_capped_mass")).cast("double") /
+            col("_n_open")))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens"))
+      .select("source", "n_docs", "n_tokens", "cap_tokens", "capped",
+        "alloc_tokens", "epochs")
+  }
+
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023) with a RATIONAL affinity in place of the
+    * paper's log-likelihood ratio: per document, `target_mass` =
+    * Σ_occurrences count_target(word) and `corpus_mass` =
+    * Σ_occurrences count_corpus(word) are exact integer sums (order-free
+    * and engine-portable, where a sum of logs drifts in the last ulp
+    * between engines), and `affinity = target_mass / corpus_mass` is one
+    * exact double division — the occurrence-weighted fraction of each
+    * word's corpus mass that lives in the target slice. A doc written in
+    * the target distribution's vocabulary scores near the target's corpus
+    * share; off-distribution vocabulary pulls it toward 0; resampling
+    * keeps the top of the ranking ([[importanceResample]]).
+    *
+    * Scale shape: same skeleton as `TextAnalysis.noveltyStats` — one
+    * word-keyed shuffle (a window computes both masses in place; no
+    * side table, no second word-keyed join) then one doc-keyed partial
+    * agg. Word keys are Zipf-skewed, but per-key window state is two
+    * running counts, so hot keys cost shuffle bandwidth, not memory. */
+  def importanceAffinity(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val w = Window.partitionBy("word")
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("_corpus_c", count(lit(1)).over(w))
+      .withColumn("_target_c",
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("_target_c").as("target_mass"),
+        sum("_corpus_c").as("corpus_mass"))
+      .withColumn("affinity",
+        col("target_mass").cast("double") / col("corpus_mass"))
+  }
+
+  /** The resampling half of DSIR: the top `k` documents by
+    * `(affinity desc, doc_id)` — doc_id breaks exact-double ties, so the
+    * selection is total-ordered and reproducible — reported with each
+    * winner's stratum columns so the audit shows what the importance
+    * weights actually selected (the classic failure being a "target
+    * English" resample that quietly picks one source).
+    *
+    * Scale shape: the ledger is one row per doc; the top-k is
+    * `orderBy(...).limit(k)` — Spark's TakeOrderedAndProject, a per-
+    * partition heap + driver merge of k·partitions rows, never a global
+    * sort. The rank column is minted AFTER the limit, over the k-row
+    * result (single-partition window on k rows, not on the corpus). */
+  def importanceResample(
+      docs: DataFrame, targetLang: String = "en", k: Int = 50): DataFrame = {
+    val aff = importanceAffinity(docs, targetLang)
+    val top = aff
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("affinity").desc, col("doc_id")))
+        .cast("long"))
+      .select("rnk", "doc_id", "lang", "source", "n_words",
+        "target_mass", "corpus_mass", "affinity")
+  }
 }

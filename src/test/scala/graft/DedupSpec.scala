@@ -859,6 +859,68 @@ class DedupSpec extends SparkSpec {
       h * 1048576L / row.getAs[Long]("n_tokens"))
   }
 
+  test("importanceAffinity: exact word-mass arithmetic, resample ranks the target slice first") {
+    // counts: a→2 occurrences (1 in en), b→1 (en), c→1 (de)
+    // doc 1 (en, "a b"): target 1+1=2, corpus 2+1=3 → affinity 2/3
+    // doc 2 (de, "a c"): target 1+0=1, corpus 2+1=3 → affinity 1/3
+    val tiny = Seq(
+      (1L, "a b", "en", "s0"),
+      (2L, "a c", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val aff = Sampling.importanceAffinity(tiny).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(aff === Array(
+      (1L, 2L, 2L, 3L, 2.0 / 3.0),
+      (2L, 2L, 1L, 3L, 1.0 / 3.0)))
+    val top = Sampling.importanceResample(tiny, k = 1).collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("rnk") === 1L)
+    assert(top.head.getAs[Long]("doc_id") === 1L)
+    assert(top.head.getAs[String]("lang") === "en")
+    // real corpus: mass bounds hold everywhere and the ledger is
+    // partition-independent (pure window+agg arithmetic, no rand)
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ledger = Sampling.importanceAffinity(real)
+    val bad = ledger.filter(
+      col("target_mass") > col("corpus_mass") ||
+        col("n_words") > col("corpus_mass") ||
+        col("affinity") < 0.0 || col("affinity") > 1.0).count()
+    assert(bad === 0L)
+    val once = ledger.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val again = Sampling.importanceAffinity(real.repartition(13))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(once === again, "the ledger must not depend on partitioning")
+  }
+
+  test("unimaxAllocation: water-filling caps small sources, open shares equal, budget conserved") {
+    // caps at maxEpochs=2: s0→4, s1→8, s2→20; budget 14:
+    //   s0 capped (4·3=12 ≤ 14), s1 open at rank 2 (8·2=16 > 14−4=10),
+    //   λ* = (14−4)/2 = 5 → allocs 4, 5, 5; epochs 2, 1.25, 0.5
+    val tiny = Seq(
+      (1L, "a b", "s0"), (2L, "a b c d", "s1"),
+      (3L, "a b c d e f g h i j", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.unimaxAllocation(tiny, budgetTokens = 14L, maxEpochs = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("capped"),
+        r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs")))
+    assert(out === Array(
+      ("s0", true, 4.0, 2.0), ("s1", false, 5.0, 1.25), ("s2", false, 5.0, 0.5)))
+    // real corpus: budget conserved exactly when any source is open,
+    // no epoch exceeds the cap, result partition-independent
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Sampling.unimaxAllocation(real).collect()
+    assert(rows.exists(_.getAs[Boolean]("capped")) &&
+      rows.exists(!_.getAs[Boolean]("capped")),
+      "the default budget must exercise both branches on the test corpus")
+    assert(math.abs(rows.map(_.getAs[Double]("alloc_tokens")).sum - 100000.0) < 1e-6)
+    assert(rows.forall(_.getAs[Double]("epochs") <= 4.0 + 1e-12))
+    val again = Sampling.unimaxAllocation(real.repartition(7))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(rows.sortBy(_.getAs[String]("source")).map(_.toSeq).toSeq === again)
+  }
+
   test("containmentPairs: full quote detected at containment 1.0 where jaccard misses it") {
     // doc 2 is a verbatim contiguous slice of doc 1: every 2-shingle of 2
     // appears in 1 → containment 1.0, while jaccard is diluted to ~1/3
