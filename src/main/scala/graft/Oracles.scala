@@ -1283,6 +1283,75 @@ object Oracles {
     SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, priority
     FROM r WHERE rnk <= 10 ORDER BY source, rnk"""
 
+  /** Deterministic training-shard shuffle — mirrors `Sampling.shardAssign`
+    * (nShards=16, seed=42, M=1000003): shard = hash31(doc_id‖':42') mod 16,
+    * position = rank of (key, doc_id) within the shard. */
+  val exportShards: String = s"""WITH
+    k AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        ${h31("CAST(doc_id AS VARCHAR) || ':42'", 1000003L)} AS shuffle_key
+      FROM documents),
+    s AS (SELECT *, shuffle_key % 16 AS shard FROM k)
+    SELECT doc_id, shard,
+      CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+      shuffle_key, n_tokens
+    FROM s ORDER BY shard, pos"""
+
+  /** Per-shard balance ledger — mirrors `Sampling.shardStats`. */
+  val exportShardStats: String = s"""WITH
+    k AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        ${h31("CAST(doc_id AS VARCHAR) || ':42'", 1000003L)} % 16 AS shard
+      FROM documents),
+    per AS (
+      SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM k GROUP BY shard),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT shard, n_docs, n_tokens,
+      CAST(n_tokens AS DOUBLE) / t AS token_share,
+      CAST(n_tokens AS DOUBLE) / t * 16 AS balance
+    FROM per, tot ORDER BY shard"""
+
+  /** Simpson concentration — mirrors `TextAnalysis.simpsonConcentration`:
+    * Σ c(c−1) / (n(n−1)) per doc, exact-rational (integer sums, one
+    * division); docs with n < 2 score 0. */
+  val textSimpson: String = """WITH
+    words AS (
+      SELECT doc_id, w AS word
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+    agg AS (
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        CAST(sum(c * (c - 1)) AS BIGINT) AS pairs,
+        CAST(max(c) AS BIGINT) AS top_c
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+      CASE WHEN n_tokens >= 2
+           THEN CAST(pairs AS DOUBLE) / (n_tokens * (n_tokens - 1))
+           ELSE 0.0 END AS simpson,
+      CAST(top_c AS DOUBLE) / n_tokens AS top_share
+    FROM agg ORDER BY doc_id"""
+
+  /** Hard-negative mining — mirrors `Similarity.hardNegatives`: per probe
+    * (vec_id < 10), top-5 by cosine among vectors of a DIFFERENT label. */
+  val annHardNegatives: String = s"""WITH
+    n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+        c.vec_id AS n_id, c.label AS n_label,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.label <> q.label),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, q_label, CAST(rnk AS BIGINT) AS rnk, n_id, n_label, cos AS cos_sim
+    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   /** UniMax epoch-capped allocation — mirrors
     * `Sampling.unimaxAllocation(budget=100000, maxEpochs=4)`: water-filling
     * with an integer capped test and one double division for the open
@@ -3352,6 +3421,8 @@ object Oracles {
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,
     "sample_priority" -> samplePriority,
+    "export_shards" -> exportShards,
+    "export_shard_stats" -> exportShardStats,
     "sample_importance" -> sampleImportance,
     "sample_importance_top" -> sampleImportanceTop,
     "mix_unimax" -> mixUnimax,
@@ -3362,6 +3433,7 @@ object Oracles {
     "dedup_substring_sampled" -> dedupSubstring(anchorMod = 8L),
     "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
+    "ann_hard_negatives" -> annHardNegatives,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,
@@ -3395,6 +3467,7 @@ object Oracles {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
+    "text_simpson" -> textSimpson,
     "vocab_topk" -> vocabTopk,
     // sketch-then-recount output is deterministic and identical by design
     "vocab_topk_sketch" -> vocabTopk,

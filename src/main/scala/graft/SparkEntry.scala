@@ -600,6 +600,10 @@ object SparkEntry {
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // hard-negative mining: per probe, top-k most-similar vectors of a
+    // DIFFERENT label — the near-miss negatives contrastive training needs
+    "ann_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
     // int8 scalar quantization (4x vector bytes): scales cancel in cosine,
     // so the quantized score is integer-exact and hash-stable by design
     "ann_quantized_topk" -> ((s, dir) =>
@@ -730,6 +734,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Simpson concentration: exact-rational repetition filter (integer
+    // pair counts, one division) — entropy's job without entropy's ulp drift
+    "text_simpson" -> ((s, dir) =>
+      TextAnalysis.simpsonConcentration(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherStats(Tables.documents(s, dir)).orderBy("doc_id")),
     // PII scrub over deterministically augmented text (the synthetic corpus
@@ -775,6 +783,14 @@ object SparkEntry {
     // inclusion odds proportional-ish to token count, reproducible anywhere
     "sample_priority" -> ((s, dir) =>
       Sampling.prioritySample(Tables.documents(s, dir)).orderBy("source", "rnk")),
+    // deterministic training-shard shuffle: hash31-keyed shard + in-shard
+    // position, reproducible under re-partitioning and incremental rebuilds
+    "export_shards" -> ((s, dir) =>
+      Sampling.shardAssign(Tables.documents(s, dir)).orderBy("shard", "pos")),
+    // the balance ledger a shard write ships with: per-shard doc/token
+    // mass and each shard's token share vs the uniform target
+    "export_shard_stats" -> ((s, dir) =>
+      Sampling.shardStats(Tables.documents(s, dir)).orderBy("shard")),
     // DSIR-style importance scoring (Xie et al. 2023) with a rational
     // affinity (integer word-mass sums, one division) in place of the
     // log-likelihood ratio, so the oracle compares bit-exactly

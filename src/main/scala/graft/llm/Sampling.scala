@@ -355,4 +355,57 @@ object Sampling {
       .select("rnk", "doc_id", "lang", "source", "n_words",
         "target_mass", "corpus_mass", "affinity")
   }
+
+  /** Deterministic training-shard shuffle — the LAST step of a corpus
+    * build: every document gets a pseudo-random position in one of
+    * `nShards` output shards, so data loaders stream shards sequentially
+    * and still see a well-mixed order. The shuffle key is
+    * `hash31(doc_id ‖ ':' ‖ seed)` — a pure projection of the id, so the
+    * assignment is reproducible under re-partitioning, retries and
+    * incremental rebuilds, and re-seeding is a one-integer change that
+    * re-mixes every shard. Shard = key mod nShards; position = rank of
+    * (key, doc_id) within the shard (doc_id breaks hash collisions, so
+    * the order is total and engine-portable).
+    *
+    * Scale shape: the key is shuffle-free; the per-shard position is a
+    * shard-keyed window — one shuffle on a uniform key (hash31 spreads
+    * doc ids evenly; no hot shard), each shard sorted within its own
+    * partition, which is exactly the order the shard file is written in.
+    * At 100 TB this is `repartition(nShards, shard)` + in-partition sort
+    * + per-shard file write: one pass, no global sort. */
+  private def shardKeyed(docs: DataFrame, nShards: Int,
+      seed: Int, modulus: Long): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      hash31(concat(col("doc_id").cast("string"), lit(":" + seed)), modulus)
+        .as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
+
+  def shardAssign(docs: DataFrame, nShards: Int = 16,
+      seed: Int = 42, modulus: Long = 1000003L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    shardKeyed(docs, nShards, seed, modulus)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos", "shuffle_key", "n_tokens")
+  }
+
+  /** Per-shard balance ledger for [[shardAssign]] — the audit a shard
+    * write ships with: document count, token mass, and each shard's token
+    * share vs the uniform 1/nShards target. A loader reading shards
+    * round-robin gets per-step token throughput proportional to shard
+    * mass, so imbalance here is training-step jitter; the hash key keeps
+    * the expected deviation O(1/√(docs/shard)). One shard-keyed partial
+    * agg + a 1-row totals broadcast — nothing per-document survives. */
+  def shardStats(docs: DataFrame, nShards: Int = 16, seed: Int = 42): DataFrame = {
+    val perShard = shardKeyed(docs, nShards, seed, 1000003L)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val totals = perShard.agg(sum("n_tokens").as("_tot"))
+    perShard.crossJoin(broadcast(totals))
+      .select(
+        col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_tot")).as("token_share"),
+        (col("n_tokens").cast("double") / col("_tot") * nShards).as("balance"))
+  }
 }

@@ -51,6 +51,40 @@ object Similarity {
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos").as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each of
+    * the `nQueries` lowest vec_ids, the `k` most-similar vectors whose
+    * `label` DIFFERS from the query's — the near-miss negatives that teach
+    * the margin (a random negative is trivially far; the hard ones sit
+    * just across the class boundary). The join predicate is the label
+    * mismatch itself, so same-label rows never reach scoring.
+    *
+    * Same shape as [[cosineTopK]]: the query set broadcasts, the corpus
+    * streams once through a codegen'd `ArrayDot`, and per-query top-k is
+    * a window rank over the per-query candidate stream. At 100 TB the
+    * production form swaps the exact scan for the IVF/LSH candidate path
+    * with the label filter applied to the probed lists — the mining
+    * predicate composes unchanged. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val withNorm = emb.select(
+      col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val queries = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cand = withNorm.select(
+      col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), col("q_label") =!= col("n_label"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk").cast("long").as("rnk"),
+        col("n_id"), col("n_label"), col("cos").as("cos_sim"))
+  }
+
   /** Deterministic pseudo-random projection direction for plane `j`: Knuth
     * multiplicative lattice → uniform in [-0.5, 0.5). Computed once in
     * Scala and embedded as a LITERAL array, so each per-row projection is a

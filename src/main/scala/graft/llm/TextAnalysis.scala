@@ -444,6 +444,38 @@ object TextAnalysis {
           .as("dup_bigram_frac"))
   }
 
+  /** Simpson concentration index per document — the probability two tokens
+    * drawn without replacement are the SAME word type:
+    * `Σ cᵢ(cᵢ−1) / (n(n−1))`. A repetition/concentration filter that,
+    * unlike entropy, is an exact rational — integer numerator and
+    * denominator summed order-free, one double division at the end — so
+    * the score is bit-identical across engines and partitionings where a
+    * Σ p·log p drifts in the last ulp. High Simpson = the doc is a few
+    * words repeated (boilerplate, keyword stuffing); low = lexically
+    * diverse. `top_share` (modal word mass / n) is the companion
+    * single-word view. Docs with n < 2 score 0 by convention.
+    *
+    * Shape: word explode → (doc_id, word) count → doc_id agg — both
+    * aggregates map-side combine and the doc key is uniform, so this is
+    * corpus-linear with vocabulary-bound intermediate cardinality. */
+  def simpsonConcentration(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("_pairs"),
+        max("c").as("_top_c"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") >= 2,
+          col("_pairs").cast("double") / (col("n_tokens") * (col("n_tokens") - 1)))
+          .otherwise(lit(0.0)).as("simpson"),
+        (col("_top_c").cast("double") / col("n_tokens")).as("top_share"))
+
   /** Per-document n-gram NOVELTY against the whole corpus: the fraction of a
     * doc's distinct `n`-gram shingles whose first corpus occurrence
     * (minimum doc_id over every doc containing the shingle) is this doc —

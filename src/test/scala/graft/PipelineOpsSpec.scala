@@ -433,4 +433,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).sum ===
       assign.select("cluster_id").distinct().count())
   }
+
+  test("hardNegatives: same-label rows never surface, ranking is by cosine") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (100L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),  // clone, SAME label
+      (101L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.01).toFloat), 1), // near, other label
+      (102L, Array.tabulate(64)(i => (math.sin(i + 1) * -1).toFloat), 1)    // antipode
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, nQueries = 1, k = 5).collect()
+    // the identical clone shares the query's label: excluded despite cos 1
+    assert(!out.exists(_.getAs[Long]("n_id") == 100L))
+    assert(out.map(_.getAs[Long]("n_id")).toSeq === Seq(101L, 102L))
+    // the hard negative (near-clone across the boundary) ranks first
+    assert(out.head.getAs[Double]("cos_sim") > 0.99)
+    assert(out.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+  }
+
+  test("shardAssign: dense per-shard positions, stable under repartition, seed re-mixes") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Sampling.shardAssign(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length === docs.count())
+    // positions within each shard are exactly 1..n_docs(shard)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // pure function of doc_id: physical layout cannot move a document
+    val b = Sampling.shardAssign(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // a different seed re-mixes (some doc changes shard or position)
+    val c = Sampling.shardAssign(docs, seed = 43).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq !== c.sortBy(_._1).toSeq)
+    // the ledger ties back to the assignment
+    val stats = Sampling.shardStats(docs).collect()
+    val byShard = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    stats.foreach(r => assert(r.getAs[Long]("n_docs") === byShard(r.getAs[Long]("shard"))))
+    assert(math.abs(stats.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+  }
+
+  test("simpsonConcentration: exact rational on a paper-checkable doc") {
+    val docs = Seq(
+      (0L, "a a a b"),   // pairs = 3*2 = 6, n(n-1) = 12 -> 0.5; top 3/4
+      (1L, "only"),      // n < 2 -> simpson 0 by convention
+      (2L, "x y z w")    // all distinct -> 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.simpsonConcentration(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("n_types") === 2L)
+    assert(out(0).getAs[Double]("simpson") === 0.5)
+    assert(out(0).getAs[Double]("top_share") === 0.75)
+    assert(out(1).getAs[Double]("simpson") === 0.0)
+    assert(out(2).getAs[Double]("simpson") === 0.0)
+    assert(out(2).getAs[Double]("top_share") === 0.25)
+  }
 }

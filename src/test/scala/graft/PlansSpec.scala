@@ -45,7 +45,10 @@ class PlansSpec extends SparkSpec {
     "ann_ivfpq_persisted",
     "dedup_blocks", "vocab_zipf", "mix_schedule", "search_hybrid_rrf",
     "bpe_pairs", "ann_decontaminate", "events_skew_profile",
-    "ann_decontaminate_capped")
+    "ann_decontaminate_capped",
+    "sample_importance", "sample_importance_top", "mix_unimax",
+    "ann_hard_negatives", "export_shards", "export_shard_stats",
+    "text_simpson")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -392,5 +395,32 @@ class PlansSpec extends SparkSpec {
         s"$n is per-partition decode work and must not shuffle")
       assert(count(n, "Join") === 0, s"$n must not join")
     }
+  }
+
+  test("shard shuffle is one shard-keyed exchange, no join, no global sort") {
+    assert(count("export_shards", "Exchange hashpartitioning") === 1,
+      "assignment must shuffle once on the shard key")
+    assert(count("export_shards", "Join") === 0)
+    // the driver-facing orderBy is the only range exchange; the pos window
+    // itself must not funnel everything through one partition
+    assert(count("export_shards", "Exchange SinglePartition") === 0)
+  }
+
+  test("importance resample is a TakeOrdered heap, never a global sort of the ledger") {
+    assert(count("sample_importance_top", "TakeOrderedAndProject") >= 1)
+    assert(count("sample_importance_top", "SortMergeJoin") === 0,
+      "the stratum rejoin is doc-keyed but small; the corpus never sort-merges twice")
+  }
+
+  test("hard negatives broadcast the probe set over one corpus scan") {
+    assert(count("ann_hard_negatives", "BroadcastNestedLoopJoin") === 1,
+      "label-mismatch scoring is the one broadcast non-equi join, probe side broadcast")
+    assert(count("ann_hard_negatives", "SortMergeJoin") === 0)
+  }
+
+  test("simpson concentration is two map-side-combinable aggregates, no join") {
+    assert(count("text_simpson", "Join") === 0)
+    assert(count("text_simpson", "Exchange hashpartitioning") <= 2,
+      "word-keyed then doc-keyed partial aggs only")
   }
 }
