@@ -1314,6 +1314,104 @@ object Oracles {
       CAST(n_tokens AS DOUBLE) / t * 16 AS balance
     FROM per, tot ORDER BY shard"""
 
+  /** Per-shard write manifest — mirrors `Sampling.exportManifest`:
+    * order-free content checksum (Σ digest) and order-sensitive stream
+    * checksum (Σ digest·pos) on the 2^20-quantized hash31(md5(text))
+    * digest, exact BIGINT arithmetic throughout. */
+  val exportManifest: String = s"""WITH
+    k AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        ${h31("CAST(doc_id AS VARCHAR) || ':42'", 1000003L)} AS shuffle_key,
+        ${h31("md5(text)", 1048576L)} AS digest
+      FROM documents),
+    s AS (SELECT *, shuffle_key % 16 AS shard FROM k),
+    p AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+          AS BIGINT) AS pos
+      FROM s)
+    SELECT shard, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(digest) AS BIGINT) AS content_sum,
+      CAST(sum(digest * pos) AS BIGINT) AS stream_sum
+    FROM p GROUP BY shard ORDER BY shard"""
+
+  /** Cluster-aware split with leakage audit — mirrors
+    * `Sampling.leakageGuardSplit`: split = hash grid on the near-dup
+    * CLUSTER id (the validated closure), leaked same-cluster pairs
+    * measured for both the guarded and the naive doc-id assignment via
+    * C(n,2) − Σ_split C(n_s,2) per cluster (integer arithmetic; the pair
+    * set is never re-materialized). */
+  def splitLeakageGuard: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    a AS (
+      SELECT d.doc_id, l.cluster_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+        CASE WHEN ${h31("CAST(l.cluster_id AS VARCHAR)", 9973L)} % 100 < 90 THEN 'train'
+             WHEN ${h31("CAST(l.cluster_id AS VARCHAR)", 9973L)} % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN ${h31("CAST(d.doc_id AS VARCHAR)", 9973L)} % 100 < 90 THEN 'train'
+             WHEN ${h31("CAST(d.doc_id AS VARCHAR)", 9973L)} % 100 < 95 THEN 'val'
+             ELSE 'test' END AS naive_split
+      FROM documents d JOIN lab l USING (doc_id)),
+    gg AS (
+      SELECT cluster_id, CAST(sum(ns) AS BIGINT) AS n,
+        CAST(sum(ns * (ns - 1)) AS BIGINT) AS intra2
+      FROM (SELECT cluster_id, split, count(*) AS ns FROM a
+            GROUP BY cluster_id, split)
+      GROUP BY cluster_id),
+    leakg AS (
+      SELECT CAST((sum(n * (n - 1)) - sum(intra2)) // 2 AS BIGINT) AS leaked_pairs
+      FROM gg),
+    gn AS (
+      SELECT cluster_id, CAST(sum(ns) AS BIGINT) AS n,
+        CAST(sum(ns * (ns - 1)) AS BIGINT) AS intra2
+      FROM (SELECT cluster_id, naive_split, count(*) AS ns FROM a
+            GROUP BY cluster_id, naive_split)
+      GROUP BY cluster_id),
+    leakn AS (
+      SELECT CAST((sum(n * (n - 1)) - sum(intra2)) // 2 AS BIGINT)
+        AS leaked_pairs_naive
+      FROM gn),
+    moved AS (
+      SELECT count(CASE WHEN split <> naive_split THEN 1 END) AS docs_moved
+      FROM a),
+    per AS (
+      SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        count(DISTINCT cluster_id) AS n_clusters
+      FROM a GROUP BY split)
+    SELECT per.split, per.n_docs, per.n_tokens, per.n_clusters,
+      leakg.leaked_pairs, leakn.leaked_pairs_naive, moved.docs_moved
+    FROM per, leakg, leakn, moved ORDER BY per.split"""
+
+  /** Quality-decile × duplication cross-ledger — mirrors
+    * `Corpus.qualityVsDup` over the validated quality composite and the
+    * validated near-dup closure (cluster_size > 1 ⇒ duplicated). */
+  def qualityVsDup: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),
+    fl AS (
+      SELECT lab.doc_id, sz.cluster_size > 1 AS dup
+      FROM lab JOIN sz USING (cluster_id)),
+    q AS (
+      SELECT doc_id,
+        CAST(least(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+            / len(string_split(text, ' ')))) * 10.0), 9.0) AS BIGINT) AS decile
+      FROM documents)
+    SELECT decile, count(*) AS n_docs,
+      count(CASE WHEN dup THEN 1 END) AS n_dup_docs,
+      CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE) / count(*) AS dup_frac
+    FROM q JOIN fl USING (doc_id)
+    GROUP BY decile ORDER BY decile"""
+
   /** Simpson concentration — mirrors `TextAnalysis.simpsonConcentration`:
     * Σ c(c−1) / (n(n−1)) per doc, exact-rational (integer sums, one
     * division); docs with n < 2 score 0. */
@@ -3423,6 +3521,9 @@ object Oracles {
     "sample_priority" -> samplePriority,
     "export_shards" -> exportShards,
     "export_shard_stats" -> exportShardStats,
+    "export_manifest" -> exportManifest,
+    "split_leakage_guard" -> splitLeakageGuard,
+    "quality_vs_dup" -> qualityVsDup,
     "sample_importance" -> sampleImportance,
     "sample_importance_top" -> sampleImportanceTop,
     "mix_unimax" -> mixUnimax,

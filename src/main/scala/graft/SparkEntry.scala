@@ -518,6 +518,12 @@ object SparkEntry {
     // under rebuilds) with the per-(source, split) audit table
     "split_assign" -> ((s, dir) =>
       Sampling.splitSummary(Tables.documents(s, dir)).orderBy("source", "split")),
+    // cluster-aware split: hash the near-dup CLUSTER id so no duplicate
+    // pair straddles train/eval; leaked_pairs measured (0) beside the
+    // doc-hash counterfactual — the contamination the guard prevented
+    "split_leakage_guard" -> ((s, dir) =>
+      Sampling.leakageGuardSplit(Tables.documents(s, dir),
+        Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("split")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>
@@ -791,6 +797,10 @@ object SparkEntry {
     // mass and each shard's token share vs the uniform target
     "export_shard_stats" -> ((s, dir) =>
       Sampling.shardStats(Tables.documents(s, dir)).orderBy("shard")),
+    // per-shard write manifest: order-free content checksum + positional
+    // stream checksum, both exact BIGINT sums on the 2^20 digest grid
+    "export_manifest" -> ((s, dir) =>
+      Sampling.exportManifest(Tables.documents(s, dir)).orderBy("shard")),
     // DSIR-style importance scoring (Xie et al. 2023) with a rational
     // affinity (integer word-mass sums, one division) in place of the
     // log-likelihood ratio, so the oracle compares bit-exactly
@@ -867,6 +877,11 @@ object SparkEntry {
       Corpus.profile(Tables.documents(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("col_name")),
+    // quality-decile × duplication cross-ledger off the persisted cluster
+    // index: is low quality where the duplicates live?
+    "quality_vs_dup" -> ((s, dir) =>
+      Corpus.qualityVsDup(Tables.documents(s, dir),
+        Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("decile")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

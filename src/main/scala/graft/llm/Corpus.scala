@@ -270,4 +270,31 @@ object Corpus {
         col("cum_source_tokens"),
         (col("cum_source_tokens") <= budgetPerSource).as("admitted"))
   }
+
+  /** Quality-decile × duplication cross-ledger — the audit that answers
+    * "is low quality where the duplicates live?" before anyone tunes a
+    * funnel: per quality decile (the validated [[TextAnalysis.quality]]
+    * composite, floor(q·10) capped at 9), how many documents sit in a
+    * near-dup cluster of size > 1 and what fraction that is. A dup rate
+    * concentrated in the bottom deciles means the quality gate already
+    * removes most duplicates and the dedup pass is cleanup; a flat curve
+    * means dedup must run regardless — pipeline-ordering evidence, from
+    * the corpus itself.
+    *
+    * Consumes the persisted cluster index ([[Clusters.indexWrite]]) — no
+    * contraction in-plan; one doc-keyed join + one 10-row aggregate. The
+    * decile is integer arithmetic on the score, the rate one division of
+    * exact longs. */
+  def qualityVsDup(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs).select(
+      col("doc_id"),
+      least(floor(col("quality_score") * 10.0), lit(9.0)).cast("long").as("decile"))
+    q.join(clusters.select(col("doc_id"), (col("cluster_size") > 1).as("_dup")),
+        Seq("doc_id"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("_dup"), 1)).as("n_dup_docs"),
+        (count(when(col("_dup"), 1)).cast("double") / count(lit(1))).as("dup_frac"))
+  }
 }

@@ -408,4 +408,94 @@ object Sampling {
         (col("n_tokens").cast("double") / col("_tot")).as("token_share"),
         (col("n_tokens").cast("double") / col("_tot") * nShards).as("balance"))
   }
+
+  /** Per-shard write manifest for [[shardAssign]] — the ledger a shard
+    * file ships with so a reader can verify content AND order without
+    * re-reading the corpus:
+    *
+    *   - `content_sum` — Σ digest over the shard's documents, order-FREE
+    *     (verifies the member set survived the write);
+    *   - `stream_sum`  — Σ digest·pos, order-SENSITIVE (verifies the
+    *     in-shard sequence: any swap of two distinct-digest rows moves
+    *     it) — the positional checksum that catches a shuffled rewrite a
+    *     content checksum accepts.
+    *
+    * Both are exact BIGINT arithmetic on the 2^20-quantized digest
+    * `hash31(md5(text))` (digest < 2^20, pos ≤ docs/shard, so the
+    * products stay far inside the long range — no float accumulation, no
+    * ordered aggregation in the oracle). One window (the shardAssign
+    * position) + one shard-keyed aggregate. */
+  def exportManifest(docs: DataFrame, nShards: Int = 16,
+      seed: Int = 42, modulus: Long = 1000003L): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      hash31(concat(col("doc_id").cast("string"), lit(":" + seed)), modulus)
+        .as("shuffle_key"),
+      hash31(md5(col("text")), 1048576L).as("digest"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("digest").as("content_sum"),
+        sum(col("digest") * col("pos")).as("stream_sum"))
+  }
+
+  /** Cluster-aware train/val/test split — the leakage guard a 100 TB
+    * corpus build needs on top of [[splitFor]]: near-duplicate documents
+    * of a val/test document leaking into train is silent contamination
+    * (the model trains on a paraphrase of its eval set). Assignment here
+    * hashes the near-dup CLUSTER id, not the document id, so an entire
+    * duplicate cluster lands in one split by construction.
+    *
+    * Returns the per-split ledger plus the audit that justifies the
+    * operator: `leaked_pairs` — same-cluster document pairs straddling
+    * two splits — is 0 under the guarded assignment and is reported
+    * side-by-side with `leaked_pairs_naive`, the count the doc-id hash
+    * split would have produced on the same corpus (computed from cluster
+    * member counts alone: C(n,2) − Σ_split C(n_s,2) per cluster — the
+    * candidate pair set itself is never re-materialized). `docs_moved`
+    * counts documents whose split changed vs the naive grid.
+    *
+    * Scale shape: the cluster index is the amortized build-once artifact
+    * ([[Clusters.indexWrite]]); this operator is one broadcast-joinable
+    * lookup (index is |docs| rows but only (doc_id, cluster_id) wide) +
+    * two low-cardinality aggregates. Nothing here re-runs contraction. */
+  def leakageGuardSplit(docs: DataFrame, clusters: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val assigned = docs
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("cluster_id"),
+        size(split(col("text"), " ")).cast("long").as("_toks"),
+        splitFor(col("cluster_id"), trainPct, valPct).as("split"),
+        splitFor(col("doc_id"), trainPct, valPct).as("naive_split"))
+    // same-cluster pairs straddling splits, as integer arithmetic on
+    // cluster member counts (C(n,2) − Σ_split C(n_s,2) per cluster — the
+    // pair set is never re-materialized): computed for BOTH assignments,
+    // so the 0 under the guard is measured, not asserted
+    def crossSplitPairs(splitCol: String, as: String) = assigned
+      .groupBy(col("cluster_id"), col(splitCol)).agg(count(lit(1)).as("ns"))
+      .groupBy("cluster_id")
+      .agg(sum("ns").as("n"), sum(col("ns") * (col("ns") - 1)).as("intra2"))
+      .agg(((sum(col("n") * (col("n") - 1)) - sum(col("intra2"))) / 2)
+        .cast("long").as(as))
+    val guardLeak = crossSplitPairs("split", "leaked_pairs")
+    val naiveLeak = crossSplitPairs("naive_split", "leaked_pairs_naive")
+    val moved = assigned
+      .agg(count(when(col("split") =!= col("naive_split"), 1)).as("docs_moved"))
+    assigned
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_toks").as("n_tokens"),
+        countDistinct("cluster_id").as("n_clusters"))
+      .crossJoin(broadcast(guardLeak))
+      .crossJoin(broadcast(naiveLeak))
+      .crossJoin(broadcast(moved))
+  }
 }

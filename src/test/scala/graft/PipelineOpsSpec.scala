@@ -489,4 +489,97 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("simpson") === 0.0)
     assert(out(2).getAs[Double]("top_share") === 0.25)
   }
+
+  test("exportManifest: checksums tie to the assignment; stream_sum is order-sensitive") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = Sampling.exportManifest(docs).collect()
+    // membership ledger ties to shardStats exactly
+    val stats = Sampling.shardStats(docs).collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    manifest.foreach { r =>
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+        === stats(r.getAs[Long]("shard")))
+    }
+    // cross-validate both checksums against an independent digest×position
+    // join of shardAssign (the window the manifest folds over)
+    val digests = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.hash31(md5(col("text")), 1048576L).as("digest"))
+    val joined = Sampling.shardAssign(docs).join(digests, "doc_id")
+      .groupBy("shard")
+      .agg(sum("digest").as("cs"), sum(col("digest") * col("pos")).as("ss"))
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("cs"), r.getAs[Long]("ss")))
+      .toMap
+    manifest.foreach { r =>
+      assert((r.getAs[Long]("content_sum"), r.getAs[Long]("stream_sum"))
+        === joined(r.getAs[Long]("shard")))
+    }
+    // physical layout cannot move the checksums
+    val again = Sampling.exportManifest(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("content_sum"), r.getAs[Long]("stream_sum")))
+    assert(manifest.map(r => (r.getLong(0), r.getAs[Long]("content_sum"),
+      r.getAs[Long]("stream_sum"))).sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // order sensitivity on paper: digests d1≠d2 at pos 1,2 — swapping them
+    // keeps content_sum and moves stream_sum by (d1−d2)
+    val d1 = 7L; val d2 = 3L
+    assert(d1 * 1 + d2 * 2 !== d2 * 1 + d1 * 2)
+    assert(d1 + d2 === d2 + d1)
+  }
+
+  test("leakageGuardSplit: clusters never straddle; naive counterfactual measured") {
+    val docs = (0L to 9L).map(i => (i, s"tok$i words enough here")).toDF("doc_id", "text")
+    // hand cluster structure: {0,1,2} and {3,4} are near-dup groups
+    val clusters = Seq(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 2L), (4L, 3L, 2L),
+      (5L, 5L, 1L), (6L, 6L, 1L), (7L, 7L, 1L), (8L, 8L, 1L), (9L, 9L, 1L)
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val out = Sampling.leakageGuardSplit(docs, clusters).collect()
+    assert(out.forall(_.getAs[Long]("leaked_pairs") === 0L),
+      "guarded assignment must keep every cluster in one split")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 10L)
+    assert(out.map(_.getAs[Long]("n_clusters")).sum === 7L,
+      "each cluster lands in exactly one split, so per-split counts sum to 7")
+    // compute the naive counterfactual independently from splitFor itself
+    val naive = docs.select(col("doc_id"),
+      Sampling.splitFor(col("doc_id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def pairsLeaked(members: Seq[Long]): Long = {
+      val bySplit = members.groupBy(naive).values.map(_.size.toLong)
+      val n = members.size.toLong
+      (n * (n - 1) - bySplit.map(k => k * (k - 1)).sum) / 2
+    }
+    val expectedNaive = pairsLeaked(Seq(0L, 1L, 2L)) + pairsLeaked(Seq(3L, 4L))
+    assert(out.head.getAs[Long]("leaked_pairs_naive") === expectedNaive)
+    // docs_moved agrees with a direct recomputation
+    val guard = docs.join(clusters, "doc_id").select(col("doc_id"),
+      Sampling.splitFor(col("cluster_id")).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = (0L to 9L).count(i => guard(i) != naive(i)).toLong
+    assert(out.head.getAs[Long]("docs_moved") === moved)
+  }
+
+  test("qualityVsDup: decile partition of the corpus, dup counts tie to the index") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),       // distinct tokens: high ttr
+      (1L, "a b c d e f g h"),       // exact dup of 0
+      (2L, "the the the the the")    // stopword soup: quality 0 bucket
+    ).toDF("doc_id", "text")
+    val clusters = Seq(
+      (0L, 0L, 2L), (1L, 0L, 2L), (2L, 2L, 1L)
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val out = Corpus.qualityVsDup(docs, clusters).orderBy("decile").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 3L)
+    assert(out.map(_.getAs[Long]("n_dup_docs")).sum === 2L)
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0L && d <= 9L)
+      assert(r.getAs[Double]("dup_frac")
+        === r.getAs[Long]("n_dup_docs").toDouble / r.getAs[Long]("n_docs"))
+    }
+    // the stopword-soup doc scores quality 0 -> decile 0, and is not a dup
+    val zero = out.find(_.getAs[Long]("decile") === 0L).get
+    assert(zero.getAs[Long]("n_docs") >= 1L)
+  }
 }

@@ -48,7 +48,8 @@ class PlansSpec extends SparkSpec {
     "ann_decontaminate_capped",
     "sample_importance", "sample_importance_top", "mix_unimax",
     "ann_hard_negatives", "export_shards", "export_shard_stats",
-    "text_simpson")
+    "text_simpson",
+    "export_manifest", "split_leakage_guard", "quality_vs_dup")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -422,5 +423,24 @@ class PlansSpec extends SparkSpec {
     assert(count("text_simpson", "Join") === 0)
     assert(count("text_simpson", "Exchange hashpartitioning") <= 2,
       "word-keyed then doc-keyed partial aggs only")
+  }
+
+  test("shard manifest is the shardAssign window + one shard agg, join-free") {
+    assert(count("export_manifest", "Join") === 0)
+    assert(count("export_manifest", "Exchange hashpartitioning") <= 2,
+      "shard window then shard agg; the agg reuses the window partitioning")
+    assert(count("export_manifest", "Exchange SinglePartition") === 0)
+  }
+
+  test("leakage guard consumes the persisted cluster index, never re-contracts") {
+    assert(count("split_leakage_guard", "Exchange hashpartitioning") <= 6,
+      "doc join + three count-shaped audits over the tiny assigned ledger")
+    assert(count("split_leakage_guard", "BroadcastNestedLoopJoin") <= 3,
+      "only the three 1-row audit broadcasts")
+  }
+
+  test("quality-vs-dup is one doc-keyed join plus a 10-row aggregate") {
+    assert(count("quality_vs_dup", "BroadcastNestedLoopJoin") === 0)
+    assert(count("quality_vs_dup", "Exchange hashpartitioning") <= 4)
   }
 }
