@@ -188,6 +188,55 @@ object Oracles {
       FROM log_lane WHERE commit_ts > (SELECT cut FROM cut))
     SELECT * FROM snap UNION ALL SELECT * FROM tail ORDER BY "offset""""
 
+  /** Incremental-snapshot chunk ledger — mirrors
+    * `Capture.incrementalSnapshot` (chunkSize 64): keys live at the cut,
+    * ranked by (tbl, pk) into 64-key chunks, high watermark cut+(c+1)·step,
+    * a key superseded when any op for it lands in (cut, hw]. */
+  val cdcIncrementalSnapshot: String = s"""WITH $stateCte,
+    cutv AS (SELECT (min(t) + max(t)) // 2 AS cut, max(t) AS max_t FROM ops),
+    live AS (
+      SELECT tbl, pk, cur_val AS val, cur_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY lsn DESC) AS rn
+            FROM st WHERE t <= (SELECT cut FROM cutv))
+      WHERE rn = 1 AND op <> 'delete'),
+    rk AS (SELECT *, row_number() OVER (ORDER BY tbl, pk) AS rk FROM live),
+    ch AS (SELECT *, (rk - 1) // 64 AS chunk FROM rk),
+    stepv AS (
+      SELECT cut,
+        greatest(1, (max_t - cut) // ((SELECT (count(*) + 63) // 64 FROM live) + 1))
+          AS step
+      FROM cutv),
+    wv AS (SELECT c.*, s.cut + (c.chunk + 1) * s.step AS hw FROM ch c, stepv s),
+    fl AS (
+      SELECT w.chunk, w.tbl, w.pk, w.val, w.k, w.hw,
+        max(CASE WHEN o.t > (SELECT cut FROM cutv) AND o.t <= w.hw
+                 THEN 1 ELSE 0 END) AS sup
+      FROM wv w LEFT JOIN ops o ON o.tbl = w.tbl AND o.pk = w.pk
+      GROUP BY w.chunk, w.tbl, w.pk, w.val, w.k, w.hw)
+    SELECT chunk, count(*) AS n_keys,
+      count(CASE WHEN sup = 0 THEN 1 END) AS n_emitted,
+      count(CASE WHEN sup = 1 THEN 1 END) AS n_superseded,
+      max(hw) AS hw,
+      CAST(sum(CASE WHEN sup = 0 THEN k END) AS BIGINT) AS sum_k,
+      CAST(sum(CASE WHEN sup = 0 THEN CAST(floor(val * 1000) AS BIGINT) END)
+        AS BIGINT) AS sum_val_q
+    FROM fl GROUP BY chunk ORDER BY chunk"""
+
+  /** Backfill-drill audit — mirrors `Capture.backfillAudit` (mod 17):
+    * per-table count of backfill events arriving behind the newest live
+    * event in business time, and the watermark skew they would cause. */
+  val cdcBackfillAudit: String = s"""WITH $opsCte,
+    m AS (SELECT *, CAST(pk AS BIGINT) % 17 = 0 AS is_backfill FROM ops),
+    la AS (
+      SELECT tbl, max(t) AS max_live_t, count(*) AS n_live
+      FROM m WHERE NOT is_backfill GROUP BY tbl)
+    SELECT m.tbl, la.n_live, count(*) AS n_backfill,
+      count(CASE WHEN m.t < la.max_live_t THEN 1 END) AS n_late,
+      greatest(0, max(la.max_live_t - m.t)) AS max_skew_ms
+    FROM m LEFT JOIN la ON la.tbl = m.tbl
+    WHERE m.is_backfill
+    GROUP BY m.tbl, la.n_live ORDER BY m.tbl"""
+
   /** Closed form of the envelope round-trip: encode → decode → assemble →
     * apply is lossless, so keys match the direct JSON reduce, every op
     * lands in a txn, and txns count the distinct event-id groups. */
@@ -3442,6 +3491,8 @@ object Oracles {
     "cdc_apply_state" -> cdcApplyState,
     "cdc_apply_json" -> cdcApplyJson,
     "cdc_snapshot_tail" -> cdcSnapshotTail,
+    "cdc_incremental_snapshot" -> cdcIncrementalSnapshot,
+    "cdc_backfill_audit" -> cdcBackfillAudit,
     "cdc_debezium_e2e" -> cdcDebeziumE2e,
     "cdc_replay_events" -> cdcReplayEvents,
     "cdc_difflane" -> cdcDiffLane,

@@ -143,6 +143,15 @@ object SparkEntry {
           col("after_val").as("val"), col("after_k").as("k"))
       snap.unionAll(tail).orderBy("offset")
     }),
+    // DBLog / Debezium incremental snapshot: chunked key-space read
+    // interleaved with the tail; chunk rows superseded by in-window log
+    // events are discarded — the non-blocking snapshot's chunk ledger
+    "cdc_incremental_snapshot" -> ((s, dir) =>
+      Capture.incrementalSnapshot(st(s, dir)).orderBy("chunk")),
+    // the backfill failure drill: historical rows captured NOW — per-table
+    // business-time lateness and watermark skew of the designated keys
+    "cdc_backfill_audit" -> ((s, dir) =>
+      Capture.backfillAudit(ops(s, dir)).orderBy("tbl")),
     // Debezium end-to-end without a broker: encode the op feed as envelope
     // JSON (payload-wrapped evens, r-snapshot inserts, before-only deletes)
     // → decode → txn assembly → JSON apply, diffed against the state built

@@ -139,4 +139,104 @@ object Capture {
         lit("r").as("op_code"), col("tbl"), col("pk"),
         md5(concat_ws("|", payloadCols.map(col): _*)).as("payload_hash"),
         lit("snapshot-0").as("tx_id")) ++ payloadCols.map(col)): _*)
+
+  /** Incremental (chunked) snapshot ledger — the DBLog / Debezium
+    * incremental-snapshot algorithm (Andreakis & Papapanagiotou 2020;
+    * Debezium's read/ad-hoc snapshots) in deterministic batch-replay
+    * form, where the monolithic [[snapshotAll]]+tail composition
+    * (`cdc_snapshot_tail`) is the reference's blocking snapshot
+    * (`logBased.ts:147-187`): instead of one table read that must finish
+    * before tailing starts, the key space is cut into fixed-size chunks
+    * read one per watermark interval WHILE the log streams, and a chunk
+    * row is DISCARDED when the log already emitted an event for its key
+    * inside the snapshot window — the log wins, so the union of emitted
+    * chunk rows and tail events is exactly-once without pausing capture.
+    *
+    * Deterministic reconstruction: snapshot starts at `cut` (the
+    * mid-timeline instant the tail composition also uses); in-scope keys
+    * are those live at `cut`; chunks are `chunkSize` keys in (tbl, pk)
+    * order; chunk c's high watermark is `cut + (c+1)·step` with `step`
+    * spreading the chunks over the remaining timeline (integer
+    * arithmetic, so every value oracles exactly). A key is superseded
+    * when any log event for it lands in `(cut, hw(chunk)]`. Per chunk the
+    * ledger reports key/emitted/superseded counts, the watermark, and
+    * integer-exact payload sums over the emitted rows (`k` and the
+    * 10^-3-quantized `val`) — the content signature a resumable snapshot
+    * checkpoint would persist.
+    *
+    * Scale shape: key ranking is [[GlobalOrder.rank]] (range-partitioned,
+    * no single-partition window); the supersede probe is one keyed
+    * equality join against the tail slice; params ride 1-row broadcasts.
+    * At 100 TB this is exactly the production shape: chunk bounds from a
+    * range-partitioned key scan, the dedup join keyed by pk. */
+  def incrementalSnapshot(stateOps: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val state = stateOps.select("tbl", "pk", "op", "lsn", "t", "cur_val", "cur_k")
+      .persist()
+    val bounds = state.agg(
+      expr("(min(t) + max(t)) div 2").as("cut"),
+      max("t").as("max_t"))
+    val live = state.crossJoin(broadcast(bounds))
+      .filter(col("t") <= col("cut"))
+      .groupBy("tbl", "pk")
+      .agg(max_by(struct(col("op"), col("cur_val"), col("cur_k")), col("lsn")).as("last"))
+      .filter(col("last.op") =!= "delete")
+      .select(col("tbl"), col("pk"),
+        col("last.cur_val").as("val"), col("last.cur_k").as("k"))
+    val ranked = GlobalOrder.rank(live, Seq(col("tbl"), col("pk")), "rk")
+      .withColumn("chunk", expr(s"(rk - 1) div $chunkSize"))
+    val params = ranked
+      .agg(expr(s"(count(1) + ${chunkSize - 1}) div $chunkSize").as("n_chunks"))
+      .crossJoin(broadcast(bounds))
+      .select(col("cut"),
+        greatest(lit(1L), expr("(max_t - cut) div (n_chunks + 1)")).as("step"))
+    val withHw = ranked.crossJoin(broadcast(params))
+      .withColumn("hw", col("cut") + (col("chunk") + 1) * col("step"))
+    val tail = state.crossJoin(broadcast(bounds.select(col("cut").as("_cut"))))
+      .filter(col("t") > col("_cut"))
+      .select(col("tbl"), col("pk"), col("t").as("ev_t"))
+    withHw.join(tail, Seq("tbl", "pk"), "left")
+      .groupBy("chunk", "tbl", "pk", "val", "k", "hw")
+      .agg(max(when(col("ev_t") <= col("hw"), lit(1)).otherwise(lit(0))).as("_sup"))
+      .groupBy("chunk")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        count(when(col("_sup") === 0, 1)).as("n_emitted"),
+        count(when(col("_sup") === 1, 1)).as("n_superseded"),
+        max("hw").as("hw"),
+        sum(when(col("_sup") === 0, col("k"))).as("sum_k"),
+        sum(when(col("_sup") === 0, floor(col("val") * 1000).cast("long")))
+          .as("sum_val_q"))
+  }
+
+  /** Backfill audit — the canonical backfill failure drill
+    * (`scenarios/01-canonical-reference/failures/backfill.sql`): a
+    * migration INSERTs historical rows into the source NOW, so CDC
+    * captures them with current offsets but year-old business
+    * timestamps — "sink receives them in offset order, not created_at
+    * order". The drill's designated backfill keys (`pk % backfillMod`)
+    * are re-captured after the live stream; the per-table ledger reports
+    * how late that data arrives in business time: every backfill event
+    * older than the newest live event is an inversion a downstream
+    * business-time consumer must tolerate, and `max_skew_ms` bounds the
+    * event-time watermark regression the backfill would cause.
+    *
+    * Two grouped aggregates + one 3-row broadcast — no window scan: live
+    * capture order embeds business time in this feed (lsn is t-derived),
+    * so the only possible inversions are backfill-vs-live, counted
+    * directly against the per-table live maximum. */
+  def backfillAudit(ops: DataFrame, backfillMod: Long = 17L): DataFrame = {
+    val marked = ops.withColumn("is_backfill",
+      col("pk").cast("long") % backfillMod === 0)
+    val liveAgg = marked.filter(!col("is_backfill"))
+      .groupBy("tbl")
+      .agg(max("t").as("max_live_t"), count(lit(1)).as("n_live"))
+    marked.filter(col("is_backfill"))
+      .join(broadcast(liveAgg), Seq("tbl"), "left")
+      .groupBy("tbl", "n_live")
+      .agg(
+        count(lit(1)).as("n_backfill"),
+        count(when(col("t") < col("max_live_t"), 1)).as("n_late"),
+        greatest(lit(0L), max(col("max_live_t") - col("t"))).as("max_skew_ms"))
+      .select("tbl", "n_live", "n_backfill", "n_late", "max_skew_ms")
+  }
 }

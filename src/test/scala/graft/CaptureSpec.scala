@@ -120,4 +120,71 @@ class CaptureSpec extends SparkSpec {
         s"snapshot+tail replay diverged from the direct fold: $diff")
     } finally log.unpersist()
   }
+
+  test("incremental snapshot: chunk watermarks supersede chunk rows the log covers") {
+    // cut = (0+4000)/2 = 2000; live at cut: pks 1,2,3 (4 deleted before cut)
+    val o = Scenarios.opsDf(spark, Seq(
+      (0L, "t0", "1", "insert", true, Some(1.0), true, Some(10L)),
+      (100L, "t0", "2", "insert", true, Some(2.0), true, Some(20L)),
+      (200L, "t0", "3", "insert", true, Some(3.0), true, Some(30L)),
+      (300L, "t0", "4", "insert", true, Some(4.0), true, Some(40L)),
+      (400L, "t0", "4", "delete", false, None, false, None),
+      (2600L, "t0", "1", "update", true, Some(7.0), false, None),
+      (2700L, "t0", "3", "update", true, Some(8.0), false, None),
+      (3000L, "t0", "2", "update", true, Some(9.0), false, None),
+      (4000L, "t0", "1", "update", true, Some(9.9), false, None)))
+    val st = CdcOps.withState(o)
+    // chunkSize 2: chunk0 = {1,2}, chunk1 = {3}; n_chunks=2 ⇒
+    // step = (4000-2000) div 3 = 666 ⇒ hw0=2666, hw1=3332.
+    // pk1's 2600-update lands in (2000,2666] ⇒ superseded in chunk0;
+    // pk2's 3000-update is PAST hw0 ⇒ chunk0 already read it — emitted;
+    // pk3's 2700-update lands in (2000,3332] ⇒ superseded in chunk1.
+    val out = Capture.incrementalSnapshot(st, chunkSize = 2)
+      .orderBy("chunk").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_keys") === 2L)
+    assert(out(0).getAs[Long]("n_emitted") === 1L)
+    assert(out(0).getAs[Long]("n_superseded") === 1L)
+    assert(out(0).getAs[Long]("hw") === 2666L)
+    assert(out(0).getAs[Long]("sum_k") === 20L)          // pk2 only
+    assert(out(0).getAs[Long]("sum_val_q") === 2000L)
+    assert(out(1).getAs[Long]("n_keys") === 1L)
+    assert(out(1).getAs[Long]("n_emitted") === 0L)
+    assert(out(1).getAs[Long]("n_superseded") === 1L)
+    assert(out(1).getAs[Long]("hw") === 3332L)
+    // one big chunk ⇒ hw=3000, nothing in (2000,3000] except 2600/2700/3000
+    // updates — all three keys superseded, nothing emitted
+    val one = Capture.incrementalSnapshot(st, chunkSize = 64).collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Long]("n_keys") === 3L)
+    assert(one.head.getAs[Long]("n_superseded") === 3L)
+  }
+
+  test("incremental snapshot: emitted ∪ window-covered keys = full key scope") {
+    // on a realistic feed the dedup must drop EXACTLY the keys the log
+    // covers in-window — no key vanishes, none is double-covered
+    val o = Scenarios.propertyOps(spark, Seq(7L, 11L))
+    val st = CdcOps.withState(o)
+    val ledger = Capture.incrementalSnapshot(st, chunkSize = 8).collect()
+    ledger.foreach { r =>
+      assert(r.getAs[Long]("n_emitted") + r.getAs[Long]("n_superseded")
+        === r.getAs[Long]("n_keys"))
+    }
+  }
+
+  test("backfill audit: lateness vs the live maximum, per table") {
+    val o = Scenarios.opsDf(spark, Seq(
+      (1000L, "t0", "1", "insert", true, Some(1.0), false, None),
+      (2000L, "t0", "2", "insert", true, Some(2.0), false, None),
+      // backfill keys (pk % 17 == 0): one a year "old", one current
+      (100L, "t0", "17", "insert", true, Some(3.0), false, None),
+      (2500L, "t0", "34", "insert", true, Some(4.0), false, None)))
+    val out = Capture.backfillAudit(o).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_live") === 2L)
+    assert(r.getAs[Long]("n_backfill") === 2L)
+    assert(r.getAs[Long]("n_late") === 1L)               // only the t=100 row
+    assert(r.getAs[Long]("max_skew_ms") === 1900L)       // 2000 − 100
+  }
 }

@@ -49,7 +49,8 @@ class PlansSpec extends SparkSpec {
     "sample_importance", "sample_importance_top", "mix_unimax",
     "ann_hard_negatives", "export_shards", "export_shard_stats",
     "text_simpson",
-    "export_manifest", "split_leakage_guard", "quality_vs_dup")
+    "export_manifest", "split_leakage_guard", "quality_vs_dup",
+    "cdc_incremental_snapshot", "cdc_backfill_audit")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -437,6 +438,21 @@ class PlansSpec extends SparkSpec {
       "doc join + three count-shaped audits over the tiny assigned ledger")
     assert(count("split_leakage_guard", "BroadcastNestedLoopJoin") <= 3,
       "only the three 1-row audit broadcasts")
+  }
+
+  test("incremental snapshot ranks via GlobalOrder and probes with a keyed join") {
+    // the rangepartitioning itself sits inside GlobalOrder's cached subplan
+    assert(count("cdc_incremental_snapshot", "BroadcastNestedLoopJoin Cross") <= 8,
+      "cross BNLJs are only the 1-row cut/step parameter broadcasts")
+    assert(count("cdc_incremental_snapshot", "BroadcastNestedLoopJoin LeftOuter") <= 1,
+      "the one non-equi left join is GlobalOrder's 32-row triangular prefix combine")
+    assert(count("cdc_incremental_snapshot", "SortMergeJoin") === 0,
+      "the supersede probe is a keyed hash join at this scale")
+  }
+
+  test("backfill audit broadcasts the per-table live maxima") {
+    assert(count("cdc_backfill_audit", "BroadcastHashJoin") >= 1)
+    assert(count("cdc_backfill_audit", "SortMergeJoin") === 0)
   }
 
   test("quality-vs-dup is one doc-keyed join plus a 10-row aggregate") {
