@@ -1966,6 +1966,120 @@ object Oracles {
     SELECT pair, pair_count FROM c
     ORDER BY pair_count DESC, pair LIMIT $k"""
 
+  /** Second BPE merge round — mirrors `TextAnalysis.bpeMergeApply`:
+    * spaced symbol render, round-1 winner merged via literal replace,
+    * round-2 pair recount over the merged type table. */
+  def bpeMergeApply(k: Int = 10): String = s"""WITH
+    w AS (SELECT w, count(*) AS wfreq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+    sp AS (SELECT w, wfreq,
+             array_to_string(string_split(w, ''), ' ') AS spaced
+           FROM w),
+    p1 AS (SELECT wfreq,
+             unnest(list_transform(range(1, len(string_split(spaced, ' '))),
+               i -> string_split(spaced, ' ')[i] || ' ' ||
+                    string_split(spaced, ' ')[i + 1])) AS pair
+           FROM sp WHERE len(string_split(spaced, ' ')) >= 2),
+    c1 AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_count
+           FROM p1 GROUP BY pair),
+    best AS (SELECT pair AS merge_applied, replace(pair, ' ', '') AS ms
+             FROM c1 ORDER BY pair_count DESC, pair LIMIT 1),
+    r2 AS (SELECT wfreq,
+             replace(spaced, (SELECT merge_applied FROM best),
+               (SELECT ms FROM best)) AS spaced
+           FROM sp),
+    p2 AS (SELECT wfreq,
+             unnest(list_transform(range(1, len(string_split(spaced, ' '))),
+               i -> string_split(spaced, ' ')[i] || ' ' ||
+                    string_split(spaced, ' ')[i + 1])) AS pair
+           FROM r2 WHERE len(string_split(spaced, ' ')) >= 2),
+    c2 AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_count
+           FROM p2 GROUP BY pair)
+    SELECT pair, pair_count, (SELECT merge_applied FROM best) AS merge_applied
+    FROM c2 ORDER BY pair_count DESC, pair LIMIT $k"""
+
+  /** Watermark-delay curve — mirrors `Capture.watermarkCurve` (mod 17,
+    * delays 0/1s/10s/60s): backfill events dropped when their event time
+    * trails the live watermark max(live t) − delay. */
+  val cdcWatermarkCurve: String = s"""WITH $opsCte,
+    m AS (SELECT *, CAST(pk AS BIGINT) % 17 = 0 AS is_backfill FROM ops),
+    lv AS (SELECT max(t) AS max_live_t FROM m WHERE NOT is_backfill),
+    b AS (SELECT t, max_live_t,
+            CAST(unnest([0, 1000, 10000, 60000]) AS BIGINT) AS delay_ms
+          FROM m, lv WHERE is_backfill)
+    SELECT delay_ms, count(*) AS n_backfill,
+      count(CASE WHEN t < max_live_t - delay_ms THEN 1 END) AS n_dropped,
+      CAST(count(CASE WHEN t < max_live_t - delay_ms THEN 1 END) AS DOUBLE)
+        / count(*) AS drop_frac
+    FROM b GROUP BY delay_ms ORDER BY delay_ms"""
+
+  /** Funnel-order audit — mirrors `Corpus.funnelOrder`: keep-best per
+    * cluster before vs after the gates, over the validated quality /
+    * repetition formulas and near-dup closure. */
+  def corpusFunnelOrder: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) *
+          (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality_score
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN range(1, len(string_split(text, ' ')))
+               ELSE [] END,
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+      FROM documents),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    r AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_frac
+      FROM gc GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id, d.source, l.cluster_id, q.n_tokens, q.quality_score,
+        (q.n_tokens >= 20 AND q.quality_score >= 0.2
+          AND coalesce(r.top_bigram_frac <= 0.1, true)) AS pass_gates
+      FROM documents d
+      JOIN lab l ON l.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN r ON r.doc_id = d.doc_id),
+    ra AS (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality_score DESC, doc_id) = 1 AS is_rep_all
+      FROM base),
+    rp AS (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality_score DESC, doc_id) = 1 AS is_rep_pass
+      FROM base WHERE pass_gates),
+    fl AS (
+      SELECT b.source, b.n_tokens,
+        (ra.is_rep_all AND b.pass_gates) AS kept_a,
+        coalesce(rp.is_rep_pass, false) AS kept_b
+      FROM base b
+      JOIN ra ON ra.doc_id = b.doc_id
+      LEFT JOIN rp ON rp.doc_id = b.doc_id)
+    SELECT source, count(*) AS n_docs,
+      count(CASE WHEN kept_a THEN 1 END) AS n_kept_dedup_first,
+      count(CASE WHEN kept_b THEN 1 END) AS n_kept_filter_first,
+      count(CASE WHEN kept_b AND NOT kept_a THEN 1 END)
+        AS n_rescued_by_filter_first,
+      count(CASE WHEN kept_a AND NOT kept_b THEN 1 END)
+        AS n_dropped_by_filter_first,
+      coalesce(CAST(sum(CASE WHEN kept_a THEN n_tokens END) AS BIGINT), 0)
+        AS tokens_dedup_first,
+      coalesce(CAST(sum(CASE WHEN kept_b THEN n_tokens END) AS BIGINT), 0)
+        AS tokens_filter_first
+    FROM fl GROUP BY source ORDER BY source"""
+
   /** Semantic decontamination — mirrors
     * `Similarity.semanticDecontaminate`: nearest eval vector (every
     * `mod`-th) per corpus vector, cosine via the deterministic left-fold
@@ -3558,6 +3672,9 @@ object Oracles {
     "mix_schedule" -> mixScheduleSql(),
     "search_hybrid_rrf" -> searchHybridRrf(),
     "bpe_pairs" -> bpePairs(),
+    "bpe_merge_apply" -> bpeMergeApply(),
+    "cdc_watermark_curve" -> cdcWatermarkCurve,
+    "corpus_funnel_order" -> corpusFunnelOrder,
     "ann_decontaminate" -> annDecontaminate(),
     "ann_decontaminate_capped" -> annDecontaminate(evalCap = 500L),
     "events_skew_profile" -> eventsSkewProfile(),

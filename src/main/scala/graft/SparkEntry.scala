@@ -152,6 +152,10 @@ object SparkEntry {
     // business-time lateness and watermark skew of the designated keys
     "cdc_backfill_audit" -> ((s, dir) =>
       Capture.backfillAudit(ops(s, dir)).orderBy("tbl")),
+    // allowed-lateness tuning curve over the backfill stream: dropped-late
+    // fraction per candidate watermark delay
+    "cdc_watermark_curve" -> ((s, dir) =>
+      Capture.watermarkCurve(ops(s, dir)).orderBy("delay_ms")),
     // Debezium end-to-end without a broker: encode the op feed as envelope
     // JSON (payload-wrapped evens, r-snapshot inserts, before-only deletes)
     // → decode → txn assembly → JSON apply, diffed against the state built
@@ -587,6 +591,11 @@ object SparkEntry {
       TextAnalysis.zipfBuckets(Tables.documents(s, dir)).orderBy("octave")),
     // first BPE merge-round: corpus-wide adjacent char-pair frequencies
     // weighted by word occurrence - the distributed tokenizer-training step
+    // apply the round-1 winner and recount: the merge iteration runs on
+    // the weighted type table, never re-touching the corpus
+    "bpe_merge_apply" -> ((s, dir) =>
+      TextAnalysis.bpeMergeApply(Tables.documents(s, dir))
+        .orderBy(col("pair_count").desc, col("pair"))),
     "bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(Tables.documents(s, dir))
         .orderBy(col("pair_count").desc, col("pair"))),
@@ -891,6 +900,11 @@ object SparkEntry {
     "quality_vs_dup" -> ((s, dir) =>
       Corpus.qualityVsDup(Tables.documents(s, dir),
         Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("decile")),
+    // dedup-first vs filter-first retention, same gates and cluster index:
+    // filter-first can only rescue (measured), never drop
+    "corpus_funnel_order" -> ((s, dir) =>
+      Corpus.funnelOrder(Tables.documents(s, dir),
+        Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("source")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>

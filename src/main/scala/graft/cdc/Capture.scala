@@ -224,6 +224,38 @@ object Capture {
     * capture order embeds business time in this feed (lsn is t-derived),
     * so the only possible inversions are backfill-vs-live, counted
     * directly against the per-table live maximum. */
+  /** Watermark-delay tuning curve over the [[backfillAudit]] stream — the
+    * ledger that answers "how much allowed lateness would this backfill
+    * need?": the backfill keys arrive after the live stream has advanced
+    * the event-time watermark to `max(live t) − delay`, so a backfill
+    * event is DROPPED as too-late exactly when `t < max_live_t − delay`
+    * (Structured Streaming's `withWatermark` drop rule). One row per
+    * candidate delay with the dropped count and fraction — read the curve,
+    * pick the smallest delay with an acceptable loss, knowing a year-old
+    * migration simply cannot ride the stream (its row shows ~100% drop)
+    * and must go through the snapshot path instead.
+    *
+    * Two aggregates and a 1-row broadcast; the delay explode multiplies
+    * only the backfill slice (×|delays|), never the live stream. */
+  def watermarkCurve(ops: DataFrame, backfillMod: Long = 17L,
+      delays: Seq[Long] = Seq(0L, 1000L, 10000L, 60000L)): DataFrame = {
+    val marked = ops.withColumn("is_backfill",
+      col("pk").cast("long") % backfillMod === 0)
+    val live = marked.filter(!col("is_backfill"))
+      .agg(max("t").as("max_live_t"))
+    marked.filter(col("is_backfill"))
+      .crossJoin(broadcast(live))
+      .select(col("t"), col("max_live_t"),
+        explode(array(delays.map(lit(_)): _*)).as("delay_ms"))
+      .groupBy("delay_ms")
+      .agg(
+        count(lit(1)).as("n_backfill"),
+        count(when(col("t") < col("max_live_t") - col("delay_ms"), 1))
+          .as("n_dropped"),
+        (count(when(col("t") < col("max_live_t") - col("delay_ms"), 1))
+          .cast("double") / count(lit(1))).as("drop_frac"))
+  }
+
   def backfillAudit(ops: DataFrame, backfillMod: Long = 17L): DataFrame = {
     val marked = ops.withColumn("is_backfill",
       col("pk").cast("long") % backfillMod === 0)

@@ -271,6 +271,62 @@ object Corpus {
         (col("cum_source_tokens") <= budgetPerSource).as("admitted"))
   }
 
+  /** Funnel-order audit — dedup-then-filter vs filter-then-dedup on the
+    * SAME corpus, gates and cluster index held fixed: the
+    * pipeline-design question every corpus build answers implicitly
+    * (RefinedWeb filters before deduplicating; others dedup first) made
+    * explicit as a per-source ledger. Under keep-best retention the two
+    * orders differ in exactly one way: when a cluster's overall
+    * best-quality member FAILS a gate, dedup-first loses the whole
+    * cluster (the representative was chosen, then rejected), while
+    * filter-first elects the best GATE-PASSING member instead — so
+    * filter-first can only rescue documents, never drop extra ones
+    * (`n_dropped_by_filter_first` is the measured 0 that proves it, and
+    * `n_rescued_by_filter_first` is the retention the ordering decision
+    * is actually worth).
+    *
+    * Consumes the persisted cluster index; two cluster-keyed argmax
+    * aggregates + one doc-keyed join — no contraction, no second corpus
+    * scan beyond the quality/repetition projections. */
+  def funnelOrder(docs: DataFrame, clusters: DataFrame,
+      minTokens: Long = 20L, minQuality: Double = 0.2,
+      maxTopBigram: Double = 0.1): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = TextAnalysis.repetitionStats(docs)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    val base = q
+      .join(rep, Seq("doc_id"), "left")
+      .join(clusters.select("doc_id", "cluster_id"), "doc_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("pass_gates",
+        col("n_tokens") >= minTokens && col("quality_score") >= minQuality &&
+          coalesce(col("top_bigram_frac") <= maxTopBigram, lit(true)))
+      .persist()
+    def repOf(in: DataFrame, as: String) = in.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as(as))
+    val flagged = base
+      .join(repOf(base, "rep_all"), "cluster_id")
+      .join(repOf(base.filter(col("pass_gates")), "rep_pass"),
+        Seq("cluster_id"), "left")
+      .withColumn("kept_a", col("doc_id") === col("rep_all") && col("pass_gates"))
+      .withColumn("kept_b", col("doc_id") === coalesce(col("rep_pass"), lit(-1L)))
+    flagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept_a"), 1)).as("n_kept_dedup_first"),
+        count(when(col("kept_b"), 1)).as("n_kept_filter_first"),
+        count(when(col("kept_b") && !col("kept_a"), 1))
+          .as("n_rescued_by_filter_first"),
+        count(when(col("kept_a") && !col("kept_b"), 1))
+          .as("n_dropped_by_filter_first"),
+        coalesce(sum(when(col("kept_a"), col("n_tokens"))), lit(0L))
+          .as("tokens_dedup_first"),
+        coalesce(sum(when(col("kept_b"), col("n_tokens"))), lit(0L))
+          .as("tokens_filter_first"))
+  }
+
   /** Quality-decile × duplication cross-ledger — the audit that answers
     * "is low quality where the duplicates live?" before anyone tunes a
     * funnel: per quality decile (the validated [[TextAnalysis.quality]]

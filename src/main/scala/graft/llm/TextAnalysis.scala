@@ -608,6 +608,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Second BPE merge round — [[bpePairStats]] finds the first merge;
+    * this APPLIES it and recounts: every word type is rendered as a
+    * spaced symbol sequence (single chars initially), the round-1 winner
+    * pair (count desc, lexical tiebreak) is merged by a literal
+    * left-to-right `replace` (both engines' non-overlapping semantics
+    * agree), and the round-2 pair table is recounted over the merged
+    * symbol sequences — top-`k` with the applied merge alongside. This is
+    * the iteration step that makes BPE training distributable: the corpus
+    * was touched once (the word-type aggregate); every merge round after
+    * it runs on the weighted TYPE table, which is vocabulary-sized, not
+    * corpus-sized.
+    *
+    * One round only by construction: after one merge every symbol is
+    * still boundary-unambiguous under literal replace (all round-1
+    * symbols are single chars); chaining further rounds needs
+    * sentinel-delimited symbols, which is a tokenizer-trainer concern,
+    * not a corpus-scan one. */
+  def bpeMergeApply(docs: DataFrame, k: Int = 10): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wfreq"))
+      .withColumn("spaced", array_join(split(col("w"), ""), " "))
+      .persist()
+    def pairCounts(in: DataFrame): DataFrame = in
+      .withColumn("syms", split(col("spaced"), " "))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wfreq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wfreq").as("pair_count"))
+    val best = pairCounts(words)
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
+      .select(col("pair").as("merge_applied"),
+        expr("replace(pair, ' ', '')").as("_merged_sym"))
+    val round2 = words.crossJoin(broadcast(best))
+      .withColumn("spaced", expr("replace(spaced, merge_applied, _merged_sym)"))
+    pairCounts(round2)
+      .orderBy(col("pair_count").desc, col("pair")).limit(k)
+      .crossJoin(broadcast(best.select("merge_applied")))
+  }
+
   /** Zipf/power-law ledger without a libm fit: vocabulary grouped by
     * FREQUENCY OCTAVE — `octave = ⌊log₂ freq⌋` computed as the length of
     * the binary string `bin(freq)` minus one, an integer-exact identity

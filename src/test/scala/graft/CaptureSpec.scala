@@ -172,6 +172,19 @@ class CaptureSpec extends SparkSpec {
     }
   }
 
+  test("watermark curve: drop rule is t < max_live_t - delay, per delay") {
+    val o = Scenarios.opsDf(spark, Seq(
+      (1000L, "t0", "1", "insert", true, Some(1.0), false, None),
+      (2000L, "t0", "2", "insert", true, Some(2.0), false, None),
+      (100L, "t0", "17", "insert", true, Some(3.0), false, None),
+      (2500L, "t0", "34", "insert", true, Some(4.0), false, None)))
+    val curve = Capture.watermarkCurve(o).orderBy("delay_ms").collect()
+      .map(r => (r.getAs[Long]("delay_ms"), r.getAs[Long]("n_dropped")))
+    // live watermark base 2000: t=100 is dropped at delay 0 and 1000
+    // (100 < 2000−1000), survives once the allowed lateness covers it
+    assert(curve.toSeq === Seq((0L, 1L), (1000L, 1L), (10000L, 0L), (60000L, 0L)))
+  }
+
   test("backfill audit: lateness vs the live maximum, per table") {
     val o = Scenarios.opsDf(spark, Seq(
       (1000L, "t0", "1", "insert", true, Some(1.0), false, None),

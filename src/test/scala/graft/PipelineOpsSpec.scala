@@ -582,4 +582,47 @@ class PipelineOpsSpec extends SparkSpec {
     val zero = out.find(_.getAs[Long]("decile") === 0L).get
     assert(zero.getAs[Long]("n_docs") >= 1L)
   }
+
+  test("bpeMergeApply: round-1 winner merged, round-2 pairs recounted") {
+    // words: "aa"×2, "ab"×1 → round-1 pairs: "a a"=2, "a b"=1 → merge "a a".
+    // After the merge "aa" is one symbol (no pairs); only "a b" remains.
+    val docs = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeApply(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("merge_applied") === "a a")
+    assert(out.head.getAs[String]("pair") === "a b")
+    assert(out.head.getAs[Long]("pair_count") === 1L)
+    // greedy left-to-right non-overlap: "aaa" → "aa a", pairing "aa a"
+    val docs2 = Seq((0L, "aaa aaa aa")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.bpeMergeApply(docs2).collect()
+    assert(out2.map(r => (r.getAs[String]("pair"), r.getAs[Long]("pair_count")))
+      .toSeq === Seq(("aa a", 2L)))
+  }
+
+  test("funnelOrder: filter-first rescues when the cluster rep fails a gate") {
+    // doc1: 19 distinct tokens — quality 0.19 (cluster max) but FAILS the
+    // ≥20-token gate; doc2: 20 tokens, quality 0.11 — passes every gate;
+    // doc3: singleton, passes everything
+    val d1 = (1 to 19).map(i => s"w$i").mkString(" ")
+    val d2 = "a b a c a d a e a f a g a h a i a j a k"
+    val d3 = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, d1, "s1"), (2L, d2, "s1"), (3L, d3, "s2"))
+      .toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val out = Corpus.funnelOrder(docs, clusters, minQuality = 0.05)
+      .orderBy("source").collect()
+    val s1 = out(0); val s2 = out(1)
+    // dedup-first elects doc1, the gate rejects it, the cluster is lost;
+    // filter-first elects doc2 instead — one rescue, zero extra drops
+    assert(s1.getAs[Long]("n_kept_dedup_first") === 0L)
+    assert(s1.getAs[Long]("n_kept_filter_first") === 1L)
+    assert(s1.getAs[Long]("n_rescued_by_filter_first") === 1L)
+    assert(s1.getAs[Long]("n_dropped_by_filter_first") === 0L)
+    assert(s1.getAs[Long]("tokens_filter_first") === 20L)
+    // the singleton is unaffected by ordering
+    assert(s2.getAs[Long]("n_kept_dedup_first") === 1L)
+    assert(s2.getAs[Long]("n_kept_filter_first") === 1L)
+    assert(s2.getAs[Long]("n_dropped_by_filter_first") === 0L)
+  }
 }

@@ -50,7 +50,8 @@ class PlansSpec extends SparkSpec {
     "ann_hard_negatives", "export_shards", "export_shard_stats",
     "text_simpson",
     "export_manifest", "split_leakage_guard", "quality_vs_dup",
-    "cdc_incremental_snapshot", "cdc_backfill_audit")
+    "cdc_incremental_snapshot", "cdc_backfill_audit",
+    "bpe_merge_apply", "cdc_watermark_curve", "corpus_funnel_order")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -453,6 +454,22 @@ class PlansSpec extends SparkSpec {
   test("backfill audit broadcasts the per-table live maxima") {
     assert(count("cdc_backfill_audit", "BroadcastHashJoin") >= 1)
     assert(count("cdc_backfill_audit", "SortMergeJoin") === 0)
+  }
+
+  test("watermark curve explodes delays only over the backfill slice") {
+    assert(count("cdc_watermark_curve", "BroadcastNestedLoopJoin") <= 1,
+      "one 1-row live-maximum broadcast")
+    assert(count("cdc_watermark_curve", "SortMergeJoin") === 0)
+  }
+
+  test("bpe merge round iterates the type table with a TakeOrdered cut") {
+    assert(plans("bpe_merge_apply").contains("TakeOrderedAndProject"))
+    assert(count("bpe_merge_apply", "SortMergeJoin") === 0)
+  }
+
+  test("funnel-order audit joins the persisted index, no global exchanges") {
+    assert(count("corpus_funnel_order", "Exchange SinglePartition") === 0)
+    assert(count("corpus_funnel_order", "BroadcastNestedLoopJoin") === 0)
   }
 
   test("quality-vs-dup is one doc-keyed join plus a 10-row aggregate") {
