@@ -534,6 +534,53 @@ object Oracles {
     FROM events GROUP BY event_type, hour_id
     ORDER BY event_type, hour_id"""
 
+  /** Ordered conversion funnel — mirrors `EventAnalytics.funnel`
+    * (signup → click → purchase, first-touch semantics). */
+  val eventsFunnel: String = """WITH
+    s0 AS (SELECT user_id, min(epoch_ms(ts)) AS c0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS c1
+           FROM events e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s0.c0
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS c2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.c1
+           GROUP BY e.user_id),
+    n AS (
+      SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        (SELECT count(*) FROM s0) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s1)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s2))
+    SELECT step, step_name, n_users,
+      CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step), n_users) = 0
+           THEN 0.0
+           ELSE CAST(n_users AS DOUBLE) /
+             coalesce(lag(n_users) OVER (ORDER BY step), n_users) END
+        AS conv_from_prev,
+      CASE WHEN (SELECT n_users FROM n WHERE step = 1) = 0 THEN 0.0
+           ELSE CAST(n_users AS DOUBLE) /
+             (SELECT n_users FROM n WHERE step = 1) END
+        AS conv_from_first
+    FROM n ORDER BY step"""
+
+  /** Cohort retention matrix — mirrors `EventAnalytics.retention`. */
+  val eventsRetention: String = """WITH
+    c AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS active_day
+          FROM events),
+    m AS (SELECT c.cohort_day, a.active_day - c.cohort_day AS day_offset,
+            count(*) AS n_active
+          FROM a JOIN c USING (user_id)
+          WHERE a.active_day >= c.cohort_day
+          GROUP BY 1, 2),
+    s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY cohort_day)
+    SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
+      CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM m JOIN s USING (cohort_day)
+    ORDER BY m.cohort_day, m.day_offset"""
+
   /** DuckDB's native ASOF JOIN vs `operators/AsOfJoin`'s union +
     * running-last formulation. Build side deduped to one click per
     * (user, ms) in both engines — equal-ts build rows have no defined
@@ -3625,6 +3672,8 @@ object Oracles {
     "q_region_revenue" -> qRegionRevenue,
     "q_top_orders" -> qTopOrders,
     "q_events_hourly" -> qEventsHourly,
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
     "q_events_sessions" -> qEventsSessions,
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,

@@ -426,6 +426,15 @@ object SparkEntry {
       SaltedJoin.skewProfile(
         Tables.events(s, dir).select("user_id", "event_id"), Seq("user_id"))
         .orderBy("rnk")),
+    // ordered conversion funnel: per-stage user-cardinality aggregates,
+    // first-touch semantics, no per-user ordered scan
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, dir))
+        .orderBy("step")),
+    // cohort retention triangle: signup cohorts x day offset
+    "events_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retention(Tables.events(s, dir))
+        .orderBy("cohort_day", "day_offset")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream — the ordered
+  * conversion funnel and the cohort retention matrix, the two queries an
+  * events table at 100 TB answers daily. Both are built from per-user
+  * conditional aggregates and keyed equality joins: no sequential scan,
+  * no per-user window over the raw stream, map-side combine everywhere
+  * (events collapse to one row per user per stage before anything
+  * shuffles twice).
+  */
+object EventAnalytics {
+
+  private def tMs: Column = expr("ts div 1000000")
+
+  /** Ordered conversion funnel — users who performed `steps` IN ORDER
+    * (each step strictly after the previous one's FIRST completion; the
+    * standard first-touch funnel semantics). Returns one row per step:
+    * users reaching it, conversion from the previous step and from the
+    * top (exact longs, one division each).
+    *
+    * Shape: stage k is `filter(type == step_k) → per-user min time`
+    * joined to stage k−1's per-user completion time — each stage one
+    * keyed shuffle of USER-cardinality rows (events collapse map-side on
+    * the type filter + min), persisted so the step counts read the
+    * already-materialized stage instead of replaying the chain. No
+    * per-user ordered scan anywhere: first-touch semantics only ever
+    * need the per-stage minimum after a threshold, which is an
+    * aggregate, not a traversal. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prev = events.filter(col("event_type") === steps.head)
+      .select(col("user_id"), tMs.as("_t0"))
+      .groupBy("user_id").agg(min("_t0").as("_c0"))
+      .persist()
+    stages += prev
+    for (i <- 1 until steps.length) {
+      val r = events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), tMs.as(s"_t$i"))
+        .join(prev, "user_id")
+        .filter(col(s"_t$i") > col(s"_c${i - 1}"))
+        .groupBy("user_id").agg(min(s"_t$i").as(s"_c$i"))
+        .persist()
+      stages += r
+      prev = r
+    }
+    val all = stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+    val first = all.filter(col("step") === 1).select(col("n_users").as("_n1"))
+    all
+      .join(all.select((col("step") + 1).as("step"), col("n_users").as("_np")),
+        Seq("step"), "left")
+      .crossJoin(broadcast(first))
+      .select(
+        col("step"), col("step_name"), col("n_users"),
+        // conversion FROM an empty stage is 0 by definition (an empty
+        // denominator would be a divide-by-zero under ANSI eval)
+        when(coalesce(col("_np"), col("n_users")) === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") /
+            coalesce(col("_np"), col("n_users"))).as("conv_from_prev"),
+        when(col("_n1") === 0, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("_n1"))
+          .as("conv_from_first"))
+  }
+
+  /** Cohort retention matrix — users grouped by their first-signup day;
+    * for each (cohort day, day offset ≥ 0) the count and fraction of the
+    * cohort active (any event) that day. The classic triangle table,
+    * computed as: one per-user cohort aggregate, one distinct
+    * (user, day) activity set, one keyed join, one matrix aggregate —
+    * every intermediate is user- or user-day-cardinality, and the
+    * cohort-size rejoin broadcasts (cohort DAYS are few even when users
+    * are billions). */
+  def retention(events: DataFrame): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val cohorts = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), day.as("_d"))
+      .groupBy("user_id").agg(min("_d").as("cohort_day"))
+    val active = events.select(col("user_id"), day.as("active_day")).distinct()
+    val matrix = active.join(cohorts, "user_id")
+      .filter(col("active_day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        (col("active_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    matrix.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
+}

@@ -160,6 +160,20 @@ class CaptureSpec extends SparkSpec {
     assert(one.head.getAs[Long]("n_superseded") === 3L)
   }
 
+  test("incremental snapshot: chunk plan is a pure function of the key set (resume-safe)") {
+    // a restarted snapshot must recompute the SAME chunk boundaries and
+    // watermarks, or completed-chunk bookkeeping is worthless — the ledger
+    // must be invariant to physical layout (the restart never sees the
+    // original partitioning)
+    val o = Scenarios.propertyOps(spark, Seq(3L, 5L))
+    val a = Capture.incrementalSnapshot(CdcOps.withState(o), chunkSize = 8)
+      .orderBy("chunk").collect().map(_.toSeq)
+    val b = Capture.incrementalSnapshot(
+      CdcOps.withState(o.repartition(13)), chunkSize = 8)
+      .orderBy("chunk").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("incremental snapshot: emitted ∪ window-covered keys = full key scope") {
     // on a realistic feed the dedup must drop EXACTLY the keys the log
     // covers in-window — no key vanishes, none is double-covered

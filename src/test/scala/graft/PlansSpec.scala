@@ -51,7 +51,8 @@ class PlansSpec extends SparkSpec {
     "text_simpson",
     "export_manifest", "split_leakage_guard", "quality_vs_dup",
     "cdc_incremental_snapshot", "cdc_backfill_audit",
-    "bpe_merge_apply", "cdc_watermark_curve", "corpus_funnel_order")
+    "bpe_merge_apply", "cdc_watermark_curve", "corpus_funnel_order",
+    "events_funnel", "events_retention")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -465,6 +466,18 @@ class PlansSpec extends SparkSpec {
   test("bpe merge round iterates the type table with a TakeOrdered cut") {
     assert(plans("bpe_merge_apply").contains("TakeOrderedAndProject"))
     assert(count("bpe_merge_apply", "SortMergeJoin") === 0)
+  }
+
+  test("conversion funnel is per-stage aggregates, no per-user window") {
+    assert(!plans("events_funnel").contains("Window"),
+      "first-touch funnel needs only per-stage minima, never an ordered scan")
+    assert(count("events_funnel", "CartesianProduct") === 0)
+  }
+
+  test("retention matrix broadcasts cohort sizes") {
+    assert(!plans("events_retention").contains("Window"))
+    assert(count("events_retention", "BroadcastHashJoin") >= 1,
+      "the cohort-size rejoin rides a broadcast")
   }
 
   test("funnel-order audit joins the persisted index, no global exchanges") {
