@@ -181,6 +181,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermark curve predicts streaming late-drop behavior (batch ↔ stream parity)") {
+    import spark.implicits._
+    // the batch ledger's claim: live max 2000 ms ⇒ backfill t=100 is
+    // dropped at delay ≤ 1 s, kept at 10 s (CaptureSpec pins the curve);
+    // here the SAME stream runs through a real withWatermark + streaming
+    // dedup (row-level drop rule: event time < max_seen − delay) and must
+    // land exactly where the curve said
+    def survivors(delay: String): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = Streams.dedupOffsets(
+        input.toDF().toDF("event_id", "ts").withWatermark("ts", delay),
+        Seq("event_id"))
+        .writeStream.format("memory").queryName(s"wm_parity")
+        .outputMode("append").start()
+      // batch 1: the live stream advances the watermark to 2000 − delay
+      input.addData((1L, new java.sql.Timestamp(1000L)),
+        (2L, new java.sql.Timestamp(2000L)))
+      q.processAllAvailable()
+      // batch 2: the backfill arrives — t=100 (year-old) and t=2500
+      input.addData((17L, new java.sql.Timestamp(100L)),
+        (34L, new java.sql.Timestamp(2500L)))
+      q.processAllAvailable()
+      val n = spark.table("wm_parity").count() - 2 // minus the live rows
+      q.stop()
+      spark.catalog.dropTempView("wm_parity")
+      n
+    }
+    // batch prediction on the equivalent op stream
+    val ops = testutil.Scenarios.opsDf(spark, Seq(
+      (1000L, "t0", "1", "insert", true, Some(1.0), false, None),
+      (2000L, "t0", "2", "insert", true, Some(2.0), false, None),
+      (100L, "t0", "17", "insert", true, Some(3.0), false, None),
+      (2500L, "t0", "34", "insert", true, Some(4.0), false, None)))
+    val curve = graft.cdc.Capture.watermarkCurve(ops).collect()
+      .map(r => r.getAs[Long]("delay_ms") ->
+        (r.getAs[Long]("n_backfill") - r.getAs[Long]("n_dropped"))).toMap
+    assert(survivors("1 second") === curve(1000L),
+      "at 1 s allowed lateness the stream must drop what the curve predicts")
+    assert(survivors("10 seconds") === curve(10000L),
+      "at 10 s the year-old row fits inside the allowed lateness")
+  }
+
   test("streaming throttle carries the token bucket across batches (== batch fold)") {
     import spark.implicits._
     import graft.cdc.Consumer
