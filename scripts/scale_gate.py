@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Standing scale-rehearsal gate (round-10 verdict, next-round #2).
+
+The manual 10x rehearsals recorded in SCALE.md caught three quadratics in
+two rounds (dedup_verify_candidates 2.01, dedup_threshold_curve 1.17,
+ann_decontaminate 1.50). This script makes the catch systematic: it
+re-measures the PRESCRIBED sub-linear scale defaults at sf0.1 and at the
+10x rehearsal slice, writes the committed `SCALE_REHEARSAL.json`
+(query -> {t1, t10, ratio, exponent}), and exits 1 if any gated query's
+exponent exceeds LIMIT - the same trip-wire discipline as
+`selfhash_drift.py`, run at round close.
+
+Usage: python3 scripts/scale_gate.py [--slice DIR] [--out FILE] [query...]
+
+With no query args, gates GATED_QUERIES (the documented sub-linear
+prescribed defaults; SCALE.md holds the provenance of each). The 10x
+slice is built by scale_rehearsal.py into --slice (default /tmp/sfr10)
+if absent, and reused otherwise - replication is deterministic, so reuse
+is exact.
+
+Method (matches SCALE.md): sf0.1 = median of SPARK_GRAFT_REPS=3 scored
+reps after a warm rep; 10x = 1 scored rep after warm. Both via
+graft.Bench (idle-gated, strict codegen), exponent = log10(t10/t1).
+Queries faster than FLOOR_SEC at sf0.1 are reported but not gated - at
+sub-half-second scale, JVM jitter dominates the ratio (SCALE.md's
+vocab_growth measured "0.5x" that way).
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = "/root/testdata/sf0.1"
+LIMIT = 1.2
+FLOOR_SEC = 0.35
+
+# The prescribed sub-linear scale defaults (SCALE.md rehearsal tables).
+# dedup_clusters / corpus_filter are documented LINEAR by design (connected
+# components must touch every edge) and are deliberately not gated at 1.2.
+GATED_QUERIES = [
+    "dedup_verify_capped",          # SCALE.md: 0.66 (the r9 quadratic's fix)
+    "dedup_threshold_curve_capped",  # 0.83 (the r10 1.17's fix)
+    "ann_decontaminate_capped",     # 0.25 (the r10 1.50's fix)
+    "ann_semdedup",                 # 0.11
+    "cdc_debezium_e2e",             # 0.58
+    "corpus_admission",             # 0.81
+    "cdc_incremental_snapshot",     # 0.40
+    "corpus_token_budget",          # 0.41
+    "corpus_funnel_order",          # 0.76
+    "events_funnel",                # 0.21
+]
+
+
+def run_bench(sf_dir, queries, reps, out_path):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+               SPARK_GRAFT_REPS=str(reps),
+               SPARK_GRAFT_ONLY=",".join(queries),
+               SPARK_GRAFT_BENCH_OUT=out_path)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                   cwd=REPO, env=env, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return json.load(open(out_path))
+
+
+def main():
+    args = sys.argv[1:]
+    slice_dir, out_file = "/tmp/sfr10", os.path.join(REPO, "SCALE_REHEARSAL.json")
+    queries = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--slice":
+            slice_dir = args[i + 1]; i += 2
+        elif args[i] == "--out":
+            out_file = args[i + 1]; i += 2
+        else:
+            queries.append(args[i]); i += 1
+    if not queries:
+        queries = GATED_QUERIES
+
+    if not os.path.exists(os.path.join(slice_dir, "documents.parquet")):
+        print(f"[scale_gate] building 10x slice at {slice_dir}")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/scale_rehearsal.py"),
+             "10", slice_dir], check=True)
+
+    print(f"[scale_gate] sf0.1 reps=3 over {len(queries)} queries")
+    b1 = run_bench(SF1, queries, 3, "/tmp/scale_gate_sf1.json")
+    print("[scale_gate] 10x slice reps=1")
+    b10 = run_bench(slice_dir, queries, 1, "/tmp/scale_gate_sf10.json")
+
+    report, violations, skipped = {}, [], []
+    for q in sorted(queries):
+        t1 = b1.get("queries", {}).get(q)
+        t10 = b10.get("queries", {}).get(q)
+        if t1 is None or t10 is None:
+            violations.append(f"{q}: missing measurement "
+                              f"(sf0.1={t1}, 10x={t10})")
+            report[q] = {"t1": t1, "t10": t10, "error": "missing"}
+            continue
+        ratio = t10 / t1
+        exponent = math.log10(ratio) if ratio > 0 else float("nan")
+        gated = t1 >= FLOOR_SEC
+        report[q] = {
+            "t1": round(t1, 3), "t10": round(t10, 3),
+            "ratio": round(ratio, 2), "exponent": round(exponent, 2),
+            "gated": gated,
+            "spread_t1": round(b1.get("rel_spread", {}).get(q, 0.0), 2),
+        }
+        if not gated:
+            skipped.append(q)
+        elif exponent > LIMIT:
+            violations.append(f"{q}: exponent {exponent:.2f} > {LIMIT}")
+
+    artifact = {
+        "limit": LIMIT,
+        "floor_sec": FLOOR_SEC,
+        "sf1": SF1,
+        "slice": slice_dir,
+        "queries": report,
+        "not_gated_under_floor": skipped,
+        "violations": violations,
+        "ok": not violations,
+        "contaminated_sf1": b1.get("contaminated", []),
+        "preload": [b1.get("preload"), b10.get("preload")],
+    }
+    with open(out_file, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    for q, r in sorted(report.items()):
+        print(f"  {q}: t1={r.get('t1')} t10={r.get('t10')} "
+              f"exp={r.get('exponent')}{'' if r.get('gated') else ' (under floor, not gated)'}")
+    if violations:
+        print("SCALE GATE FAILED:")
+        for v in violations:
+            print(f"  {v}")
+        return 1
+    print(f"SCALE GATE OK ({sum(1 for r in report.values() if r.get('gated'))} "
+          f"gated, {len(skipped)} under floor)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1412,8 +1412,9 @@ object Oracles {
 
   /** Per-shard write manifest — mirrors `Sampling.exportManifest`:
     * order-free content checksum (Σ digest) and order-sensitive stream
-    * checksum (Σ digest·pos) on the 2^20-quantized hash31(md5(text))
-    * digest, exact BIGINT arithmetic throughout. */
+    * checksum (Σ digest·pos mod ChecksumPrime — accumulated modulo the
+    * same fixed prime as the engine so neither side can overflow BIGINT
+    * at scale) on the 2^20-quantized hash31(md5(text)) digest. */
   val exportManifest: String = s"""WITH
     k AS (
       SELECT doc_id,
@@ -1430,7 +1431,8 @@ object Oracles {
     SELECT shard, count(*) AS n_docs,
       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       CAST(sum(digest) AS BIGINT) AS content_sum,
-      CAST(sum(digest * pos) AS BIGINT) AS stream_sum
+      CAST(sum((digest * pos) % 1073741789) % 1073741789 AS BIGINT)
+        AS stream_sum
     FROM p GROUP BY shard ORDER BY shard"""
 
   /** Cluster-aware split with leakage audit — mirrors

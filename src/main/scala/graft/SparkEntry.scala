@@ -141,7 +141,8 @@ object SparkEntry {
         .select((col("tail_rank") + col("n_snap")).as("offset"),
           lit("tail").as("phase"), col("tbl"), col("pk"), col("op_code"),
           col("after_val").as("val"), col("after_k").as("k"))
-      snap.unionAll(tail).orderBy("offset")
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        snap.unionAll(tail).orderBy("offset"), Seq(state))
     }),
     // DBLog / Debezium incremental snapshot: chunked key-space read
     // interleaved with the tail; chunk rows superseded by in-window log
@@ -191,14 +192,16 @@ object SparkEntry {
       val txAgg = txns.agg(
         count(lit(1)).as("txns"),
         sum(col("n_events")).cast("long").as("tx_events"))
-      diff.crossJoin(txAgg)
-        .selectExpr(
-          """stack(4,
-            |  'keys_match', keys_match,
-            |  'keys_mismatch', keys_mismatch,
-            |  'tx_events', tx_events,
-            |  'txns', txns) AS (metric, value)""".stripMargin)
-        .orderBy("metric")
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        diff.crossJoin(txAgg)
+          .selectExpr(
+            """stack(4,
+              |  'keys_match', keys_match,
+              |  'keys_mismatch', keys_mismatch,
+              |  'tx_events', tx_events,
+              |  'txns', txns) AS (metric, value)""".stripMargin)
+          .orderBy("metric"),
+        Seq(feed, recOps))
     }),
 
     // ------------------------------------------------ diff / verification
@@ -961,7 +964,9 @@ object SparkEntry {
           col("last.after_val").as("val"), col("last.after_k").as("k"))
       // `state` is a superset of the ops columns — passing it as the op
       // stream reuses the one cached lineage instead of re-reading parquet
-      Evaluate.lane(state, state, actual, pollState).orderBy("metric")
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        Evaluate.lane(state, state, actual, pollState).orderBy("metric"),
+        Seq(state, poll))
     }),
     "cdc_evaluate_log" -> ((s, dir) => {
       // the same harness report over the LOG lane: lossless capture must
@@ -975,7 +980,9 @@ object SparkEntry {
         col("emitted_ts").as("time"), col("lsn").as("ord"),
         col("op_code"), col("tbl"), col("pk"))
       val replayed = ApplyEngine.replayEvents(lane, "lsn")
-      Evaluate.lane(state, state, actual, replayed).orderBy("metric")
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        Evaluate.lane(state, state, actual, replayed).orderBy("metric"),
+        Seq(state, lane))
     }),
 
     "cdc_commit_floor" -> ((s, dir) => {

@@ -194,7 +194,7 @@ object Capture {
     val tail = state.crossJoin(broadcast(bounds.select(col("cut").as("_cut"))))
       .filter(col("t") > col("_cut"))
       .select(col("tbl"), col("pk"), col("t").as("ev_t"))
-    withHw.join(tail, Seq("tbl", "pk"), "left")
+    val ledger = withHw.join(tail, Seq("tbl", "pk"), "left")
       .groupBy("chunk", "tbl", "pk", "val", "k", "hw")
       .agg(max(when(col("ev_t") <= col("hw"), lit(1)).otherwise(lit(0))).as("_sup"))
       .groupBy("chunk")
@@ -206,24 +206,9 @@ object Capture {
         sum(when(col("_sup") === 0, col("k"))).as("sum_k"),
         sum(when(col("_sup") === 0, floor(col("val") * 1000).cast("long")))
           .as("sum_val_q"))
+    graft.operators.CacheLifecycle.releaseAfterUse(ledger, Seq(state))
   }
 
-  /** Backfill audit — the canonical backfill failure drill
-    * (`scenarios/01-canonical-reference/failures/backfill.sql`): a
-    * migration INSERTs historical rows into the source NOW, so CDC
-    * captures them with current offsets but year-old business
-    * timestamps — "sink receives them in offset order, not created_at
-    * order". The drill's designated backfill keys (`pk % backfillMod`)
-    * are re-captured after the live stream; the per-table ledger reports
-    * how late that data arrives in business time: every backfill event
-    * older than the newest live event is an inversion a downstream
-    * business-time consumer must tolerate, and `max_skew_ms` bounds the
-    * event-time watermark regression the backfill would cause.
-    *
-    * Two grouped aggregates + one 3-row broadcast — no window scan: live
-    * capture order embeds business time in this feed (lsn is t-derived),
-    * so the only possible inversions are backfill-vs-live, counted
-    * directly against the per-table live maximum. */
   /** Watermark-delay tuning curve over the [[backfillAudit]] stream — the
     * ledger that answers "how much allowed lateness would this backfill
     * need?": the backfill keys arrive after the live stream has advanced
@@ -256,6 +241,22 @@ object Capture {
           .cast("double") / count(lit(1))).as("drop_frac"))
   }
 
+  /** Backfill audit — the canonical backfill failure drill
+    * (`scenarios/01-canonical-reference/failures/backfill.sql`): a
+    * migration INSERTs historical rows into the source NOW, so CDC
+    * captures them with current offsets but year-old business
+    * timestamps — "sink receives them in offset order, not created_at
+    * order". The drill's designated backfill keys (`pk % backfillMod`)
+    * are re-captured after the live stream; the per-table ledger reports
+    * how late that data arrives in business time: every backfill event
+    * older than the newest live event is an inversion a downstream
+    * business-time consumer must tolerate, and `max_skew_ms` bounds the
+    * event-time watermark regression the backfill would cause.
+    *
+    * Two grouped aggregates + one 3-row broadcast — no window scan: live
+    * capture order embeds business time in this feed (lsn is t-derived),
+    * so the only possible inversions are backfill-vs-live, counted
+    * directly against the per-table live maximum. */
   def backfillAudit(ops: DataFrame, backfillMod: Long = 17L): DataFrame = {
     val marked = ops.withColumn("is_backfill",
       col("pk").cast("long") % backfillMod === 0)

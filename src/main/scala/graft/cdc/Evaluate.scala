@@ -24,17 +24,22 @@ object Evaluate {
     * broadcast cross-joins into one row, `pass` is derived as an expression,
     * and `stack` unpivots to (metric, value) — so the whole report is ONE
     * Spark action regardless of how many metrics it carries. `ops` and
-    * `actual` feed multiple aggregate subtrees, so they are persisted (and
-    * stay cached for the action that consumes the returned frame — the
-    * inputs are capture-lane-sized, and the caller's session owns eviction).
+    * `actual` feed multiple aggregate subtrees, so they are persisted for
+    * that action and released by
+    * [[graft.operators.CacheLifecycle.releaseAfterUse]] once it completes
+    * (inputs the caller already cached are left under the caller's
+    * lifecycle).
     */
   def lane(
       ops0: DataFrame,
       state: DataFrame,
       actual0: DataFrame,
       stateActual: DataFrame): DataFrame = {
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        fresh += df; df.persist()
+      } else df
     val ops = cached(ops0)
     val actual = cached(actual0)
     // Pair accounting in CLOSED FORM: `Diff.lanePairs` matches the k-th
@@ -92,7 +97,7 @@ object Evaluate {
       actual, Seq("tbl"), Seq(col("time"), col("ord")), "ord")
       .agg(count(when(col("inverted"), 1)).as("inversions"))
 
-    pairCounts
+    val report = pairCounts
       .crossJoin(stateDiff)
       .crossJoin(deletes)
       .crossJoin(capturedDeletes)
@@ -110,5 +115,8 @@ object Evaluate {
           |  'ordering_issues', inversions,
           |  'state_mismatches', state_mismatches,
           |  'pass', pass) AS (metric, value)""".stripMargin)
+    // release only the frames THIS call persisted; already-cached inputs
+    // stay under their owner's lifecycle
+    graft.operators.CacheLifecycle.releaseAfterUse(report, fresh.toSeq)
   }
 }

@@ -46,7 +46,11 @@ object GlobalOrder {
     // data instead of re-executing its lineage, and (b) the sampled range
     // boundaries (and hence pid assignment) are pinned once — the same
     // cache-for-determinism rule RDD.zipWithIndex callers follow. Sized at
-    // one row per input row; the consuming action populates it lazily.
+    // one row per input row; the consuming action populates it lazily and
+    // CacheLifecycle releases it after that action (a re-executed result
+    // stays CORRECT without the cache: ranks/prefix sums are boundary-
+    // invariant, and within any one action exchange reuse keeps the
+    // branches' pid assignment consistent — the cache only saves work).
     val local = (runningMax match {
       case Some((src, _)) => local0.withColumn(localMax, max(col(src)).over(cum))
       case None => local0
@@ -81,7 +85,9 @@ object GlobalOrder {
             .otherwise(greatest(col(localMax), col("_go_prev_max"))))
       case None => joined
     }
-    withMax.drop(pid, localRank, localMax, "_go_p", "_go_offset", "_go_prev_max")
+    graft.operators.CacheLifecycle.releaseAfterUse(
+      withMax.drop(pid, localRank, localMax, "_go_p", "_go_offset", "_go_prev_max"),
+      Seq(local))
   }
 
   /** Distributed prefix sum: `dstCol` = Σ `srcCol` over all rows at or
@@ -106,9 +112,11 @@ object GlobalOrder {
     val offsets = a.join(b, col("_go_q") < col("_go_p"), "left")
       .groupBy("_go_p")
       .agg(coalesce(sum("_go_psum"), lit(0L)).as("_go_offset"))
-    local.join(broadcast(offsets), col(pid) === col("_go_p"))
-      .withColumn(dstCol, col("_go_offset") + col(localSum))
-      .drop(pid, localSum, "_go_p", "_go_offset")
+    graft.operators.CacheLifecycle.releaseAfterUse(
+      local.join(broadcast(offsets), col(pid) === col("_go_p"))
+        .withColumn(dstCol, col("_go_offset") + col(localSum))
+        .drop(pid, localSum, "_go_p", "_go_offset"),
+      Seq(local))
   }
 
   /** Per-KEY distributed prefix sum: `dstCol` = Σ `srcCol` over all rows of
@@ -147,8 +155,11 @@ object GlobalOrder {
       keyNames.map(n => col(n).as(s"_gk_$n")) ++ Seq(col("_go_p"), col("_go_offset")): _*)
     val joinCond = keyNames.map(n => col(n) === col(s"_gk_$n")).reduce(_ && _) &&
       col(pid) === col("_go_p")
-    local.join(broadcast(offsetsR), joinCond)
-      .withColumn(dstCol, col("_go_offset") + col(localSum))
-      .drop(keyNames.map(n => s"_gk_$n") ++ Seq(pid, localSum, "_go_p", "_go_offset"): _*)
+    graft.operators.CacheLifecycle.releaseAfterUse(
+      local.join(broadcast(offsetsR), joinCond)
+        .withColumn(dstCol, col("_go_offset") + col(localSum))
+        .drop(keyNames.map(n => s"_gk_$n") ++
+          Seq(pid, localSum, "_go_p", "_go_offset"): _*),
+      Seq(local))
   }
 }

@@ -239,11 +239,12 @@ object Corpus {
     // and partition-summary branches all read the tiny 3-column ledger
     // from cache instead of re-deriving quality per branch
     val ledger = scored.join(toks, "doc_id").persist()
-    graft.cdc.GlobalOrder
+    val out = graft.cdc.GlobalOrder
       .runningSum(ledger, Seq(col("logit").desc, col("doc_id")), "n_tokens", "cum_tokens")
       .select(
         col("doc_id"), col("logit"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("selected"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(ledger))
   }
 
   /** Per-source ingestion-order budget gate (batch form): every source gets
@@ -312,7 +313,7 @@ object Corpus {
         Seq("cluster_id"), "left")
       .withColumn("kept_a", col("doc_id") === col("rep_all") && col("pass_gates"))
       .withColumn("kept_b", col("doc_id") === coalesce(col("rep_pass"), lit(-1L)))
-    flagged.groupBy("source")
+    val out = flagged.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         count(when(col("kept_a"), 1)).as("n_kept_dedup_first"),
@@ -325,6 +326,7 @@ object Corpus {
           .as("tokens_dedup_first"),
         coalesce(sum(when(col("kept_b"), col("n_tokens"))), lit(0L))
           .as("tokens_filter_first"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(base))
   }
 
   /** Quality-decile × duplication cross-ledger — the audit that answers

@@ -172,8 +172,10 @@ object Dedup {
     val edges = sigs.join(groups, sigCols)
       .filter(col("doc_id") > col("a_id"))
       .select(col("a_id"), col("doc_id").as("b_id"))
-    bandedPairs(sigs, bands, rowsPerBand, maxBucket)
-      .unionByName(edges).distinct()
+    graft.operators.CacheLifecycle.releaseAfterUse(
+      bandedPairs(sigs, bands, rowsPerBand, maxBucket)
+        .unionByName(edges).distinct(),
+      Seq(sigs))
   }
 
   /** Winnowing-fingerprint dedup candidates (Schleimer et al. '03 — the
@@ -926,14 +928,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("is_near"), 1L).otherwise(0L)).as("n_near"))
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket
-      .withColumn("cum_docs", sum("n_docs").over(w))
-      .withColumn("cum_exact", sum("n_exact").over(w))
-      .withColumn("cum_near", sum("n_near").over(w))
+    graft.operators.BoundedWindow.cumulative(
+      perBucket, struct(col("bucket")),
+      Seq("n_docs" -> "cum_docs", "n_exact" -> "cum_exact",
+        "n_near" -> "cum_near"))
       .withColumn("cum_exact_rate", col("cum_exact").cast("double") / col("cum_docs"))
       .withColumn("cum_near_rate", col("cum_near").cast("double") / col("cum_docs"))
+      .select("bucket", "n_docs", "n_exact", "n_near", "cum_docs",
+        "cum_exact", "cum_near", "cum_exact_rate", "cum_near_rate")
   }
 
   /** Non-overlapping word-block dedup ledger — the line/paragraph dedup

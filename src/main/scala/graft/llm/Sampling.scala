@@ -19,6 +19,14 @@ import graft.functions.GraftFunctions.hash31
   */
 object Sampling {
 
+  /** Modulus for positional checksums ([[exportManifest]]'s
+    * `stream_sum`): a fixed prime so the order-sensitive sum is
+    * accumulated in bounded space on both the engine and the DuckDB
+    * oracle side instead of overflowing BIGINT at shard sizes past a
+    * few million documents. 2^30 − 35 keeps every reduced term under
+    * 2^30, so a plain long sum is exact for ~2^33 rows per shard. */
+  val ChecksumPrime: Long = 1073741789L
+
   /** Keep-decision column: stratum-dependent deterministic Bernoulli.
     * `rates` maps stratum value → keep rate in [0, 1] (floor(rate·100)
     * percent resolution — the reference's `shouldDrop` scaling). */
@@ -271,13 +279,12 @@ object Sampling {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
-    val w = Window.orderBy(col("cap_tokens"), col("source"))
     val totals = perSource.agg(count(lit(1)).as("_n_src"))
-    val ranked = perSource.crossJoin(broadcast(totals))
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_prev_cum", coalesce(
-        sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val ranked = graft.operators.BoundedWindow.cumulative(
+      perSource.crossJoin(broadcast(totals)),
+      struct(col("cap_tokens"), col("source")),
+      Seq("cap_tokens" -> "_cum_cap"), Some("_rn"))
+      .withColumn("_prev_cum", col("_cum_cap") - col("cap_tokens"))
       .withColumn("capped",
         col("cap_tokens") * (col("_n_src") - col("_rn") + 1L) <=
           lit(budgetTokens) - col("_prev_cum"))
@@ -349,9 +356,9 @@ object Sampling {
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .orderBy(col("affinity").desc, col("doc_id"))
       .limit(k)
-    top.withColumn("rnk",
-      row_number().over(Window.orderBy(col("affinity").desc, col("doc_id")))
-        .cast("long"))
+    graft.operators.BoundedWindow.cumulative(
+      top, struct((-col("affinity")).as("_na"), col("doc_id")),
+      Seq.empty, Some("rnk"))
       .select("rnk", "doc_id", "lang", "source", "n_words",
         "target_mass", "corpus_mass", "affinity")
   }
@@ -420,11 +427,15 @@ object Sampling {
     *     it) — the positional checksum that catches a shuffled rewrite a
     *     content checksum accepts.
     *
-    * Both are exact BIGINT arithmetic on the 2^20-quantized digest
-    * `hash31(md5(text))` (digest < 2^20, pos ≤ docs/shard, so the
-    * products stay far inside the long range — no float accumulation, no
-    * ordered aggregation in the oracle). One window (the shardAssign
-    * position) + one shard-keyed aggregate. */
+    * Both are exact integer arithmetic on the 2^20-quantized digest
+    * `hash31(md5(text))`. Each product digest·pos stays well inside the
+    * long range (digest < 2^20, pos ≤ docs/shard), but the SUM of those
+    * products does not at corpus scale, so `stream_sum` is accumulated
+    * modulo [[ChecksumPrime]] on both the engine and the oracle side:
+    * every per-row term is < 2^30, so the running long sum is exact up
+    * to ~2^33 docs per shard before the final reduction — far past any
+    * real shard. One window (the shardAssign position) + one shard-keyed
+    * aggregate. */
   def exportManifest(docs: DataFrame, nShards: Int = 16,
       seed: Int = 42, modulus: Long = 1000003L): DataFrame = {
     val keyed = docs.select(
@@ -442,7 +453,8 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("digest").as("content_sum"),
-        sum(col("digest") * col("pos")).as("stream_sum"))
+        (sum((col("digest") * col("pos")) % ChecksumPrime) % ChecksumPrime)
+          .as("stream_sum"))
   }
 
   /** Cluster-aware train/val/test split — the leakage guard a 100 TB
@@ -482,8 +494,7 @@ object Sampling {
       .groupBy(col("cluster_id"), col(splitCol)).agg(count(lit(1)).as("ns"))
       .groupBy("cluster_id")
       .agg(sum("ns").as("n"), sum(col("ns") * (col("ns") - 1)).as("intra2"))
-      .agg(((sum(col("n") * (col("n") - 1)) - sum(col("intra2"))) / 2)
-        .cast("long").as(as))
+      .agg(expr("(sum(n * (n - 1)) - sum(intra2)) div 2").as(as))
     val guardLeak = crossSplitPairs("split", "leaked_pairs")
     val naiveLeak = crossSplitPairs("naive_split", "leaked_pairs_naive")
     val moved = assigned

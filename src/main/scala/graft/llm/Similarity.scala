@@ -832,7 +832,7 @@ object Similarity {
   def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(16, 32, 64),
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id")).persist()
-    dims.map { d =>
+    val out = dims.map { d =>
       val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
       val top = cosineTopK(trunc, nQueries, k).select(col("q_id"), col("n_id"))
       exact.join(broadcast(top), Seq("q_id", "n_id"))
@@ -841,6 +841,7 @@ object Similarity {
     }.reduce(_ unionByName _)
       .withColumn("recall",
         col("n_hits").cast("double") / lit((nQueries * k).toDouble))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(exact))
   }
 
   def ivfProbeCurve(emb: DataFrame, nLists: Int = 16,
@@ -850,7 +851,7 @@ object Similarity {
     val assigned = assigned0.persist()
     val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id")).persist()
     val queries = emb.filter(col("vec_id") < nQueries)
-    probes.map { p =>
+    val out = probes.map { p =>
       val ivf = ivfProbe(queries, centroids, assigned, p, k)
         .select(col("q_id"), col("n_id"))
       exact.join(broadcast(ivf), Seq("q_id", "n_id"))
@@ -859,6 +860,7 @@ object Similarity {
     }.reduce(_ unionByName _)
       .withColumn("recall",
         col("n_hits").cast("double") / lit((nQueries * k).toDouble))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(assigned, exact))
   }
 
   // ──────────────────── Product quantization (Jégou et al. 2011) ──────────
@@ -959,7 +961,8 @@ object Similarity {
     // m·kSub rows behind an iterated-aggregation lineage — persist so the
     // encode and LUT branches build the codebooks once
     val cb = pqCodebooks(emb, m, kSub, iters).persist()
-    adcTopK(emb, cb, pqEncode(emb, cb, m), m, nQueries, k)
+    graft.operators.CacheLifecycle.releaseAfterUse(
+      adcTopK(emb, cb, pqEncode(emb, cb, m), m, nQueries, k), Seq(cb))
   }
 
   /** The ADC scoring stage shared by [[pqTopK]] and [[pqPersistedTopK]]:
@@ -1038,10 +1041,11 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_pq", adcScore(m))
     val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
-    scored
+    val out = scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cb))
   }
 
   /** Write the PQ index under `path`: `codebooks/` (m·kSub tiny rows) and

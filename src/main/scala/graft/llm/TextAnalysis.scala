@@ -568,16 +568,16 @@ object TextAnalysis {
     val occ = perTokBucket.groupBy("bucket").agg(sum("cnt").as("n_tokens"))
     val newTypes = perTokBucket.groupBy("tok").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    occ.join(newTypes, Seq("bucket"), "left")
+    val perBucket = occ.join(newTypes, Seq("bucket"), "left")
       .select(col("bucket"), col("n_tokens"),
         coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .withColumn("cum_types", sum("n_new_types").over(w))
+    graft.operators.BoundedWindow.cumulative(
+      perBucket, struct(col("bucket")),
+      Seq("n_tokens" -> "cum_tokens", "n_new_types" -> "cum_types"))
       .withColumn("type_token_ratio",
         col("cum_types").cast("double") / col("cum_tokens"))
+      .select("bucket", "n_tokens", "n_new_types", "cum_tokens",
+        "cum_types", "type_token_ratio")
   }
 
   /** First BPE merge-round statistics (Sennrich et al. 2016) — the
@@ -645,9 +645,10 @@ object TextAnalysis {
         expr("replace(pair, ' ', '')").as("_merged_sym"))
     val round2 = words.crossJoin(broadcast(best))
       .withColumn("spaced", expr("replace(spaced, merge_applied, _merged_sym)"))
-    pairCounts(round2)
+    val out = pairCounts(round2)
       .orderBy(col("pair_count").desc, col("pair")).limit(k)
       .crossJoin(broadcast(best.select("merge_applied")))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(words))
   }
 
   /** Zipf/power-law ledger without a libm fit: vocabulary grouped by

@@ -54,7 +54,7 @@ object EventAnalytics {
           col("n_users"))
     }.reduce(_ unionAll _)
     val first = all.filter(col("step") === 1).select(col("n_users").as("_n1"))
-    all
+    val out = all
       .join(all.select((col("step") + 1).as("step"), col("n_users").as("_np")),
         Seq("step"), "left")
       .crossJoin(broadcast(first))
@@ -68,6 +68,7 @@ object EventAnalytics {
         when(col("_n1") === 0, lit(0.0))
           .otherwise(col("n_users").cast("double") / col("_n1"))
           .as("conv_from_first"))
+    CacheLifecycle.releaseAfterUse(out, stages.toSeq)
   }
 
   /** Cohort retention matrix — users grouped by their first-signup day;

@@ -144,16 +144,13 @@ object SaltedJoin {
     val ord = col("key_count").desc +: keyCols
     val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("key_count"))
     val total = counts.agg(sum("key_count").as("_total"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
-    val cumW = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    counts.orderBy(ord: _*).limit(k)
-      .crossJoin(broadcast(total))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    val topK = counts.orderBy(ord: _*).limit(k).crossJoin(broadcast(total))
+    BoundedWindow.cumulative(
+      topK, struct((-col("key_count")).as("_nc") +: keyCols: _*),
+      Seq("key_count" -> "_cum_count"), Some("rnk"))
       .withColumn("share", col("key_count").cast("double") / col("_total"))
       .withColumn("cum_share",
-        sum("key_count").over(cumW).cast("double") / col("_total"))
+        col("_cum_count").cast("double") / col("_total"))
       .withColumn("salts_needed",
         ceil(col("key_count").cast("double") / col("_total") * parts).cast("long"))
       .select((col("rnk") +: keyCols) ++ Seq(col("key_count"), col("share"),

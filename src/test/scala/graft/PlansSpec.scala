@@ -232,15 +232,16 @@ class PlansSpec extends SparkSpec {
       "the mask is the only nested-loop (1-row) broadcast")
   }
 
-  test("growth curve: keyed aggregations only, bucket window never sees doc rows") {
+  test("growth curve: keyed aggregations only, bucket cumsum never sees doc rows") {
     // one BNLJ (the 1-row max broadcast); the exact/near first-occurrence
-    // joins are digest-/signature-keyed; the cumulative window input is
-    // the bucket aggregate (constant rows), so a single-partition sort
-    // there is legitimate
+    // joins are digest-/signature-keyed; no Window operator anywhere —
+    // the former single-partition cumsum is BoundedWindow.cumulative
+    // (sorted-array prefix sums over the ≤-buckets frame, single input
+    // reference, no self-join)
     assert(count("dedup_growth_curve", "BroadcastNestedLoopJoin") === 1,
       "only the 1-row max-id aggregate may nested-loop broadcast")
-    assert(count("dedup_growth_curve", "Window") === 1,
-      "one cumulative window, fed by the bucket aggregate")
+    assert(count("dedup_growth_curve", "Window") === 0,
+      "the bucket cumsum is BoundedWindow.cumulative — no Window operator")
   }
 
   test("vocab growth: token-keyed aggs plus the 1-row width broadcast only") {
@@ -254,8 +255,8 @@ class PlansSpec extends SparkSpec {
     // the pre-AQE print shown here has no Reused marker to pin)
     assert(count("vocab_growth", "SortMergeJoin") === 0,
       "the bucket-level join is over ≤10 rows — must not sort-merge at width")
-    assert(count("vocab_growth", "Window") === 1,
-      "one cumulative window, fed by the bucket aggregate")
+    assert(count("vocab_growth", "Window") === 0,
+      "the bucket cumsum is BoundedWindow.cumulative — no Window operator")
   }
 
   test("PQ rerank: rescore stage broadcasts the coarse result, never re-shuffles the corpus") {
@@ -348,11 +349,14 @@ class PlansSpec extends SparkSpec {
     }
   }
 
-  test("skew profile shuffles key cardinality once; the window runs post-limit") {
-    assert(count("events_skew_profile", "Exchange hashpartitioning") <= 2,
+  test("skew profile shuffles key cardinality once; the cumsum runs post-limit") {
+    assert(count("events_skew_profile", "Exchange hashpartitioning") <= 3,
       "one keyed count, textually doubled under the 1-row totals branch " +
-        "pre-AQE (ReuseExchange collapses it); the running share sees k rows")
+        "pre-AQE (ReuseExchange collapses it), plus BoundedWindow.cumulative's " +
+        "k-row ord regroup; the running share sees k rows")
     assert(count("events_skew_profile", "SortMergeJoin") === 0)
+    assert(count("events_skew_profile", "Window") === 0,
+      "the running share is BoundedWindow.cumulative — no Window operator")
     assert(plans("events_skew_profile").contains("TakeOrderedAndProject"))
   }
 
