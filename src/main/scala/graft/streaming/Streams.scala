@@ -723,4 +723,169 @@ object Streams {
           }
         })
   }
+
+  // ─────────────────── event analytics twins (funnel / retention) ────────
+
+  /** A product event on the stream: user, type, event time in millis
+    * (the batch forms read `ts div 1000000` off the nanos column —
+    * [[graft.operators.EventAnalytics]]). */
+  case class EventIn(userId: Long, eventType: String, tMs: Long)
+
+  /** A funnel advance: `userId` first completed `stage` (1-based) at
+    * `tMs`. Each (user, stage) emits AT MOST ONCE, so
+    * `count(*) group by stage` over the emitted stream equals the batch
+    * funnel's per-step `n_users` at any point in time. */
+  case class FunnelAdvance(userId: Long, stage: Int, stageName: String,
+      tMs: Long)
+
+  /** Per-user funnel state: first-completion time of each reached stage
+    * (a ≤ |steps|-element prefix — bounded by construction). */
+  case class FunnelProgress(times: Seq[Long])
+
+  /** One funnel step for a batch of same-user events — the shared fold
+    * both the stream and its tests drive ([[funnelStream]]). First-touch
+    * semantics on ORDERED ARRIVALS (events non-decreasing in `tMs` across
+    * the feed — the same arrival-order contract [[budgetFold]] states):
+    * stage k+1 completes at the first step-(k+1) event STRICTLY after
+    * stage k's completion, which on a time-ordered replay is exactly the
+    * batch form's `min t > c_k` — so chopped == one-shot and
+    * stream == batch hold on ordered feeds (EventStreamSpec). A feed with
+    * genuine cross-batch time travel needs the batch funnel re-run; the
+    * watermark drills ([[graft.cdc.Capture.watermarkCurve]]) quantify how
+    * much of such a feed a lateness allowance would rescue. */
+  def funnelFold(
+      steps: Seq[String],
+      start: Option[FunnelProgress],
+      incoming: Seq[EventIn]): (FunnelProgress, Seq[FunnelAdvance]) = {
+    var times = start.map(_.times.toVector).getOrElse(Vector.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+    incoming.sortBy(e => (e.tMs, e.eventType)).foreach { e =>
+      val reached = times.length
+      if (reached < steps.length && e.eventType == steps(reached) &&
+          (reached == 0 || e.tMs > times.last)) {
+        times = times :+ e.tMs
+        out += FunnelAdvance(e.userId, reached + 1, steps(reached), e.tMs)
+      }
+    }
+    (FunnelProgress(times), out.toSeq)
+  }
+
+  /** Streaming ordered-conversion funnel — the incremental twin of
+    * [[graft.operators.EventAnalytics.funnel]]: per-user stage progress
+    * as keyed state (≤ |steps| longs per user — sharded by user across
+    * executors, TTL-evicted), one [[FunnelAdvance]] per (user, stage)
+    * ever, so the downstream per-stage count is an append-only aggregate
+    * a 100 TB events pipeline maintains instead of re-scanning history.
+    * Parity and the kill/resume drill: EventStreamSpec /
+    * FailureDrillSpec. */
+  def funnelStream(
+      events: Dataset[EventIn],
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      ttlMs: Long = 0L): Dataset[FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: Long, incoming: Iterator[EventIn],
+            state: GroupState[FunnelProgress]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (progress, out) =
+              funnelFold(steps, state.getOption, incoming.toSeq)
+            state.update(progress)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** A retention mark: `userId` (cohort of `cohortDay`) was active on
+    * `cohortDay + dayOffset`. Each (user, day) emits AT MOST ONCE, so
+    * `count(*) group by cohortDay, dayOffset` over the emitted stream
+    * equals the batch matrix's `n_active`, and the `dayOffset = 0` row
+    * is the cohort size (the signup event itself marks its user active
+    * that day). */
+  case class RetentionMark(userId: Long, cohortDay: Long, dayOffset: Long)
+
+  /** Per-user retention state. `cohortDay < 0` = no signup seen yet;
+    * `emitted` = days already marked (the minimal state ANY exact
+    * streaming retention needs — one entry per distinct active day,
+    * TTL-bounded); `pending` = active days seen BEFORE the signup
+    * arrived (an activity earlier the same day must still count toward
+    * offset 0 once the signup lands — the ordering edge the batch form
+    * never sees). */
+  case class RetentionState(
+      cohortDay: Long, emitted: Seq[Long], pending: Seq[Long])
+
+  /** One retention step for a batch of same-user events — shared fold of
+    * [[retentionStream]] and its tests. Cohort day = the user's FIRST
+    * signup day (on time-ordered arrivals that is the batch `min`); any
+    * active day ≥ cohort day emits once. Within a batch, arrival order
+    * does not matter (sets, not sequences); across batches the ordered-
+    * arrival contract of [[funnelFold]] applies to the signup only. */
+  def retentionFold(
+      userId: Long,
+      start: Option[RetentionState],
+      incoming: Seq[EventIn]): (RetentionState, Seq[RetentionMark]) = {
+    val dayMs = 86400000L
+    val st = start.getOrElse(RetentionState(-1L, Seq.empty, Seq.empty))
+    var cohort = st.cohortDay
+    val emitted = scala.collection.mutable.Set[Long](st.emitted: _*)
+    val pending = scala.collection.mutable.Set[Long](st.pending: _*)
+    incoming.foreach { e =>
+      val day = Math.floorDiv(e.tMs, dayMs)
+      if (e.eventType == "signup" && (cohort < 0 || day < cohort)) cohort = day
+      pending += day
+    }
+    val out =
+      if (cohort < 0) Seq.empty
+      else {
+        val fresh = pending.toSeq.sorted
+          .filter(d => d >= cohort && !emitted.contains(d))
+        fresh.foreach(emitted += _)
+        pending.clear()
+        fresh.map(d => RetentionMark(userId, cohort, d - cohort))
+      }
+    (RetentionState(cohort, emitted.toSeq.sorted,
+      if (cohort < 0) pending.toSeq.sorted else Seq.empty), out)
+  }
+
+  /** Streaming cohort-retention twin of
+    * [[graft.operators.EventAnalytics.retention]]: per-user (cohort day,
+    * marked-day set) keyed state, one [[RetentionMark]] per (user,
+    * active day) ever — the retention triangle becomes an append-only
+    * count per (cohortDay, dayOffset) instead of a daily re-scan of the
+    * events history. Pre-signup same-day activity is buffered in
+    * `pending` so stream == batch even when the activity row arrives
+    * before its user's signup row. Parity: EventStreamSpec. */
+  def retentionStream(
+      events: Dataset[EventIn],
+      ttlMs: Long = 0L): Dataset[RetentionMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[EventIn],
+            state: GroupState[RetentionState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = retentionFold(uid, state.getOption, incoming.toSeq)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
 }

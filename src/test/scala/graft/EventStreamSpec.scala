@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+import graft.streaming.Streams
+import graft.streaming.Streams.{EventIn, FunnelAdvance, RetentionMark}
+
+/** Batch ↔ streaming parity for the event-analytics twins (round-10
+  * verdict, next-round #4): the incremental funnel/retention must agree
+  * with the batch oracles on time-ordered feeds, chopped across
+  * micro-batches any way the source pleases.
+  */
+class EventStreamSpec extends SparkSpec {
+  import org.scalatest.concurrent.Eventually
+
+  private val dayMs = 86400000L
+
+  /** A deterministic multi-user scenario covering: full conversion,
+    * partial conversion, wrong-order steps, same-timestamp step pairs
+    * (strictly-after must reject), repeat steps, and an activity row
+    * landing before its user's signup on the same day. tMs ascending —
+    * the ordered-arrival contract. */
+  private def scenario: Seq[EventIn] = Seq(
+    // u1: converts fully across three days
+    EventIn(1L, "signup", 1000L),
+    EventIn(1L, "click", dayMs + 2000L),
+    EventIn(1L, "purchase", 2 * dayMs + 3000L),
+    // u2: clicks before signing up — click must NOT count as stage 2
+    EventIn(2L, "click", 500L),
+    EventIn(2L, "signup", 600L),
+    EventIn(2L, "click", 700L),
+    // u3: signup and click at the SAME ms — strictly-after rejects
+    EventIn(3L, "signup", 1000L),
+    EventIn(3L, "click", 1000L),
+    // u4: activity arrives before the signup row, same day, then next-day
+    // click + purchase in one day
+    EventIn(4L, "view", 3 * dayMs + 100L),
+    EventIn(4L, "signup", 3 * dayMs + 200L),
+    EventIn(4L, "click", 4 * dayMs + 100L),
+    EventIn(4L, "purchase", 4 * dayMs + 200L),
+    // u5: never signs up — contributes to no funnel stage, no cohort
+    EventIn(5L, "click", 2 * dayMs),
+    // u1 again: repeat purchase later must not re-emit stage 3
+    EventIn(1L, "purchase", 5 * dayMs))
+
+  /** Batch events frame with the raw nanos ts column the batch operators
+    * read (`ts div 1000000` = tMs). */
+  private def batchDf = {
+    import spark.implicits._
+    scenario.map(e => (e.userId, e.eventType, e.tMs * 1000000L))
+      .toDF("user_id", "event_type", "ts")
+  }
+
+  private def runChunked[I, O](
+      mkQuery: MemoryStream[I] => org.apache.spark.sql.Dataset[O],
+      feed: Seq[I], chunks: Int, name: String)(
+      implicit enc: org.apache.spark.sql.Encoder[I]): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[I]
+    val q = mkQuery(input).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    feed.grouped(math.max(feed.size / chunks, 1)).foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val rows = spark.table(name).collect().toSeq
+    q.stop()
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("streaming funnel advances equal the batch per-step counts (3 chunks)") {
+    import spark.implicits._
+    val advances = runChunked[EventIn, FunnelAdvance](
+      in => Streams.funnelStream(in.toDS()), scenario, 3, "funnel_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Int]("stage"),
+        r.getAs[String]("stageName"), r.getAs[Long]("tMs")))
+    // at most one advance per (user, stage)
+    assert(advances.map(a => (a._1, a._2)).distinct.size === advances.size,
+      s"duplicate (user, stage) advance: $advances")
+    val streamCounts = advances.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val batch = EventAnalytics.funnel(batchDf).collect()
+      .map(r => r.getAs[Long]("step").toInt -> r.getAs[Long]("n_users")).toMap
+    assert(streamCounts.getOrElse(1, 0L) === batch(1), "stage 1 count")
+    assert(streamCounts.getOrElse(2, 0L) === batch(2), "stage 2 count")
+    assert(streamCounts.getOrElse(3, 0L) === batch(3), "stage 3 count")
+    // the documented edges, pinned individually
+    val byUser = advances.groupBy(_._1)
+    assert(byUser(1L).map(_._2).sorted === Seq(1, 2, 3), "u1 converts fully")
+    assert(byUser(2L).map(_._2).sorted === Seq(1, 2),
+      "u2's pre-signup click must not count; the later one does")
+    assert(byUser(3L).map(_._2) === Seq(1),
+      "u3's same-ms click is not strictly after signup")
+    assert(!byUser.contains(5L), "u5 never signs up")
+  }
+
+  test("streaming retention marks equal the batch triangle (4 chunks)") {
+    import spark.implicits._
+    val marks = runChunked[EventIn, RetentionMark](
+      in => Streams.retentionStream(in.toDS()), scenario, 4, "retention_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("cohortDay"),
+        r.getAs[Long]("dayOffset")))
+    assert(marks.distinct.size === marks.size, s"duplicate mark: $marks")
+    val streamMatrix = marks.groupBy(m => (m._2, m._3))
+      .view.mapValues(_.size.toLong).toMap
+    val batch = EventAnalytics.retention(batchDf).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_active")).toMap
+    assert(streamMatrix === batch,
+      s"stream matrix $streamMatrix != batch $batch")
+    // u4's pre-signup same-day view must count toward offset 0
+    assert(marks.contains((4L, 3L, 0L)),
+      "pre-signup same-day activity buffers until the signup lands")
+    // cohort sizes ride the offset-0 row
+    val sizes = EventAnalytics.retention(batchDf).collect()
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("cohort_size")).toMap
+    sizes.foreach { case (day, size) =>
+      assert(streamMatrix((day, 0L)) === size, s"cohort $day size")
+    }
+  }
+
+  test("funnel fold: chopped == one-shot on ordered feeds (shared-fold property)") {
+    val steps = Seq("signup", "click", "purchase")
+    val u1 = scenario.filter(_.userId == 1L)
+    val (oneShotState, oneShotOut) = Streams.funnelFold(steps, None, u1)
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.funnelFold(steps, None, u1.take(cut))
+      val (s2, o2) = Streams.funnelFold(steps, Some(s1), u1.drop(cut))
+      assert(s2 === oneShotState, s"state diverged at cut $cut")
+      assert(o1 ++ o2 === oneShotOut, s"output diverged at cut $cut")
+    }
+  }
+
+  test("retention fold: chopped == one-shot, any in-batch order") {
+    val u4 = scenario.filter(_.userId == 4L)
+    val (oneShotState, oneShotOut) = Streams.retentionFold(4L, None, u4)
+    for (cut <- 1 until u4.size) {
+      val (s1, o1) = Streams.retentionFold(4L, None, u4.take(cut))
+      val (s2, o2) = Streams.retentionFold(4L, Some(s1), u4.drop(cut))
+      assert(s2 === oneShotState, s"state diverged at cut $cut")
+      assert((o1 ++ o2).sortBy(_.dayOffset) === oneShotOut.sortBy(_.dayOffset),
+        s"output diverged at cut $cut")
+    }
+    // in-batch shuffle: retention is set-based, so intra-batch order is free
+    val (sShuf, oShuf) = Streams.retentionFold(4L, None, u4.reverse)
+    assert(sShuf === oneShotState)
+    assert(oShuf.sortBy(_.dayOffset) === oneShotOut.sortBy(_.dayOffset))
+  }
+}

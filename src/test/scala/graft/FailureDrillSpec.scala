@@ -784,4 +784,69 @@ class FailureDrillSpec extends SparkSpec {
       "catch-up must deliver the backlog losslessly, in order")
     c.stop()
   }
+
+  /** Restart drill for the streaming funnel twin
+    * (`Streams.funnelStream`): per-user stage progress is keyed state —
+    * a kill between micro-batches must neither reset it (a user halfway
+    * down the funnel would re-emit stage 1) nor replay the advances the
+    * committed batch already emitted. The advance set over the union of
+    * arrivals must equal the batch `EventAnalytics.funnel` counts, and
+    * the mid-funnel user's post-crash purchase must emit stage 3 WITHOUT
+    * re-emitting stages 1-2 — proof the progress state survived. */
+  test("restart drill: funnel stage state survives kill/resume, no advance re-emits") {
+    val root = Files.createTempDirectory("funnel_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type A = (Long, Int, String, Long)
+    val advances = new java.util.concurrent.ConcurrentLinkedQueue[A]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("userId LONG, eventType STRING, tMs LONG").json(srcDir.getPath)
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.Streams.funnelStream(arrivals, ttlMs = 0L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.FunnelAdvance], _: Long) =>
+            df.collect().foreach(a =>
+              advances.add((a.userId, a.stage, a.stageName, a.tMs))))
+        .start()
+    }
+    def writeRows(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        rows.map { case (u, e, t) =>
+          s"""{"userId":$u,"eventType":"$e","tMs":$t}""" }.mkString("\n"))
+    // u1 reaches stage 2 pre-crash; the post-crash purchase may only
+    // advance to 3 if stages 1-2 survived in state. u2 signs up pre-crash
+    // and clicks post-crash.
+    writeRows("b1.json", Seq((1L, "signup", 100L), (1L, "click", 200L),
+      (2L, "signup", 150L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    val preCrash = advances.toArray(Array.empty[A]).toSeq
+    assert(preCrash.map(a => (a._1, a._2)).sorted ===
+      Seq((1L, 1), (1L, 2), (2L, 1)), s"pre-crash advances: $preCrash")
+    writeRows("b2.json", Seq((1L, "purchase", 300L), (2L, "click", 250L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = advances.toArray(Array.empty[A]).toSeq.sortBy(a => (a._1, a._2))
+    assert(got.map(a => (a._1, a._2)).distinct.size === got.size,
+      s"no (user, stage) advance may emit twice across the kill: $got")
+    assert(got.map(a => (a._1, a._2)) ===
+      Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2)),
+      s"mid-funnel state must survive the restart: $got")
+    // and the streamed per-stage counts equal the batch funnel on the union
+    val union = Seq((1L, "signup", 100L), (1L, "click", 200L), (2L, "signup", 150L),
+      (1L, "purchase", 300L), (2L, "click", 250L))
+      .map { case (u, e, t) => (u, e, t * 1000000L) }
+      .toDF("user_id", "event_type", "ts")
+    val batch = graft.operators.EventAnalytics.funnel(union).collect()
+      .map(r => r.getAs[Long]("step").toInt -> r.getAs[Long]("n_users")).toMap
+    val streamed = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(streamed === batch.filter(_._2 > 0),
+      s"streamed counts $streamed != batch $batch over the union")
+  }
 }
