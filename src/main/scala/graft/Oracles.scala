@@ -237,6 +237,21 @@ object Oracles {
     WHERE m.is_backfill
     GROUP BY m.tbl, la.n_live ORDER BY m.tbl"""
 
+  /** Log-compaction audit — mirrors `Capture.compactionAudit`: per key
+    * the latest op by lsn (arg_max), per table the retained/tombstone
+    * split and compaction ratio. */
+  val cdcCompaction: String = s"""WITH $opsCte,
+    k AS (SELECT tbl, pk, count(*) AS n, arg_max(op, lsn) AS last_op
+          FROM ops GROUP BY tbl, pk)
+    SELECT tbl,
+      CAST(sum(n) AS BIGINT) AS n_events,
+      count(*) AS n_keys,
+      count(CASE WHEN last_op <> 'delete' THEN 1 END) AS n_live,
+      count(CASE WHEN last_op = 'delete' THEN 1 END) AS n_tombstones,
+      CAST(count(*) AS DOUBLE) / sum(n) AS compaction_ratio,
+      CAST(sum(n) AS DOUBLE) / count(*) AS avg_versions
+    FROM k GROUP BY tbl ORDER BY tbl"""
+
   /** Closed form of the envelope round-trip: encode → decode → assemble →
     * apply is lossless, so keys match the direct JSON reduce, every op
     * lands in a txn, and txns count the distinct event-id groups. */
@@ -580,6 +595,39 @@ object Oracles {
       CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
     FROM m JOIN s USING (cohort_day)
     ORDER BY m.cohort_day, m.day_offset"""
+
+  /** First-order event-type transition matrix — mirrors
+    * `EventAnalytics.transitions`: lead over the per-user (ms, event_id)
+    * total order, (from, to)-keyed counts, probability out of the
+    * source type. */
+  val eventsTransitions: String = """WITH
+    e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts), event_id) AS to_type
+          FROM events),
+    p AS (SELECT event_type AS from_type, to_type, count(*) AS n_pairs
+          FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    f AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+          FROM p GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n_pairs, f.n_from,
+      CAST(p.n_pairs AS DOUBLE) / f.n_from AS prob
+    FROM p JOIN f USING (from_type)
+    ORDER BY p.from_type, p.to_type"""
+
+  /** DAU / rolling active users — mirrors `EventAnalytics.activeUsers`
+    * (windowDays = 7): the distinct (user, day) set is the only wide
+    * intermediate; the rolling count joins it to the bounded day list. */
+  val eventsDau: String = """WITH
+    ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+           FROM events),
+    d AS (SELECT DISTINCT day AS dd FROM ud),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    wau AS (SELECT d.dd AS day, count(DISTINCT ud.user_id) AS wau
+            FROM d JOIN ud ON ud.day BETWEEN d.dd - 6 AND d.dd
+            GROUP BY d.dd)
+    SELECT dau.day, dau.dau, wau.wau,
+      CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day"""
 
   /** DuckDB's native ASOF JOIN vs `operators/AsOfJoin`'s union +
     * running-last formulation. Build side deduped to one click per
@@ -1580,6 +1628,27 @@ object Oracles {
         / n_tokens AS epochs
     FROM f, g ORDER BY source"""
 
+  /** Temperature-scaled source mixing — mirrors
+    * `Sampling.temperatureAllocation(budget=100000, halvings=1)`:
+    * weight = ⌊√n_tokens · 1000⌋ (sqrt is IEEE-correctly-rounded in both
+    * engines; the quantized weight makes the cross-source total an exact
+    * long sum), one exact division per share/alloc/epoch. */
+  val mixTemperature: String = """WITH
+    t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT *,
+        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)
+          AS weight_q
+      FROM t),
+    g AS (SELECT CAST(sum(weight_q) AS BIGINT) AS w_total FROM w)
+    SELECT source, n_docs, n_tokens, weight_q,
+      CAST(weight_q AS DOUBLE) / w_total AS share,
+      CAST(weight_q AS DOUBLE) * 100000 / w_total AS alloc_tokens,
+      CAST(weight_q AS DOUBLE) * 100000 /
+        (CAST(w_total AS DOUBLE) * n_tokens) AS epochs
+    FROM w, g ORDER BY source"""
+
   /** Shared CTE for the DSIR importance family — mirrors
     * `Sampling.importanceAffinity` (target = lang 'en'): per word
     * occurrence, the word's corpus-wide and target-slice occurrence
@@ -1804,6 +1873,19 @@ object Oracles {
   val annPqTopK: String = s"""WITH $pqCtes
     SELECT q_id, rnk, n_id, cos_pq
     FROM pqtopk WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** PQ codebook-utilization ledger — mirrors `Similarity.pqBalance`
+    * (m=8, kSub=32): per-subspace code loads off the final assignment. */
+  val annPqBalance: String = s"""WITH $pqCtes,
+    loads AS (SELECT s, code, count(*) AS load FROM pasgf GROUP BY s, code),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
+    SELECT CAST(s AS BIGINT) AS s,
+      count(*) AS n_codes_used,
+      CAST(max(load) AS BIGINT) AS max_load,
+      CAST(min(load) AS BIGINT) AS min_load,
+      CAST(max(tot.n_vec) AS DOUBLE) / 32 AS expected_load,
+      CAST(max(load) AS DOUBLE) * 32 / max(tot.n_vec) AS balance
+    FROM loads, tot GROUP BY s ORDER BY s"""
 
   val annPqRecall: String = s"""WITH $pqCtes,
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -3656,6 +3738,7 @@ object Oracles {
     "cdc_snapshot_tail" -> cdcSnapshotTail,
     "cdc_incremental_snapshot" -> cdcIncrementalSnapshot,
     "cdc_backfill_audit" -> cdcBackfillAudit,
+    "cdc_compaction" -> cdcCompaction,
     "cdc_debezium_e2e" -> cdcDebeziumE2e,
     "cdc_replay_events" -> cdcReplayEvents,
     "cdc_difflane" -> cdcDiffLane,
@@ -3676,6 +3759,8 @@ object Oracles {
     "q_events_hourly" -> qEventsHourly,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
+    "events_transitions" -> eventsTransitions,
+    "events_dau" -> eventsDau,
     "q_events_sessions" -> qEventsSessions,
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,
@@ -3746,6 +3831,7 @@ object Oracles {
     "sample_importance" -> sampleImportance,
     "sample_importance_top" -> sampleImportanceTop,
     "mix_unimax" -> mixUnimax,
+    "mix_temperature" -> mixTemperature,
     "dedup_verify_candidates" -> dedupVerifyCandidates(0.8),
     // the 100 TB form: hot band-key buckets (> 32 docs) contribute no pairs
     "dedup_verify_capped" -> dedupVerifyCandidates(0.8, cap = 32L),
@@ -3757,6 +3843,7 @@ object Oracles {
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,
+    "ann_pq_balance" -> annPqBalance,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopK,

@@ -153,6 +153,10 @@ object SparkEntry {
     // business-time lateness and watermark skew of the designated keys
     "cdc_backfill_audit" -> ((s, dir) =>
       Capture.backfillAudit(ops(s, dir)).orderBy("tbl")),
+    // Kafka compacted-topic audit: per table, what compaction would retain
+    // (last event per key; deletes as tombstones) vs the full log
+    "cdc_compaction" -> ((s, dir) =>
+      Capture.compactionAudit(ops(s, dir)).orderBy("tbl")),
     // allowed-lateness tuning curve over the backfill stream: dropped-late
     // fraction per candidate watermark delay
     "cdc_watermark_curve" -> ((s, dir) =>
@@ -438,6 +442,14 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       graft.operators.EventAnalytics.retention(Tables.events(s, dir))
         .orderBy("cohort_day", "day_offset")),
+    // first-order Markov transition matrix over consecutive same-user events
+    "events_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitions(Tables.events(s, dir))
+        .orderBy("from_type", "to_type")),
+    // DAU / rolling-7-day active users / stickiness per day
+    "events_dau" -> ((s, dir) =>
+      graft.operators.EventAnalytics.activeUsers(Tables.events(s, dir))
+        .orderBy("day")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -535,6 +547,11 @@ object SparkEntry {
     // one double division for the open equal share
     "mix_unimax" -> ((s, dir) =>
       Sampling.unimaxAllocation(Tables.documents(s, dir)).orderBy("source")),
+    // temperature-scaled mixing (tau = 1/2 via IEEE-exact sqrt, integer-
+    // quantized weights): the smooth low-resource up-weighting rule
+    "mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureAllocation(Tables.documents(s, dir))
+        .orderBy("source")),
     // the mixture MATERIALIZED: per-source keep rates against a 20k-token
     // budget, deterministic hash sample, audit of achieved vs target
     "mix_materialize" -> ((s, dir) =>
@@ -650,6 +667,9 @@ object SparkEntry {
     // the 64x-compression scan (m code bytes per candidate, no float reads)
     "ann_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // PQ codebook-utilization health check: per-subspace code loads
+    "ann_pq_balance" -> ((s, dir) =>
+      Similarity.pqBalance(Tables.embeddings(s, dir)).orderBy("s")),
     "ann_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     // PQ coarse scan -> exact float rescore: the recall-repair composition

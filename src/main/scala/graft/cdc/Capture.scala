@@ -257,6 +257,32 @@ object Capture {
     * capture order embeds business time in this feed (lsn is t-derived),
     * so the only possible inversions are backfill-vs-live, counted
     * directly against the per-table live maximum. */
+  /** Log-compaction audit — Kafka compacted-topic semantics applied to
+    * the capture log: compaction retains only each key's LATEST event (a
+    * delete survives as a tombstone until the key's retention passes),
+    * so the per-table ledger reports what a compacted changefeed topic
+    * would hold — `n_keys` retained records of `n_events` logged, split
+    * into live values and tombstones — and `compaction_ratio`, the
+    * size reduction a downstream bootstrap consumer reads instead of the
+    * full history. `avg_versions` (exact division of longs) is the
+    * overwrite pressure: how many times a hot key was rewritten.
+    *
+    * One (tbl, pk)-keyed argmax by lsn (hash aggregation, map-side
+    * partials) + one table-keyed rollup — the log crosses the wire once,
+    * keyed; nothing sorts. */
+  def compactionAudit(ops: DataFrame): DataFrame =
+    ops
+      .groupBy("tbl", "pk")
+      .agg(count(lit(1)).as("_n"), max_by(col("op"), col("lsn")).as("_last"))
+      .groupBy("tbl")
+      .agg(
+        sum("_n").as("n_events"),
+        count(lit(1)).as("n_keys"),
+        count(when(col("_last") =!= "delete", 1)).as("n_live"),
+        count(when(col("_last") === "delete", 1)).as("n_tombstones"),
+        (count(lit(1)).cast("double") / sum("_n")).as("compaction_ratio"),
+        (sum("_n").cast("double") / count(lit(1))).as("avg_versions"))
+
   def backfillAudit(ops: DataFrame, backfillMod: Long = 17L): DataFrame = {
     val marked = ops.withColumn("is_backfill",
       col("pk").cast("long") % backfillMod === 0)

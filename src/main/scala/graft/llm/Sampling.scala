@@ -301,6 +301,46 @@ object Sampling {
         "alloc_tokens", "epochs")
   }
 
+  /** Temperature-scaled source mixing — the multilingual-sampling rule
+    * (exponentiated size weighting, the mBERT/XLM-R `p_i ∝ n_i^τ`
+    * recipe) with τ fixed to 1/2^`halvings`: up-weights low-resource
+    * sources relative to proportional sampling without UniMax's hard
+    * epoch cap ([[unimaxAllocation]] is the capped alternative; this is
+    * the smooth one). τ is restricted to iterated square roots because
+    * `sqrt` is the one power IEEE-754 requires CORRECTLY ROUNDED — both
+    * engines produce bit-identical weights, where a general `pow(x, τ)`
+    * may differ in the last ulp between libm implementations. The weight
+    * is then quantized to an integer (`⌊√ⁿ·1000⌋`) so the cross-source
+    * total is an exact long sum, never an order-sensitive float fold;
+    * each output share/epoch is one exact division of that.
+    *
+    * Shape: one corpus scan collapsing to the per-source frame (dozens
+    * of rows), a 1-row total broadcast — nothing wide after the first
+    * aggregate. */
+  def temperatureAllocation(
+      docs: DataFrame,
+      budgetTokens: Long = 100000L,
+      halvings: Int = 1): DataFrame = {
+    require(halvings >= 1, s"halvings must be >= 1, got $halvings")
+    val root = (1 to halvings).foldLeft(col("n_tokens").cast("double")) {
+      case (c, _) => sqrt(c)
+    }
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
+      .withColumn("weight_q", floor(root * 1000.0).cast("long"))
+    val totals = perSource.agg(sum("weight_q").as("_w_total"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("weight_q"),
+        (col("weight_q").cast("double") / col("_w_total")).as("share"),
+        (col("weight_q").cast("double") * budgetTokens / col("_w_total"))
+          .as("alloc_tokens"),
+        (col("weight_q").cast("double") * budgetTokens /
+          (col("_w_total").cast("double") * col("n_tokens"))).as("epochs"))
+  }
+
   /** DSIR-style importance scoring (Data Selection via Importance
     * Resampling, Xie et al. 2023) with a RATIONAL affinity in place of the
     * paper's log-likelihood ratio: per document, `target_mass` =

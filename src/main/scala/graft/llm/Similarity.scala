@@ -942,6 +942,42 @@ object Similarity {
         greatest(sqrt(aggregate(transform(col("sc"), p => p.getField("c_dot")),
           lit(0.0), (acc, x) => acc + x)), lit(1e-300)).as("r_nrm"))
 
+  /** PQ codebook-utilization ledger — the quantizer health check run
+    * before trusting any ADC serving index: per subspace, how many of the
+    * kSub codes the corpus actually uses, the hottest and coldest used
+    * code's load, and `balance` = max load over the uniform expectation
+    * (n_vectors / kSub). A subspace with few used codes or balance ≫ 1
+    * is under-trained (its centroids collapsed) and caps the recall a PQ
+    * scan over it can reach — the production check that catches a bad
+    * Lloyd round BEFORE the index ships.
+    *
+    * Shape: one distributed codebook training ([[pqCodebooks]], fixed
+    * Lloyd iterations), one corpus encode pass, then `posexplode` of the
+    * m-element code rows into an (s, code)-keyed count — cardinality
+    * ≤ m·kSub — and an s-keyed rollup over ≤ m rows with the 1-row
+    * corpus count broadcast. */
+  def pqBalance(emb: DataFrame, m: Int = 8, kSub: Int = 32,
+      iters: Int = 2): DataFrame = {
+    val cb = pqCodebooks(emb, m, kSub, iters).persist()
+    val loads = pqEncode(emb, cb, m)
+      .select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy("s", "code").agg(count(lit(1)).as("_load"))
+    val total = emb.agg(count(lit(1)).as("_n_vec"))
+    val out = loads
+      .groupBy("s")
+      .agg(
+        count(lit(1)).as("n_codes_used"),
+        max("_load").as("max_load"),
+        min("_load").as("min_load"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("s").cast("long").as("s"), col("n_codes_used"),
+        col("max_load"), col("min_load"),
+        (col("_n_vec").cast("double") / kSub).as("expected_load"),
+        (col("max_load").cast("double") * kSub / col("_n_vec")).as("balance"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cb))
+  }
+
   /** PQ top-`k` by asymmetric distance computation (ADC): each query
     * precomputes its m·kSub lookup table of subspace dot products against
     * the codebooks (a few hundred doubles — broadcast with the query), and

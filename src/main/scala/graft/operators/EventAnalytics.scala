@@ -71,6 +71,58 @@ object EventAnalytics {
     CacheLifecycle.releaseAfterUse(out, stages.toSeq)
   }
 
+  /** Event-type transition matrix — the first-order Markov summary of
+    * the event stream ("after a click, what happens next?"): for every
+    * CONSECUTIVE pair of events of one user (ordered by time, event_id
+    * breaking ties — a total order), count (from_type → to_type) and
+    * report each transition's probability out of its source type.
+    *
+    * Shape: ONE user-partitioned `lead` window (distributed — every
+    * user's timeline is its own partition slice, skew bounded by the
+    * busiest user, the profile [[SaltedJoin.skewProfile]] measures), one
+    * (from, to)-keyed count whose cardinality is |event types|², and a
+    * from-keyed totals broadcast for the probabilities. The raw stream
+    * crosses the wire once, keyed by user. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val fromTotals = pairs.groupBy("from_type")
+      .agg(sum("n_pairs").as("n_from"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"),
+        (col("n_pairs").cast("double") / col("n_from")).as("prob"))
+  }
+
+  /** Daily/rolling active users — DAU, the `windowDays`-day rolling
+    * active count (WAU by default), and the DAU/WAU stickiness ratio per
+    * day. The classic engagement table, computed without any sliding
+    * window over raw events: the stream collapses to the DISTINCT
+    * (user, day) set first (user-day cardinality — the only thing that
+    * ever shuffles), DAU is a day-keyed count of it, and the rolling
+    * count joins the user-day set to the tiny distinct-day list
+    * broadcast with a `between` condition — day count is bounded by the
+    * calendar, so the fanout is ≤ windowDays rows per user-day. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val userDays = events.select(col("user_id"), day.as("day")).distinct()
+    val days = userDays.select(col("day").as("_d")).distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val rolling = userDays
+      .join(broadcast(days),
+        col("day").between(col("_d") - (windowDays - 1), col("_d")))
+      .groupBy(col("_d").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(rolling, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
   /** Cohort retention matrix — users grouped by their first-signup day;
     * for each (cohort day, day offset ≥ 0) the count and fraction of the
     * cohort active (any event) that day. The classic triangle table,

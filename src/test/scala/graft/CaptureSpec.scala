@@ -214,4 +214,25 @@ class CaptureSpec extends SparkSpec {
     assert(r.getAs[Long]("n_late") === 1L)               // only the t=100 row
     assert(r.getAs[Long]("max_skew_ms") === 1900L)       // 2000 − 100
   }
+
+  test("compaction audit: latest-per-key retention, deletes become tombstones") {
+    val ops = Scenarios.opsDf(spark, Seq(
+      // t0/a: 3 versions, last is an update -> one live record
+      (100L, "t0", "a", "insert", true, Some(1.0), false, None),
+      (200L, "t0", "a", "update", true, Some(2.0), false, None),
+      (300L, "t0", "a", "update", true, Some(3.0), false, None),
+      // t0/b: insert then delete -> tombstone
+      (150L, "t0", "b", "insert", true, Some(9.0), false, None),
+      (250L, "t0", "b", "delete", false, None, false, None),
+      // t1/c: single insert -> live, ratio 1.0
+      (120L, "t1", "c", "insert", true, Some(4.0), false, None)))
+    val out = Capture.compactionAudit(ops).orderBy("tbl").collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("n_live"),
+        r.getAs[Long]("n_tombstones"), r.getAs[Double]("compaction_ratio"),
+        r.getAs[Double]("avg_versions")))
+    assert(out.toSeq === Seq(
+      ("t0", 5L, 2L, 1L, 1L, 0.4, 2.5),
+      ("t1", 1L, 1L, 1L, 0L, 1.0, 1.0)))
+  }
 }

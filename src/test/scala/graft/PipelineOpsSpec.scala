@@ -625,4 +625,83 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_kept_filter_first") === 1L)
     assert(s2.getAs[Long]("n_dropped_by_filter_first") === 0L)
   }
+
+  test("transitions: consecutive same-user pairs only, prob out of source type") {
+    val events = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (2L, 4L, "a", 1L), (2L, 5L, "a", 2L),
+      (3L, 6L, "c", 5L)) // single event: no pair
+      .map { case (u, id, ty, t) => (u, id, ty, t * 1000000L) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.transitions(events)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_from"),
+        r.getAs[Double]("prob")))
+    assert(out.toSeq === Seq(
+      ("a", "a", 1L, 2L, 0.5), ("a", "b", 1L, 2L, 0.5),
+      ("b", "a", 1L, 1L, 1.0)))
+  }
+
+  test("transitions: equal-ms events order by event_id (total order)") {
+    val events = Seq((1L, 10L, "x", 1L), (1L, 11L, "y", 1L))
+      .map { case (u, id, ty, t) => (u, id, ty, t * 1000000L) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.transitions(events).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("from_type") === "x")
+    assert(out.head.getAs[String]("to_type") === "y")
+  }
+
+  test("activeUsers: DAU exact, rolling window spans windowDays, stickiness ratio") {
+    val dayNs = 86400000L * 1000000L
+    val events = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L),   // u1 active days 0-2
+      (2L, 0L), (2L, 7L))             // u2 active days 0 and 7
+      .zipWithIndex
+      .map { case ((u, d), i) => (u, i.toLong, "e", d * dayNs + 1000000L) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.activeUsers(events)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Double]("stickiness")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, 1.0),        // both users on day 0
+      (1L, 1L, 2L, 0.5),        // window [-5,1] still sees u2's day 0
+      (2L, 1L, 2L, 0.5),
+      (7L, 1L, 2L, 0.5)))       // window [1,7]: u1 (days 1-2) + u2 (day 7)
+  }
+
+  test("temperatureAllocation: sqrt weights quantized, shares exact rationals") {
+    val docs = Seq(
+      (1L, "w w w w", "s0"),    // 4 tokens -> sqrt 2.0 -> 2000
+      (2L, "w", "s1"))          // 1 token  -> sqrt 1.0 -> 1000
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.temperatureAllocation(docs, budgetTokens = 3000L)
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("weight_q"), r.getAs[Double]("share"),
+        r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs")))
+    assert(out.toSeq === Seq(
+      ("s0", 4L, 2000L, 2.0 / 3.0, 2000.0, 500.0),
+      ("s1", 1L, 1000L, 1.0 / 3.0, 1000.0, 1000.0)))
+    // temperature flattens: the small source's share (1/3) exceeds its
+    // proportional token share (1/5)
+    assert(out(1)._4 > 1.0 / 5.0)
+  }
+
+  test("pqBalance: loads partition the corpus per subspace, balance >= 1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val out = Similarity.pqBalance(emb).collect()
+    assert(out.length === 8, "one row per subspace")
+    out.foreach { r =>
+      val used = r.getAs[Long]("n_codes_used")
+      assert(used >= 1L && used <= 32L)
+      assert(r.getAs[Long]("max_load") >= r.getAs[Long]("min_load"))
+      assert(r.getAs[Double]("expected_load") === n / 32.0)
+      assert(r.getAs[Double]("balance") >= 1.0 - 1e-9,
+        "max load can never be below the uniform expectation")
+    }
+  }
 }

@@ -52,7 +52,10 @@ class PlansSpec extends SparkSpec {
     "export_manifest", "split_leakage_guard", "quality_vs_dup",
     "cdc_incremental_snapshot", "cdc_backfill_audit",
     "bpe_merge_apply", "cdc_watermark_curve", "corpus_funnel_order",
-    "events_funnel", "events_retention")
+    "events_funnel", "events_retention",
+    // round-11 additions
+    "events_transitions", "events_dau", "cdc_compaction", "ann_pq_balance",
+    "mix_temperature")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -492,5 +495,37 @@ class PlansSpec extends SparkSpec {
   test("quality-vs-dup is one doc-keyed join plus a 10-row aggregate") {
     assert(count("quality_vs_dup", "BroadcastNestedLoopJoin") === 0)
     assert(count("quality_vs_dup", "Exchange hashpartitioning") <= 4)
+  }
+
+  test("transition matrix: user-partitioned lead, types^2 agg, totals broadcast") {
+    assert(count("events_transitions", "SortMergeJoin") === 0,
+      "the from-totals rejoin is over |types| rows — must broadcast")
+    assert(count("events_transitions", "CartesianProduct") === 0)
+    assert(count("events_transitions", "BroadcastHashJoin") === 1)
+    assert(count("events_transitions", "Exchange SinglePartition") === 0,
+      "the lead window is user-PARTITIONED — never a global window")
+  }
+
+  test("active users: the user-day set is the only wide frame; day list broadcasts") {
+    assert(count("events_dau", "BroadcastNestedLoopJoin") === 1,
+      "exactly the bounded day-range join against the broadcast day list")
+    assert(count("events_dau", "SortMergeJoin") === 0)
+  }
+
+  test("compaction audit is two keyed aggregates, no join at all") {
+    assert(count("cdc_compaction", "Join") === 0)
+    assert(count("cdc_compaction", "Exchange SinglePartition") === 0)
+  }
+
+  test("pq balance rides the encode path: keyed joins only") {
+    assert(count("ann_pq_balance", "SortMergeJoin") === 0)
+    assert(count("ann_pq_balance", "CartesianProduct") === 0)
+  }
+
+  test("temperature mixing: one source agg, 1-row total broadcast, no window") {
+    assert(count("mix_temperature", "BroadcastNestedLoopJoin") === 1,
+      "only the 1-row weight-total aggregate may nested-loop broadcast")
+    assert(count("mix_temperature", "Window") === 0)
+    assert(count("mix_temperature", "SortMergeJoin") === 0)
   }
 }
