@@ -629,6 +629,20 @@ object Oracles {
       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
     FROM dau JOIN wau USING (day) ORDER BY day"""
 
+  /** Hourly-volume anomaly ledger — mirrors
+    * `EventAnalytics.hourlyAnomaly` (madK = 3): exact interpolating
+    * percentiles rounded to 3 decimals on both sides before the flag
+    * comparison (the lag-percentile parity pattern). */
+  val eventsAnomaly: String = """WITH
+    h AS (SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_events
+          FROM events GROUP BY 1),
+    m AS (SELECT round(quantile_cont(n_events, 0.5), 3) AS med FROM h),
+    d AS (SELECT round(quantile_cont(abs(h.n_events - m.med), 0.5), 3) AS mad
+          FROM h, m)
+    SELECT h.hour, h.n_events, m.med, d.mad,
+      abs(h.n_events - m.med) > 3.0 * d.mad AS is_anomaly
+    FROM h, m, d ORDER BY h.hour"""
+
   /** DuckDB's native ASOF JOIN vs `operators/AsOfJoin`'s union +
     * running-last formulation. Build side deduped to one click per
     * (user, ms) in both engines — equal-ts build rows have no defined
@@ -1874,6 +1888,32 @@ object Oracles {
     SELECT q_id, rnk, n_id, cos_pq
     FROM pqtopk WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** PQ recall@k curve — mirrors `Similarity.pqRecallCurve`
+    * (ks = 1/3/5, nQueries = 10): both rankings to k=5 once, the
+    * agreement join once, conditional counts per cutoff. */
+  val annPqRecallCurve: String = s"""WITH $pqCtes,
+    n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored),
+    ex AS (SELECT q_id, n_id, rnk AS rnk_e FROM ranked WHERE rnk <= 5),
+    pq5 AS (SELECT q_id, n_id, rnk AS rnk_p FROM pqtopk WHERE rnk <= 5),
+    h AS (SELECT ex.rnk_e, pq5.rnk_p
+          FROM ex JOIN pq5 USING (q_id, n_id)),
+    ks(k) AS (VALUES (1), (3), (5))
+    SELECT CAST(ks.k AS BIGINT) AS k,
+      count(CASE WHEN h.rnk_e <= ks.k AND h.rnk_p <= ks.k THEN 1 END)
+        AS n_hits,
+      CAST(count(CASE WHEN h.rnk_e <= ks.k AND h.rnk_p <= ks.k THEN 1 END)
+        AS DOUBLE) / (ks.k * 10) AS recall
+    FROM ks LEFT JOIN h ON true
+    GROUP BY ks.k ORDER BY k"""
+
   /** PQ codebook-utilization ledger — mirrors `Similarity.pqBalance`
     * (m=8, kSub=32): per-subspace code loads off the final assignment. */
   val annPqBalance: String = s"""WITH $pqCtes,
@@ -2422,6 +2462,52 @@ object Oracles {
             (CAST(n_distinct AS DOUBLE) / n_tokens) *
             (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
     FROM t ORDER BY doc_id"""
+
+  /** Quality-gate threshold sweep — mirrors
+    * `Corpus.qualityThresholdSweep` (default 6-threshold grid): the
+    * quality composite per doc, conditional counts per cutoff. */
+  val qualityThresholdSweep: String = s"""WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
+      FROM documents),
+    q AS (SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+          (CAST(n_distinct AS DOUBLE) / n_tokens) *
+          (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS s
+      FROM t),
+    tot AS (SELECT count(*) AS dall,
+        CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tall FROM q),
+    th(threshold) AS (VALUES (CAST(0.0 AS DOUBLE)), (CAST(0.1 AS DOUBLE)),
+      (CAST(0.2 AS DOUBLE)), (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)),
+      (CAST(0.5 AS DOUBLE)))
+    SELECT th.threshold,
+      count(CASE WHEN q.s >= th.threshold THEN 1 END) AS n_docs_kept,
+      CAST(coalesce(sum(CASE WHEN q.s >= th.threshold THEN q.n_tokens END), 0)
+        AS BIGINT) AS n_tokens_kept,
+      CAST(count(CASE WHEN q.s >= th.threshold THEN 1 END) AS DOUBLE)
+        / max(tot.dall) AS doc_frac,
+      CAST(coalesce(sum(CASE WHEN q.s >= th.threshold THEN q.n_tokens END), 0)
+        AS DOUBLE) / max(tot.tall) AS token_frac
+    FROM th, q, tot
+    GROUP BY th.threshold ORDER BY th.threshold"""
+
+  /** Top-N vocabulary coverage — mirrors `TextAnalysis.vocabCoverage`
+    * (anchors 100/1000/10000, frequency desc + token asc total order). */
+  val vocabCoverage: String = """WITH
+    f AS (SELECT tok, count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+    r AS (SELECT *, row_number() OVER (ORDER BY freq DESC, tok) AS rk FROM f),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+    a(n_top) AS (VALUES (100), (1000), (10000))
+    SELECT CAST(a.n_top AS BIGINT) AS n_top,
+      count(*) AS n_types_used,
+      CAST(sum(r.freq) AS BIGINT) AS covered_tokens,
+      max(tot.total) AS total_tokens,
+      CAST(sum(r.freq) AS DOUBLE) / max(tot.total) AS coverage
+    FROM a, r, tot WHERE r.rk <= a.n_top
+    GROUP BY a.n_top ORDER BY n_top"""
 
   val textTokens: String = """
     SELECT doc_id,
@@ -3038,7 +3124,10 @@ object Oracles {
       FROM arrn a, cent2n c)
     SELECT vec_id, c_id AS list_id, cos_c FROM arrsc WHERE r = 1 ORDER BY vec_id"""
 
-  def annSemDedup(eps: Double): String = s"""WITH
+  def annSemDedup(eps: Double, band: Long = 0L): String = {
+    val bandCond =
+      if (band > 0) s" AND a.rnk >= b.rnk - $band" else ""
+    s"""WITH
     n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
     cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16),
     ${ivfAssignCte("assign1", "cents0")},
@@ -3057,13 +3146,14 @@ object Oracles {
       FROM sem),
     prior AS (
       SELECT b.vec_id, max(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) AS mp
-      FROM memb a JOIN memb b ON a.list_id = b.list_id AND a.rnk < b.rnk
+      FROM memb a JOIN memb b ON a.list_id = b.list_id AND a.rnk < b.rnk$bandCond
       GROUP BY b.vec_id)
     SELECT m.vec_id, m.list_id, m.rnk,
       coalesce(p.mp, -1.0) AS max_prior_sim,
       coalesce(p.mp, -1.0) < $eps AS kept
     FROM memb m LEFT JOIN prior p USING (vec_id)
     ORDER BY m.vec_id"""
+  }
 
   /** Source↔sink verify counts via both-direction anti-joins
     * (`scenarios/01-canonical-reference/verifier/verify.mjs:131-221`). */
@@ -3761,6 +3851,9 @@ object Oracles {
     "events_retention" -> eventsRetention,
     "events_transitions" -> eventsTransitions,
     "events_dau" -> eventsDau,
+    "events_anomaly" -> eventsAnomaly,
+    "quality_threshold_sweep" -> qualityThresholdSweep,
+    "vocab_coverage" -> vocabCoverage,
     "q_events_sessions" -> qEventsSessions,
     "q_events_asof" -> qEventsAsof,
     "q_events_window_pairs" -> qEventsWindowPairs,
@@ -3844,6 +3937,7 @@ object Oracles {
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,
     "ann_pq_balance" -> annPqBalance,
+    "ann_pq_recall_curve" -> annPqRecallCurve,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopK,
@@ -3860,6 +3954,7 @@ object Oracles {
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_near_dup" -> annNearDup,
     "ann_semdedup" -> annSemDedup(0.42),
+    "ann_semdedup_capped" -> annSemDedup(0.42, band = 128L),
     "ann_near_dup_banded" -> annNearDupBanded,
     "ann_knn_graph" -> annKnnGraph,
     "ann_cluster_profile" -> annClusterProfile,

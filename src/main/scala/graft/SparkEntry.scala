@@ -450,6 +450,10 @@ object SparkEntry {
     "events_dau" -> ((s, dir) =>
       graft.operators.EventAnalytics.activeUsers(Tables.events(s, dir))
         .orderBy("day")),
+    // hourly volume vs median +- 3*MAD robust band: the pager query
+    "events_anomaly" -> ((s, dir) =>
+      graft.operators.EventAnalytics.hourlyAnomaly(Tables.events(s, dir))
+        .orderBy("hour")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -618,6 +622,9 @@ object SparkEntry {
     // exact floor(log2) via binary-string length) - the power-law check
     "vocab_zipf" -> ((s, dir) =>
       TextAnalysis.zipfBuckets(Tables.documents(s, dir)).orderBy("octave")),
+    // top-N vocabulary token-coverage curve: the tokenizer budget question
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir)).orderBy("n_top")),
     // first BPE merge-round: corpus-wide adjacent char-pair frequencies
     // weighted by word occurrence - the distributed tokenizer-training step
     // apply the round-1 winner and recount: the merge iteration runs on
@@ -670,6 +677,9 @@ object SparkEntry {
     // PQ codebook-utilization health check: per-subspace code loads
     "ann_pq_balance" -> ((s, dir) =>
       Similarity.pqBalance(Tables.embeddings(s, dir)).orderBy("s")),
+    // recall@{1,3,5} of the ADC scan vs exact float top-k, one pass
+    "ann_pq_recall_curve" -> ((s, dir) =>
+      Similarity.pqRecallCurve(Tables.embeddings(s, dir)).orderBy("k")),
     "ann_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     // PQ coarse scan -> exact float rescore: the recall-repair composition
@@ -768,6 +778,11 @@ object SparkEntry {
     // against prior-ranked cluster-mates, keep the centroid-farthest copy
     "ann_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    // rank-banded SemDeDup screen: n*band work instead of sum(|cluster|^2)
+    // - the prescribed scale default (exact form caught at exponent 1.40
+    // in the 100x rehearsal; see SCALE.md)
+    "ann_semdedup_capped" -> ((s, dir) =>
+      Similarity.semDedupBanded(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "ann_near_dup_banded" -> ((s, dir) =>
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir)).orderBy("a_id", "b_id")),
     // mutual k-NN graph over the banded LSH candidates: per-vector top-3
@@ -932,6 +947,11 @@ object SparkEntry {
     "quality_vs_dup" -> ((s, dir) =>
       Corpus.qualityVsDup(Tables.documents(s, dir),
         Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("decile")),
+    // quality-gate threshold sweep: docs/tokens retained per candidate
+    // cutoff in one corpus pass - the knee picks the gate
+    "quality_threshold_sweep" -> ((s, dir) =>
+      Corpus.qualityThresholdSweep(Tables.documents(s, dir))
+        .orderBy("threshold")),
     // dedup-first vs filter-first retention, same gates and cluster index:
     // filter-first can only rescue (measured), never drop
     "corpus_funnel_order" -> ((s, dir) =>

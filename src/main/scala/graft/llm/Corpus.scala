@@ -329,6 +329,39 @@ object Corpus {
     graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(base))
   }
 
+  /** Quality-gate threshold sweep — the tuning curve read BEFORE fixing
+    * a corpus filter's cutoff: for each candidate threshold, how many
+    * documents and tokens survive `quality_score ≥ t`, as counts and
+    * fractions. The knee of this curve (tokens retained vs threshold) is
+    * where the gate gets set; shipping a cutoff without it is guessing.
+    *
+    * Shape: ONE corpus scan through the quality projection into a single
+    * aggregate row of conditional counts (one pair per threshold —
+    * map-side combine, no explode multiplies the corpus), then `stack`
+    * unpivots |thresholds| rows. Cost is one pass regardless of how many
+    * thresholds are swept. */
+  def qualityThresholdSweep(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5)): DataFrame = {
+    require(thresholds.nonEmpty)
+    val q = TextAnalysis.quality(docs)
+      .select(col("n_tokens"), col("quality_score"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      count(when(col("quality_score") >= t, 1)).as(s"_d$i"),
+      coalesce(sum(when(col("quality_score") >= t, col("n_tokens"))), lit(0L))
+        .as(s"_t$i"))
+    } ++ Seq(count(lit(1)).as("_dall"),
+      coalesce(sum("n_tokens"), lit(0L)).as("_tall"))
+    val one = q.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), _d$i, _t$i" }.mkString(", ")
+    one.selectExpr(
+      s"stack(${thresholds.size}, $stackArgs) AS (threshold, n_docs_kept, n_tokens_kept)",
+      "_dall", "_tall")
+      .select(col("threshold"), col("n_docs_kept"), col("n_tokens_kept"),
+        (col("n_docs_kept").cast("double") / col("_dall")).as("doc_frac"),
+        (col("n_tokens_kept").cast("double") / col("_tall")).as("token_frac"))
+  }
+
   /** Quality-decile × duplication cross-ledger — the audit that answers
     * "is low quality where the duplicates live?" before anyone tunes a
     * funnel: per quality decile (the validated [[TextAnalysis.quality]]

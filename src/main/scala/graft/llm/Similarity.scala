@@ -378,7 +378,38 @@ object Similarity {
     */
   def semDedup(
       emb: DataFrame, nLists: Int = 16, eps: Double = 0.42,
-      kmeansIters: Int = 2): DataFrame = {
+      kmeansIters: Int = 2): DataFrame =
+    semDedupImpl(emb, nLists, eps, kmeansIters, band = 0)
+
+  /** Rank-BANDED SemDeDup — the prescribed form at scale. The exact
+    * screen above compares every member against ALL prior ranks, so its
+    * pair count is Σ|cluster|²/2: quadratic once clusters outgrow the
+    * list count (the 100× rehearsal measured the fixed-nLists exact form
+    * at second-decade exponent 1.40 — invisible at 10×, where clusters
+    * were still small). This form screens each member against only the
+    * `band` nearest PRIOR ranks in the centroid-cosine order — the
+    * neighborhood where SemDeDup's duplicates actually sit, since
+    * near-identical vectors get near-identical centroid cosines and
+    * therefore adjacent ranks. Implemented as a true banded equality
+    * join (rank-block key, each probe exploded to its two candidate
+    * blocks), so join fanout is `2` rows per member and total work is
+    * n·band — linear by construction, same shape as
+    * [[nearDupPairsBanded]].
+    *
+    * Semantics: `max_prior_sim` is a LOWER bound of the exact screen's,
+    * so `kept` is a SUPERSET — the band can only under-drop (miss a
+    * far-rank duplicate), never over-drop. The exact form stays the
+    * small-corpus baseline; production pairing documented in SCALE.md. */
+  def semDedupBanded(
+      emb: DataFrame, nLists: Int = 16, eps: Double = 0.42,
+      kmeansIters: Int = 2, band: Int = 128): DataFrame = {
+    require(band >= 1, s"band must be >= 1, got $band")
+    semDedupImpl(emb, nLists, eps, kmeansIters, band)
+  }
+
+  private def semDedupImpl(
+      emb: DataFrame, nLists: Int, eps: Double,
+      kmeansIters: Int, band: Int): DataFrame = {
     val cents = kmeansCentroids(emb, nLists, kmeansIters)
     val withNorm = emb.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -394,12 +425,28 @@ object Similarity {
         col("best.c_cos").as("c_cos"))
     val w = Window.partitionBy("list_id").orderBy(col("c_cos").asc, col("vec_id"))
     val memb = assigned.withColumn("rnk", row_number().over(w))
-    val a = memb.select(col("list_id"), col("rnk").as("a_rnk"),
-      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = memb.select(col("list_id"), col("vec_id"), col("rnk").as("b_rnk"),
-      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val prior = a.join(b, Seq("list_id"))
-      .filter(col("a_rnk") < col("b_rnk"))
+    val pairs =
+      if (band <= 0) {
+        val a = memb.select(col("list_id"), col("rnk").as("a_rnk"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = memb.select(col("list_id"), col("vec_id"), col("rnk").as("b_rnk"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        a.join(b, Seq("list_id")).filter(col("a_rnk") < col("b_rnk"))
+      } else {
+        // banded: a rank window of `band` spans at most two rank-blocks,
+        // so probing blocks {blk, blk−1} finds every in-window prior
+        val a = memb.select(col("list_id"),
+          expr(s"rnk div $band").as("_blk"), col("rnk").as("a_rnk"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = memb.select(col("list_id"), col("vec_id"), col("rnk").as("b_rnk"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+          .withColumn("_blk", explode(array(
+            expr(s"b_rnk div $band"), expr(s"b_rnk div $band - 1"))))
+        a.join(b, Seq("list_id", "_blk"))
+          .filter(col("a_rnk") < col("b_rnk") &&
+            col("a_rnk") >= col("b_rnk") - band)
+      }
+    val prior = pairs
       .groupBy("vec_id")
       .agg(max(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
         .as("mp"))
@@ -941,6 +988,36 @@ object Similarity {
         transform(col("sc"), p => p.getField("code")).as("codes"),
         greatest(sqrt(aggregate(transform(col("sc"), p => p.getField("c_dot")),
           lit(0.0), (acc, x) => acc + x)), lit(1e-300)).as("r_nrm"))
+
+  /** PQ recall@k curve — recall of the ADC scan against the exact float
+    * top-k at several cutoffs in ONE pass: both rankings are computed to
+    * `ks.max` once, the (query, neighbor) agreement joins once, and each
+    * cutoff is a conditional count unpivoted by `stack`. The curve (not
+    * a single recall number) is what picks the serving k: recall@1 tells
+    * you whether PQ can answer "the" nearest neighbor, recall@10 whether
+    * it can feed a reranker.
+    *
+    * Shape: two broadcast-scan rankings ([[cosineTopK]], [[pqTopK]] —
+    * the corpus is scanned, never shuffled) + one tiny keyed join over
+    * ≤ nQueries·kmax rows; the sweep itself is free. */
+  def pqRecallCurve(emb: DataFrame, ks: Seq[Int] = Seq(1, 3, 5),
+      m: Int = 8, kSub: Int = 32, nQueries: Int = 10,
+      iters: Int = 2): DataFrame = {
+    require(ks.nonEmpty)
+    val kmax = ks.max
+    val exact = cosineTopK(emb, nQueries, kmax)
+      .select(col("q_id"), col("n_id"), col("rnk").as("rnk_e"))
+    val pq = pqTopK(emb, m, kSub, nQueries, kmax, iters)
+      .select(col("q_id"), col("n_id"), col("rnk").as("rnk_p"))
+    val hits = exact.join(broadcast(pq), Seq("q_id", "n_id"))
+    val aggs = ks.map(k =>
+      count(when(col("rnk_e") <= k && col("rnk_p") <= k, 1)).as(s"_h$k"))
+    val one = hits.agg(aggs.head, aggs.tail: _*)
+    one.selectExpr(
+      s"stack(${ks.size}, ${ks.map(k => s"CAST($k AS BIGINT), _h$k").mkString(", ")}) AS (k, n_hits)")
+      .select(col("k"), col("n_hits"),
+        (col("n_hits").cast("double") / (col("k") * nQueries)).as("recall"))
+  }
 
   /** PQ codebook-utilization ledger — the quantizer health check run
     * before trusting any ADC serving index: per subspace, how many of the

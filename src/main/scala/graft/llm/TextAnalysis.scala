@@ -651,6 +651,38 @@ object TextAnalysis {
     graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(words))
   }
 
+  /** Top-N vocabulary coverage curve — the tokenizer-budget question
+    * ("how much of the corpus do the 10k most frequent types cover?")
+    * answered exactly: for each anchor N, the token mass of the N most
+    * frequent types (frequency desc, token asc — a total order) as a
+    * count and a fraction of all tokens. The flat tail of this curve is
+    * where growing the vocabulary stops paying.
+    *
+    * Shape: one corpus scan collapsing to the TYPE table (map-side
+    * combine — vocabulary cardinality crosses the wire, not corpus
+    * volume), [[graft.cdc.GlobalOrder.rank]] for the global frequency
+    * rank (range-partitioned — no single-task window over the
+    * vocabulary), and a ≤ |anchors|-row broadcast joined on `rank ≤ N`
+    * feeding one keyed aggregate. */
+  def vocabCoverage(docs: DataFrame,
+      anchors: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    require(anchors.nonEmpty)
+    val freqs = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = graft.cdc.GlobalOrder.rank(
+      freqs, Seq(col("freq").desc, col("tok")), "rk")
+    val anchor = freqs
+      .agg(sum("freq").as("_total"))
+      .select(explode(array(anchors.map(lit(_)): _*)).as("n_top"), col("_total"))
+    ranked.join(broadcast(anchor), col("rk") <= col("n_top"))
+      .groupBy("n_top", "_total")
+      .agg(count(lit(1)).as("n_types_used"), sum("freq").as("covered_tokens"))
+      .select(col("n_top"), col("n_types_used"), col("covered_tokens"),
+        col("_total").as("total_tokens"),
+        (col("covered_tokens").cast("double") / col("_total")).as("coverage"))
+  }
+
   /** Zipf/power-law ledger without a libm fit: vocabulary grouped by
     * FREQUENCY OCTAVE — `octave = ⌊log₂ freq⌋` computed as the length of
     * the binary string `bin(freq)` minus one, an integer-exact identity

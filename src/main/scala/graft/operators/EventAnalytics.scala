@@ -71,6 +71,37 @@ object EventAnalytics {
     CacheLifecycle.releaseAfterUse(out, stages.toSeq)
   }
 
+  /** Hourly-volume anomaly ledger — robust outlier detection on the
+    * event rate: hourly counts scored against the median ± k·MAD band
+    * (median absolute deviation — the robust spread a traffic spike
+    * cannot drag the way it drags a stddev). One row per hour with the
+    * count, the robust center/spread, and the flag — the page-the-oncall
+    * query of an events pipeline.
+    *
+    * Exactness contract: both percentiles are exact interpolating
+    * `percentile_cont` (Spark `percentile` ≡ DuckDB `quantile_cont`),
+    * rounded to 3 decimals on BOTH sides before the flag comparison —
+    * the established lag-percentile parity pattern — so the boundary
+    * decision is made on bit-identical doubles.
+    *
+    * Shape: events collapse to the hourly frame (calendar-bounded) in
+    * one keyed count; the two percentile aggregates and the flag all run
+    * on that tiny frame with 1-row broadcasts. */
+  def hourlyAnomaly(events: DataFrame, madK: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(expr("(ts div 1000000) div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = hourly.agg(
+      round(expr("percentile(n_events, 0.5)"), 3).as("med"))
+    val withMed = hourly.crossJoin(broadcast(med))
+    val mad = withMed.agg(
+      round(expr("percentile(abs(n_events - med), 0.5)"), 3).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("hour"), col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events") - col("med")) > lit(madK) * col("mad"))
+          .as("is_anomaly"))
+  }
+
   /** Event-type transition matrix — the first-order Markov summary of
     * the event stream ("after a click, what happens next?"): for every
     * CONSECUTIVE pair of events of one user (ordered by time, event_id

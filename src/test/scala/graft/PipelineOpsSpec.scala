@@ -690,6 +690,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1)._4 > 1.0 / 5.0)
   }
 
+  test("qualityThresholdSweep: monotone retention, exact counts at each cutoff") {
+    // quality("w w w x") = min(4/100,1) * (2/4) * 1.0 = 0.02
+    // quality of a 50-token all-distinct doc = 0.5 * 1.0 * 1.0 = 0.5
+    val distinct50 = (1 to 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, "w w w x"), (2L, distinct50)).toDF("doc_id", "text")
+    val out = Corpus.qualityThresholdSweep(docs,
+      thresholds = Seq(0.0, 0.1, 0.5, 0.9))
+      .orderBy("threshold").collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_docs_kept"),
+        r.getAs[Long]("n_tokens_kept"), r.getAs[Double]("doc_frac"),
+        r.getAs[Double]("token_frac")))
+    assert(out.toSeq === Seq(
+      (0.0, 2L, 54L, 1.0, 1.0),
+      (0.1, 1L, 50L, 0.5, 50.0 / 54.0),
+      (0.5, 1L, 50L, 0.5, 50.0 / 54.0),  // score 0.5 passes >= 0.5
+      (0.9, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("vocabCoverage: top-N mass exact, saturates at the vocabulary size") {
+    // freqs: a=4, b=2, c=1 -> ranks a=1, b=2, c=3; total 7
+    val docs = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, anchors = Seq(1L, 2L, 100L))
+      .orderBy("n_top").collect()
+      .map(r => (r.getAs[Long]("n_top"), r.getAs[Long]("n_types_used"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Long]("total_tokens"),
+        r.getAs[Double]("coverage")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 4L, 7L, 4.0 / 7.0),
+      (2L, 2L, 6L, 7L, 6.0 / 7.0),
+      (100L, 3L, 7L, 7L, 1.0)))   // anchor past the vocab saturates
+  }
+
+  test("hourlyAnomaly: spike flagged by the median +- 3*MAD band, base hours not") {
+    val hourNs = 3600000L * 1000000L
+    // hours 0..4 carry 10,10,10,12,100 events -> med 10, MAD 0 is wrong:
+    // deviations |0,0,0,2,90| -> med of sorted (0,0,0,2,90) = 0... use
+    // counts 8,10,10,12,100: deviations 2,0,0,2,90 -> mad = 2
+    val counts = Seq(8, 10, 10, 12, 100)
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (1 to n).map(i => (h * 100L + i, i.toLong, "e", h * hourNs + i * 1000000L))
+    }
+    val events = rows.toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.hourlyAnomaly(events)
+      .orderBy("hour").collect()
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"),
+        r.getAs[Boolean]("is_anomaly")))
+    assert(out.map(_._2).toSeq === Seq(8L, 10L, 10L, 12L, 100L))
+    assert(out.forall(r => r._3 === 10.0 && r._4 === 2.0), s"med/mad: ${out.toSeq}")
+    // |8-10| = 2 <= 6, |12-10| = 2 <= 6, |100-10| = 90 > 6
+    assert(out.map(_._5).toSeq === Seq(false, false, false, false, true))
+  }
+
+  test("pqRecallCurve: recall monotone non-increasing structure, bounded [0,1]") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.pqRecallCurve(emb).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall")))
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    out.foreach { case (k, h, rec) =>
+      assert(h >= 0L && h <= k * 10)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === h.toDouble / (k * 10))
+    }
+    // hits can only accumulate as the cutoff loosens
+    assert(out(0)._2 <= out(1)._2 && out(1)._2 <= out(2)._2)
+  }
+
+  test("semDedupBanded: equals the exact screen whenever clusters fit the band") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // sf0.001 clusters are far smaller than 128 ranks, so the banded
+    // screen must reproduce the exact ledger bit-for-bit
+    val exact = Similarity.semDedup(emb).orderBy("vec_id").collect().toSeq
+    val banded = Similarity.semDedupBanded(emb).orderBy("vec_id").collect().toSeq
+    assert(banded === exact)
+  }
+
+  test("semDedupBanded: a tight band only under-drops (kept is a superset)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exactKept = Similarity.semDedup(emb).filter(col("kept"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bandedKept = Similarity.semDedupBanded(emb, band = 1)
+      .filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept.subsetOf(bandedKept),
+      "the banded lower bound may only KEEP more, never drop more")
+  }
+
   test("pqBalance: loads partition the corpus per subspace, balance >= 1") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()

@@ -55,7 +55,8 @@ class PlansSpec extends SparkSpec {
     "events_funnel", "events_retention",
     // round-11 additions
     "events_transitions", "events_dau", "cdc_compaction", "ann_pq_balance",
-    "mix_temperature")
+    "mix_temperature", "ann_semdedup_capped", "ann_pq_recall_curve",
+    "events_anomaly", "quality_threshold_sweep", "vocab_coverage")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -527,5 +528,39 @@ class PlansSpec extends SparkSpec {
       "only the 1-row weight-total aggregate may nested-loop broadcast")
     assert(count("mix_temperature", "Window") === 0)
     assert(count("mix_temperature", "SortMergeJoin") === 0)
+  }
+
+  test("banded semdedup screen joins on the rank-block KEY, never a cartesian") {
+    // the banded prior join is two LARGE sides keyed (list_id, block) —
+    // sort-merge is the correct plan there; what must never appear is a
+    // cartesian or an un-keyed nested loop over the members
+    assert(count("ann_semdedup_capped", "CartesianProduct") === 0)
+    val p = plans("ann_semdedup_capped")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the banded screen must be a keyed equality join")
+  }
+
+  test("pq recall curve reuses both rankings once; the sweep is conditional counts") {
+    assert(count("ann_pq_recall_curve", "SortMergeJoin") === 0)
+    assert(count("ann_pq_recall_curve", "CartesianProduct") === 0)
+  }
+
+  test("hourly anomaly runs on the calendar-bounded hourly frame") {
+    assert(count("events_anomaly", "Exchange hashpartitioning") <= 4,
+      "one hour-keyed count (textually repeated under the percentile branches)")
+    assert(count("events_anomaly", "SortMergeJoin") === 0)
+    assert(count("events_anomaly", "CartesianProduct") === 0)
+  }
+
+  test("quality threshold sweep is ONE corpus pass: a single aggregate, no joins") {
+    assert(count("quality_threshold_sweep", "Join") === 0)
+    assert(count("quality_threshold_sweep", "Exchange hashpartitioning") === 0,
+      "conditional counts collapse map-side; only the final 1-row combine remains")
+  }
+
+  test("vocab coverage: type-table rank via GlobalOrder, anchors broadcast") {
+    assert(count("vocab_coverage", "SortMergeJoin") === 0)
+    assert(count("vocab_coverage", "Exchange SinglePartition") <= 1,
+      "only the 1-row total aggregate; the rank itself is range-partitioned")
   }
 }
