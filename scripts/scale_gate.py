@@ -43,7 +43,10 @@ GATED_QUERIES = [
     "dedup_verify_capped",          # SCALE.md: 0.66 (the r9 quadratic's fix)
     "dedup_threshold_curve_capped",  # 0.83 (the r10 1.17's fix)
     "ann_decontaminate_capped",     # 0.25 (the r10 1.50's fix)
-    "ann_semdedup",                 # 0.11
+    "ann_semdedup_capped",          # 0.14/0.61 (the r11 second-decade
+                                    # 1.40's fix; the exact ann_semdedup is
+                                    # now the documented quadratic baseline
+                                    # and is NOT gated)
     "cdc_debezium_e2e",             # 0.58
     "corpus_admission",             # 0.81
     "cdc_incremental_snapshot",     # 0.40

@@ -805,6 +805,69 @@ object Streams {
         })
   }
 
+  /** An observed transition: `userId` went `fromType` → `toType` at
+    * `tMs` (the destination event's time). `count(*) group by fromType,
+    * toType` over the emitted stream equals the batch
+    * [[graft.operators.EventAnalytics.transitions]] pair counts at any
+    * point in time. */
+  case class TransitionOut(
+      userId: Long, fromType: String, toType: String, tMs: Long)
+
+  /** Per-user transition state: the PREVIOUS event — all the state a
+    * first-order Markov ledger ever needs (one tuple per user). */
+  case class LastEvent(eventType: String, tMs: Long, eventId: Long)
+
+  /** One transition step for a batch of same-user events — shared fold
+    * of [[transitionsStream]] and its tests. Events process in
+    * (tMs, eventId) order (the batch form's total order); each event
+    * after the first emits the (previous → current) pair. Chopped ==
+    * one-shot on ordered arrivals, the [[funnelFold]] contract. */
+  def transitionsFold(
+      userId: Long,
+      start: Option[LastEvent],
+      incoming: Seq[(Long, String, Long)]): (Option[LastEvent], Seq[TransitionOut]) = {
+    var last = start
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+    incoming.sortBy { case (id, _, t) => (t, id) }.foreach { case (id, ty, t) =>
+      last.foreach(p => out += TransitionOut(userId, p.eventType, ty, t))
+      last = Some(LastEvent(ty, t, id))
+    }
+    (last, out.toSeq)
+  }
+
+  /** Streaming twin of the batch transition matrix — the keyed-state
+    * form with the SMALLEST possible state: one previous-event tuple per
+    * user, carried across micro-batches. Each arriving event emits its
+    * (previous → current) pair, so the transition matrix downstream is
+    * an append-only count per (from, to) instead of a re-scan with a
+    * `lead` window over all history. `events` rows are
+    * (eventId, eventType, tMs) keyed by the grouping below. */
+  def transitionsStream(
+      events: Dataset[(Long, Long, String, Long)],
+      ttlMs: Long = 0L): Dataset[TransitionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[(Long, Long, String, Long)],
+            state: GroupState[LastEvent]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (last, out) = transitionsFold(uid, state.getOption,
+              incoming.map(e => (e._2, e._3, e._4)).toSeq)
+            last.foreach(state.update)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** A retention mark: `userId` (cohort of `cohortDay`) was active on
     * `cohortDay + dayOffset`. Each (user, day) emits AT MOST ONCE, so
     * `count(*) group by cohortDay, dayOffset` over the emitted stream

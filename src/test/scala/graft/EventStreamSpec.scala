@@ -121,6 +121,38 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions equal the batch matrix (3 chunks)") {
+    import spark.implicits._
+    // feed: (userId, eventId, eventType, tMs) — ids mint a total order
+    val feed = scenario.zipWithIndex.map { case (e, i) =>
+      (e.userId, i.toLong, e.eventType, e.tMs)
+    }
+    val out = runChunked[(Long, Long, String, Long), Streams.TransitionOut](
+      in => Streams.transitionsStream(in.toDS()), feed, 3, "trans_parity")
+      .map(r => (r.getAs[String]("fromType"), r.getAs[String]("toType")))
+    val streamCounts = out.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batchDfWithIds = feed.toDF("user_id", "event_id", "event_type", "_tms")
+      .withColumn("ts", col("_tms") * 1000000L).drop("_tms")
+    val batch = EventAnalytics.transitions(batchDfWithIds).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(streamCounts === batch,
+      s"stream $streamCounts != batch $batch")
+  }
+
+  test("transitions fold: chopped == one-shot on ordered feeds") {
+    val u1 = scenario.zipWithIndex
+      .filter(_._1.userId == 1L)
+      .map { case (e, i) => (i.toLong, e.eventType, e.tMs) }
+    val (s0, o0) = Streams.transitionsFold(1L, None, u1)
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.transitionsFold(1L, None, u1.take(cut))
+      val (s2, o2) = Streams.transitionsFold(1L, s1, u1.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert(o1 ++ o2 === o0, s"output diverged at cut $cut")
+    }
+  }
+
   test("funnel fold: chopped == one-shot on ordered feeds (shared-fold property)") {
     val steps = Seq("signup", "click", "purchase")
     val u1 = scenario.filter(_.userId == 1L)
