@@ -337,6 +337,23 @@ object Oracles {
     FROM trig_lane
     ORDER BY method"""
 
+  /** Per-lane SLA attainment — mirrors `MetricsAgg.lagSla` over the
+    * three capture lanes (thresholds 10/100/1000/10000 ms, uncapped
+    * lag). */
+  val cdcLagSla: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte,
+    th(sla_ms) AS (VALUES (10), (100), (1000), (10000)),
+    lanes AS (
+      SELECT 'log' AS method, lag_ms FROM log_lane
+      UNION ALL SELECT 'poll', poll_ts - src_t FROM poll
+      UNION ALL SELECT 'trigger', lag_ms FROM trig_lane)
+    SELECT l.method, CAST(th.sla_ms AS BIGINT) AS sla_ms,
+      count(CASE WHEN l.lag_ms <= th.sla_ms THEN 1 END) AS n_within,
+      count(*) AS n_events,
+      CAST(count(CASE WHEN l.lag_ms <= th.sla_ms THEN 1 END) AS DOUBLE)
+        / count(*) AS within_frac
+    FROM th, lanes l
+    GROUP BY l.method, th.sla_ms ORDER BY l.method, sla_ms"""
+
   /** Lag values saturate at 2^20−1 ms, mirroring `MetricsAgg.lagPercentiles`'
     * bounded-state grid (identical results for any sane lag domain). */
   val cdcLagPercentiles: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte
@@ -628,6 +645,38 @@ object Oracles {
     SELECT dau.day, dau.dau, wau.wau,
       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
     FROM dau JOIN wau USING (day) ORDER BY day"""
+
+  /** Top-k 3-step event paths — mirrors `EventAnalytics.pathTopK`
+    * (k = 10): double lead over the per-user (ms, event_id) order. */
+  val eventsPathTopK: String = """WITH
+    e AS (SELECT event_type,
+            lead(event_type, 1) OVER w AS s2,
+            lead(event_type, 2) OVER w AS s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+    p AS (SELECT event_type AS s1, s2, s3, count(*) AS n_paths
+          FROM e WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+          GROUP BY 1, 2, 3),
+    r AS (SELECT *,
+            row_number() OVER (ORDER BY n_paths DESC, s1, s2, s3) AS rnk
+          FROM p)
+    SELECT CAST(rnk AS BIGINT) AS rnk, s1, s2, s3, n_paths
+    FROM r WHERE rnk <= 10 ORDER BY rnk"""
+
+  /** User-activity octaves — mirrors `EventAnalytics.userActivityOctaves`
+    * (the events-side Zipf ledger, integer-exact floor(log2)). */
+  val eventsUserOctaves: String = """WITH
+    u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    o AS (SELECT CAST(len(bin(n)) - 1 AS BIGINT) AS octave,
+                 count(*) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS n_events
+          FROM u GROUP BY 1),
+    t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+                 CAST(sum(n_events) AS BIGINT) AS te FROM o)
+    SELECT octave, n_users, n_events,
+      CAST(n_users AS DOUBLE) / tu AS user_share,
+      CAST(n_events AS DOUBLE) / te AS event_share
+    FROM o, t ORDER BY octave"""
 
   /** Hourly-volume anomaly ledger — mirrors
     * `EventAnalytics.hourlyAnomaly` (madK = 3): exact interpolating
@@ -1913,6 +1962,15 @@ object Oracles {
         AS DOUBLE) / (ks.k * 10) AS recall
     FROM ks LEFT JOIN h ON true
     GROUP BY ks.k ORDER BY k"""
+
+  /** IVF list-balance ledger — mirrors `Similarity.ivfBalance`
+    * (nLists = 16): member counts off the final Lloyd assignment. */
+  val annIvfBalance: String = s"""WITH $ivfCtes,
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
+    SELECT list_id, count(*) AS n_vecs,
+      CAST(max(tot.n_vec) AS DOUBLE) / 16 AS expected_load,
+      CAST(count(*) AS DOUBLE) * 16 / max(tot.n_vec) AS balance
+    FROM assigned, tot GROUP BY list_id ORDER BY list_id"""
 
   /** PQ codebook-utilization ledger — mirrors `Similarity.pqBalance`
     * (m=8, kSub=32): per-subspace code loads off the final assignment. */
@@ -3852,6 +3910,9 @@ object Oracles {
     "events_transitions" -> eventsTransitions,
     "events_dau" -> eventsDau,
     "events_anomaly" -> eventsAnomaly,
+    "events_path_topk" -> eventsPathTopK,
+    "events_user_octaves" -> eventsUserOctaves,
+    "cdc_lag_sla" -> cdcLagSla,
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "vocab_coverage" -> vocabCoverage,
     "q_events_sessions" -> qEventsSessions,
@@ -3938,6 +3999,7 @@ object Oracles {
     "ann_pq_topk" -> annPqTopK,
     "ann_pq_balance" -> annPqBalance,
     "ann_pq_recall_curve" -> annPqRecallCurve,
+    "ann_ivf_balance" -> annIvfBalance,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopK,

@@ -263,6 +263,17 @@ object SparkEntry {
         .unionAll(MetricsAgg.lagPercentiles(Capture.trigger(state), "trigger"))
         .orderBy("method")
     }),
+    // per-lane SLA attainment: fraction of events captured within each
+    // candidate freshness budget - the contract score next to the p95
+    "cdc_lag_sla" -> ((s, dir) => {
+      val state = st(s, dir)
+      val pollLag = Capture.poll(state)
+        .withColumn("lag_ms", col("poll_ts") - col("src_t"))
+      MetricsAgg.lagSla(Capture.log(state), "log")
+        .unionAll(MetricsAgg.lagSla(pollLag, "poll"))
+        .unionAll(MetricsAgg.lagSla(Capture.trigger(state), "trigger"))
+        .orderBy("method", "sla_ms")
+    }),
     "cdc_lane_summary" -> ((s, dir) => {
       // cross-lane comparison (`web/App.tsx:985-1020`): best/worst lag
       // lanes, lag spread, argmax write amplification — min_by/max_by over
@@ -454,6 +465,14 @@ object SparkEntry {
     "events_anomaly" -> ((s, dir) =>
       graft.operators.EventAnalytics.hourlyAnomaly(Tables.events(s, dir))
         .orderBy("hour")),
+    // top-10 most-travelled 3-step event paths (journey mining)
+    "events_path_topk" -> ((s, dir) =>
+      graft.operators.EventAnalytics.pathTopK(Tables.events(s, dir))
+        .orderBy("rnk")),
+    // per-user activity power-law octaves: the skew/bot-filter health check
+    "events_user_octaves" -> ((s, dir) =>
+      graft.operators.EventAnalytics.userActivityOctaves(Tables.events(s, dir))
+        .orderBy("octave")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -680,6 +699,9 @@ object SparkEntry {
     // recall@{1,3,5} of the ADC scan vs exact float top-k, one pass
     "ann_pq_recall_curve" -> ((s, dir) =>
       Similarity.pqRecallCurve(Tables.embeddings(s, dir)).orderBy("k")),
+    // IVF list-balance health check: hot/starved lists before probe tuning
+    "ann_ivf_balance" -> ((s, dir) =>
+      Similarity.ivfBalance(Tables.embeddings(s, dir)).orderBy("list_id")),
     "ann_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir)).orderBy("q_id")),
     // PQ coarse scan -> exact float rescore: the recall-repair composition

@@ -86,6 +86,31 @@ object MetricsAgg {
       .select(lit(method).as("method"), col("p50"), col("p95"), col("max_lag"))
   }
 
+  /** Lag SLA attainment ledger — the freshness question percentiles
+    * don't answer ("what fraction of events land within OUR budget?"):
+    * per candidate SLA threshold, the count and fraction of the lane's
+    * events whose capture lag fits. Read next to
+    * [[lagPercentiles]]: p95 describes the lane, this scores it against
+    * a contract. One aggregate row of conditional counts per lane (one
+    * pair per threshold — map-side combine, nothing explodes), `stack`
+    * unpivoted; cost is one pass however many thresholds are scored. */
+  def lagSla(events: DataFrame, method: String,
+      thresholds: Seq[Long] = Seq(10L, 100L, 1000L, 10000L),
+      lagCol: String = "lag_ms"): DataFrame = {
+    require(thresholds.nonEmpty)
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      count(when(col(lagCol) <= t, 1)).as(s"_w$i")
+    } :+ count(lit(1)).as("_n")
+    val one = events.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS BIGINT), _w$i" }.mkString(", ")
+    one.selectExpr(
+      s"stack(${thresholds.size}, $stackArgs) AS (sla_ms, n_within)", "_n")
+      .select(lit(method).as("method"), col("sla_ms"), col("n_within"),
+        col("_n").as("n_events"),
+        (col("n_within").cast("double") / col("_n")).as("within_frac"))
+  }
+
   /** Rolling-window lag percentiles — the reference's MetricsStore keeps only
     * the LAST 2000 lag samples per lane in a ring buffer
     * (`src/engine/metrics.ts:42-44`) and computes p50/p95 over that window, so

@@ -989,6 +989,27 @@ object Similarity {
         greatest(sqrt(aggregate(transform(col("sc"), p => p.getField("c_dot")),
           lit(0.0), (acc, x) => acc + x)), lit(1e-300)).as("r_nrm"))
 
+  /** IVF list-balance ledger — the inverted-file twin of [[pqBalance]]:
+    * per list, the member count and its load factor vs the uniform
+    * expectation. A hot list (balance ≫ 1) is where IVF probe latency
+    * hides — probing it costs its whole membership — and a starved list
+    * wastes a centroid; the check runs before any probe-count tuning
+    * means anything. One distributed training + one assignment pass
+    * ([[ivfIndexBuild]]), a list-keyed count over ≤ nLists rows, a
+    * 1-row corpus-count broadcast. */
+  def ivfBalance(emb: DataFrame, nLists: Int = 16,
+      kmeansIters: Int = 2): DataFrame = {
+    val (_, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    val total = emb.agg(count(lit(1)).as("_n_vec"))
+    assigned
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("list_id"), col("n_vecs"),
+        (col("_n_vec").cast("double") / nLists).as("expected_load"),
+        (col("n_vecs").cast("double") * nLists / col("_n_vec")).as("balance"))
+  }
+
   /** PQ recall@k curve — recall of the ADC scan against the exact float
     * top-k at several cutoffs in ONE pass: both rankings are computed to
     * `ks.max` once, the (query, neighbor) agreement joins once, and each

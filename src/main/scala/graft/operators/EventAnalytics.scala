@@ -130,6 +130,59 @@ object EventAnalytics {
         (col("n_pairs").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** Top-k most-travelled 3-step event paths — the sequence-mining
+    * summary one level above [[transitions]]: per user timeline, every
+    * window of three CONSECUTIVE events (by time, event_id ties) is a
+    * path; the k most frequent paths with their counts and rank. The
+    * "what do users actually do" query behind journey analysis.
+    *
+    * Shape: one user-partitioned double-`lead` window (distributed, the
+    * same partitioning as [[transitions]]); paths collapse to a
+    * ≤ |types|³-cardinality count with map-side combine; top-k is a
+    * TakeOrdered heap; the rank is minted on the k-row result
+    * ([[BoundedWindow.cumulative]] — no Window operator). */
+  def pathTopK(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"), col("event_type"))
+      .withColumn("s2", lead("event_type", 1).over(w))
+      .withColumn("s3", lead("event_type", 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+    val top = paths
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+    BoundedWindow.cumulative(top,
+      struct((-col("n_paths")).as("_nn"), col("s1"), col("s2"), col("s3")),
+      Seq.empty, Some("rnk"))
+      .select("rnk", "s1", "s2", "s3", "n_paths")
+  }
+
+  /** User-activity octave ledger — the power-law health check on the
+    * USER axis (the twin of the vocabulary Zipf ledger): users grouped
+    * by ⌊log₂(events)⌋, computed integer-exact as binary-string length
+    * − 1. A heavy right tail here is the skew the salted joins and the
+    * [[SaltedJoin.skewProfile]] exist for; a missing tail on a
+    * supposedly organic feed is the bot-filter tell.
+    *
+    * Shape: one user-keyed count (map-side combine), a ≤ 64-row octave
+    * rollup, a 1-row totals broadcast. */
+  def userActivityOctaves(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("_n"))
+    val perOctave = perUser
+      .withColumn("octave", (length(bin(col("_n"))) - 1).cast("long"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_users"), sum("_n").as("n_events"))
+    val totals = perOctave.agg(
+      sum("n_users").as("_tu"), sum("n_events").as("_te"))
+    perOctave.crossJoin(broadcast(totals))
+      .select(col("octave"), col("n_users"), col("n_events"),
+        (col("n_users").cast("double") / col("_tu")).as("user_share"),
+        (col("n_events").cast("double") / col("_te")).as("event_share"))
+  }
+
   /** Daily/rolling active users — DAU, the `windowDays`-day rolling
     * active count (WAU by default), and the DAU/WAU stickiness ratio per
     * day. The classic engagement table, computed without any sliding

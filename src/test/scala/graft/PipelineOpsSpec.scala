@@ -777,6 +777,60 @@ class PipelineOpsSpec extends SparkSpec {
       "the banded lower bound may only KEEP more, never drop more")
   }
 
+  test("pathTopK: 3-step windows per user, counts weight repeats, rank total order") {
+    // u1 timeline: a b a b -> paths (a,b,a), (b,a,b); u2: a b a -> (a,b,a)
+    val events = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L), (1L, 4L, "b", 4L),
+      (2L, 5L, "a", 1L), (2L, 6L, "b", 2L), (2L, 7L, "a", 3L))
+      .map { case (u, id, ty, t) => (u, id, ty, t * 1000000L) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.pathTopK(events).orderBy("rnk")
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("s1"),
+        r.getAs[String]("s2"), r.getAs[String]("s3"), r.getAs[Long]("n_paths")))
+    assert(out.toSeq === Seq(
+      (1L, "a", "b", "a", 2L),
+      (2L, "b", "a", "b", 1L)))
+  }
+
+  test("userActivityOctaves: integer-exact floor(log2) buckets and shares") {
+    // users with 1, 2, 3, 8 events -> octaves 0, 1, 1, 3
+    val rows = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 8)).flatMap { case (u, n) =>
+      (1 to n).map(i => (u, u * 100 + i, "e", (u * 1000 + i) * 1000000L))
+    }
+    val events = rows.toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics.userActivityOctaves(events)
+      .orderBy("octave").collect()
+      .map(r => (r.getAs[Long]("octave"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events")))
+    assert(out.toSeq === Seq((0L, 1L, 1L), (1L, 2L, 5L), (3L, 1L, 8L)))
+  }
+
+  test("lagSla: conditional counts per threshold over one pass") {
+    val lane = Seq(5L, 50L, 500L, 5000L, 50000L).toDF("lag_ms")
+    val out = graft.cdc.MetricsAgg.lagSla(lane, "log").orderBy("sla_ms")
+      .collect()
+      .map(r => (r.getAs[Long]("sla_ms"), r.getAs[Long]("n_within"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("within_frac")))
+    assert(out.toSeq === Seq(
+      (10L, 1L, 5L, 0.2), (100L, 2L, 5L, 0.4),
+      (1000L, 3L, 5L, 0.6), (10000L, 4L, 5L, 0.8)))
+  }
+
+  test("ivfBalance: list loads partition the corpus, balance >= its floor") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val out = Similarity.ivfBalance(emb).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n,
+      "every vector lands in exactly one list")
+    out.foreach { r =>
+      assert(r.getAs[Double]("expected_load") === n / 16.0)
+      assert(r.getAs[Double]("balance") > 0.0)
+    }
+    assert(out.map(_.getAs[Double]("balance")).max >= 1.0 - 1e-9,
+      "the hottest list is at or above the uniform expectation")
+  }
+
   test("pqBalance: loads partition the corpus per subspace, balance >= 1") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()

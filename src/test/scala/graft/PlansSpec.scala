@@ -56,7 +56,9 @@ class PlansSpec extends SparkSpec {
     // round-11 additions
     "events_transitions", "events_dau", "cdc_compaction", "ann_pq_balance",
     "mix_temperature", "ann_semdedup_capped", "ann_pq_recall_curve",
-    "events_anomaly", "quality_threshold_sweep", "vocab_coverage")
+    "events_anomaly", "quality_threshold_sweep", "vocab_coverage",
+    "events_path_topk", "events_user_octaves", "cdc_lag_sla",
+    "ann_ivf_balance")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -562,5 +564,28 @@ class PlansSpec extends SparkSpec {
     assert(count("vocab_coverage", "SortMergeJoin") === 0)
     assert(count("vocab_coverage", "Exchange SinglePartition") <= 1,
       "only the 1-row total aggregate; the rank itself is range-partitioned")
+  }
+
+  test("path mining: one user-partitioned double-lead, TakeOrdered heap top-k") {
+    assert(count("events_path_topk", "Exchange SinglePartition") === 0,
+      "the lead window is user-partitioned; the rank is minted post-limit")
+    assert(count("events_path_topk", "Join") === 0)
+    assert(plans("events_path_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("user octaves: keyed count, 64-row rollup, totals broadcast only") {
+    assert(count("events_user_octaves", "BroadcastNestedLoopJoin") === 1,
+      "only the 1-row totals aggregate may nested-loop broadcast")
+    assert(count("events_user_octaves", "SortMergeJoin") === 0)
+  }
+
+  test("lag SLA is conditional counts per lane: no joins over the lanes") {
+    assert(count("cdc_lag_sla", "Join") === 0)
+    assert(count("cdc_lag_sla", "CartesianProduct") === 0)
+  }
+
+  test("ivf balance rides the assignment path: keyed aggregates, no cartesian") {
+    assert(count("ann_ivf_balance", "SortMergeJoin") === 0)
+    assert(count("ann_ivf_balance", "CartesianProduct") === 0)
   }
 }
