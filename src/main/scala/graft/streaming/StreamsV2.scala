@@ -122,6 +122,46 @@ object StreamsV2 {
       .transformWithState(new LagRingProcessor(lastN), TimeMode.None(), OutputMode.Append())
   }
 
+  /** Funnel-progress processor: per-user first-completion times as ONE
+    * small `ValueState` (≤ |steps| longs), the shared
+    * [[Streams.funnelFold]] doing the semantics — v1/v2 parity by
+    * construction, same as the throttle/broker/lag processors. */
+  class FunnelProcessor(steps: Seq[String], ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.EventIn, Streams.FunnelAdvance] {
+    @transient private var progress:
+      org.apache.spark.sql.streaming.ValueState[Streams.FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progress = getHandle.getValueState("funnelProgress",
+        Encoders.product[Streams.FunnelProgress], ttl)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Streams.EventIn],
+        timerValues: TimerValues): Iterator[Streams.FunnelAdvance] = {
+      val (next, out) =
+        Streams.funnelFold(steps, Option(progress.get()), rows.toSeq)
+      progress.update(next)
+      out.iterator
+    }
+  }
+
+  /** Ordered-conversion funnel on `transformWithState` — drop-in for
+    * [[Streams.funnelStream]] (parity-asserted in EventStreamSpec). */
+  def funnelStream(
+      events: Dataset[Streams.EventIn],
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      ttlMs: Long = 0L): Dataset[Streams.FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(steps, ttl), mode, OutputMode.Append())
+  }
+
   /** Token-bucket throttle processor: one small `ValueState` per lane —
     * the scalar-state counterpart to the ListState buffers above (the
     * bucket is (tick, allowance, used); RocksDB rewrites one tiny value

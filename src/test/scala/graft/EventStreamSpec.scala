@@ -121,6 +121,29 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel: parity with the flatMapGroupsWithState form") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = runChunked[EventIn, FunnelAdvance](
+        in => graft.streaming.StreamsV2.funnelStream(in.toDS()),
+        scenario, 3, "funnel_v2")
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Int]("stage"),
+          r.getAs[String]("stageName"), r.getAs[Long]("tMs"))).sorted
+      val v1 = runChunked[EventIn, FunnelAdvance](
+        in => Streams.funnelStream(in.toDS()), scenario, 3, "funnel_v1")
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Int]("stage"),
+          r.getAs[String]("stageName"), r.getAs[Long]("tMs"))).sorted
+      assert(v2 === v1, "the two state APIs must emit identical advances")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming transitions equal the batch matrix (3 chunks)") {
     import spark.implicits._
     // feed: (userId, eventId, eventType, tMs) — ids mint a total order
