@@ -210,4 +210,75 @@ class FoldPropertiesSpec extends AnyFunSuite {
         assert(build(rng.shuffle(feed)) === oneShot)
     }
   }
+
+  test("funnelFold: chopped == one-shot on tMs-ordered feeds") {
+    val steps = Seq("signup", "click", "purchase")
+    val types = Gen.oneOf("signup", "click", "purchase", "view")
+    val feedGen: Gen[List[Streams.EventIn]] = for {
+      n <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 200L))
+      tys <- Gen.listOfN(n, types)
+    } yield ts.sorted.zip(tys).map { case (t, ty) => Streams.EventIn(1L, ty, t) }
+    samples(feedGen, 80, 4100L).foreach { feed =>
+      val (s0, o0) = Streams.funnelFold(steps, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.FunnelProgress] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.funnelFold(steps, st, batch)
+          st = Some(s1); o1
+        }
+        assert(st.contains(s0) || (st.isEmpty && feed.isEmpty),
+          s"state diverged: $feed chopped $chop")
+        assert(out === o0, s"output diverged: $feed chopped $chop")
+      }
+    }
+  }
+
+  test("transitionsFold: chopped == one-shot on (tMs, id)-ordered feeds") {
+    val feedGen: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 100L))
+      tys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ts.sorted.zipWithIndex.zip(tys)
+      .map { case ((t, i), ty) => (i.toLong, ty, t) }
+    samples(feedGen, 80, 4200L).foreach { feed =>
+      val (s0, o0) = Streams.transitionsFold(1L, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.LastEvent] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.transitionsFold(1L, st, batch)
+          st = s1; o1
+        }
+        assert(st === s0, s"state diverged: $feed chopped $chop")
+        assert(out === o0, s"output diverged: $feed chopped $chop")
+      }
+    }
+  }
+
+  test("retentionFold: chopped == one-shot, and in-batch order free") {
+    val feedGen: Gen[List[Streams.EventIn]] = for {
+      n <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 10L * 86400000L))
+      tys <- Gen.listOfN(n, Gen.oneOf("signup", "view", "click"))
+    } yield ts.sorted.zip(tys).map { case (t, ty) => Streams.EventIn(1L, ty, t) }
+    samples(feedGen, 80, 4300L).foreach { feed =>
+      val (s0, o0) = Streams.retentionFold(1L, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.RetentionState] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.retentionFold(1L, st, batch)
+          st = Some(s1); o1
+        }
+        assert(st.contains(s0) || (st.isEmpty && feed.isEmpty))
+        assert(out.sortBy(_.dayOffset) === o0.sortBy(_.dayOffset),
+          s"marks diverged: $feed chopped $chop")
+      }
+      // retention is set-semantics WITHIN a batch: shuffling one batch
+      // cannot change the mark set
+      val rng = new scala.util.Random(feed.hashCode.toLong)
+      val (sShuf, oShuf) = Streams.retentionFold(1L, None, rng.shuffle(feed))
+      assert(sShuf === s0)
+      assert(oShuf.sortBy(_.dayOffset) === o0.sortBy(_.dayOffset))
+    }
+  }
 }
