@@ -993,6 +993,38 @@ object Oracles {
   val dedupMinhash: String = s"""WITH $minhashSigCte
     SELECT * FROM sigs ORDER BY doc_id"""
 
+  /** LSH (bands, rowsPerBand) tuning ledger — mirrors `Dedup.lshTuning`
+    * (8-hash budget, combos 8×1 / 4×2 / 2×4, cap 32, s₀ = 0.8; the
+    * S-curve probability is the identical left-to-right double chain). */
+  def dedupLshTuning(maxBucket: Long = 32L): String = {
+    val combos = Seq((8, 1), (4, 2), (2, 4))
+    val s0 = "CAST(0.8 AS DOUBLE)"
+    val blocks = combos.map { case (bands, r) =>
+      val keys = (0 until bands).map { b =>
+        val parts = (0 until r)
+          .map(j => s"CAST(m${b * r + j} AS VARCHAR)").mkString(" || ':' || ")
+        s"'$b:' || $parts"
+      }.mkString(", ")
+      val srChain = (1 to r).map(_ => s0).mkString(" * ")
+      val oneMinus = s"(1.0 - ($srChain))"
+      val pChain = s"1.0 - (${(1 to bands).map(_ => oneMinus).mkString(" * ")})"
+      s"""(SELECT CAST($bands AS BIGINT) AS bands,
+        CAST($r AS BIGINT) AS rows_per_band,
+        count(*) AS n_buckets_multi,
+        CAST(coalesce(max(g), 0) AS BIGINT) AS max_bucket,
+        CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS pairs_banded,
+        CAST(coalesce(sum(CASE WHEN g <= $maxBucket
+          THEN g * (g - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pairs_capped,
+        $pChain AS p_at_s0
+      FROM (SELECT bk, count(*) AS g
+            FROM (SELECT unnest([$keys]) AS bk FROM sigs) GROUP BY bk)
+      WHERE g > 1)"""
+    }
+    s"""WITH $minhashSigCte
+    ${blocks.mkString("\n    UNION ALL\n    ")}
+    ORDER BY bands DESC"""
+  }
+
   /** Near-dup cluster keep-best — mirrors `Dedup.keepBestByQuality`:
     * cluster by full MinHash signature, keep max quality (tie min doc_id). */
   def dedupKeepBest: String = {
@@ -3928,6 +3960,7 @@ object Oracles {
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_lsh_tuning" -> dedupLshTuning(),
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_clusters" -> dedupClusters,

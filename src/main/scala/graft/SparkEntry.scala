@@ -644,6 +644,10 @@ object SparkEntry {
     // top-N vocabulary token-coverage curve: the tokenizer budget question
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir)).orderBy("n_top")),
+    // LSH (bands x rows) design ledger: empirical bucket profile + pair
+    // volumes (from group sizes - no pair materialized) + S-curve p
+    "dedup_lsh_tuning" -> ((s, dir) =>
+      Dedup.lshTuning(Tables.documents(s, dir)).orderBy(col("bands").desc)),
     // first BPE merge-round: corpus-wide adjacent char-pair frequencies
     // weighted by word occurrence - the distributed tokenizer-training step
     // apply the round-1 winner and recount: the merge iteration runs on

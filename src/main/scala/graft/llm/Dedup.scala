@@ -110,6 +110,60 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame =
     bandedPairs(minhashSignatures(docs, n, bands * rowsPerBand), bands, rowsPerBand, maxBucket)
 
+  /** LSH parameter-tuning ledger — the design table read BEFORE fixing
+    * (bands, rowsPerBand): for each way of splitting the 8-hash budget
+    * (8×1, 4×2, 2×4), the EMPIRICAL bucket profile of this corpus — how
+    * many multi-doc buckets form, the hottest bucket, and the candidate
+    * pair volume with and without the [[DefaultMaxBucket]] hot-bucket
+    * guard — next to the THEORETICAL S-curve collision probability at a
+    * reference similarity (`p = 1 − (1 − s₀ʳ)ᵇ`, evaluated by explicit
+    * left-to-right multiplication so both engines produce the identical
+    * double). More rows per band = sharper threshold but fewer, bigger
+    * buckets; this ledger shows what the trade costs on the ACTUAL
+    * corpus, where the formula alone cannot see the degenerate
+    * common-shingle keys.
+    *
+    * Scale shape: one shingle→minhash scan shared across all combos
+    * (persisted, released after use); per combo the band keys explode
+    * ×bands into a keyed count, and every output (including the pair
+    * volumes, via Σ C(g,2) on group SIZES) is arithmetic on the bucket
+    * histogram — no pair is ever materialized. */
+  def lshTuning(docs: DataFrame, n: Int = 2, totalHashes: Int = 8,
+      combos: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4)),
+      maxBucket: Int = DefaultMaxBucket, s0: Double = 0.8): DataFrame = {
+    require(combos.nonEmpty && combos.forall { case (b, r) => b * r == totalHashes },
+      s"every (bands, rowsPerBand) must multiply to $totalHashes")
+    val sigs = minhashSignatures(docs, n, totalHashes).persist()
+    val out = combos.map { case (bands, rowsPerBand) =>
+      val keys = (0 until bands).map { b =>
+        concat_ws(":", (lit(b.toString) +:
+          (0 until rowsPerBand).map(r =>
+            col(s"m${b * rowsPerBand + r}").cast("string"))): _*)
+      }
+      val groups = sigs
+        .select(explode(array(keys: _*)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("g"))
+        .filter(col("g") > 1)
+      val sCurveP = {
+        val sr = (1 to rowsPerBand).foldLeft(1.0)((acc, _) => acc * s0)
+        1.0 - (1 to bands).foldLeft(1.0)((acc, _) => acc * (1.0 - sr))
+      }
+      groups.agg(
+        count(lit(1)).as("n_buckets_multi"),
+        coalesce(max("g"), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("pairs_banded"),
+        coalesce(sum(when(col("g") <= maxBucket, expr("g * (g - 1) div 2"))
+          .otherwise(0L)), lit(0L)).as("pairs_capped"))
+        .select(
+          lit(bands.toLong).as("bands"),
+          lit(rowsPerBand.toLong).as("rows_per_band"),
+          col("n_buckets_multi"), col("max_bucket"),
+          col("pairs_banded"), col("pairs_capped"),
+          lit(sCurveP).as("p_at_s0"))
+    }.reduce(_ unionByName _)
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(sigs))
+  }
+
   /** Banded pair join over an existing signature frame — the body of
     * [[minhashCandidates]], split out so [[scalableCandidates]] can share
     * one signature computation between the band join and the star edges. */

@@ -1638,4 +1638,31 @@ class DedupSpec extends SparkSpec {
     assert(last.getLong(5) === ce + 1, "planted exact dup must raise cum_exact by 1")
     assert(last.getLong(6) === cn + 1, "planted exact dup is also a near dup")
   }
+
+  test("lshTuning: identical docs collide in every combo; S-curve monotone in r") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words here now yes"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshTuning(docs).orderBy(col("bands").desc).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("n_buckets_multi"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("pairs_banded"), r.getAs[Long]("pairs_capped"),
+        r.getAs[Double]("p_at_s0")))
+    assert(out.map(o => (o._1, o._2)).toSeq ===
+      Seq((8L, 1L), (4L, 2L), (2L, 4L)))
+    out.foreach { o =>
+      // identical signatures collide in EVERY band of every combo
+      assert(o._3 >= o._1, s"dup pair must fill every band's bucket: $o")
+      assert(o._5 >= o._1, s"banded pair count sums over bands: $o")
+      assert(o._5 === o._6, "no bucket exceeds the cap on this corpus")
+    }
+    // more rows per band -> sharper curve -> LOWER p at the reference sim
+    val ps = out.map(_._7)
+    assert(ps(0) > ps(1) && ps(1) > ps(2), s"S-curve must sharpen with r: ${ps.toSeq}")
+    // the 8x1 value is the closed form 1 - 0.2^8
+    assert(math.abs(ps(0) - (1.0 - math.pow(0.2, 8))) < 1e-12)
+  }
 }

@@ -58,7 +58,7 @@ class PlansSpec extends SparkSpec {
     "mix_temperature", "ann_semdedup_capped", "ann_pq_recall_curve",
     "events_anomaly", "quality_threshold_sweep", "vocab_coverage",
     "events_path_topk", "events_user_octaves", "cdc_lag_sla",
-    "ann_ivf_balance")
+    "ann_ivf_balance", "dedup_lsh_tuning")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -587,5 +587,11 @@ class PlansSpec extends SparkSpec {
   test("ivf balance rides the assignment path: keyed aggregates, no cartesian") {
     assert(count("ann_ivf_balance", "SortMergeJoin") === 0)
     assert(count("ann_ivf_balance", "CartesianProduct") === 0)
+  }
+
+  test("lsh tuning is bucket-histogram arithmetic: zero joins, no pair set") {
+    assert(count("dedup_lsh_tuning", "Join") === 0,
+      "pair volumes come from group sizes - no pair is ever materialized")
+    assert(count("dedup_lsh_tuning", "CartesianProduct") === 0)
   }
 }
