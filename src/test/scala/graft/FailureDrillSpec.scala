@@ -849,4 +849,63 @@ class FailureDrillSpec extends SparkSpec {
     assert(streamed === batch.filter(_._2 > 0),
       s"streamed counts $streamed != batch $batch over the union")
   }
+
+  /** Restart drill for the streaming retention twin
+    * (`Streams.retentionStream`): the per-user (cohort, marked-day) state
+    * must survive a kill — a reset would re-emit day marks the committed
+    * batches already counted (double-counted retention) or lose the
+    * cohort day entirely. Includes the pre-signup buffering edge across
+    * the crash: an activity row arrives BEFORE its user's signup, the
+    * process dies, and the signup lands after resume — the buffered day
+    * must still emit exactly once. */
+  test("restart drill: retention cohort/day state survives kill/resume") {
+    val root = Files.createTempDirectory("retention_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val dayMs = 86400000L
+    type M = (Long, Long, Long)
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[M]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("userId LONG, eventType STRING, tMs LONG").json(srcDir.getPath)
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.Streams.retentionStream(arrivals, ttlMs = 0L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.RetentionMark], _: Long) =>
+            df.collect().foreach(m =>
+              marks.add((m.userId, m.cohortDay, m.dayOffset))))
+        .start()
+    }
+    def writeRows(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        rows.map { case (u, e, t) =>
+          s"""{"userId":$u,"eventType":"$e","tMs":$t}""" }.mkString("\n"))
+    // u1 signs up day 0 and is active day 1 pre-crash; u2's view arrives
+    // pre-crash with NO signup yet (must buffer, emit nothing)
+    writeRows("b1.json", Seq(
+      (1L, "signup", 100L), (1L, "view", dayMs + 100L),
+      (2L, "view", 2 * dayMs + 100L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    val preCrash = marks.toArray(Array.empty[M]).toSeq
+    assert(preCrash.sorted === Seq((1L, 0L, 0L), (1L, 0L, 1L)),
+      s"u2 must emit nothing before its signup: $preCrash")
+    // post-resume: u1 re-active day 1 (must NOT re-emit) + new day 3;
+    // u2's signup lands, same day as the buffered view -> offset 0
+    writeRows("b2.json", Seq(
+      (1L, "view", dayMs + 500L), (1L, "view", 3 * dayMs + 100L),
+      (2L, "signup", 2 * dayMs + 200L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = marks.toArray(Array.empty[M]).toSeq.sortBy(m => (m._1, m._3))
+    assert(got.distinct.size === got.size,
+      s"no (user, day) mark may emit twice across the kill: $got")
+    assert(got === Seq((1L, 0L, 0L), (1L, 0L, 1L), (1L, 0L, 3L), (2L, 2L, 0L)),
+      s"buffered pre-signup day must emit once after resume: $got")
+  }
 }
