@@ -678,6 +678,72 @@ object Oracles {
       CAST(n_events AS DOUBLE) / te AS event_share
     FROM o, t ORDER BY octave"""
 
+  /** Last-touch attribution — mirrors `EventAnalytics.attribution`
+    * (touch types click/view): the carried-forward latest touch via
+    * `last_value(.. IGNORE NULLS)` over the preceding-rows frame; exact
+    * DECIMAL(18,2) revenue, the share one IEEE division. */
+  val eventsAttribution: String = """WITH
+    e AS (SELECT user_id, event_id, event_type, value,
+            last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+          FROM events),
+    p AS (SELECT coalesce(ch, 'direct') AS channel,
+            count(*) AS n_purchases,
+            sum(CAST(value AS DECIMAL(18,2))) AS rev
+          FROM e WHERE event_type = 'purchase' GROUP BY 1),
+    t AS (SELECT sum(rev) AS tot FROM p)
+    SELECT channel, n_purchases, CAST(rev AS DOUBLE) AS revenue,
+      CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share
+    FROM p, t ORDER BY channel"""
+
+  /** Cohort LTV triangle — mirrors `EventAnalytics.cohortLtv`: signup
+    * cohorts × week offset, DECIMAL(18,2) weekly revenue, a
+    * cohort-partitioned cumulative sum, LTV per cohort user as one
+    * division of exact numbers. */
+  val eventsCohortLtv: String = """WITH
+    c AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    w AS (SELECT c.cohort_day,
+            (epoch_ms(e.ts) // 86400000 - c.cohort_day) // 7 AS week_offset,
+            count(*) AS n_purchases,
+            sum(CAST(e.value AS DECIMAL(18,2))) AS wrev
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND epoch_ms(e.ts) // 86400000 >= c.cohort_day
+          GROUP BY 1, 2),
+    s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1),
+    m AS (SELECT cohort_day, week_offset, n_purchases, wrev,
+            sum(wrev) OVER (PARTITION BY cohort_day ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+          FROM w)
+    SELECT m.cohort_day, m.week_offset, m.n_purchases,
+      CAST(m.wrev AS DOUBLE) AS week_revenue,
+      CAST(m.crev AS DOUBLE) AS cum_revenue,
+      s.cohort_size,
+      CAST(m.crev AS DOUBLE) / s.cohort_size AS ltv_per_user
+    FROM m JOIN s USING (cohort_day)
+    ORDER BY m.cohort_day, m.week_offset"""
+
+  /** Inter-arrival gap ledger — mirrors `EventAnalytics.interarrival`:
+    * per-(user, type) consecutive gaps in ms; exact interpolating
+    * percentiles rounded to 3 on both sides, mean as one division of
+    * exact longs. */
+  val eventsInterarrival: String = """WITH
+    g AS (SELECT event_type,
+            epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY epoch_ms(ts), event_id) AS gap
+          FROM events)
+    SELECT event_type, count(*) AS n_gaps,
+      CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / count(*) AS mean_ms,
+      round(quantile_cont(gap, 0.5), 3) AS p50_ms,
+      round(quantile_cont(gap, 0.9), 3) AS p90_ms,
+      round(quantile_cont(gap, 0.99), 3) AS p99_ms
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
+
   /** Hourly-volume anomaly ledger — mirrors
     * `EventAnalytics.hourlyAnomaly` (madK = 3): exact interpolating
     * percentiles rounded to 3 decimals on both sides before the flag
@@ -2599,6 +2665,51 @@ object Oracles {
     FROM a, r, tot WHERE r.rk <= a.n_top
     GROUP BY a.n_top ORDER BY n_top"""
 
+  /** Top-20 bigram collocations by lift — mirrors
+    * `TextAnalysis.collocations` (minPairs = 5, k = 20): adjacent-pair
+    * mint from the token list, unigram type table joined twice, lift as
+    * the fixed-order IEEE chain (dbl(n_xy)·dbl(N)) / (dbl(n_x)·dbl(n_y)).
+    * DuckDB lists are 1-based where Spark arrays are 0-based — both
+    * sides index head/tail of the same split. */
+  val vocabCollocations: String = """WITH
+    d AS (SELECT string_split(text, ' ') AS l FROM documents),
+    bg AS (SELECT l[i] || ' ' || l[i + 1] AS bigram
+           FROM d, unnest(range(1, len(l))) AS t(i)),
+    bc AS (SELECT bigram, count(*) AS n_pairs FROM bg GROUP BY bigram),
+    u AS (SELECT unnest(l) AS tok FROM d),
+    uc AS (SELECT tok, count(*) AS n FROM u GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uc),
+    sc AS (SELECT bc.bigram, bc.n_pairs, x.n AS n_x, y.n AS n_y,
+             (CAST(bc.n_pairs AS DOUBLE) * CAST(tot.nn AS DOUBLE)) /
+               (CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)) AS lift
+           FROM bc, tot, uc x, uc y
+           WHERE bc.n_pairs >= 5
+             AND x.tok = string_split(bc.bigram, ' ')[1]
+             AND y.tok = string_split(bc.bigram, ' ')[2]),
+    r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rnk
+          FROM sc)
+    SELECT CAST(rnk AS BIGINT) AS rnk, bigram, n_pairs, n_x, n_y, lift
+    FROM r WHERE rnk <= 20 ORDER BY rnk"""
+
+  /** Length-distribution drift ledger — mirrors `Corpus.lengthDrift`
+    * (bucketWidth = 100, maxBucket = 9, slices = even/odd source index):
+    * integer ppm rates and absolute drift, no floats anywhere. */
+  val corpusDrift: String = """WITH
+    s AS (SELECT least(n_chars // 100, 9) AS bucket,
+            (CAST(substr(source, 4) AS BIGINT) % 2 = 0) AS a
+          FROM documents),
+    p AS (SELECT bucket,
+            count(*) FILTER (a) AS cnt_a,
+            count(*) FILTER (NOT a) AS cnt_b
+          FROM s GROUP BY bucket),
+    t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+                 CAST(sum(cnt_b) AS BIGINT) AS tb FROM p)
+    SELECT bucket, cnt_a, cnt_b,
+      cnt_a * 1000000 // ta AS ppm_a,
+      cnt_b * 1000000 // tb AS ppm_b,
+      abs(cnt_a * 1000000 // ta - cnt_b * 1000000 // tb) AS drift_ppm
+    FROM p, t ORDER BY bucket"""
+
   val textTokens: String = """
     SELECT doc_id,
       len(string_split(text, ' ')) AS ws_tokens,
@@ -3824,6 +3935,34 @@ object Oracles {
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
     ORDER BY a_id, b_id"""
 
+  /** Hamming-threshold curve — mirrors `Multimodal.phashThresholdCurve`:
+    * the same banded pair set rolled up by exact distance, cumulative
+    * count per candidate gate (exact over the whole sweep — every
+    * threshold ≤ the 8-band pigeonhole bound). */
+  val mmPhashThreshold: String = s"""WITH $phashCte,
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, j AS band,
+        CASE WHEN j < 4 THEN (phash_lo >> CAST(8 * j AS INTEGER)) & 255
+             ELSE (phash_hi >> CAST(8 * (j - 4) AS INTEGER)) & 255 END AS band_val
+      FROM ph, unnest(range(0, 8)) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.phash_hi AS a_hi, a.phash_lo AS a_lo,
+        b.phash_hi AS b_hi, b.phash_lo AS b_lo
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    d AS (
+      SELECT CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+        AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7),
+    p AS (SELECT hamming AS threshold, count(*) AS n_at FROM d GROUP BY 1)
+    SELECT threshold, n_at,
+      CAST(sum(n_at) OVER (ORDER BY threshold
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_pairs_le
+    FROM p ORDER BY threshold"""
+
   /** Matryoshka truncation sweep — mirrors `Similarity.matryoshkaRecall`:
     * per candidate width d, cosine over the first d dims (same
     * left-to-right fold), top-5 per query, pooled hits vs the full-width
@@ -3944,6 +4083,12 @@ object Oracles {
     "events_anomaly" -> eventsAnomaly,
     "events_path_topk" -> eventsPathTopK,
     "events_user_octaves" -> eventsUserOctaves,
+    "events_attribution" -> eventsAttribution,
+    "events_cohort_ltv" -> eventsCohortLtv,
+    "events_interarrival" -> eventsInterarrival,
+    "vocab_collocations" -> vocabCollocations,
+    "corpus_drift" -> corpusDrift,
+    "mm_phash_threshold" -> mmPhashThreshold,
     "cdc_lag_sla" -> cdcLagSla,
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "vocab_coverage" -> vocabCoverage,

@@ -473,6 +473,21 @@ object SparkEntry {
     "events_user_octaves" -> ((s, dir) =>
       graft.operators.EventAnalytics.userActivityOctaves(Tables.events(s, dir))
         .orderBy("octave")),
+    // last-touch revenue attribution: purchases credited to the most
+    // recent prior click/view on the same user's timeline
+    "events_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(Tables.events(s, dir))
+        .orderBy("channel")),
+    // cohort LTV triangle: signup cohorts x week offset, exact decimal
+    // revenue with a cohort-partitioned cumulative sum
+    "events_cohort_ltv" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortLtv(Tables.events(s, dir))
+        .orderBy("cohort_day", "week_offset")),
+    // per-type inter-arrival gap ledger: count, mean, exact interpolating
+    // p50/p90/p99 (the cadence table behind session-timeout tuning)
+    "events_interarrival" -> ((s, dir) =>
+      graft.operators.EventAnalytics.interarrival(Tables.events(s, dir))
+        .orderBy("event_type")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -644,6 +659,10 @@ object SparkEntry {
     // top-N vocabulary token-coverage curve: the tokenizer budget question
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir)).orderBy("n_top")),
+    // top-20 bigram collocations by pointwise lift (transcendental-free
+    // PMI ordering): the merge-candidate / templated-phrase miner
+    "vocab_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir)).orderBy("rnk")),
     // LSH (bands x rows) design ledger: empirical bucket profile + pair
     // volumes (from group sizes - no pair materialized) + S-curve p
     "dedup_lsh_tuning" -> ((s, dir) =>
@@ -983,6 +1002,10 @@ object SparkEntry {
     "corpus_funnel_order" -> ((s, dir) =>
       Corpus.funnelOrder(Tables.documents(s, dir),
         Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("source")),
+    // length-distribution drift between even/odd source slices: per
+    // bucket integer ppm rates and absolute drift (the shift pager)
+    "corpus_drift" -> ((s, dir) =>
+      Corpus.lengthDrift(Tables.documents(s, dir)).orderBy("bucket")),
 
     // ------------------------------------------------ multimodal plumbing
     "mm_binary_meta" -> ((s, dir) =>
@@ -1003,6 +1026,12 @@ object SparkEntry {
       Multimodal.phashDups(
         Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir))))
         .orderBy("a_id", "b_id")),
+    // Hamming threshold sweep over the verified pair set: exact to d=7 by
+    // the pigeonhole band bound, an 8-row rollup on top of the same join
+    "mm_phash_threshold" -> ((s, dir) =>
+      Multimodal.phashThresholdCurve(
+        Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir))))
+        .orderBy("threshold")),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

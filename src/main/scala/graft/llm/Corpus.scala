@@ -388,4 +388,44 @@ object Corpus {
         count(when(col("_dup"), 1)).as("n_dup_docs"),
         (count(when(col("_dup"), 1)).cast("double") / count(lit(1))).as("dup_frac"))
   }
+
+  /** Length-distribution drift ledger — the corpus-health check run when
+    * two slices of a feed should look alike (today vs yesterday, source
+    * group A vs B): documents bucketed by length (fixed `bucketWidth`-char
+    * buckets, top bucket open), each slice's per-bucket rate in parts per
+    * million, and the absolute ppm drift. A bucket whose drift exceeds a
+    * few thousand ppm is the distribution-shift page. Here the two slices
+    * are the even- and odd-indexed sources — the split a crawler rotation
+    * produces naturally.
+    *
+    * Exactness contract: integer end-to-end — counts are longs and the
+    * ppm rate is `cnt * 1000000 div total` (exact while the slice holds
+    * < 9.2e12 docs — Long.MaxValue/1e6; a 100 TB corpus at ~1e11-1e12
+    * docs is inside the bound). No floats anywhere, so the drift ranking
+    * is bit-stable.
+    *
+    * Shape: ONE corpus pass collapsing to a ≤ maxBuckets × 2 frame
+    * (map-side combine on (bucket, slice)), then 1-row totals broadcast.
+    * Pivot to the a/b columns happens on the bounded frame. */
+  def lengthDrift(docs: DataFrame, bucketWidth: Long = 100L,
+      maxBucket: Long = 9L): DataFrame = {
+    val sliced = docs.select(
+      least(expr(s"n_chars div $bucketWidth"), lit(maxBucket)).as("bucket"),
+      (expr("CAST(substring(source, 4) AS BIGINT)") % 2 === 0).as("_a"))
+    // persist the ≤ maxBuckets+1-row frame: the totals read it too, and
+    // without the cache the corpus scan re-expands once per consumer
+    val perBucket = sliced.groupBy("bucket")
+      .agg(count(when(col("_a"), 1)).as("cnt_a"),
+        count(when(!col("_a"), 1)).as("cnt_b"))
+      .persist()
+    val totals = perBucket.agg(
+      sum("cnt_a").as("_ta"), sum("cnt_b").as("_tb"))
+    val out = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        expr("cnt_a * 1000000L div _ta").as("ppm_a"),
+        expr("cnt_b * 1000000L div _tb").as("ppm_b"),
+        abs(expr("cnt_a * 1000000L div _ta") -
+          expr("cnt_b * 1000000L div _tb")).as("drift_ppm"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perBucket))
+  }
 }

@@ -267,4 +267,26 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Hamming-threshold tuning curve for the image near-dup join — per
+    * candidate threshold d ∈ [0, 7]: how many pairs sit EXACTLY at
+    * distance d and how many a `hamming ≤ d` gate would merge. The
+    * image-side twin of the text dedup threshold curve — the evidence
+    * for picking [[phashDups]]' cutoff instead of guessing it.
+    *
+    * Recall is exact over the whole sweep because every threshold is ≤
+    * the 8-band pigeonhole bound: the banded join already surfaces ALL
+    * pairs at distance ≤ 7, so the curve is a ≤ 8-row rollup of the
+    * verified pair set — one extra aggregate on top of the join, never a
+    * second pass over the corpus. The cumulative count is minted on the
+    * bounded 8-row frame ([[graft.operators.BoundedWindow.cumulative]] —
+    * no Window operator). */
+  def phashThresholdCurve(hashes: DataFrame): DataFrame = {
+    val byDistance = phashDups(hashes, maxHamming = 7)
+      .groupBy(col("hamming").as("threshold"))
+      .agg(count(lit(1)).as("n_at"))
+    graft.operators.BoundedWindow.cumulative(byDistance,
+      struct(col("threshold")), Seq("n_at" -> "n_pairs_le"), None)
+      .select("threshold", "n_at", "n_pairs_le")
+  }
 }

@@ -711,4 +711,53 @@ object TextAnalysis {
         (col("n_types").cast("double") / col("_tot_types")).as("type_share"),
         (col("n_tokens").cast("double") / col("_tot_tokens")).as("token_share"))
   }
+
+  /** Top-k collocations by pointwise lift — the bigram-mining query a
+    * tokenizer team runs before choosing merge candidates and a
+    * boilerplate hunt runs to find templated phrases: for every adjacent
+    * token pair occurring ≥ `minPairs` times, lift = P(xy)/(P(x)·P(y))
+    * computed as the fixed-order IEEE chain
+    * `(double(n_xy) · double(N)) / (double(n_x) · double(n_y))` — exact
+    * integer counts, each factor cast to double BEFORE multiplying so
+    * nothing overflows at any corpus size, one multiply per side and one
+    * division, identical bits on any engine (the transcendental-free
+    * discipline of [[tfidfTopK]]: lift orders pairs the same way PMI
+    * does, without the log).
+    *
+    * Shape: bigrams mint per-document from the token array via
+    * `zip_with` over two slices (a codegen'd higher-order function — no
+    * window, no self-join, no per-doc explode beyond the pair list
+    * itself), collapse to a bigram-type table with map-side combine, and
+    * join the unigram type table twice (type-keyed — vocabulary
+    * cardinality, not corpus size, crosses the wire). Top-k is a
+    * TakeOrdered heap; the rank is minted on the k-row result
+    * ([[graft.operators.BoundedWindow.cumulative]]). */
+  def collocations(docs: DataFrame, minPairs: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val arr = docs.select(split(col("text"), " ").as("_a"))
+    val bigrams = arr.filter(size(col("_a")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(_a, 1, size(_a) - 1), slice(_a, 2, size(_a) - 1)," +
+          " (x, y) -> concat(x, ' ', y))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pairs"))
+    val uni = arr.select(explode(col("_a")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum("n").as("_n"))
+    val scored = bigrams.filter(col("n_pairs") >= minPairs)
+      .withColumn("_x", expr("split(bigram, ' ')[0]"))
+      .withColumn("_y", expr("split(bigram, ' ')[1]"))
+      .join(uni.select(col("tok").as("_x"), col("n").as("n_x")), Seq("_x"))
+      .join(uni.select(col("tok").as("_y"), col("n").as("n_y")), Seq("_y"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_pairs"), col("n_x"), col("n_y"),
+        ((col("n_pairs").cast("double") * col("_n").cast("double")) /
+          (col("n_x").cast("double") * col("n_y").cast("double"))).as("lift"))
+    val top = scored
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+    graft.operators.BoundedWindow.cumulative(top,
+      struct((-col("lift")).as("_nl"), col("bigram")),
+      Seq.empty, Some("rnk"))
+      .select("rnk", "bigram", "n_pairs", "n_x", "n_y", "lift")
+  }
 }

@@ -207,6 +207,129 @@ object EventAnalytics {
         (col("dau").cast("double") / col("wau")).as("stickiness"))
   }
 
+  /** Last-touch revenue attribution — every purchase is credited to the
+    * most recent PRIOR touch event (click/view by default) on the same
+    * user's timeline; purchases with no prior touch are `direct`. Returns
+    * one row per channel with the purchase count, attributed revenue and
+    * revenue share — the marketing-spend table of an events warehouse.
+    *
+    * Exactness contract: revenue sums in DECIMAL(18,2) (exact — `value`
+    * is 2-decimal money) and only the final projection casts to DOUBLE;
+    * the share is ONE IEEE division of two exactly-summed decimals, so
+    * both engines produce identical bits.
+    *
+    * Shape: one user-partitioned `last(..ignoreNulls) over rows(-∞,-1)`
+    * window carries the latest touch forward (distributed — each user's
+    * timeline is its own partition slice, the same partitioning as
+    * [[transitions]]); purchases then collapse to a |channels|-cardinality
+    * aggregate with map-side combine, and the share total broadcasts. */
+  def attribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touched = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"),
+        col("event_type"), col("value"))
+      .withColumn("_ch",
+        last(when(col("event_type").isin(touchTypes: _*), col("event_type")),
+          ignoreNulls = true).over(w))
+    // persist the |channels|-row ledger: the share total reads it too, and
+    // without the cache the windowed corpus scan re-expands once per
+    // consumer (the funnel's CacheLifecycle pattern)
+    val perChannel = touched.filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("_ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).as("_rev"))
+      .persist()
+    val total = perChannel.agg(sum("_rev").as("_tot"))
+    val out = perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_purchases"),
+        col("_rev").cast("double").as("revenue"),
+        (col("_rev").cast("double") / col("_tot").cast("double"))
+          .as("revenue_share"))
+    CacheLifecycle.releaseAfterUse(out, Seq(perChannel))
+  }
+
+  /** Cohort lifetime-value triangle — signup cohorts (first-signup day) ×
+    * weeks since signup: purchase count, exact weekly revenue, the
+    * running cumulative revenue, and cumulative LTV per cohort user. The
+    * money twin of [[retention]].
+    *
+    * Exactness contract: revenue in DECIMAL(18,2) end-to-end; the
+    * cumulative sum is a cohort-PARTITIONED window over the
+    * calendar-bounded (cohort, week) frame (≤ days × weeks rows — a
+    * partitioned cumsum, never an unpartitioned window); `ltv_per_user`
+    * is one IEEE division of exact numbers.
+    *
+    * Shape: one per-user cohort aggregate (user cardinality), one keyed
+    * join of purchases to cohorts (user-keyed, map-side collapse to the
+    * (cohort, week) matrix before the second shuffle), cohort sizes
+    * broadcast. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    // cohorts feed both the purchase join and the size rollup — persist
+    // the user-cardinality frame so the signup scan runs once
+    val cohorts = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), day.as("_d"))
+      .groupBy("user_id").agg(min("_d").as("cohort_day"))
+      .persist()
+    val weekly = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), day.as("_pd"),
+        col("value").cast("decimal(18,2)").as("_v"))
+      .join(cohorts, "user_id")
+      .filter(col("_pd") >= col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        expr("(_pd - cohort_day) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum("_v").as("_wrev"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_day").orderBy("week_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    val out = weekly
+      .withColumn("_crev", sum("_wrev").over(cum))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("week_offset"), col("n_purchases"),
+        col("_wrev").cast("double").as("week_revenue"),
+        col("_crev").cast("double").as("cum_revenue"),
+        col("cohort_size"),
+        (col("_crev").cast("double") / col("cohort_size"))
+          .as("ltv_per_user"))
+    CacheLifecycle.releaseAfterUse(out, Seq(cohorts))
+  }
+
+  /** Inter-arrival gap ledger — per event type, the distribution of gaps
+    * (ms) between CONSECUTIVE events of that type on one user's timeline:
+    * count, mean, and exact interpolating p50/p90/p99. The cadence table
+    * behind rate-limit tuning and session-timeout selection.
+    *
+    * Exactness contract: gaps are exact longs (ms); the mean is ONE IEEE
+    * division of two exact longs; the percentiles are exact interpolating
+    * `percentile` (≡ DuckDB `quantile_cont`) rounded to 3 decimals on
+    * both sides — the established lag-percentile parity pattern.
+    *
+    * Shape: one (user, type)-partitioned `lag` window (distributed; the
+    * partition key is FINER than [[transitions]]' so skew is strictly
+    * smaller), then a |types|-cardinality aggregate. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("_t"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"), col("event_type"))
+      .withColumn("_gap", col("_t") - lag("_t", 1).over(w))
+      .filter(col("_gap").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("_gap").as("_sum"),
+        round(expr("percentile(_gap, 0.5)"), 3).as("p50_ms"),
+        round(expr("percentile(_gap, 0.9)"), 3).as("p90_ms"),
+        round(expr("percentile(_gap, 0.99)"), 3).as("p99_ms"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("_sum").cast("double") / col("n_gaps")).as("mean_ms"),
+        col("p50_ms"), col("p90_ms"), col("p99_ms"))
+  }
+
   /** Cohort retention matrix — users grouped by their first-signup day;
     * for each (cohort day, day offset ≥ 0) the count and fraction of the
     * cohort active (any event) that day. The classic triangle table,

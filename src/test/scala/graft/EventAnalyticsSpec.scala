@@ -37,6 +37,73 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 0L, 0L))
   }
 
+  // fixtures for the operators that read event_id (tie-break order) and value
+  private def evId(rows: Seq[(Long, Long, String, Long, Double)]) =
+    rows.map { case (id, u, ty, tms, v) => (id, u, ty, tms * 1000000L, v, "p") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+
+  test("attribution: last prior touch wins; no prior touch is direct") {
+    val events = evId(Seq(
+      (1L, 1L, "purchase", 100L, 10.0),                  // before any touch
+      (2L, 1L, "click", 200L, 0.0),
+      (3L, 1L, "view", 300L, 0.0),
+      (4L, 1L, "purchase", 400L, 5.5),                   // view is latest
+      (5L, 2L, "click", 100L, 0.0),
+      (6L, 2L, "error", 150L, 0.0),                      // not a touch type
+      (7L, 2L, "purchase", 200L, 4.5)))                  // still the click
+    val out = EventAnalytics.attribution(events).orderBy("channel").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_purchases"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("revenue_share")))
+    assert(out.toSeq === Seq(
+      ("click", 1L, 4.5, 4.5 / 20.0),
+      ("direct", 1L, 10.0, 10.0 / 20.0),
+      ("view", 1L, 5.5, 5.5 / 20.0)))
+  }
+
+  test("attribution: a purchase at the exact touch timestamp is NOT credited" +
+      " to it (strictly-prior frame, event_id breaks the tie)") {
+    val events = evId(Seq(
+      (1L, 1L, "click", 100L, 0.0),
+      (2L, 1L, "purchase", 100L, 3.0)))  // same ms; click has the lower id
+    val out = EventAnalytics.attribution(events).collect()
+    assert(out.map(r => (r.getAs[String]("channel"),
+      r.getAs[Long]("n_purchases"))).toSeq === Seq(("click", 1L)))
+  }
+
+  test("cohort LTV: weekly revenue, cumulative, and per-user division") {
+    val day = 86400000L
+    val events = evId(Seq(
+      (1L, 1L, "signup", 0L, 0.0),
+      (2L, 2L, "signup", 10L, 0.0),                       // same cohort day 0
+      (3L, 1L, "purchase", day, 10.0),                    // week 0
+      (4L, 1L, "purchase", 8 * day, 2.5),                 // week 1
+      (5L, 2L, "purchase", 9 * day, 1.5),                 // week 1
+      (6L, 3L, "purchase", day, 99.0)))                   // no cohort — dropped
+    val out = EventAnalytics.cohortLtv(events)
+      .orderBy("cohort_day", "week_offset").collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_purchases"), r.getAs[Double]("week_revenue"),
+        r.getAs[Double]("cum_revenue"), r.getAs[Long]("cohort_size"),
+        r.getAs[Double]("ltv_per_user")))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L, 10.0, 10.0, 2L, 5.0),
+      (0L, 1L, 2L, 4.0, 14.0, 2L, 7.0)))
+  }
+
+  test("interarrival: gaps pair consecutive events of the SAME type and user") {
+    val events = evId(Seq(
+      (1L, 1L, "click", 100L, 0.0),
+      (2L, 1L, "view", 150L, 0.0),    // interleaved other type — no gap break
+      (3L, 1L, "click", 300L, 0.0),   // click gap 200
+      (4L, 1L, "click", 400L, 0.0),   // click gap 100
+      (5L, 2L, "click", 1000L, 0.0))) // different user — no cross-user gap
+    val out = EventAnalytics.interarrival(events).orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_ms"), r.getAs[Double]("p50_ms")))
+    // clicks: gaps {200, 100} -> mean 150, p50 150; views: single event, no gap
+    assert(out.toSeq === Seq(("click", 2L, 150.0, 150.0)))
+  }
+
   test("retention: triangle counts activity on/after the signup day only") {
     val day = 86400000L
     val events = ev(Seq(

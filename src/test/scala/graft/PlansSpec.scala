@@ -58,7 +58,9 @@ class PlansSpec extends SparkSpec {
     "mix_temperature", "ann_semdedup_capped", "ann_pq_recall_curve",
     "events_anomaly", "quality_threshold_sweep", "vocab_coverage",
     "events_path_topk", "events_user_octaves", "cdc_lag_sla",
-    "ann_ivf_balance", "dedup_lsh_tuning")
+    "ann_ivf_balance", "dedup_lsh_tuning",
+    "events_attribution", "events_cohort_ltv", "events_interarrival",
+    "vocab_collocations", "corpus_drift", "mm_phash_threshold")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -593,5 +595,57 @@ class PlansSpec extends SparkSpec {
     assert(count("dedup_lsh_tuning", "Join") === 0,
       "pair volumes come from group sizes - no pair is ever materialized")
     assert(count("dedup_lsh_tuning", "CartesianProduct") === 0)
+  }
+
+  test("attribution: one user-partitioned window, channel agg, totals broadcast") {
+    // the windowed corpus pass materializes once: BOTH consumers (the
+    // output projection and the revenue total) read the cached channel
+    // ledger — the InMemoryRelation prints its Window child per consumer,
+    // so the structural claim is cache reads, not text scan counts
+    assert(count("events_attribution", "InMemoryTableScan") >= 2,
+      "output and share total must both read the cached channel ledger")
+    assert(count("events_attribution", "SortMergeJoin") === 0)
+    assert(count("events_attribution", "BroadcastNestedLoopJoin") === 1,
+      "only the 1-row revenue total may nested-loop broadcast")
+    assert(plans("events_attribution").contains("windowspecdefinition(user_id"),
+      "the carried-touch window must be user-partitioned")
+  }
+
+  test("cohort LTV: cumsum window is cohort-PARTITIONED; sizes broadcast") {
+    assert(plans("events_cohort_ltv").contains("Window"),
+      "the cumulative revenue rides a window")
+    assert(plans("events_cohort_ltv").contains("windowspecdefinition(cohort_day"),
+      "the cumsum window must carry the cohort partition spec")
+    assert(count("events_cohort_ltv", "BroadcastHashJoin") >= 1,
+      "cohort sizes must broadcast")
+    assert(count("events_cohort_ltv", "InMemoryTableScan") >= 2,
+      "purchase join and size rollup must both read the cached cohorts")
+  }
+
+  test("interarrival: (user,type)-partitioned lag, |types|-row aggregate") {
+    assert(count("events_interarrival", "Window") === 1)
+    assert(count("events_interarrival", "Join") === 0,
+      "gaps collapse straight to the per-type ledger — no join anywhere")
+  }
+
+  test("collocations: HOF bigram mint — no window over the corpus, " +
+      "TakeOrdered top-k, rank on the bounded frame") {
+    assert(count("vocab_collocations", "Window") === 0,
+      "bigrams come from zip_with slices, the rank from BoundedWindow")
+    assert(plans("vocab_collocations").contains("TakeOrderedAndProject"))
+    assert(count("vocab_collocations", "CartesianProduct") === 0)
+  }
+
+  test("corpus drift is ONE corpus pass: bucket agg + 1-row totals broadcast") {
+    assert(count("corpus_drift", "InMemoryTableScan") >= 2,
+      "output and totals must both read the cached bucket frame")
+    assert(count("corpus_drift", "BroadcastNestedLoopJoin") === 1)
+    assert(count("corpus_drift", "SortMergeJoin") === 0)
+  }
+
+  test("phash threshold curve adds only a rollup to the banded dup join") {
+    assert(count("mm_phash_threshold", "Window") === 0,
+      "the cumulative count is minted on the bounded 8-row frame")
+    assert(count("mm_phash_threshold", "CartesianProduct") === 0)
   }
 }
