@@ -596,6 +596,93 @@ object Oracles {
         AS conv_from_first
     FROM n ORDER BY step"""
 
+  /** Windowed funnel — mirrors `EventAnalytics.funnel(maxGapMs = 7d)`:
+    * the same first-touch chain with an upper bound per step. */
+  val eventsFunnelWindowed: String = """WITH
+    s0 AS (SELECT user_id, min(epoch_ms(ts)) AS c0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS c1
+           FROM events e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s0.c0
+             AND epoch_ms(e.ts) <= s0.c0 + 604800000
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS c2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.c1
+             AND epoch_ms(e.ts) <= s1.c1 + 604800000
+           GROUP BY e.user_id),
+    n AS (
+      SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        (SELECT count(*) FROM s0) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s1)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s2))
+    SELECT step, step_name, n_users,
+      CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step), n_users) = 0
+           THEN 0.0
+           ELSE CAST(n_users AS DOUBLE) /
+             coalesce(lag(n_users) OVER (ORDER BY step), n_users) END
+        AS conv_from_prev,
+      CASE WHEN (SELECT n_users FROM n WHERE step = 1) = 0 THEN 0.0
+           ELSE CAST(n_users AS DOUBLE) /
+             (SELECT n_users FROM n WHERE step = 1) END
+        AS conv_from_first
+    FROM n ORDER BY step"""
+
+  /** RFM segmentation — mirrors `EventAnalytics.rfm` (cuts 7/30 days,
+    * 10/3 purchases, 100.00/10.00 money): exact DECIMAL comparisons,
+    * integer scores, string segment. */
+  val eventsRfm: String = """WITH
+    r AS (SELECT max(epoch_ms(ts) // 86400000) AS ref FROM events),
+    p AS (SELECT user_id, max(epoch_ms(ts) // 86400000) AS last_d,
+            count(*) AS frequency,
+            sum(CAST(value AS DECIMAL(18,2))) AS m
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    s AS (SELECT user_id, r.ref - last_d AS recency_days, frequency,
+            CAST(m AS DOUBLE) AS monetary,
+            CASE WHEN r.ref - last_d <= 7 THEN 3
+                 WHEN r.ref - last_d <= 30 THEN 2 ELSE 1 END AS r_score,
+            CASE WHEN frequency >= 10 THEN 3
+                 WHEN frequency >= 3 THEN 2 ELSE 1 END AS f_score,
+            CASE WHEN m >= 100.00 THEN 3
+                 WHEN m >= 10.00 THEN 2 ELSE 1 END AS m_score
+          FROM p, r)
+    SELECT user_id, recency_days, frequency, monetary,
+      CAST(r_score AS BIGINT) AS r_score,
+      CAST(f_score AS BIGINT) AS f_score,
+      CAST(m_score AS BIGINT) AS m_score,
+      CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        CAST(m_score AS VARCHAR) AS segment
+    FROM s ORDER BY user_id"""
+
+  /** Session-scoped conversion — mirrors `Sessions.sessionFunnel`
+    * (gap 28800000 ms, view → purchase): the established lag/cumsum
+    * sessionization CTE, one conditional aggregate per session
+    * (existence = max purchase t > min view t), 1-row rollup. */
+  val eventsSessionFunnel: String = """WITH
+    e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+    o AS (SELECT user_id, t, event_type,
+            CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 28800000
+                 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (SELECT user_id, t, event_type,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    per AS (SELECT user_id, sid,
+              min(CASE WHEN event_type = 'view' THEN t END) AS ff,
+              max(CASE WHEN event_type = 'purchase' THEN t END) AS lt
+            FROM s GROUP BY 1, 2)
+    SELECT count(*) AS n_sessions,
+      count(ff) AS n_with_from,
+      count(CASE WHEN lt > ff THEN 1 END) AS n_converted,
+      CASE WHEN count(*) = 0 THEN 0.0
+           ELSE CAST(count(ff) AS DOUBLE) / count(*) END AS from_rate,
+      CASE WHEN count(ff) = 0 THEN 0.0
+           ELSE CAST(count(CASE WHEN lt > ff THEN 1 END) AS DOUBLE) /
+             count(ff) END AS conversion_rate
+    FROM per"""
+
   /** Cohort retention matrix — mirrors `EventAnalytics.retention`. */
   val eventsRetention: String = """WITH
     c AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
@@ -4086,6 +4173,9 @@ object Oracles {
     "events_attribution" -> eventsAttribution,
     "events_cohort_ltv" -> eventsCohortLtv,
     "events_interarrival" -> eventsInterarrival,
+    "events_funnel_windowed" -> eventsFunnelWindowed,
+    "events_rfm" -> eventsRfm,
+    "events_session_funnel" -> eventsSessionFunnel,
     "vocab_collocations" -> vocabCollocations,
     "corpus_drift" -> corpusDrift,
     "mm_phash_threshold" -> mmPhashThreshold,

@@ -478,6 +478,19 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) =>
       graft.operators.EventAnalytics.attribution(Tables.events(s, dir))
         .orderBy("channel")),
+    // windowed funnel: each step must land within 7 days of the previous
+    // step's first completion (same plan shape, an upper bound added)
+    "events_funnel_windowed" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, dir),
+        maxGapMs = Some(604800000L)).orderBy("step")),
+    // RFM segmentation: fixed integer-exact cutoffs, 1-row ref broadcast
+    "events_rfm" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rfm(Tables.events(s, dir))
+        .orderBy("user_id")),
+    // within-session view->purchase conversion: ONE session-window
+    // conditional aggregate + a 1-row rollup (existence = max > min)
+    "events_session_funnel" -> ((s, dir) =>
+      graft.operators.Sessions.sessionFunnel(Tables.events(s, dir))),
     // cohort LTV triangle: signup cohorts x week offset, exact decimal
     // revenue with a cohort-partitioned cumulative sum
     "events_cohort_ltv" -> ((s, dir) =>

@@ -28,9 +28,15 @@ object EventAnalytics {
     * already-materialized stage instead of replaying the chain. No
     * per-user ordered scan anywhere: first-touch semantics only ever
     * need the per-stage minimum after a threshold, which is an
-    * aggregate, not a traversal. */
+    * aggregate, not a traversal.
+    *
+    * `maxGapMs`: when set, each step must also land WITHIN that many ms
+    * of the previous step's first completion (the "converts within N
+    * days" windowed-funnel contract) — an upper bound added to the same
+    * filter; the plan shape does not change. */
   def funnel(events: DataFrame,
-      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      maxGapMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty)
     val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var prev = events.filter(col("event_type") === steps.head)
@@ -39,10 +45,16 @@ object EventAnalytics {
       .persist()
     stages += prev
     for (i <- 1 until steps.length) {
+      // windowed form: the step must land within maxGapMs of the previous
+      // step's FIRST completion (the "converts within N days" contract) —
+      // an upper bound on the same first-touch filter, nothing else moves
+      val within = maxGapMs
+        .map(g => col(s"_t$i") <= col(s"_c${i - 1}") + g)
+        .getOrElse(lit(true))
       val r = events.filter(col("event_type") === steps(i))
         .select(col("user_id"), tMs.as(s"_t$i"))
         .join(prev, "user_id")
-        .filter(col(s"_t$i") > col(s"_c${i - 1}"))
+        .filter(col(s"_t$i") > col(s"_c${i - 1}") && within)
         .groupBy("user_id").agg(min(s"_t$i").as(s"_c$i"))
         .persist()
       stages += r
@@ -328,6 +340,52 @@ object EventAnalytics {
       .select(col("event_type"), col("n_gaps"),
         (col("_sum").cast("double") / col("n_gaps")).as("mean_ms"),
         col("p50_ms"), col("p90_ms"), col("p99_ms"))
+  }
+
+  /** RFM segmentation — the classic customer-value table: per user with
+    * ≥ 1 purchase, Recency (days since last purchase, against the
+    * feed's max event day as the reference "now"), Frequency (purchase
+    * count) and Monetary (exact DECIMAL(18,2) revenue), each scored
+    * 1..3 on fixed thresholds and concatenated into the segment label
+    * ("333" = best). Fixed thresholds rather than ntile quantiles by
+    * design: quantile scoring needs a GLOBAL sort over all users (the
+    * unpartitioned-window shape this repo reserves for
+    * [[graft.cdc.GlobalOrder]]) and makes every score depend on every
+    * other user; fixed cutoffs are integer-exact, embarrassingly
+    * parallel, and stable across runs — the segmentation a 100 TB
+    * pipeline can actually recompute incrementally.
+    *
+    * Shape: one user-keyed conditional aggregate (map-side combine), a
+    * 1-row reference-day broadcast, scoring in the projection. */
+  def rfm(events: DataFrame,
+      recencyCuts: (Long, Long) = (7L, 30L),
+      frequencyCuts: (Long, Long) = (10L, 3L),
+      monetaryCuts: (String, String) = ("100.00", "10.00")): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val refDay = events.agg(max(day).as("_ref"))
+    val perUser = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), day.as("_d"),
+        col("value").cast("decimal(18,2)").as("_v"))
+      .groupBy("user_id")
+      .agg(max("_d").as("_last"), count(lit(1)).as("frequency"),
+        sum("_v").as("_m"))
+    perUser.crossJoin(broadcast(refDay))
+      .select(
+        col("user_id"),
+        (col("_ref") - col("_last")).as("recency_days"),
+        col("frequency"),
+        col("_m").cast("double").as("monetary"),
+        when(col("_ref") - col("_last") <= recencyCuts._1, 3L)
+          .when(col("_ref") - col("_last") <= recencyCuts._2, 2L)
+          .otherwise(1L).as("r_score"),
+        when(col("frequency") >= frequencyCuts._1, 3L)
+          .when(col("frequency") >= frequencyCuts._2, 2L)
+          .otherwise(1L).as("f_score"),
+        when(col("_m") >= lit(monetaryCuts._1).cast("decimal(18,2)"), 3L)
+          .when(col("_m") >= lit(monetaryCuts._2).cast("decimal(18,2)"), 2L)
+          .otherwise(1L).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
   /** Cohort retention matrix — users grouped by their first-signup day;

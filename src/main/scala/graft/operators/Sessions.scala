@@ -38,4 +38,48 @@ object Sessions {
         unix_millis(col("_w.start")).as("session_start"),
         unix_millis(col("_w.end")).as("session_end"),
         col("n_events"))
+
+  /** Session-scoped conversion ledger — "of all sessions, how many saw a
+    * `fromType`, and how many of those converted to a `toType` strictly
+    * AFTER the session's first `fromType`?" — the within-visit funnel a
+    * product team reads next to the all-time
+    * [[graft.operators.EventAnalytics.funnel]].
+    *
+    * Existence of a conversion needs no traversal: a purchase after the
+    * session's first view exists iff `max(purchase time) > min(view
+    * time)` within the session — so the WHOLE question collapses into
+    * ONE (user, session_window)-keyed conditional aggregate (the same
+    * single shuffle [[sessionize]] costs) plus a 1-row rollup with two
+    * exact-long divisions. No joins, no per-session subqueries.
+    *
+    * Times stay epoch-ms BIGINTs; the rates are single IEEE divisions of
+    * exact longs. */
+  def sessionFunnel(events: DataFrame, gapMs: Long = 28800000L,
+      fromType: String = "view", toType: String = "purchase"): DataFrame = {
+    val perSession = events
+      .select(
+        col("user_id"),
+        timestamp_millis(expr("ts div 1000000")).as("_t"),
+        col("event_type"))
+      .groupBy(
+        col("user_id"),
+        session_window(col("_t"), s"$gapMs milliseconds").as("_w"))
+      .agg(
+        min(when(col("event_type") === fromType, unix_millis(col("_t"))))
+          .as("_first_from"),
+        max(when(col("event_type") === toType, unix_millis(col("_t"))))
+          .as("_last_to"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("_first_from")).as("n_with_from"),
+      count(when(col("_last_to") > col("_first_from"), 1)).as("n_converted"))
+      .select(
+        col("n_sessions"), col("n_with_from"), col("n_converted"),
+        when(col("n_sessions") === 0, lit(0.0))
+          .otherwise(col("n_with_from").cast("double") / col("n_sessions"))
+          .as("from_rate"),
+        when(col("n_with_from") === 0, lit(0.0))
+          .otherwise(col("n_converted").cast("double") / col("n_with_from"))
+          .as("conversion_rate"))
+  }
 }

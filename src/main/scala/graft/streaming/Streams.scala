@@ -951,4 +951,78 @@ object Streams {
           }
         })
   }
+
+  /** An attributed purchase on the stream: `userId` bought for
+    * `valueTicks` (value × 100, exact money) at `tMs`, credited to
+    * `channel` — the latest prior touch type, or "direct". Summing
+    * (count, ticks) per channel over the emitted stream equals the batch
+    * [[graft.operators.EventAnalytics.attribution]] ledger (ticks / 100
+    * = the DECIMAL(18,2) revenue) at any point in time. */
+  case class AttributionOut(
+      userId: Long, channel: String, valueTicks: Long, tMs: Long)
+
+  /** An attribution event: id for the (tMs, eventId) total order, type,
+    * time, and value in integer ticks (×100). */
+  case class AttrIn(eventId: Long, userId: Long, eventType: String,
+      tMs: Long, valueTicks: Long)
+
+  /** One attribution step for a batch of same-user events — shared fold
+    * of [[attributionStream]] and its tests. Events process in
+    * (tMs, eventId) order (the batch window's total order): a touch
+    * updates the carried channel, a purchase emits credited to the
+    * carried channel BEFORE this event — exactly the batch form's
+    * rows-(-∞,-1) frame, so a purchase tying a touch's timestamp is
+    * credited iff the touch's eventId is lower. Chopped == one-shot on
+    * ordered arrivals ([[funnelFold]] contract). */
+  def attributionFold(
+      userId: Long,
+      touchTypes: Set[String],
+      start: Option[LastEvent],
+      incoming: Seq[AttrIn]): (Option[LastEvent], Seq[AttributionOut]) = {
+    var lastTouch = start
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+    incoming.sortBy(e => (e.tMs, e.eventId)).foreach { e =>
+      if (e.eventType == "purchase")
+        out += AttributionOut(userId,
+          lastTouch.map(_.eventType).getOrElse("direct"), e.valueTicks, e.tMs)
+      if (touchTypes.contains(e.eventType))
+        lastTouch = Some(LastEvent(e.eventType, e.tMs, e.eventId))
+    }
+    (lastTouch, out.toSeq)
+  }
+
+  /** Streaming last-touch attribution twin of
+    * [[graft.operators.EventAnalytics.attribution]]: the keyed state is
+    * ONE carried touch tuple per user (the same minimal shape as
+    * [[transitionsStream]]); every purchase emits exactly once, already
+    * credited, so the channel ledger downstream is an append-only
+    * (count, ticks) aggregate instead of a re-windowed scan of all
+    * history. Money stays integer ticks end to end. Parity:
+    * EventStreamSpec; restart: FailureDrillSpec. */
+  def attributionStream(
+      events: Dataset[AttrIn],
+      touchTypes: Set[String] = Set("click", "view"),
+      ttlMs: Long = 0L): Dataset[AttributionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[AttrIn],
+            state: GroupState[LastEvent]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (last, out) =
+              attributionFold(uid, touchTypes, state.getOption, incoming.toSeq)
+            last.foreach(state.update)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
 }

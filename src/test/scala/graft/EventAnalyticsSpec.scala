@@ -37,6 +37,57 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 0L, 0L))
   }
 
+  test("windowed funnel: a step outside the window does not convert") {
+    val day = 86400000L
+    val events = ev(Seq(
+      (1L, "signup", 0L), (1L, "click", day),                 // within 7d
+      (1L, "purchase", 9 * day),                              // 8d after click: out
+      (2L, "signup", 0L), (2L, "click", 8 * day),             // 8d after signup: out
+      (3L, "signup", 0L), (3L, "click", day), (3L, "purchase", 2 * day)))
+    val out = EventAnalytics.funnel(events, maxGapMs = Some(7 * day))
+      .orderBy("step").collect().map(_.getAs[Long]("n_users"))
+    assert(out.toSeq === Seq(3L, 2L, 1L))
+    // the unwindowed form converts everyone — the window is the only gate
+    val open = EventAnalytics.funnel(events)
+      .orderBy("step").collect().map(_.getAs[Long]("n_users"))
+    assert(open.toSeq === Seq(3L, 3L, 2L))
+  }
+
+  test("windowed funnel: the window anchors on the FIRST completion, " +
+      "not the nearest retry") {
+    val day = 86400000L
+    // click day 1 (in window), purchase day 10: 9d after the first click.
+    // A second click on day 8 would rescue it if the anchor slid — it must not.
+    val events = ev(Seq(
+      (1L, "signup", 0L), (1L, "click", day), (1L, "click", 8 * day),
+      (1L, "purchase", 10 * day)))
+    val out = EventAnalytics.funnel(events, maxGapMs = Some(7 * day))
+      .orderBy("step").collect().map(_.getAs[Long]("n_users"))
+    assert(out.toSeq === Seq(1L, 1L, 0L))
+  }
+
+  test("rfm: scores cut on recency/frequency/monetary; non-buyers drop") {
+    val day = 86400000L
+    val events = evId(Seq(
+      // u1: bought yesterday, 3 purchases, 120.00 total -> r3 f2 m3
+      (1L, 1L, "purchase", 27 * day, 40.0),
+      (2L, 1L, "purchase", 28 * day, 40.0),
+      (3L, 1L, "purchase", 29 * day, 40.0),
+      // u2: bought day 0 (30d ago), once, 5.00 -> r2 f1 m1
+      (4L, 2L, "purchase", 0L, 5.0),
+      // u3: clicks only -> absent
+      (5L, 3L, "click", 29 * day, 0.0),
+      // the reference "now" is the feed's max day (u4's view on day 30)
+      (6L, 4L, "view", 30 * day, 0.0)))
+    val out = EventAnalytics.rfm(events).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("recency_days"),
+        r.getAs[Long]("frequency"), r.getAs[Double]("monetary"),
+        r.getAs[String]("segment")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 120.0, "323"),
+      (2L, 30L, 1L, 5.0, "211")))
+  }
+
   // fixtures for the operators that read event_id (tie-break order) and value
   private def evId(rows: Seq[(Long, Long, String, Long, Double)]) =
     rows.map { case (id, u, ty, tms, v) => (id, u, ty, tms * 1000000L, v, "p") }

@@ -188,6 +188,57 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution equals the batch channel ledger (3 chunks)") {
+    import spark.implicits._
+    import graft.streaming.Streams.AttrIn
+    val feed = Seq(
+      AttrIn(0L, 1L, "purchase", 100L, 1000L),   // before any touch: direct
+      AttrIn(1L, 1L, "click", 200L, 0L),
+      AttrIn(2L, 1L, "view", 300L, 0L),
+      AttrIn(3L, 1L, "purchase", 400L, 550L),    // latest touch: view
+      AttrIn(4L, 2L, "click", 100L, 0L),
+      AttrIn(5L, 2L, "error", 150L, 0L),         // not a touch type
+      AttrIn(6L, 2L, "purchase", 200L, 450L),    // still the click
+      AttrIn(7L, 3L, "view", 1000L, 0L),
+      AttrIn(8L, 3L, "purchase", 1000L, 200L))   // same ms, lower-id view wins
+    val out = runChunked[AttrIn, Streams.AttributionOut](
+      in => Streams.attributionStream(in.toDS()), feed, 3, "attr_parity")
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("valueTicks")))
+    val streamLedger = out.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val batchEvents = feed
+      .map(e => (e.eventId, e.userId, e.eventType, e.tMs * 1000000L,
+        e.valueTicks / 100.0, "p"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val batch = EventAnalytics.attribution(batchEvents).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"),
+          math.round(r.getAs[Double]("revenue") * 100)))
+      .toMap
+    assert(streamLedger.toMap === batch,
+      s"stream $streamLedger != batch $batch")
+    assert(streamLedger("view")._2 === 750L,
+      "u1's second purchase and u3's same-ms purchase both credit view")
+  }
+
+  test("attribution fold: chopped == one-shot on ordered feeds") {
+    import graft.streaming.Streams.AttrIn
+    val touches = Set("click", "view")
+    val u1 = Seq(
+      AttrIn(0L, 1L, "purchase", 100L, 1000L),
+      AttrIn(1L, 1L, "click", 200L, 0L),
+      AttrIn(2L, 1L, "view", 300L, 0L),
+      AttrIn(3L, 1L, "purchase", 400L, 550L),
+      AttrIn(4L, 1L, "purchase", 500L, 100L))
+    val (s0, o0) = Streams.attributionFold(1L, touches, None, u1)
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.attributionFold(1L, touches, None, u1.take(cut))
+      val (s2, o2) = Streams.attributionFold(1L, touches, s1, u1.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert(o1 ++ o2 === o0, s"output diverged at cut $cut")
+    }
+  }
+
   test("retention fold: chopped == one-shot, any in-batch order") {
     val u4 = scenario.filter(_.userId == 4L)
     val (oneShotState, oneShotOut) = Streams.retentionFold(4L, None, u4)

@@ -850,6 +850,82 @@ class FailureDrillSpec extends SparkSpec {
       s"streamed counts $streamed != batch $batch over the union")
   }
 
+  /** Restart drill for the streaming attribution twin
+    * (`Streams.attributionStream`): the carried last-touch tuple must
+    * survive a kill — a reset would misroute every post-resume purchase
+    * to "direct" (revenue silently re-bucketed, the worst kind of wrong).
+    * A purchase arriving during the outage must emit exactly once after
+    * resume, credited to the PRE-crash touch. */
+  test("restart drill: attribution carried touch survives kill/resume") {
+    val root = Files.createTempDirectory("attr_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type O = (Long, String, Long, Long)
+    val credits = new java.util.concurrent.ConcurrentLinkedQueue[O]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("eventId LONG, userId LONG, eventType STRING, tMs LONG, valueTicks LONG")
+        .json(srcDir.getPath)
+        .as[graft.streaming.Streams.AttrIn]
+      graft.streaming.Streams.attributionStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.AttributionOut],
+              _: Long) =>
+            df.collect().foreach(o =>
+              credits.add((o.userId, o.channel, o.valueTicks, o.tMs))))
+        .start()
+    }
+    def writeRows(name: String,
+        rows: Seq[(Long, Long, String, Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        rows.map { case (id, u, e, t, v) =>
+          s"""{"eventId":$id,"userId":$u,"eventType":"$e","tMs":$t,"valueTicks":$v}"""
+        }.mkString("\n"))
+    // pre-crash: u1 views (touch), u2 buys direct; the u1 purchase comes
+    // AFTER the kill and must still credit the pre-crash view
+    writeRows("b1.json", Seq(
+      (0L, 1L, "view", 100L, 0L),
+      (1L, 2L, "purchase", 150L, 500L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash
+    val preCrash = credits.toArray(Array.empty[O]).toSeq
+    assert(preCrash === Seq((2L, "direct", 500L, 150L)),
+      s"pre-crash credits: $preCrash")
+    writeRows("b2.json", Seq(
+      (2L, 1L, "purchase", 300L, 700L),   // arrives while down
+      (3L, 2L, "click", 350L, 0L),
+      (4L, 2L, "purchase", 400L, 900L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = credits.toArray(Array.empty[O]).toSeq.sortBy(_._4)
+    assert(got === Seq(
+      (2L, "direct", 500L, 150L),
+      (1L, "view", 700L, 300L),    // the pre-crash touch survived the kill
+      (2L, "click", 900L, 400L)),
+      s"credits across the kill: $got")
+    // parity over the union with the batch ledger
+    val union = Seq(
+      (0L, 1L, "view", 100L, 0L), (1L, 2L, "purchase", 150L, 500L),
+      (2L, 1L, "purchase", 300L, 700L), (3L, 2L, "click", 350L, 0L),
+      (4L, 2L, "purchase", 400L, 900L))
+      .map { case (id, u, e, t, v) =>
+        (id, u, e, t * 1000000L, v / 100.0, "p") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val batch = graft.operators.EventAnalytics.attribution(union).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"),
+          math.round(r.getAs[Double]("revenue") * 100))).toMap
+    val streamed = got.groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    assert(streamed.toMap === batch,
+      s"streamed ledger $streamed != batch $batch over the union")
+  }
+
   /** Restart drill for the streaming retention twin
     * (`Streams.retentionStream`): the per-user (cohort, marked-day) state
     * must survive a kill — a reset would re-emit day marks the committed

@@ -60,7 +60,8 @@ class PlansSpec extends SparkSpec {
     "events_path_topk", "events_user_octaves", "cdc_lag_sla",
     "ann_ivf_balance", "dedup_lsh_tuning",
     "events_attribution", "events_cohort_ltv", "events_interarrival",
-    "vocab_collocations", "corpus_drift", "mm_phash_threshold")
+    "vocab_collocations", "corpus_drift", "mm_phash_threshold",
+    "events_funnel_windowed", "events_rfm", "events_session_funnel")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -647,5 +648,27 @@ class PlansSpec extends SparkSpec {
     assert(count("mm_phash_threshold", "Window") === 0,
       "the cumulative count is minted on the bounded 8-row frame")
     assert(count("mm_phash_threshold", "CartesianProduct") === 0)
+  }
+
+  test("windowed funnel keeps the unwindowed plan shape (no extra joins)") {
+    assert(count("events_funnel_windowed", "SortMergeJoin") ===
+      count("events_funnel", "SortMergeJoin"),
+      "the window bound is a filter, not a new join")
+    assert(count("events_funnel_windowed", "CartesianProduct") === 0)
+  }
+
+  test("rfm: one user-keyed aggregate, 1-row reference broadcast, no window") {
+    assert(count("events_rfm", "Window") === 0,
+      "fixed cutoffs — no ntile/global sort anywhere")
+    assert(count("events_rfm", "BroadcastNestedLoopJoin") === 1,
+      "only the 1-row reference day may nested-loop broadcast")
+    assert(count("events_rfm", "SortMergeJoin") === 0)
+  }
+
+  test("session funnel is ONE session-window aggregate plus a rollup") {
+    assert(count("events_session_funnel", "Join") === 0,
+      "existence = max > min inside the session aggregate — no join")
+    assert(count("events_session_funnel", "MergingSessions") >= 1,
+      "must ride the native session-window machinery")
   }
 }

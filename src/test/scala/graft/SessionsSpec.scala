@@ -55,4 +55,38 @@ class SessionsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed === Array((1L, 0L, 2500L, 3L)), "one merged session 0..1500+gap")
   }
+
+  test("session funnel: conversion needs a purchase AFTER the session's " +
+      "first view, inside the same session") {
+    val gap = 1000L
+    val events = Seq(
+      // u1 s1: view 0, purchase 500 -> converted
+      (1L, 0L, "view"), (1L, 500L, "purchase"),
+      // u1 s2 (new session): purchase only, no view -> not counted as from
+      (1L, 10000L, "purchase"),
+      // u2 s1: purchase 0 then view 500 -> view session, NOT converted
+      (2L, 0L, "purchase"), (2L, 500L, "view"),
+      // u3 s1: view only
+      (3L, 0L, "view"),
+      // u4 s1: no view no purchase
+      (4L, 0L, "click"))
+      .map { case (u, t, ty) => (u, t * 1000000L, ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.sessionFunnel(events, gapMs = gap).collect().head
+    assert((out.getAs[Long]("n_sessions"), out.getAs[Long]("n_with_from"),
+      out.getAs[Long]("n_converted")) === ((5L, 3L, 1L)))
+    assert(out.getAs[Double]("from_rate") === 3.0 / 5.0)
+    assert(out.getAs[Double]("conversion_rate") === 1.0 / 3.0)
+  }
+
+  test("session funnel: a purchase in the NEXT session does not convert " +
+      "the earlier view session") {
+    val events = Seq(
+      (1L, 0L, "view"), (1L, 10000L, "purchase")) // 10s apart, gap 1s
+      .map { case (u, t, ty) => (u, t * 1000000L, ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.sessionFunnel(events, gapMs = 1000L).collect().head
+    assert((out.getAs[Long]("n_sessions"), out.getAs[Long]("n_with_from"),
+      out.getAs[Long]("n_converted")) === ((2L, 1L, 0L)))
+  }
 }
