@@ -683,6 +683,49 @@ object Oracles {
              count(ff) END AS conversion_rate
     FROM per"""
 
+  /** Bot-cadence filter — mirrors `EventAnalytics.botFilter`
+    * (minGaps 20, maxDistinctPct 10): user-partitioned lag gaps, exact
+    * distinct count, integer flag arithmetic. */
+  val eventsBotFilter: String = """WITH
+    g AS (SELECT user_id,
+            epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+          FROM events)
+    SELECT user_id,
+      count(*) AS n_events,
+      count(gap) AS n_gaps,
+      count(DISTINCT gap) AS n_distinct_gaps,
+      CASE WHEN count(gap) = 0 THEN 0.0
+           ELSE CAST(count(DISTINCT gap) AS DOUBLE) / count(gap) END
+        AS distinct_ratio,
+      (count(gap) >= 20 AND count(DISTINCT gap) * 100 <= count(gap) * 10)
+        AS is_bot
+    FROM g GROUP BY user_id ORDER BY user_id"""
+
+  /** Hour-of-week profile — mirrors `EventAnalytics.weekdayProfile`:
+    * epoch-anchored `(ms // 3600000) % 168`, type totals for the share. */
+  val eventsWeekdayProfile: String = """WITH
+    c AS (SELECT (epoch_ms(ts) // 3600000) % 168 AS hour_of_week,
+            event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+          FROM c GROUP BY event_type)
+    SELECT c.hour_of_week, c.event_type, c.n_events,
+      CAST(c.n_events AS DOUBLE) / t.tot AS share
+    FROM c JOIN t USING (event_type)
+    ORDER BY c.hour_of_week, c.event_type"""
+
+  /** ROLLUP revenue cube — mirrors the `q_orders_rollup` entry: NULL
+    * rollup keys coalesced to ALL on both sides for a stable sort. */
+  val qOrdersRollup: String = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL') AS status,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status"""
+
   /** Cohort retention matrix — mirrors `EventAnalytics.retention`. */
   val eventsRetention: String = """WITH
     c AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
@@ -4176,6 +4219,9 @@ object Oracles {
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_rfm" -> eventsRfm,
     "events_session_funnel" -> eventsSessionFunnel,
+    "events_bot_filter" -> eventsBotFilter,
+    "events_weekday_profile" -> eventsWeekdayProfile,
+    "q_orders_rollup" -> qOrdersRollup,
     "vocab_collocations" -> vocabCollocations,
     "corpus_drift" -> corpusDrift,
     "mm_phash_threshold" -> mmPhashThreshold,

@@ -350,6 +350,22 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
+    // ROLLUP revenue cube: (priority, status), per-priority subtotals and
+    // the grand total in ONE pass (Expand + partial agg — no re-scan per
+    // level); NULL rollup keys are labeled ALL for a stable cross-engine
+    // sort (None does not order against strings)
+    "q_orders_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy("priority", "status")),
     "q_orders_returned" -> ((s, dir) =>
       // LEFT SEMI shape: orders having at least one returned line item —
       // the EXISTS predicate stays a semi join, never a row-multiplying one
@@ -491,6 +507,15 @@ object SparkEntry {
     // conditional aggregate + a 1-row rollup (existence = max > min)
     "events_session_funnel" -> ((s, dir) =>
       graft.operators.Sessions.sessionFunnel(Tables.events(s, dir))),
+    // bot-cadence gate: distinct-gap ratio per user (variance-free,
+    // integer-exact at any scale)
+    "events_bot_filter" -> ((s, dir) =>
+      graft.operators.EventAnalytics.botFilter(Tables.events(s, dir))
+        .orderBy("user_id")),
+    // hour-of-week x type seasonality heatmap (epoch-anchored arithmetic)
+    "events_weekday_profile" -> ((s, dir) =>
+      graft.operators.EventAnalytics.weekdayProfile(Tables.events(s, dir))
+        .orderBy("hour_of_week", "event_type")),
     // cohort LTV triangle: signup cohorts x week offset, exact decimal
     // revenue with a cohort-partitioned cumulative sum
     "events_cohort_ltv" -> ((s, dir) =>

@@ -388,6 +388,62 @@ object EventAnalytics {
         concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
+  /** Bot-cadence filter — the traffic-hygiene gate run before events
+    * feed any training mix: humans produce messy inter-event gaps, bots
+    * produce a handful of fixed intervals. Per user: event count, gap
+    * count, DISTINCT gap count, their ratio, and the flag
+    * (`minGaps`+ events with ≤ `maxDistinctPct`% distinct gaps). The
+    * distinct-gap metric is deliberately variance-free: a Σg² second
+    * moment overflows 64-bit at month-scale ms gaps and drags decimals
+    * in, while distinct-counting is integer-exact at any scale and
+    * catches the constant-interval signature directly.
+    *
+    * Shape: one user-partitioned `lag` ([[interarrival]]'s partitioning
+    * minus the type key), one user-keyed count + exact distinct
+    * aggregate (partial aggregation handles the distinct), ratio one
+    * IEEE division. */
+  def botFilter(events: DataFrame, minGaps: Long = 20L,
+      maxDistinctPct: Long = 10L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"))
+      .withColumn("_gap", col("_t") - lag("_t", 1).over(w))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_gap")).as("n_gaps"),
+        countDistinct(col("_gap")).as("n_distinct_gaps"))
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        col("n_distinct_gaps"),
+        when(col("n_gaps") === 0, lit(0.0))
+          .otherwise(col("n_distinct_gaps").cast("double") / col("n_gaps"))
+          .as("distinct_ratio"),
+        (col("n_gaps") >= minGaps &&
+          col("n_distinct_gaps") * 100L <= col("n_gaps") * maxDistinctPct)
+          .as("is_bot"))
+  }
+
+  /** Hour-of-week activity profile — the seasonality heatmap behind
+    * capacity planning and anomaly baselines: per (hour-of-week 0..167,
+    * event type), the count and its share of the type's total.
+    * Hour-of-week is epoch-anchored pure arithmetic
+    * (`(ms div 3600000) % 168`; epoch hour 0 = Thursday 00:00 UTC) — no
+    * calendar library, identical on any engine.
+    *
+    * Shape: one keyed count collapsing to ≤ 168 × |types| rows map-side,
+    * type totals broadcast. */
+  def weekdayProfile(events: DataFrame): DataFrame = {
+    val perCell = events
+      .groupBy(expr("((ts div 1000000) div 3600000) % 168").as("hour_of_week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = perCell.groupBy("event_type")
+      .agg(sum("n_events").as("_tot"))
+    perCell.join(broadcast(totals), "event_type")
+      .select(col("hour_of_week"), col("event_type"), col("n_events"),
+        (col("n_events").cast("double") / col("_tot")).as("share"))
+  }
+
   /** Cohort retention matrix — users grouped by their first-signup day;
     * for each (cohort day, day offset ≥ 0) the count and fraction of the
     * cohort active (any event) that day. The classic triangle table,

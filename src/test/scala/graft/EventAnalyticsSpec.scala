@@ -155,6 +155,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("click", 2L, 150.0, 150.0)))
   }
 
+  test("bot filter: constant cadence flags, human jitter does not") {
+    // u1: 25 events exactly 1000ms apart -> 24 gaps, 1 distinct -> bot
+    // u2: 25 events with all-distinct gaps -> not a bot
+    // u3: 5 events constant cadence -> too few gaps to flag
+    val rows =
+      (0 until 25).map(i => (100L + i, 1L, "click", i * 1000L, 0.0)) ++
+      (0 until 25).map(i => (200L + i, 2L, "click", i * 1000L + i * (i + 1) / 2, 0.0)) ++
+      (0 until 5).map(i => (300L + i, 3L, "click", i * 1000L, 0.0))
+    val out = EventAnalytics.botFilter(evId(rows)).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("n_distinct_gaps"), r.getAs[Boolean]("is_bot")))
+    assert(out.toSeq === Seq(
+      (1L, 24L, 1L, true),
+      (2L, 24L, 24L, false),
+      (3L, 4L, 1L, false)))
+  }
+
+  test("weekday profile: epoch-anchored hour-of-week cells and type shares") {
+    val hour = 3600000L
+    val events = ev(Seq(
+      (1L, "click", 0L), (2L, "click", hour * 168L),   // same cell, week apart
+      (3L, "click", hour), (4L, "view", hour)))
+    val out = EventAnalytics.weekdayProfile(events)
+      .orderBy("hour_of_week", "event_type").collect()
+      .map(r => (r.getAs[Long]("hour_of_week"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("share")))
+    assert(out.toSeq === Seq(
+      (0L, "click", 2L, 2.0 / 3.0),
+      (1L, "click", 1L, 1.0 / 3.0),
+      (1L, "view", 1L, 1.0)))
+  }
+
   test("retention: triangle counts activity on/after the signup day only") {
     val day = 86400000L
     val events = ev(Seq(

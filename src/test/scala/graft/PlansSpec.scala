@@ -61,7 +61,8 @@ class PlansSpec extends SparkSpec {
     "ann_ivf_balance", "dedup_lsh_tuning",
     "events_attribution", "events_cohort_ltv", "events_interarrival",
     "vocab_collocations", "corpus_drift", "mm_phash_threshold",
-    "events_funnel_windowed", "events_rfm", "events_session_funnel")
+    "events_funnel_windowed", "events_rfm", "events_session_funnel",
+    "events_bot_filter", "events_weekday_profile", "q_orders_rollup")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -670,5 +671,23 @@ class PlansSpec extends SparkSpec {
       "existence = max > min inside the session aggregate — no join")
     assert(count("events_session_funnel", "MergingSessions") >= 1,
       "must ride the native session-window machinery")
+  }
+
+  test("bot filter: one user-partitioned window, keyed distinct agg, no join") {
+    assert(count("events_bot_filter", "Window") === 1)
+    assert(count("events_bot_filter", "Join") === 0)
+  }
+
+  test("weekday profile: cell counts collapse map-side; type totals broadcast") {
+    assert(count("events_weekday_profile", "BroadcastHashJoin") === 1)
+    assert(count("events_weekday_profile", "SortMergeJoin") === 0)
+    assert(count("events_weekday_profile", "Window") === 0)
+  }
+
+  test("orders rollup: ONE scan through Expand — no per-level re-aggregation") {
+    assert(count("q_orders_rollup", "Expand") === 1,
+      "ROLLUP must plan as a single Expand, not a union of scans")
+    assert(count("q_orders_rollup", "Scan parquet") === 1)
+    assert(count("q_orders_rollup", "Join") === 0)
   }
 }
