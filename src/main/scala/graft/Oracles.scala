@@ -726,6 +726,32 @@ object Oracles {
     GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
     ORDER BY priority, status"""
 
+  /** Cohorted funnel — mirrors `EventAnalytics.cohortedFunnel`: the
+    * funnel chain with every stage carrying its stage-1 week; per-cohort
+    * tops join back for the conversion. */
+  val eventsFunnelCohorted: String = """WITH
+    s0 AS (SELECT user_id, min(epoch_ms(ts)) AS c0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s0w AS (SELECT user_id, c0, c0 // 604800000 AS cohort_week FROM s0),
+    s1 AS (SELECT e.user_id, s0w.cohort_week, min(epoch_ms(e.ts)) AS c1
+           FROM events e JOIN s0w USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s0w.c0
+           GROUP BY 1, 2),
+    s2 AS (SELECT e.user_id, s1.cohort_week, min(epoch_ms(e.ts)) AS c2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.c1
+           GROUP BY 1, 2),
+    n AS (SELECT cohort_week, CAST(1 AS BIGINT) AS step,
+            'signup' AS step_name, count(*) AS n_users
+          FROM s0w GROUP BY 1
+          UNION ALL SELECT cohort_week, 2, 'click', count(*) FROM s1 GROUP BY 1
+          UNION ALL SELECT cohort_week, 3, 'purchase', count(*) FROM s2 GROUP BY 1),
+    t AS (SELECT cohort_week, n_users AS top FROM n WHERE step = 1)
+    SELECT n.cohort_week, n.step, n.step_name, n.n_users,
+      CAST(n.n_users AS DOUBLE) / t.top AS conv_from_first
+    FROM n JOIN t USING (cohort_week)
+    ORDER BY n.cohort_week, n.step"""
+
   /** Cohort retention matrix — mirrors `EventAnalytics.retention`. */
   val eventsRetention: String = """WITH
     c AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
@@ -1403,6 +1429,27 @@ object Oracles {
     $bandedPairsCtes
     SELECT a_id, b_id FROM pairs
     ORDER BY a_id, b_id"""
+
+  /** Split-contamination matrix — mirrors `Sampling.contaminationMatrix`
+    * (naive doc-hash split, 90/5/5): same-cluster pairs per split × split
+    * cell from per-(cluster, split) member counts. */
+  def splitContaminationMatrix: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    a AS (SELECT cluster_id,
+            CASE WHEN ${h31("CAST(doc_id AS VARCHAR)", 9973L)} % 100 < 90
+                   THEN 'train'
+                 WHEN ${h31("CAST(doc_id AS VARCHAR)", 9973L)} % 100 < 95
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM lab),
+    c AS (SELECT cluster_id, split, count(*) AS n FROM a GROUP BY 1, 2)
+    SELECT x.split AS split_a, y.split AS split_b,
+      CAST(sum(CASE WHEN x.split = y.split THEN x.n * (x.n - 1) // 2
+               ELSE x.n * y.n END) AS BIGINT) AS n_pairs
+    FROM c x JOIN c y ON x.cluster_id = y.cluster_id AND x.split <= y.split
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Cross-source duplication matrix — mirrors `Dedup.crossSourceMatrix`
     * (unordered source pair per candidate pair, least/greatest order). */
@@ -2840,6 +2887,48 @@ object Oracles {
       abs(cnt_a * 1000000 // ta - cnt_b * 1000000 // tb) AS drift_ppm
     FROM p, t ORDER BY bucket"""
 
+  /** Subword-fertility ledger — mirrors `TextAnalysis.subwordFertility`:
+    * per source, both token counts summed exactly, fertility one
+    * division. */
+  val vocabSubwordFertility: String = """WITH
+    t AS (SELECT source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+            CAST(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re
+          FROM documents)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(ws) AS BIGINT) AS word_tokens,
+      CAST(sum(re) AS BIGINT) AS subword_tokens,
+      CAST(CAST(sum(re) AS BIGINT) AS DOUBLE) / CAST(sum(ws) AS BIGINT)
+        AS fertility
+    FROM t GROUP BY source ORDER BY source"""
+
+  /** Packing-efficiency sweep — mirrors `Packing.packEfficiencyCurve`
+    * ({128, 256, 512, 1024}): one prefix sum, each window's bins pure
+    * arithmetic on the same cumulative column. */
+  val packEfficiencyCurve: String = """WITH
+    t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+    w(window_tokens) AS (VALUES (128), (256), (512), (1024)),
+    per AS (SELECT w.window_tokens,
+              max((c.cum - 1) // w.window_tokens) + 1 AS n_windows,
+              count(CASE WHEN (c.cum - 1) // w.window_tokens >
+                (c.cum - c.n_tokens) // w.window_tokens THEN 1 END)
+                AS n_straddling,
+              count(*) AS n_docs,
+              CAST(sum(c.n_tokens) AS BIGINT) AS toks
+            FROM c, w GROUP BY w.window_tokens)
+    SELECT CAST(window_tokens AS BIGINT) AS window_tokens,
+      CAST(n_windows AS BIGINT) AS n_windows,
+      CAST(n_straddling AS BIGINT) AS n_straddling,
+      CAST(n_straddling AS DOUBLE) / n_docs AS straddle_frac,
+      CAST(toks AS DOUBLE) / (n_windows * window_tokens) AS mean_fill
+    FROM per ORDER BY window_tokens"""
+
   val textTokens: String = """
     SELECT doc_id,
       len(string_split(text, ' ')) AS ws_tokens,
@@ -4065,6 +4154,40 @@ object Oracles {
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
     ORDER BY a_id, b_id"""
 
+  /** Image near-dup cluster-size histogram — mirrors the
+    * `mm_phash_clusters` entry (star contraction over the banded phash
+    * pair set): the same transitive-closure oracle shape as
+    * `dedupClusterSizes`, seeded from the media universe. */
+  val mmPhashClusters: String = s"""WITH RECURSIVE $phashCte,
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, j AS band,
+        CASE WHEN j < 4 THEN (phash_lo >> CAST(8 * j AS INTEGER)) & 255
+             ELSE (phash_hi >> CAST(8 * (j - 4) AS INTEGER)) & 255 END AS band_val
+      FROM ph, unnest(range(0, 8)) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.phash_hi AS a_hi, a.phash_lo AS a_lo,
+        b.phash_hi AS b_hi, b.phash_lo AS b_lo
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    ppairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM ppairs
+      UNION SELECT b_id AS u, a_id AS v FROM ppairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM ph
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM lab GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      count(*) AS n_clusters,
+      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sized GROUP BY cluster_size ORDER BY cluster_size"""
+
   /** Hamming-threshold curve — mirrors `Multimodal.phashThresholdCurve`:
     * the same banded pair set rolled up by exact distance, cumulative
     * count per candidate gate (exact over the whole sweep — every
@@ -4222,6 +4345,11 @@ object Oracles {
     "events_bot_filter" -> eventsBotFilter,
     "events_weekday_profile" -> eventsWeekdayProfile,
     "q_orders_rollup" -> qOrdersRollup,
+    "events_funnel_cohorted" -> eventsFunnelCohorted,
+    "vocab_subword_fertility" -> vocabSubwordFertility,
+    "pack_efficiency_curve" -> packEfficiencyCurve,
+    "split_contamination_matrix" -> splitContaminationMatrix,
+    "mm_phash_clusters" -> mmPhashClusters,
     "vocab_collocations" -> vocabCollocations,
     "corpus_drift" -> corpusDrift,
     "mm_phash_threshold" -> mmPhashThreshold,

@@ -516,6 +516,11 @@ object SparkEntry {
     "events_weekday_profile" -> ((s, dir) =>
       graft.operators.EventAnalytics.weekdayProfile(Tables.events(s, dir))
         .orderBy("hour_of_week", "event_type")),
+    // funnel sliced by signup cohort week: growth accounting on the same
+    // first-touch chain; stage-1 rows are the cohort sizes
+    "events_funnel_cohorted" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortedFunnel(Tables.events(s, dir))
+        .orderBy("cohort_week", "step")),
     // cohort LTV triangle: signup cohorts x week offset, exact decimal
     // revenue with a cohort-partitioned cumulative sum
     "events_cohort_ltv" -> ((s, dir) =>
@@ -642,6 +647,14 @@ object SparkEntry {
     "split_leakage_guard" -> ((s, dir) =>
       Sampling.leakageGuardSplit(Tables.documents(s, dir),
         Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("split")),
+    // the guard's audit on the full grid: same-cluster pairs per
+    // split x split cell under the naive doc-hash assignment (train x
+    // test off-diagonal = the eval-invalidating leak), integer-exact
+    // from member counts - no pair materialized
+    "split_contamination_matrix" -> ((s, dir) =>
+      Sampling.contaminationMatrix(Tables.documents(s, dir),
+        Clusters.indexLoad(s, clusterIndexDir(s, dir)))
+        .orderBy("split_a", "split_b")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>
@@ -701,6 +714,10 @@ object SparkEntry {
     // PMI ordering): the merge-candidate / templated-phrase miner
     "vocab_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir)).orderBy("rnk")),
+    // per-source subword/word fertility: the tokenizer-health audit
+    "vocab_subword_fertility" -> ((s, dir) =>
+      TextAnalysis.subwordFertility(Tables.documents(s, dir))
+        .orderBy("source")),
     // LSH (bands x rows) design ledger: empirical bucket profile + pair
     // volumes (from group sizes - no pair materialized) + S-curve p
     "dedup_lsh_tuning" -> ((s, dir) =>
@@ -736,6 +753,10 @@ object SparkEntry {
       Packing.packPlan(Tables.documents(s, dir)).orderBy("doc_id")),
     "pack_efficiency" -> ((s, dir) =>
       Packing.packEfficiency(Tables.documents(s, dir))),
+    // window-size sweep off ONE prefix-sum pass: the context-length table
+    "pack_efficiency_curve" -> ((s, dir) =>
+      Packing.packEfficiencyCurve(Tables.documents(s, dir))
+        .orderBy("window_tokens")),
 
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
@@ -1070,6 +1091,15 @@ object SparkEntry {
       Multimodal.phashThresholdCurve(
         Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir))))
         .orderBy("threshold")),
+    // image near-dup cluster-size histogram: the SAME star contraction
+    // the text dedup uses, fed the banded phash pair set
+    "mm_phash_clusters" -> ((s, dir) => {
+      val hashes = Multimodal.aHash(s.read.parquet(mediaIndexDir(s, dir)))
+      Clusters.sizeHistogram(Clusters.assign(
+        hashes.select(col("doc_id")),
+        Multimodal.phashDups(hashes).select("a_id", "b_id")))
+        .orderBy("cluster_size")
+    }),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

@@ -241,22 +241,6 @@ object Capture {
           .cast("double") / count(lit(1))).as("drop_frac"))
   }
 
-  /** Backfill audit — the canonical backfill failure drill
-    * (`scenarios/01-canonical-reference/failures/backfill.sql`): a
-    * migration INSERTs historical rows into the source NOW, so CDC
-    * captures them with current offsets but year-old business
-    * timestamps — "sink receives them in offset order, not created_at
-    * order". The drill's designated backfill keys (`pk % backfillMod`)
-    * are re-captured after the live stream; the per-table ledger reports
-    * how late that data arrives in business time: every backfill event
-    * older than the newest live event is an inversion a downstream
-    * business-time consumer must tolerate, and `max_skew_ms` bounds the
-    * event-time watermark regression the backfill would cause.
-    *
-    * Two grouped aggregates + one 3-row broadcast — no window scan: live
-    * capture order embeds business time in this feed (lsn is t-derived),
-    * so the only possible inversions are backfill-vs-live, counted
-    * directly against the per-table live maximum. */
   /** Log-compaction audit — Kafka compacted-topic semantics applied to
     * the capture log: compaction retains only each key's LATEST event (a
     * delete survives as a tombstone until the key's retention passes),
@@ -283,6 +267,22 @@ object Capture {
         (count(lit(1)).cast("double") / sum("_n")).as("compaction_ratio"),
         (sum("_n").cast("double") / count(lit(1))).as("avg_versions"))
 
+  /** Backfill audit — the canonical backfill failure drill
+    * (`scenarios/01-canonical-reference/failures/backfill.sql`): a
+    * migration INSERTs historical rows into the source NOW, so CDC
+    * captures them with current offsets but year-old business
+    * timestamps — "sink receives them in offset order, not created_at
+    * order". The drill's designated backfill keys (`pk % backfillMod`)
+    * are re-captured after the live stream; the per-table ledger reports
+    * how late that data arrives in business time: every backfill event
+    * older than the newest live event is an inversion a downstream
+    * business-time consumer must tolerate, and `max_skew_ms` bounds the
+    * event-time watermark regression the backfill would cause.
+    *
+    * Two grouped aggregates + one 3-row broadcast — no window scan: live
+    * capture order embeds business time in this feed (lsn is t-derived),
+    * so the only possible inversions are backfill-vs-live, counted
+    * directly against the per-table live maximum. */
   def backfillAudit(ops: DataFrame, backfillMod: Long = 17L): DataFrame = {
     val marked = ops.withColumn("is_backfill",
       col("pk").cast("long") % backfillMod === 0)

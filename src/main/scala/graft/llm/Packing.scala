@@ -89,4 +89,37 @@ object Packing {
         (col("n_straddling").cast("double") / col("n_docs")).as("straddle_frac"),
         (col("total_tokens").cast("double") / (col("n_windows") * windowTokens))
           .as("mean_fill"))
+
+  /** Packing-efficiency sweep over candidate window sizes — the table
+    * the context-length decision is read off: for each window in
+    * `windows`, the window count, straddle fraction and mean fill. The
+    * distributed prefix sum runs ONCE; every window's bin ids are pure
+    * arithmetic on the same `cum_tokens` column, so the sweep costs one
+    * corpus pass + one 1-row aggregate unpivoted with `stack` — the
+    * [[graft.llm.Corpus.qualityThresholdSweep]] shape. */
+  def packEfficiencyCurve(docs: DataFrame,
+      windows: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    require(windows.nonEmpty)
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cum = GlobalOrder.runningSum(toks, Seq(col("doc_id")), "n_tokens",
+      "cum_tokens")
+    val aggs = windows.zipWithIndex.flatMap { case (w, i) => Seq(
+      (max(expr(s"(cum_tokens - 1) div $w")) + 1).as(s"_w$i"),
+      count(when(
+        expr(s"(cum_tokens - 1) div $w") > expr(s"(cum_tokens - n_tokens) div $w"),
+        1)).as(s"_s$i"))
+    } ++ Seq(count(lit(1)).as("_docs"), sum("n_tokens").as("_toks"))
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = windows.zipWithIndex
+      .map { case (w, i) => s"CAST($w AS BIGINT), _w$i, _s$i" }.mkString(", ")
+    one.selectExpr(
+      s"stack(${windows.size}, $stackArgs) AS (window_tokens, n_windows, n_straddling)",
+      "_docs", "_toks")
+      .select(col("window_tokens"), col("n_windows"), col("n_straddling"),
+        (col("n_straddling").cast("double") / col("_docs")).as("straddle_frac"),
+        (col("_toks").cast("double") / (col("n_windows") * col("window_tokens")))
+          .as("mean_fill"))
+  }
 }

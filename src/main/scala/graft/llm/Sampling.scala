@@ -549,4 +549,37 @@ object Sampling {
       .crossJoin(broadcast(naiveLeak))
       .crossJoin(broadcast(moved))
   }
+
+  /** Split-contamination matrix — [[leakageGuardSplit]]'s audit expanded
+    * to the full split × split grid: under the NAIVE doc-id hash split
+    * (the assignment that LEAKS), how many same-cluster document pairs
+    * land with one member in split A and one in split B? The off-diagonal
+    * cells are the contamination a doc-hash split ships (train×test is
+    * the one that invalidates evals); the diagonal holds the intra-split
+    * pair counts for scale. All integer arithmetic on per-(cluster,
+    * split) member counts — the pair set is never materialized: diagonal
+    * = Σ C(n_a, 2), off-diagonal = Σ n_a·n_b per cluster.
+    *
+    * Shape: one doc-keyed index join, one (cluster, split) aggregate,
+    * then a cluster-keyed self-join of that cluster×3-cardinality frame
+    * and a ≤ 6-row rollup. */
+  def contaminationMatrix(docs: DataFrame, clusters: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val counts = docs
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
+      .select(col("cluster_id"),
+        splitFor(col("doc_id"), trainPct, valPct).as("split"))
+      .groupBy("cluster_id", "split").agg(count(lit(1)).as("_n"))
+    val a = counts.select(col("cluster_id"), col("split").as("split_a"),
+      col("_n").as("_na"))
+    val b = counts.select(col("cluster_id"), col("split").as("split_b"),
+      col("_n").as("_nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("split_a") <= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(sum(
+        when(col("split_a") === col("split_b"),
+          expr("_na * (_na - 1) div 2"))
+          .otherwise(col("_na") * col("_nb"))).as("n_pairs"))
+  }
 }

@@ -760,4 +760,29 @@ object TextAnalysis {
       Seq.empty, Some("rnk"))
       .select("rnk", "bigram", "n_pairs", "n_x", "n_y", "lift")
   }
+
+  /** Subword-fertility ledger — per source, how many subword tokens (the
+    * [[tokenCounts]] BPE-ish regex) each whitespace word costs:
+    * fertility = subword / word tokens, the tokenizer-health number a
+    * multilingual corpus is audited on (a source whose fertility spikes
+    * is one the tokenizer under-serves — its documents cost more context
+    * window per word). Exact long sums per source; the fertility is ONE
+    * IEEE division of two exact longs.
+    *
+    * Shape: one corpus pass (both counts from the same row projection),
+    * one partial-agg shuffle on the low-cardinality source key. */
+  def subwordFertility(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      size(toks).cast("long").as("_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("long").as("_re"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_ws").as("word_tokens"),
+        sum("_re").as("subword_tokens"))
+      .select(col("source"), col("n_docs"), col("word_tokens"),
+        col("subword_tokens"),
+        (col("subword_tokens").cast("double") / col("word_tokens"))
+          .as("fertility"))
 }

@@ -388,6 +388,54 @@ object EventAnalytics {
         concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
+  /** Cohorted funnel — the funnel sliced by signup cohort WEEK ("is
+    * conversion improving for newer cohorts?" — the growth-accounting
+    * read of the same first-touch chain). Per (cohort week, step): users
+    * reaching the step and conversion from the cohort's top. Cohort week
+    * = the week of the user's stage-1 first completion, so stage 1 rows
+    * are the cohort sizes by construction.
+    *
+    * Shape: the [[funnel]] stage chain unchanged (per-stage
+    * user-cardinality aggregates, persisted once), each stage's users
+    * carrying their stage-1 week; the rollup is a (≤ weeks × steps)-row
+    * aggregate and the per-cohort top broadcasts back. */
+  def cohortedFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val weekMs = 604800000L
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prev = events.filter(col("event_type") === steps.head)
+      .select(col("user_id"), tMs.as("_t0"))
+      .groupBy("user_id").agg(min("_t0").as("_c0"))
+      .withColumn("cohort_week", expr(s"_c0 div $weekMs"))
+      .persist()
+    stages += prev
+    for (i <- 1 until steps.length) {
+      val r = events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), tMs.as(s"_t$i"))
+        .join(prev.select(col("user_id"), col(s"_c${i - 1}"),
+          col("cohort_week")), "user_id")
+        .filter(col(s"_t$i") > col(s"_c${i - 1}"))
+        .groupBy("user_id", "cohort_week").agg(min(s"_t$i").as(s"_c$i"))
+        .persist()
+      stages += r
+      prev = r
+    }
+    val perCell = stages.zipWithIndex.map { case (df, i) =>
+      df.groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_week"), lit(i + 1L).as("step"),
+          lit(steps(i)).as("step_name"), col("n_users"))
+    }.reduce(_ unionAll _)
+    val tops = perCell.filter(col("step") === 1)
+      .select(col("cohort_week"), col("n_users").as("_top"))
+    val out = perCell.join(broadcast(tops), Seq("cohort_week"))
+      .select(col("cohort_week"), col("step"), col("step_name"),
+        col("n_users"),
+        (col("n_users").cast("double") / col("_top")).as("conv_from_first"))
+    CacheLifecycle.releaseAfterUse(out, stages.toSeq)
+  }
+
   /** Bot-cadence filter — the traffic-hygiene gate run before events
     * feed any training mix: humans produce messy inter-event gaps, bots
     * produce a handful of fixed intervals. Per user: event count, gap

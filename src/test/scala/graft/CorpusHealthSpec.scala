@@ -63,6 +63,78 @@ class CorpusHealthSpec extends SparkSpec {
     assert(out.toSeq === Seq("p q"))  // "q p"/"q r"/"r s" occur once
   }
 
+  test("subword fertility: regex tokens per whitespace word, per source") {
+    val docs = Seq(
+      (1L, "ab cd.", "en", "s1", 6L),     // ws 2; re: ab, cd, '.' = 3
+      (2L, "x y", "en", "s1", 3L),        // ws 2; re 2
+      (3L, "a1b2", "en", "s2", 4L))       // ws 1; re: a,1,b,2 = 4
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.subwordFertility(docs).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("word_tokens"),
+        r.getAs[Long]("subword_tokens"), r.getAs[Double]("fertility")))
+    assert(out.toSeq === Seq(("s1", 4L, 5L, 1.25), ("s2", 1L, 4L, 4.0)))
+  }
+
+  test("pack efficiency curve: every window's bins off the same prefix sum") {
+    // token counts 3, 4, 5 -> cum 3, 7, 12
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "d e f g", "en", "s", 7L),
+      (3L, "h i j k l", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.llm.Packing.packEfficiencyCurve(docs, Seq(4, 8))
+      .orderBy("window_tokens").collect()
+      .map(r => (r.getAs[Long]("window_tokens"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_straddling"), r.getAs[Double]("mean_fill")))
+    // w=4: bins (0,0),(0,1),(1,2) -> 3 windows, docs 2 and 3 straddle
+    // w=8: bins (0,0),(0,0),(0,1) -> 2 windows, doc 3 straddles
+    assert(out.toSeq === Seq(
+      (4L, 3L, 2L, 1.0),
+      (8L, 2L, 1L, 0.75)))
+  }
+
+  test("contamination matrix: cells sum to C(n,2) per cluster and match" +
+      " the split assignment") {
+    import org.apache.spark.sql.functions.col
+    // one near-dup cluster of 4 docs + two singletons
+    val docs = (1L to 6L).map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 50L), (6L, 60L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.llm.Sampling.contaminationMatrix(docs, clusters).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b"),
+        r.getAs[Long]("n_pairs"))).toSeq
+    // total pairs across all cells = C(4,2) = 6 (singletons contribute 0)
+    assert(out.map(_._3).sum === 6L)
+    // expected per-cell from the actual hash split of docs 1..4
+    val splits = docs.filter(col("doc_id") <= 4)
+      .select(col("doc_id"),
+        graft.llm.Sampling.splitFor(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (1L to 4L).flatMap(a => (a + 1 to 4L).map(b =>
+      (Seq(splits(a), splits(b)).min, Seq(splits(a), splits(b)).max)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.map(c => (c._1, c._2) -> c._3).toMap === expected)
+  }
+
+  test("phash clusters: chained pairs contract to one cluster; far hash " +
+      "stays a singleton") {
+    val hashes = Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 1L),                   // 1 bit from #1
+      (3L, 0L, 0L, 11L),                  // 3 bits from #1, 2 from #2
+      (4L, 0L, -1L, -1L))                 // all 64 bits away from the rest
+      .toDF("doc_id", "sum64", "phash_hi", "phash_lo")
+    val out = graft.llm.Clusters.sizeHistogram(graft.llm.Clusters.assign(
+      hashes.select(org.apache.spark.sql.functions.col("doc_id")),
+      graft.llm.Multimodal.phashDups(hashes).select("a_id", "b_id")))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    assert(out.toSeq === Seq((1L, 1L, 1L), (3L, 1L, 3L)))
+  }
+
   test("phash threshold curve: at-distance counts and cumulative agree with" +
       " the pair set") {
     // hashes: A=0, B=1 bit away from A, C=3 bits from A / 2 from B

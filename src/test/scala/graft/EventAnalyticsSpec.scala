@@ -155,6 +155,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("click", 2L, 150.0, 150.0)))
   }
 
+  test("cohorted funnel: conversion slices by the stage-1 week") {
+    val week = 604800000L
+    val events = ev(Seq(
+      // cohort week 0: two signups, one converts to click
+      (1L, "signup", 1000L), (1L, "click", 2000L),
+      (2L, "signup", 2000L),
+      // cohort week 1: one signup, full conversion
+      (3L, "signup", week + 1000L), (3L, "click", week + 2000L),
+      (3L, "purchase", week + 3000L)))
+    val out = EventAnalytics.cohortedFunnel(events)
+      .orderBy("cohort_week", "step").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("step"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("conv_from_first")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 2L, 1.0), (0L, 2L, 1L, 0.5),
+      (1L, 1L, 1L, 1.0), (1L, 2L, 1L, 1.0), (1L, 3L, 1L, 1.0)))
+  }
+
   test("bot filter: constant cadence flags, human jitter does not") {
     // u1: 25 events exactly 1000ms apart -> 24 gaps, 1 distinct -> bot
     // u2: 25 events with all-distinct gaps -> not a bot

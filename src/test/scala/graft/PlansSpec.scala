@@ -62,7 +62,11 @@ class PlansSpec extends SparkSpec {
     "events_attribution", "events_cohort_ltv", "events_interarrival",
     "vocab_collocations", "corpus_drift", "mm_phash_threshold",
     "events_funnel_windowed", "events_rfm", "events_session_funnel",
-    "events_bot_filter", "events_weekday_profile", "q_orders_rollup")
+    "events_bot_filter", "events_weekday_profile", "q_orders_rollup",
+    // mm_phash_clusters is omitted like dedup_clusters: building its plan
+    // runs the driver-side contraction loop
+    "events_funnel_cohorted", "vocab_subword_fertility",
+    "pack_efficiency_curve", "split_contamination_matrix")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -682,6 +686,42 @@ class PlansSpec extends SparkSpec {
     assert(count("events_weekday_profile", "BroadcastHashJoin") === 1)
     assert(count("events_weekday_profile", "SortMergeJoin") === 0)
     assert(count("events_weekday_profile", "Window") === 0)
+  }
+
+  test("cohorted funnel rides the funnel's cached stages; tops broadcast") {
+    assert(count("events_funnel_cohorted", "InMemoryTableScan") >= 2,
+      "stage frames must be cached, not re-derived per consumer")
+    assert(count("events_funnel_cohorted", "CartesianProduct") === 0)
+    assert(count("events_funnel_cohorted", "BroadcastHashJoin") >= 1,
+      "per-cohort tops must broadcast")
+  }
+
+  test("subword fertility is one scan, one keyed agg — no joins, no window") {
+    assert(count("vocab_subword_fertility", "Scan parquet") === 1)
+    assert(count("vocab_subword_fertility", "Join") === 0)
+    assert(count("vocab_subword_fertility", "Window") === 0)
+  }
+
+  test("pack efficiency curve: ONE distributed prefix sum for all windows") {
+    // toString reprints the cached prefix-sum relation's child under every
+    // InMemoryTableScan, so "one corpus pass" pins as: every printed scan
+    // sits inside the (single) cached relation, and no per-window branch
+    // re-reads the corpus (a Union of per-window scans would add parquet
+    // scans without matching InMemoryRelation reprints).
+    assert(count("pack_efficiency_curve", "Scan parquet") ===
+      count("pack_efficiency_curve", "InMemoryRelation"),
+      "every window's bins derive from the same cached cumulative column")
+    assert(count("pack_efficiency_curve", "Union") === 0,
+      "the sweep is one aggregate unpivoted, never per-window passes")
+    assert(count("pack_efficiency_curve", "CartesianProduct") === 0)
+    assert(plans("pack_efficiency_curve").contains("rangepartitioning"),
+      "the prefix sum must ride GlobalOrder's range partitioning")
+  }
+
+  test("contamination matrix: keyed joins only; no pair set materialized") {
+    assert(count("split_contamination_matrix", "CartesianProduct") === 0)
+    assert(count("split_contamination_matrix", "BroadcastNestedLoopJoin") === 0,
+      "the self-join is cluster-KEYED, never a nested loop")
   }
 
   test("orders rollup: ONE scan through Expand — no per-level re-aggregation") {
