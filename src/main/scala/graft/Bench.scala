@@ -130,6 +130,11 @@ object Bench {
         } catch {
           case t: Throwable =>
             failed += name -> t.getClass.getSimpleName
+            // The artifact records only the class name (stable, greppable);
+            // the stack goes to stderr so a failed run can be diagnosed
+            // from its log instead of re-reproduced.
+            System.err.println(s"[bench] $name failed:")
+            t.printStackTrace()
             None
         }
       }

@@ -314,6 +314,29 @@ object Oracles {
         ON l.tbl = r.tbl AND l.pk = r.pk)
     SELECT status, count(*) AS cnt FROM diff GROUP BY status ORDER BY status"""
 
+  /** Repair-op emission — mirrors `Diff.reconcileOps` over the same
+    * truth/poll-state pair as `cdc_diffstates`: per divergent key the op
+    * that converges the sink onto the source (insert/update/delete,
+    * source image carried); matching keys emit nothing. */
+  val cdcReconcileRepair: String = s"""WITH $stateCte, $stateFinalCte, $pollCte,
+    poll_state AS (
+      SELECT tbl, pk, after_val AS val, after_k AS k
+      FROM (SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY poll_window DESC) AS rn
+            FROM poll WHERE op_code <> 'd')
+      WHERE rn = 1),
+    j AS (
+      SELECT coalesce(l.tbl, r.tbl) AS tbl, coalesce(l.pk, r.pk) AS pk,
+        CASE WHEN l.tbl IS NULL THEN 'delete'
+             WHEN r.tbl IS NULL THEN 'insert'
+             WHEN (l.val IS DISTINCT FROM r.val) OR (l.k IS DISTINCT FROM r.k)
+               THEN 'update'
+             ELSE 'noop' END AS repair_op,
+        l.val, l.k
+      FROM state_final l FULL OUTER JOIN poll_state r
+        ON l.tbl = r.tbl AND l.pk = r.pk)
+    SELECT tbl, pk, repair_op, val, k FROM j
+    WHERE repair_op <> 'noop' ORDER BY tbl, pk"""
+
   val cdcMetricsLane: String = s"""WITH $stateCte, $logLaneCte, $trigLaneCte, $pollCte
     SELECT 'log' AS method, count(*) AS produced,
       count(CASE WHEN op_code = 'c' THEN 1 END) AS inserts,
@@ -899,6 +922,52 @@ object Oracles {
       round(quantile_cont(gap, 0.99), 3) AS p99_ms
     FROM g WHERE gap IS NOT NULL
     GROUP BY event_type ORDER BY event_type"""
+
+  /** Activity-concentration Gini — mirrors `EventAnalytics.gini`: rank
+    * form over per-user counts sorted (cnt, user_id); numerator and
+    * denominator exact integers (HUGEINT here, DECIMAL(38,0) engine-side),
+    * the Gini one IEEE division. */
+  val eventsGini: String = """WITH
+    u AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    r AS (SELECT cnt,
+            row_number() OVER (ORDER BY cnt, user_id) AS rnk
+          FROM u)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+      CAST(sum(cnt) AS BIGINT) AS n_events,
+      CAST(2 * sum(CAST(rnk AS HUGEINT) * cnt)
+           - (count(*) + 1) * sum(cnt) AS DOUBLE)
+        / CAST(count(*) * sum(cnt) AS DOUBLE) AS gini
+    FROM r"""
+
+  /** Conversion-lag ledger — mirrors `EventAnalytics.conversionLag`
+    * (signup -> click -> purchase): per transition, first completion of
+    * step k strictly after the first-touch completion of step k-1; exact
+    * mean, interpolating p50/p90/p99 rounded to 3 on both sides. */
+  val eventsConversionLag: String = """WITH
+    s0 AS (SELECT user_id, min(epoch_ms(ts)) AS c0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, s0.c0, min(epoch_ms(e.ts)) AS c1
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s0.c0
+           GROUP BY e.user_id, s0.c0),
+    s2 AS (SELECT e.user_id, s1.c1, min(epoch_ms(e.ts)) AS c2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.c1
+           GROUP BY e.user_id, s1.c1)
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS from_step,
+      'click' AS to_step, count(*) AS n_users,
+      CAST(CAST(sum(c1 - c0) AS BIGINT) AS DOUBLE) / count(*) AS mean_ms,
+      round(quantile_cont(c1 - c0, 0.5), 3) AS p50_ms,
+      round(quantile_cont(c1 - c0, 0.9), 3) AS p90_ms,
+      round(quantile_cont(c1 - c0, 0.99), 3) AS p99_ms
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', 'purchase', count(*),
+      CAST(CAST(sum(c2 - c1) AS BIGINT) AS DOUBLE) / count(*),
+      round(quantile_cont(c2 - c1, 0.5), 3),
+      round(quantile_cont(c2 - c1, 0.9), 3),
+      round(quantile_cont(c2 - c1, 0.99), 3)
+    FROM s2 ORDER BY step"""
 
   /** Hourly-volume anomaly ledger — mirrors
     * `EventAnalytics.hourlyAnomaly` (madK = 3): exact interpolating
@@ -1870,6 +1939,28 @@ object Oracles {
     SELECT per.split, per.n_docs, per.n_tokens, per.n_clusters,
       leakg.leaked_pairs, leakn.leaked_pairs_naive, moved.docs_moved
     FROM per, leakg, leakn, moved ORDER BY per.split"""
+
+  /** Cluster-aware k-fold ledger — mirrors `Sampling.kfoldClustered`
+    * (k = 5): fold hashes the near-dup cluster id, per-fold doc/token/
+    * cluster counts with token share and balance vs the uniform 1/k. */
+  def splitKfoldClustered: String = s"""WITH RECURSIVE $minhashSigCte,
+    ${scalablePairsCtes()},
+    $nearDupClosureCtes,
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    a AS (
+      SELECT ${h31("CAST(l.cluster_id AS VARCHAR)", 9973L)} % 5 AS fold,
+        l.cluster_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+      FROM documents d JOIN lab l USING (doc_id)),
+    per AS (
+      SELECT fold, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        count(DISTINCT cluster_id) AS n_clusters
+      FROM a GROUP BY fold),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+    SELECT per.fold, per.n_docs, per.n_tokens, per.n_clusters,
+      CAST(per.n_tokens AS DOUBLE) / t.tot AS token_share,
+      CAST(per.n_tokens AS DOUBLE) / t.tot * 5 AS balance
+    FROM per, t ORDER BY per.fold"""
 
   /** Quality-decile × duplication cross-ledger — mirrors
     * `Corpus.qualityVsDup` over the validated quality composite and the
@@ -2929,6 +3020,23 @@ object Oracles {
       CAST(toks AS DOUBLE) / (n_windows * window_tokens) AS mean_fill
     FROM per ORDER BY window_tokens"""
 
+  /** Padding-waste ledger — mirrors `Packing.paddingWaste` (W = 512):
+    * per length-octave exact pad-token bill of one-doc-per-sequence
+    * training; all integer arithmetic, the waste fraction one IEEE
+    * division of exact longs. */
+  val packPaddingWaste: String = """WITH
+    d AS (SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents),
+    o AS (SELECT CAST(len(bin(n)) - 1 AS BIGINT) AS octave,
+            count(*) AS n_docs,
+            CAST(sum(n) AS BIGINT) AS n_tokens,
+            CAST(sum((n + 511) // 512) AS BIGINT) AS n_seqs_padded
+          FROM d GROUP BY 1)
+    SELECT octave, n_docs, n_tokens, n_seqs_padded,
+      CAST(n_seqs_padded * 512 - n_tokens AS BIGINT) AS pad_tokens,
+      CAST(n_seqs_padded * 512 - n_tokens AS DOUBLE)
+        / (n_seqs_padded * 512) AS waste_frac
+    FROM o ORDER BY octave"""
+
   val textTokens: String = """
     SELECT doc_id,
       len(string_split(text, ' ')) AS ws_tokens,
@@ -3171,6 +3279,31 @@ object Oracles {
           c -> ascii(c)::BIGINT)),
         (a, b) -> a + b) AS sum_red
     FROM base ORDER BY doc_id"""
+
+  /** Modality-mix ledger — mirrors `Multimodal.modalityMix` over the
+    * decoded metadata: frame count 1 = image, 2..60 = clip, >60 = video;
+    * the oracle predicts dims/frames from the generator contract
+    * (`dimsFor`) while the engine reads them off a real decode. */
+  val mmModalityMix: String = """WITH
+    base AS (
+      SELECT (8 + len(text) % 24) * (8 + len(text) % 16) AS wh,
+        1 + len(text) % 120 AS f
+      FROM documents),
+    c AS (SELECT CASE WHEN f = 1 THEN 'image'
+                      WHEN f <= 60 THEN 'clip'
+                      ELSE 'video' END AS modality,
+            f, CAST(wh AS BIGINT) * f AS px
+          FROM base),
+    a AS (SELECT modality, count(*) AS n_docs,
+            CAST(sum(f) AS BIGINT) AS n_frames,
+            CAST(sum(px) AS BIGINT) AS n_pixels
+          FROM c GROUP BY modality),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+            CAST(sum(n_pixels) AS BIGINT) AS tp FROM a)
+    SELECT a.modality, a.n_docs, a.n_frames, a.n_pixels,
+      CAST(a.n_docs AS DOUBLE) / t.td AS doc_share,
+      CAST(a.n_pixels AS DOUBLE) / t.tp AS pixel_share
+    FROM a, t ORDER BY a.modality"""
 
   /** Harness evaluate() report on the polling lane — composes the diffLane
     * counts, delete capture, ordering scan, and state diff
@@ -4316,6 +4449,7 @@ object Oracles {
     "cdc_difflane" -> cdcDiffLane,
     "cdc_lag_topk" -> cdcLagTopK,
     "cdc_diffstates" -> cdcDiffStates,
+    "cdc_reconcile_repair" -> cdcReconcileRepair,
     "cdc_metrics_lane" -> cdcMetricsLane,
     "cdc_lag_percentiles" -> cdcLagPercentiles,
     "cdc_lag_rolling" -> cdcLagRolling,
@@ -4339,6 +4473,8 @@ object Oracles {
     "events_attribution" -> eventsAttribution,
     "events_cohort_ltv" -> eventsCohortLtv,
     "events_interarrival" -> eventsInterarrival,
+    "events_gini" -> eventsGini,
+    "events_conversion_lag" -> eventsConversionLag,
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_rfm" -> eventsRfm,
     "events_session_funnel" -> eventsSessionFunnel,
@@ -4348,8 +4484,10 @@ object Oracles {
     "events_funnel_cohorted" -> eventsFunnelCohorted,
     "vocab_subword_fertility" -> vocabSubwordFertility,
     "pack_efficiency_curve" -> packEfficiencyCurve,
+    "pack_padding_waste" -> packPaddingWaste,
     "split_contamination_matrix" -> splitContaminationMatrix,
     "mm_phash_clusters" -> mmPhashClusters,
+    "mm_modality_mix" -> mmModalityMix,
     "vocab_collocations" -> vocabCollocations,
     "corpus_drift" -> corpusDrift,
     "mm_phash_threshold" -> mmPhashThreshold,
@@ -4423,6 +4561,7 @@ object Oracles {
     "export_shard_stats" -> exportShardStats,
     "export_manifest" -> exportManifest,
     "split_leakage_guard" -> splitLeakageGuard,
+    "split_kfold_clustered" -> splitKfoldClustered,
     "quality_vs_dup" -> qualityVsDup,
     "sample_importance" -> sampleImportance,
     "sample_importance_top" -> sampleImportanceTop,

@@ -238,6 +238,20 @@ object SparkEntry {
       Diff.diffStates(truth, pollState, Seq("val", "k"))
         .groupBy("status").agg(count(lit(1)).as("cnt")).orderBy("status")
     }),
+    // diffStates turned into ACTION: per divergent key, the repair op
+    // (insert/update/delete, source image carried) that converges the
+    // sink onto the source truth — divergence-sized, not table-sized
+    "cdc_reconcile_repair" -> ((s, dir) => {
+      val state = st(s, dir)
+      val truth = ApplyEngine.applyState(ops(s, dir))
+      val pollEmissions = Capture.poll(state, includeSoftDeletes = false)
+      val w = Window.partitionBy("tbl", "pk").orderBy(col("poll_window").desc)
+      val pollState = pollEmissions
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("tbl"), col("pk"), col("after_val").as("val"), col("after_k").as("k"))
+      Diff.reconcileOps(truth, pollState, Seq("val", "k")).orderBy("tbl", "pk")
+    }),
     "cdc_ordering_drift" -> ((s, dir) => {
       val drifted = Broker.withDrift(
         ops(s, dir), concat(lit("tx-"), col("lsn").cast("string")), col("t"))
@@ -531,6 +545,16 @@ object SparkEntry {
     "events_interarrival" -> ((s, dir) =>
       graft.operators.EventAnalytics.interarrival(Tables.events(s, dir))
         .orderBy("event_type")),
+    // activity-concentration Gini over per-user event counts: exact
+    // integer numerator/denominator (DECIMAL(38,0) rank-weighted sum via
+    // the range-partitioned GlobalOrder rank), one IEEE division
+    "events_gini" -> ((s, dir) =>
+      graft.operators.EventAnalytics.gini(Tables.events(s, dir))),
+    // per-transition conversion delay (signup->click->purchase): the
+    // funnel's first-touch chain with exact mean + interpolating p50/90/99
+    "events_conversion_lag" -> ((s, dir) =>
+      graft.operators.EventAnalytics.conversionLag(Tables.events(s, dir))
+        .orderBy("step")),
     "q_events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("hour_id"),
@@ -655,6 +679,12 @@ object SparkEntry {
       Sampling.contaminationMatrix(Tables.documents(s, dir),
         Clusters.indexLoad(s, clusterIndexDir(s, dir)))
         .orderBy("split_a", "split_b")),
+    // cluster-aware k-fold: fold hashes the near-dup CLUSTER id, so no
+    // CV fold's held-out slice contains a paraphrase of another fold's
+    // training data; per-fold balance ledger vs the uniform 1/k target
+    "split_kfold_clustered" -> ((s, dir) =>
+      Sampling.kfoldClustered(Tables.documents(s, dir),
+        Clusters.indexLoad(s, clusterIndexDir(s, dir))).orderBy("fold")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowCandidates(Tables.documents(s, dir)).orderBy("fp_winnow")),
     "dedup_simhash" -> ((s, dir) =>
@@ -757,6 +787,10 @@ object SparkEntry {
     "pack_efficiency_curve" -> ((s, dir) =>
       Packing.packEfficiencyCurve(Tables.documents(s, dir))
         .orderBy("window_tokens")),
+    // the cost of NOT packing: per length-octave pad-token bill under
+    // one-doc-per-sequence training — read next to pack_efficiency's fill
+    "pack_padding_waste" -> ((s, dir) =>
+      Packing.paddingWaste(Tables.documents(s, dir)).orderBy("octave")),
 
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
@@ -1100,6 +1134,13 @@ object SparkEntry {
         Multimodal.phashDups(hashes).select("a_id", "b_id")))
         .orderBy("cluster_size")
     }),
+    // modality mix over the DECODED metadata (stills vs clips vs video by
+    // real decoded frame count): item + pixel-mass shares — the GPU-hour
+    // budget split of a multimodal corpus
+    "mm_modality_mix" -> ((s, dir) =>
+      Multimodal.modalityMix(
+        Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir))))
+        .orderBy("modality")),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

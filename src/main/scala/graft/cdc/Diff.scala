@@ -150,4 +150,37 @@ object Diff {
           |  'missing_in_sink', missing_in_sink,
           |  'orphans_in_sink', orphans_in_sink) AS (metric, cnt)""".stripMargin)
   }
+
+  /** Repair-op emission — [[diffStates]] turned into ACTION: for every
+    * divergent key, the op that converges the sink onto the source truth
+    * (the "reconcile" step a verifier runs after the count/sample checks
+    * flag drift): source-only → `insert`, both-but-different → `update`
+    * (source image carried), sink-only → `delete`. Matching keys emit
+    * nothing — the repair feed is divergence-sized, not table-sized.
+    *
+    * Shape: ONE (tbl, pk)-keyed full-outer join of two already-reduced
+    * state images (both key-cardinality), the classification in the
+    * projection — the same scale contract as [[diffStates]]; no second
+    * pass, no window. */
+  def reconcileOps(source: DataFrame, sink: DataFrame,
+      valCols: Seq[String]): DataFrame = {
+    val l = source.select(
+      (Seq(col("tbl"), col("pk")) ++ valCols.map(c => col(c).as(s"l_$c"))): _*)
+    val r = sink.select(
+      (Seq(col("tbl"), col("pk")) ++ valCols.map(c => col(c).as(s"r_$c"))): _*)
+    val joined = l.withColumn("l_present", lit(true))
+      .join(r.withColumn("r_present", lit(true)), Seq("tbl", "pk"), "full_outer")
+    val anyMismatch = valCols
+      .map(c => !(col(s"l_$c") <=> col(s"r_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("repair_op",
+        when(col("l_present").isNull, "delete")
+          .when(col("r_present").isNull, "insert")
+          .when(anyMismatch, "update")
+          .otherwise("noop"))
+      .filter(col("repair_op") =!= "noop")
+      .select((Seq(col("tbl"), col("pk"), col("repair_op")) ++
+        valCols.map(c => col(s"l_$c").as(c))): _*)
+  }
 }

@@ -289,4 +289,35 @@ object Multimodal {
       struct(col("threshold")), Seq("n_at" -> "n_pairs_le"), None)
       .select("threshold", "n_at", "n_pairs_le")
   }
+
+  /** Modality-mix ledger — the first table a multimodal corpus build
+    * reads: what share of the stored media is stills vs short clips vs
+    * long-form video, in items AND in pixel mass (compute cost is pixel-
+    * proportional, so `pixel_share` is the GPU-hour budget split, not
+    * `doc_share`). Classification runs over the DECODED metadata
+    * ([[metaFromPayloads]] — real `ImageIO` decode of the stored
+    * payloads), so the ledger verifies the decode path end-to-end: frame
+    * count 1 = `image`, 2..60 = `clip`, >60 = `video` (the stub clip
+    * model's domain is 1..120 frames).
+    *
+    * Shape: one metadata pass to a ≤ 3-row modality aggregate (map-side
+    * combine), totals broadcast back — the payloads never leave the
+    * executors and nothing per-document survives the aggregate. */
+  def modalityMix(meta: DataFrame): DataFrame = {
+    val classed = meta.select(
+      when(col("n_frames") === 1, "image")
+        .when(col("n_frames") <= 60, "clip")
+        .otherwise("video").as("modality"),
+      col("n_frames"),
+      (col("width") * col("height") * col("n_frames")).as("_px"))
+    val agg = classed.groupBy("modality").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_frames").as("n_frames"),
+      sum("_px").as("n_pixels"))
+    val totals = agg.agg(sum("n_docs").as("_td"), sum("n_pixels").as("_tp"))
+    agg.crossJoin(broadcast(totals))
+      .select(col("modality"), col("n_docs"), col("n_frames"), col("n_pixels"),
+        (col("n_docs").cast("double") / col("_td")).as("doc_share"),
+        (col("n_pixels").cast("double") / col("_tp")).as("pixel_share"))
+  }
 }

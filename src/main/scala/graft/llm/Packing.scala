@@ -122,4 +122,33 @@ object Packing {
         (col("_toks").cast("double") / (col("n_windows") * col("window_tokens")))
           .as("mean_fill"))
   }
+
+  /** Padding-waste ledger — the cost of NOT packing, per document-length
+    * octave: one-doc-per-sequence training pads every sequence to
+    * `windowTokens` (long docs chunk into ⌈tokens/W⌉ sequences, the last
+    * one padded), so per octave the ledger reports documents, tokens,
+    * padded sequence count and the exact pad-token bill — read next to
+    * [[packEfficiency]]'s `mean_fill` to price the packing pipeline
+    * ("the sub-128-token octaves burn 80% of their window on padding").
+    * All integer arithmetic (⌈n/W⌉ as `(n + W−1) div W`, octave =
+    * `len(bin(n)) − 1` — the repo's transcendental-free ⌊log₂⌋); the
+    * waste fraction is one IEEE division of exact longs.
+    *
+    * Shape: one corpus pass, one ≤ 64-row octave aggregate (map-side
+    * combine) — no joins, no window. */
+  def paddingWaste(docs: DataFrame, windowTokens: Int = 512): DataFrame =
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("_n"))
+      .withColumn("octave", (length(bin(col("_n"))) - 1).cast("long"))
+      .withColumn("_seqs", expr(s"(_n + ${windowTokens - 1}) div $windowTokens"))
+      .groupBy("octave")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_n").as("n_tokens"),
+        sum("_seqs").as("n_seqs_padded"),
+        (sum("_seqs") * windowTokens - sum("_n")).as("pad_tokens"))
+      .select(col("octave"), col("n_docs"), col("n_tokens"),
+        col("n_seqs_padded"), col("pad_tokens"),
+        (col("pad_tokens").cast("double")
+          / (col("n_seqs_padded") * windowTokens)).as("waste_frac"))
 }

@@ -582,4 +582,35 @@ object Sampling {
           expr("_na * (_na - 1) div 2"))
           .otherwise(col("_na") * col("_nb"))).as("n_pairs"))
   }
+
+  /** Cluster-aware k-fold assignment — cross-validation's version of the
+    * [[leakageGuardSplit]] guarantee: fold = `hash31(cluster_id) % k`, so
+    * an entire near-dup cluster lands in ONE fold and no fold's held-out
+    * slice contains a paraphrase of another fold's training data. Returns
+    * the per-fold ledger (docs, tokens, clusters, token share, balance vs
+    * the uniform 1/k target) — the table read before trusting a CV score:
+    * hash assignment keeps the expected imbalance O(1/√(clusters/fold)),
+    * and a fold row far off 1.0 means one giant cluster owns it.
+    *
+    * Shape: one doc-keyed index join (the amortized build-once cluster
+    * index — contraction never re-runs), one k-row aggregate with
+    * map-side combine, a 1-row totals broadcast. */
+  def kfoldClustered(docs: DataFrame, clusters: DataFrame,
+      k: Int = 5): DataFrame = {
+    val assigned = docs
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
+      .select(
+        (hash31(col("cluster_id").cast("string")) % k).as("fold"),
+        col("cluster_id"),
+        size(split(col("text"), " ")).cast("long").as("_toks"))
+    val perFold = assigned.groupBy("fold").agg(
+      count(lit(1)).as("n_docs"),
+      sum("_toks").as("n_tokens"),
+      countDistinct("cluster_id").as("n_clusters"))
+    val totals = perFold.agg(sum("n_tokens").as("_tot"))
+    perFold.crossJoin(broadcast(totals))
+      .select(col("fold"), col("n_docs"), col("n_tokens"), col("n_clusters"),
+        (col("n_tokens").cast("double") / col("_tot")).as("token_share"),
+        (col("n_tokens").cast("double") / col("_tot") * k).as("balance"))
+  }
 }

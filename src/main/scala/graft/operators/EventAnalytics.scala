@@ -517,4 +517,80 @@ object EventAnalytics {
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
+
+  /** Activity-concentration (Gini) ledger — how unequal the per-user
+    * event distribution is, the single number read next to the
+    * [[userOctaves]] power-law tail ("are 1% of users producing 90% of
+    * the feed?" — the bot/whale tell, and on a training corpus the
+    * source-concentration audit). Gini over per-user counts x₁≤…≤xₙ via
+    * the rank form G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ): both numerator
+    * and denominator are EXACT integers (DECIMAL(38,0) accumulation —
+    * Σi·xᵢ ≤ n·total overflows a long at ~1e9 users × 1e10 events, well
+    * inside the 100 TB target), the Gini one IEEE division at the end.
+    * Rank ties are harmless: tied values contribute the same Σi·xᵢ
+    * under any permutation of their rank block.
+    *
+    * Shape: one user-keyed count (map-side combine), a
+    * [[graft.cdc.GlobalOrder.rank]] over the user-cardinality frame
+    * (range-partitioned — no single-task global sort), one 1-row
+    * aggregate. */
+  def gini(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.cdc.GlobalOrder.rank(
+      perUser, Seq(col("cnt"), col("user_id")), "rnk")
+    ranked
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("cnt").as("n_events"),
+        sum(col("rnk").cast("decimal(38,0)") * col("cnt")).as("_w"))
+      .select(col("n_users"), col("n_events"),
+        ((col("_w") * 2 - (col("n_users") + 1).cast("decimal(38,0)")
+            * col("n_events")).cast("double")
+          / (col("n_users").cast("decimal(38,0)") * col("n_events"))
+            .cast("double")).as("gini"))
+  }
+
+  /** Conversion-lag ledger — per funnel transition, how LONG users take
+    * to convert (the time-to-value curve a growth team reads next to the
+    * [[funnel]] counts): gap = first completion of step k − first
+    * completion of step k−1, under the same strict first-touch chain the
+    * funnel uses. One row per transition with the converter count, exact
+    * mean (long sum / count) and exact interpolating p50/p90/p99 rounded
+    * to 3 decimals on both engines (the [[interarrival]] parity rule).
+    *
+    * Shape: the funnel's stage chain (per-user min-after-threshold
+    * aggregates, user-cardinality keyed joins), each transition's gaps
+    * aggregated to ONE row — no per-user ordered scan, no window over
+    * the raw stream. */
+  def conversionLag(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.length >= 2)
+    var prev = events.filter(col("event_type") === steps.head)
+      .select(col("user_id"), tMs.as("_t0"))
+      .groupBy("user_id").agg(min("_t0").as("_c0"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 until steps.length) {
+      val stage = events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), tMs.as(s"_t$i"))
+        .join(prev, "user_id")
+        .filter(col(s"_t$i") > col(s"_c${i - 1}"))
+        .groupBy("user_id", s"_c${i - 1}")
+        .agg(min(s"_t$i").as(s"_c$i"))
+      rows += stage
+        .select((col(s"_c$i") - col(s"_c${i - 1}")).as("_gap"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum("_gap").as("_sum"),
+          round(expr("percentile(_gap, 0.5)"), 3).as("p50_ms"),
+          round(expr("percentile(_gap, 0.9)"), 3).as("p90_ms"),
+          round(expr("percentile(_gap, 0.99)"), 3).as("p99_ms"))
+        .select(lit(i.toLong).as("step"),
+          lit(steps(i - 1)).as("from_step"), lit(steps(i)).as("to_step"),
+          col("n_users"),
+          (col("_sum").cast("double") / col("n_users")).as("mean_ms"),
+          col("p50_ms"), col("p90_ms"), col("p99_ms"))
+      prev = stage.select(col("user_id"), col(s"_c$i"))
+    }
+    rows.reduce(_ unionAll _)
+  }
 }

@@ -149,4 +149,59 @@ class CorpusHealthSpec extends SparkSpec {
         r.getAs[Long]("n_pairs_le")))
     assert(out.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
+
+  test("padding waste: exact per-octave pad bill, chunked long docs") {
+    // token counts 3 (octave 1), 4 and 5 (octave 2); W = 4:
+    //   octave 1: 1 seq,  pad 4-3 = 1, waste 1/4
+    //   octave 2: 1+2 seqs, pad 3*4-9 = 3, waste 3/12
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "d e f g", "en", "s", 7L),
+      (3L, "h i j k l", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.llm.Packing.paddingWaste(docs, windowTokens = 4)
+      .orderBy("octave").collect()
+      .map(r => (r.getAs[Long]("octave"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_seqs_padded"), r.getAs[Long]("pad_tokens"),
+        r.getAs[Double]("waste_frac")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 0.25),
+      (2L, 2L, 3L, 3L, 0.25)))
+  }
+
+  test("modality mix: frame-count classes with doc and pixel shares") {
+    val meta = Seq(
+      (1L, 2L, 2L, 1L),    // image, 4 px
+      (2L, 3L, 1L, 1L),    // image, 3 px
+      (3L, 2L, 3L, 10L),   // clip,  60 px
+      (4L, 1L, 2L, 100L))  // video, 200 px
+      .toDF("doc_id", "width", "height", "n_frames")
+    val out = graft.llm.Multimodal.modalityMix(meta).orderBy("modality")
+      .collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pixels"), r.getAs[Double]("doc_share"),
+        r.getAs[Double]("pixel_share")))
+    assert(out.toSeq === Seq(
+      ("clip", 1L, 60L, 0.25, 60.0 / 267.0),
+      ("image", 2L, 7L, 0.5, 7.0 / 267.0),
+      ("video", 1L, 200L, 0.25, 200.0 / 267.0)))
+  }
+
+  test("kfold clustered: a near-dup cluster never straddles folds") {
+    val docs = (1L to 4L).map(i => (i, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 50L), (4L, 60L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.llm.Sampling.kfoldClustered(docs, clusters, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+        r.getAs[Double]("token_share"), r.getAs[Double]("balance")))
+    assert(out.map(_._1).sum === 4L)
+    // straddling would double-count cluster 10 across folds (sum > 3)
+    assert(out.map(_._2).sum === 3L)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12)
+    out.foreach { case (_, _, share, balance) =>
+      assert(balance === share * 2)
+    }
+  }
 }

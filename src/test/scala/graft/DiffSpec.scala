@@ -96,6 +96,27 @@ class DiffSpec extends SparkSpec {
       "match" -> 1L, "field_mismatch" -> 1L, "missing_row" -> 1L, "unexpected_row" -> 1L))
   }
 
+  test("reconcileOps emits exactly the converging op per divergent key") {
+    val source = Seq(
+      ("t0", "1", Some(1.0), Some(10L)), // match -> emits nothing
+      ("t0", "2", Some(2.0), Some(20L)), // sink stale -> update, source image
+      ("t0", "3", Some(3.0), Some(30L))  // missing in sink -> insert
+    ).toDF("tbl", "pk", "val", "k")
+    val sink = Seq(
+      ("t0", "1", Some(1.0), Some(10L)),
+      ("t0", "2", Some(2.0), Some(99L)),
+      ("t0", "4", Some(4.0), Some(40L))  // orphan in sink -> delete
+    ).toDF("tbl", "pk", "val", "k")
+    val out = Diff.reconcileOps(source, sink, Seq("val", "k"))
+      .orderBy("pk").collect()
+      .map(r => (r.getAs[String]("pk"), r.getAs[String]("repair_op"),
+        Option(r.getAs[java.lang.Long]("k")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("2", "update", Some(20L)),
+      ("3", "insert", Some(30L)),
+      ("4", "delete", None))) // delete carries no source image
+  }
+
   test("null-safe compare: null == null is a match, null vs value is not") {
     val left = Seq(("t0", "1", None: Option[Double], Some(1L))).toDF("tbl", "pk", "val", "k")
     val right1 = Seq(("t0", "1", None: Option[Double], Some(1L))).toDF("tbl", "pk", "val", "k")

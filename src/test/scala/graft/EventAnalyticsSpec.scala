@@ -222,4 +222,38 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0),
       (1L, 1L, 1L, 1L, 1.0)))
   }
+
+  test("gini: zero for a uniform distribution, exact for a skewed one") {
+    val uniform = ev(Seq(
+      (1L, "click", 1L), (1L, "click", 2L),
+      (2L, "view", 3L), (2L, "view", 4L)))
+    val g0 = EventAnalytics.gini(uniform).collect().head
+    assert(g0.getAs[Long]("n_users") === 2L)
+    assert(g0.getAs[Long]("n_events") === 4L)
+    assert(g0.getAs[Double]("gini") === 0.0)
+    // counts 1, 1, 2 sorted -> sum i*x = 1 + 2 + 6 = 9;
+    // G = (2*9 - 4*4) / (3*4) = 2/12
+    val skewed = ev(Seq(
+      (1L, "click", 1L), (2L, "click", 2L),
+      (3L, "click", 3L), (3L, "click", 4L)))
+    assert(EventAnalytics.gini(skewed).collect().head
+      .getAs[Double]("gini") === 2.0 / 12.0)
+  }
+
+  test("conversionLag: gaps measured from the first-touch chain only") {
+    val events = ev(Seq(
+      (1L, "signup", 1000L), (1L, "click", 3000L), (1L, "purchase", 6000L),
+      (2L, "click", 500L), (2L, "signup", 1000L),          // click precedes signup
+      (3L, "signup", 1000L), (3L, "click", 2000L),
+      (3L, "purchase", 1500L)))                            // purchase precedes click
+    val out = EventAnalytics.conversionLag(events).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("from_step"),
+        r.getAs[String]("to_step"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("mean_ms"), r.getAs[Double]("p50_ms")))
+    // step 1: u1 gap 2000, u3 gap 1000 -> mean 1500, p50 1500 (interpolated)
+    // step 2: only u1 converts (u3's purchase precedes its click) -> 3000
+    assert(out.toSeq === Seq(
+      (1L, "signup", "click", 2L, 1500.0, 1500.0),
+      (2L, "click", "purchase", 1L, 3000.0, 3000.0)))
+  }
 }
