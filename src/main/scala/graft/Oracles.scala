@@ -583,6 +583,35 @@ object Oracles {
       CAST(count(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Session-shape ledger — mirrors `Sessions.sessionStats` (gap 8 h):
+    * the `q_events_sessions` sessionization aggregated to one row; exact
+    * means, interpolating percentiles rounded to 3 on both sides. */
+  val eventsSessionStats: String = """WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t FROM events),
+    o AS (
+      SELECT user_id, t,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 28800000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    sess AS (
+      SELECT max(t) + 28800000 - min(t) AS dur,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(n_events) AS BIGINT) AS n_events,
+      CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) / count(*) AS mean_events,
+      round(quantile_cont(n_events, 0.5), 3) AS p50_events,
+      round(quantile_cont(n_events, 0.9), 3) AS p90_events,
+      CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) / count(*) AS mean_duration_ms,
+      round(quantile_cont(dur, 0.5), 3) AS p50_duration_ms,
+      round(quantile_cont(dur, 0.9), 3) AS p90_duration_ms
+    FROM sess"""
+
   val qEventsHourly: String = """
     SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, count(*) AS cnt,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1940,6 +1969,30 @@ object Oracles {
       leakg.leaked_pairs, leakn.leaked_pairs_naive, moved.docs_moved
     FROM per, leakg, leakn, moved ORDER BY per.split"""
 
+  /** Temporal split + user-leakage audit — mirrors
+    * `Sampling.temporalSplit`: integer midpoint-day cut, per-split
+    * event/user counts, users active on both sides reported as the
+    * inherent leak. */
+  val splitTemporal: String = """WITH
+    e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+    b AS (SELECT (min(d) + max(d) + 1) // 2 AS cut FROM e),
+    m AS (SELECT user_id,
+            CASE WHEN d < b.cut THEN 'train' ELSE 'test' END AS split
+          FROM e, b),
+    u AS (SELECT user_id,
+            count(CASE WHEN split = 'train' THEN 1 END) AS tr,
+            count(CASE WHEN split = 'test' THEN 1 END) AS te
+          FROM m GROUP BY user_id),
+    audit AS (SELECT count(*) AS n_users_total,
+            count(CASE WHEN tr > 0 AND te > 0 THEN 1 END) AS n_users_both
+          FROM u),
+    per AS (SELECT split, count(*) AS n_events,
+            count(DISTINCT user_id) AS n_users
+          FROM m GROUP BY split)
+    SELECT per.split, per.n_events, per.n_users, audit.n_users_both,
+      CAST(audit.n_users_both AS DOUBLE) / audit.n_users_total AS user_leak_frac
+    FROM per, audit ORDER BY per.split"""
+
   /** Cluster-aware k-fold ledger — mirrors `Sampling.kfoldClustered`
     * (k = 5): fold hashes the near-dup cluster id, per-fold doc/token/
     * cluster counts with token share and balance vs the uniform 1/k. */
@@ -3280,6 +3333,39 @@ object Oracles {
         (a, b) -> a + b) AS sum_red
     FROM base ORDER BY doc_id"""
 
+  /** Pixel-profile ledger — mirrors `Multimodal.pixelProfile`: per
+    * modality the per-frame pixel mass, cyclic red-channel total
+    * (full_cycles·Σall + Σprefix — the `mm_binary_meta` arithmetic) and
+    * its mean, plus the decoded-dimension envelope. */
+  val mmPixelProfile: String = """WITH
+    base AS (
+      SELECT text, greatest(len(text), 1) AS n,
+        8 + len(text) % 24 AS w, 8 + len(text) % 16 AS h,
+        1 + len(text) % 120 AS f
+      FROM documents),
+    m AS (
+      SELECT CASE WHEN f = 1 THEN 'image'
+                  WHEN f <= 60 THEN 'clip'
+                  ELSE 'video' END AS modality,
+        w, h, CAST(w AS BIGINT) * h AS wh,
+        ((w * h) // n) *
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(split(text, ''), c -> ascii(c)::BIGINT)),
+            (a, b) -> a + b) +
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(split(substr(text, 1, CAST((w * h) % n AS INT)), ''),
+            c -> ascii(c)::BIGINT)),
+          (a, b) -> a + b) AS sum_red
+      FROM base)
+    SELECT modality, count(*) AS n_docs,
+      CAST(sum(wh) AS BIGINT) AS n_pixels,
+      CAST(sum(sum_red) AS BIGINT) AS sum_red,
+      CAST(CAST(sum(sum_red) AS BIGINT) AS DOUBLE)
+        / CAST(sum(wh) AS BIGINT) AS mean_red,
+      CAST(min(w) AS BIGINT) AS min_width, CAST(max(w) AS BIGINT) AS max_width,
+      CAST(min(h) AS BIGINT) AS min_height, CAST(max(h) AS BIGINT) AS max_height
+    FROM m GROUP BY modality ORDER BY modality"""
+
   /** Modality-mix ledger — mirrors `Multimodal.modalityMix` over the
     * decoded metadata: frame count 1 = image, 2..60 = clip, >60 = video;
     * the oracle predicts dims/frames from the generator contract
@@ -4475,6 +4561,7 @@ object Oracles {
     "events_interarrival" -> eventsInterarrival,
     "events_gini" -> eventsGini,
     "events_conversion_lag" -> eventsConversionLag,
+    "events_session_stats" -> eventsSessionStats,
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_rfm" -> eventsRfm,
     "events_session_funnel" -> eventsSessionFunnel,
@@ -4488,6 +4575,7 @@ object Oracles {
     "split_contamination_matrix" -> splitContaminationMatrix,
     "mm_phash_clusters" -> mmPhashClusters,
     "mm_modality_mix" -> mmModalityMix,
+    "mm_pixel_profile" -> mmPixelProfile,
     "vocab_collocations" -> vocabCollocations,
     "corpus_drift" -> corpusDrift,
     "mm_phash_threshold" -> mmPhashThreshold,
@@ -4562,6 +4650,7 @@ object Oracles {
     "export_manifest" -> exportManifest,
     "split_leakage_guard" -> splitLeakageGuard,
     "split_kfold_clustered" -> splitKfoldClustered,
+    "split_temporal" -> splitTemporal,
     "quality_vs_dup" -> qualityVsDup,
     "sample_importance" -> sampleImportance,
     "sample_importance_top" -> sampleImportanceTop,

@@ -414,6 +414,14 @@ object SparkEntry {
     "q_events_sessions" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir))
         .orderBy("user_id", "session_start")),
+    // one-row session-shape ledger (count/size/duration, exact means +
+    // interpolating percentiles) on the same single session_window shuffle
+    "events_session_stats" -> ((s, dir) =>
+      Sessions.sessionStats(Tables.events(s, dir))),
+    // temporal train/test split at the integer midpoint day, with the
+    // inherent user-overlap leak REPORTED (the events-side leakage audit)
+    "split_temporal" -> ((s, dir) =>
+      graft.llm.Sampling.temporalSplit(Tables.events(s, dir)).orderBy("split")),
     // As-of join: each purchase attributed to the user's latest click
     // at-or-before it — one keyed shuffle, no join (operators/AsOfJoin).
     // Build side deduped to one row per (user, ms) for tie determinism.
@@ -1139,6 +1147,13 @@ object SparkEntry {
     // budget split of a multimodal corpus
     "mm_modality_mix" -> ((s, dir) =>
       Multimodal.modalityMix(
+        Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir))))
+        .orderBy("modality")),
+    // per-modality brightness/shape envelope off the real decoded
+    // rasters (corpus normalization stats); oracle re-derives the cyclic
+    // pixel sums arithmetically — decode verified end-to-end again
+    "mm_pixel_profile" -> ((s, dir) =>
+      Multimodal.pixelProfile(
         Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir))))
         .orderBy("modality")),
 

@@ -303,6 +303,35 @@ object Multimodal {
     * Shape: one metadata pass to a ≤ 3-row modality aggregate (map-side
     * combine), totals broadcast back — the payloads never leave the
     * executors and nothing per-document survives the aggregate. */
+  /** Pixel-profile ledger — per modality, the brightness and shape
+    * envelope of the DECODED rasters: per-frame pixel mass, red-channel
+    * total and its mean value (the normalization statistic an image
+    * training pipeline computes over the corpus before fixing its
+    * preprocessing), plus the min/max decoded dimensions. Every number
+    * comes off the real `ImageIO` decode ([[metaFromPayloads]]) while the
+    * oracle re-derives it arithmetically from the generator contract —
+    * a wrong decode, a channel swap, or a dropped row all break parity.
+    *
+    * Shape: one metadata pass to a ≤ 3-row aggregate (map-side combine);
+    * `mean_red` is ONE IEEE division of two exactly-summed longs. */
+  def pixelProfile(meta: DataFrame): DataFrame =
+    meta.select(
+        when(col("n_frames") === 1, "image")
+          .when(col("n_frames") <= 60, "clip")
+          .otherwise("video").as("modality"),
+        col("width"), col("height"), col("sum_red"))
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("width") * col("height")).as("n_pixels"),
+        sum("sum_red").as("sum_red"),
+        min("width").as("min_width"), max("width").as("max_width"),
+        min("height").as("min_height"), max("height").as("max_height"))
+      .select(col("modality"), col("n_docs"), col("n_pixels"), col("sum_red"),
+        (col("sum_red").cast("double") / col("n_pixels")).as("mean_red"),
+        col("min_width"), col("max_width"),
+        col("min_height"), col("max_height"))
+
   def modalityMix(meta: DataFrame): DataFrame = {
     val classed = meta.select(
       when(col("n_frames") === 1, "image")

@@ -595,6 +595,48 @@ object Sampling {
     * Shape: one doc-keyed index join (the amortized build-once cluster
     * index — contraction never re-runs), one k-row aggregate with
     * map-side combine, a 1-row totals broadcast. */
+  /** Temporal train/test split with a user-leakage audit — the split an
+    * events-derived training set actually needs: train on days strictly
+    * before the midpoint cut, evaluate on days at-or-after it (all
+    * integer day arithmetic: cut = `(min_day + max_day + 1) div 2`, so
+    * the cut is derived from the data and reproducible). The audit is
+    * `n_users_both` / `user_leak_frac`: users active on BOTH sides of
+    * the cut — a temporally-split eval is not independent for them (the
+    * model saw their earlier behavior), the events-side analogue of
+    * [[leakageGuardSplit]]'s paraphrase leak. Unlike the hash splits the
+    * leak here is inherent, so it is REPORTED, not prevented.
+    *
+    * Shape: one 1-row bounds broadcast, one user-keyed conditional
+    * aggregate (map-side combine) for the audit, one 2-row split
+    * aggregate; the feed crosses the wire keyed by user once. */
+  def temporalSplit(events: DataFrame): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val evd = events.select(col("user_id"), day.as("_d"))
+    val bounds = evd.agg(min("_d").as("_lo"), max("_d").as("_hi"))
+    val marked = evd.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("_d") < expr("(_lo + _hi + 1) div 2"), "train")
+          .otherwise("test"))
+    val audit = marked
+      .groupBy("user_id")
+      .agg(
+        count(when(col("split") === "train", 1)).as("_tr"),
+        count(when(col("split") === "test", 1)).as("_te"))
+      .agg(
+        count(lit(1)).as("n_users_total"),
+        count(when(col("_tr") > 0 && col("_te") > 0, 1)).as("n_users_both"))
+    marked
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .crossJoin(broadcast(audit))
+      .select(col("split"), col("n_events"), col("n_users"),
+        col("n_users_both"),
+        (col("n_users_both").cast("double") / col("n_users_total"))
+          .as("user_leak_frac"))
+  }
+
   def kfoldClustered(docs: DataFrame, clusters: DataFrame,
       k: Int = 5): DataFrame = {
     val assigned = docs

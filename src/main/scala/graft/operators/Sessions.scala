@@ -82,4 +82,36 @@ object Sessions {
           .otherwise(col("n_converted").cast("double") / col("n_with_from"))
           .as("conversion_rate"))
   }
+
+  /** Session-shape ledger — the one-row summary read before tuning the
+    * gap or a session-scoped model: how many sessions, how big (event
+    * count) and how long (duration, start→end, so it includes the
+    * closing gap tail — deterministic on both engines). Means are single
+    * IEEE divisions of exact long sums; p50/p90 are exact interpolating
+    * percentiles rounded to 3 decimals on both engines (the repo's
+    * lag-percentile parity rule).
+    *
+    * Shape: [[sessionize]]'s single (user, session-window) shuffle, then
+    * ONE global aggregate over the session-cardinality frame — the same
+    * exact-percentile trade [[graft.cdc.MetricsAgg]] documents (the
+    * rolling sketch is the unbounded-stream form). */
+  def sessionStats(events: DataFrame, gapMs: Long = 28800000L): DataFrame =
+    sessionize(events, gapMs)
+      .select(
+        (col("session_end") - col("session_start")).as("_dur"),
+        col("n_events"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        round(expr("percentile(n_events, 0.5)"), 3).as("p50_events"),
+        round(expr("percentile(n_events, 0.9)"), 3).as("p90_events"),
+        sum("_dur").as("_sumdur"),
+        round(expr("percentile(_dur, 0.5)"), 3).as("p50_duration_ms"),
+        round(expr("percentile(_dur, 0.9)"), 3).as("p90_duration_ms"))
+      .select(
+        col("n_sessions"), col("n_events"),
+        (col("n_events").cast("double") / col("n_sessions")).as("mean_events"),
+        col("p50_events"), col("p90_events"),
+        (col("_sumdur").cast("double") / col("n_sessions")).as("mean_duration_ms"),
+        col("p50_duration_ms"), col("p90_duration_ms"))
 }

@@ -1025,4 +1025,48 @@ object Streams {
           }
         })
   }
+
+  /** Streaming gap sessionization — the incremental twin of
+    * [[graft.operators.Sessions.sessionize]], and the reason that batch
+    * operator was built on the native `session_window` aggregate in the
+    * first place: the SAME declarative plan runs here under a watermark,
+    * with Spark's UpdatingSessionsExec machinery owning the hard parts
+    * (per-key session merge in the state store, watermark-driven close,
+    * exactly-once emission from the checkpoint) instead of a hand-rolled
+    * keyed-state fold.
+    *
+    * Semantics: a session extends while same-user events arrive within
+    * `gapMs`; in Append mode a (user, session) row emits ONCE, when the
+    * event-time watermark (max seen time − `watermarkDelayMs`) passes the
+    * session's end — so the output is the closed-session feed, equal to
+    * the batch [[graft.operators.Sessions.sessionize]] rows for every
+    * session the watermark has closed (parity: EventStreamSpec; a
+    * session SPANNING a crash must merge across restart: the
+    * FailureDrillSpec drill). Late events beyond the allowance are
+    * dropped by the watermark, exactly the loss
+    * [[graft.cdc.Capture.watermarkCurve]] prices.
+    *
+    * Scale shape: one shuffle keyed by user, per-key state bounded by
+    * OPEN sessions only (closed ones are evicted at emission) — the
+    * 100 TB form is this same plan with the state store on RocksDB. */
+  def sessionStream(
+      events: Dataset[EventIn],
+      gapMs: Long = 28800000L,
+      watermarkDelayMs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .select(
+        col("userId").as("user_id"),
+        timestamp_millis(col("tMs")).as("_t"))
+      .withWatermark("_t", s"$watermarkDelayMs milliseconds")
+      .groupBy(
+        col("user_id"),
+        session_window(col("_t"), s"$gapMs milliseconds").as("_w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("_w.start")).as("session_start"),
+        unix_millis(col("_w.end")).as("session_end"),
+        col("n_events"))
+  }
 }

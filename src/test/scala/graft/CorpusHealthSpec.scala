@@ -187,6 +187,25 @@ class CorpusHealthSpec extends SparkSpec {
       ("video", 1L, 200L, 0.25, 200.0 / 267.0)))
   }
 
+  test("pixel profile: per-modality sums, mean and dimension envelope") {
+    val meta = Seq(
+      (1L, 2L, 2L, 1L, 10L),    // image: 4 px, red 10
+      (2L, 3L, 1L, 1L, 5L),     // image: 3 px, red 5
+      (3L, 2L, 3L, 10L, 30L),   // clip
+      (4L, 1L, 2L, 100L, 7L))   // video
+      .toDF("doc_id", "width", "height", "n_frames", "sum_red")
+    val out = graft.llm.Multimodal.pixelProfile(meta).orderBy("modality")
+      .collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pixels"), r.getAs[Long]("sum_red"),
+        r.getAs[Double]("mean_red"), r.getAs[Long]("min_width"),
+        r.getAs[Long]("max_width")))
+    assert(out.toSeq === Seq(
+      ("clip", 1L, 6L, 30L, 5.0, 2L, 2L),
+      ("image", 2L, 7L, 15L, 15.0 / 7.0, 2L, 3L),
+      ("video", 1L, 2L, 7L, 3.5, 1L, 1L)))
+  }
+
   test("kfold clustered: a near-dup cluster never straddles folds") {
     val docs = (1L to 4L).map(i => (i, "a b c", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

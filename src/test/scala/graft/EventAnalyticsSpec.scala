@@ -240,6 +240,23 @@ class EventAnalyticsSpec extends SparkSpec {
       .getAs[Double]("gini") === 2.0 / 12.0)
   }
 
+  test("temporalSplit: integer midpoint cut; straddling users reported") {
+    val day = 86400000L
+    val events = ev(Seq(
+      (1L, "click", 0L), (1L, "click", 3 * day),       // straddles the cut
+      (2L, "view", day),                               // train only
+      (3L, "view", 2 * day), (3L, "click", 3 * day)))  // test only
+    // days 0..3 -> cut = (0 + 3 + 1) div 2 = 2
+    val out = graft.llm.Sampling.temporalSplit(events).orderBy("split")
+      .collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_users_both"),
+        r.getAs[Double]("user_leak_frac")))
+    assert(out.toSeq === Seq(
+      ("test", 3L, 2L, 1L, 1.0 / 3.0),
+      ("train", 2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
   test("conversionLag: gaps measured from the first-touch chain only") {
     val events = ev(Seq(
       (1L, "signup", 1000L), (1L, "click", 3000L), (1L, "purchase", 6000L),

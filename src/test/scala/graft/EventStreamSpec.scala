@@ -254,4 +254,32 @@ class EventStreamSpec extends SparkSpec {
     assert(sShuf === oneShotState)
     assert(oShuf.sortBy(_.dayOffset) === oneShotOut.sortBy(_.dayOffset))
   }
+
+  test("streaming sessionization: closed sessions equal batch sessionize (3 chunks)") {
+    import spark.implicits._
+    // gap 60 s; time-ordered feed; u99 is a far-future sentinel whose only
+    // job is to push the watermark past every real session's close
+    val feed = Seq(
+      EventIn(1L, "view", 0L), EventIn(2L, "view", 10000L),
+      EventIn(1L, "view", 30000L),                     // extends u1's session
+      EventIn(1L, "view", 200000L),                    // new u1 session
+      EventIn(2L, "view", 250000L),                    // new u2 session
+      EventIn(99L, "view", 10000000L))
+    val closed = runChunked[EventIn, org.apache.spark.sql.Row](
+      in => Streams.sessionStream(in.toDS(), gapMs = 60000L),
+      feed, 3, "session_parity")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      .filter(_._1 != 99L)
+    assert(closed.distinct.size === closed.size, s"duplicate session: $closed")
+    val batch = graft.operators.Sessions.sessionize(
+      feed.filter(_.userId != 99L)
+        .map(e => (e.userId, e.tMs * 1000000L)).toDF("user_id", "ts"),
+      gapMs = 60000L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+    assert(closed.toSet === batch.toSet,
+      s"stream ${closed.sorted} != batch ${batch.sorted}")
+    assert(closed.size === 4, "two sessions per real user")
+  }
 }

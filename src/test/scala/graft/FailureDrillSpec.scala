@@ -311,6 +311,70 @@ class FailureDrillSpec extends SparkSpec {
       "kill/resume must not change any chunk vs the batch plan over the union")
   }
 
+  /** Restart drill for streaming sessionization
+    * ([[graft.streaming.Streams.sessionStream]]): the recovery mode a
+    * stateless replay cannot fake — a session SPANNING the crash (events
+    * on both sides of the kill, inside the gap) must MERGE from the
+    * checkpointed open-session state, and every closed session must emit
+    * exactly once across the restart. */
+  test("restart drill: a session spanning the kill merges; closed sessions emit once") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("session_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type Sess = (Long, Long, Long, Long)
+    val sessions = new java.util.concurrent.ConcurrentLinkedQueue[Sess]()
+    def startQuery() = {
+      val typed = spark.readStream.schema("user_id LONG, t_ms LONG")
+        .json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.Streams.sessionStream(typed, gapMs = 60000L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch((df: DataFrame, _: Long) =>
+          df.collect().foreach(r => sessions.add(
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    // day 1: u1's session is OPEN (events 0, 30 s, 50 s; end = 110 s),
+    // u2's too (end 70 s); watermark after the batch is only 50 s
+    writeEvents("day-1.json", Seq((1L, 0L), (1L, 30000L), (2L, 10000L), (1L, 50000L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with every session still open
+    assert(sessions.isEmpty, "nothing may close before the watermark moves")
+    // while down: u1's 70 s event lands INSIDE its open session (< 110 s),
+    // and u3's far event will push the watermark past u1/u2's closes
+    writeEvents("day-2.json", Seq((1L, 70000L), (3L, 500000L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    writeEvents("day-3.json", Seq((99L, 10000000L))) // sentinel closes u3
+    q2.processAllAvailable()
+    q2.stop()
+    val got = sessions.asScala.toSeq.filter(_._1 != 99L)
+    assert(got.distinct.size === got.size,
+      s"no session may emit twice across the kill: $got")
+    assert(got.toSet === Set(
+      (1L, 0L, 130000L, 4L), // merged ACROSS the crash: 0/30 s/50 s + 70 s
+      (2L, 10000L, 70000L, 1L),
+      (3L, 500000L, 560000L, 1L)), s"got $got")
+    // batch==streaming under fault: equals Sessions.sessionize on the union
+    val batch = graft.operators.Sessions.sessionize(
+      Seq((1L, 0L), (1L, 30000L), (2L, 10000L), (1L, 50000L),
+        (1L, 70000L), (3L, 500000L))
+        .map { case (u, t) => (u, t * 1000000L) }.toDF("user_id", "ts"),
+      gapMs = 60000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.toSet === batch)
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * to the drill and restore the session default afterwards. */
   private def withRocksDb[T](body: => T): T = {

@@ -89,4 +89,22 @@ class SessionsSpec extends SparkSpec {
     assert((out.getAs[Long]("n_sessions"), out.getAs[Long]("n_with_from"),
       out.getAs[Long]("n_converted")) === ((2L, 1L, 0L)))
   }
+
+  test("session stats: exact means and interpolating percentiles over sessions") {
+    // sessions (gap 1s): u1 {0,500} dur 1500 n=2; u1 {10000} dur 1000 n=1;
+    // u2 {0,100,200,300} dur 1300 n=4
+    val events = (ev(1L, 0L, 500L, 10000L) ++ ev(2L, 0L, 100L, 200L, 300L))
+      .toDF("user_id", "ts")
+    val out = Sessions.sessionStats(events, gapMs = 1000L).collect().head
+    assert(out.getAs[Long]("n_sessions") === 3L)
+    assert(out.getAs[Long]("n_events") === 7L)
+    assert(out.getAs[Double]("mean_events") === 7.0 / 3.0)
+    // n_events sorted (1, 2, 4): p50 = 2, p90 interpolates 2..4 at 0.8
+    assert(out.getAs[Double]("p50_events") === 2.0)
+    assert(out.getAs[Double]("p90_events") === 3.6)
+    // durations sorted (1000, 1300, 1500)
+    assert(out.getAs[Double]("mean_duration_ms") === 3800.0 / 3.0)
+    assert(out.getAs[Double]("p50_duration_ms") === 1300.0)
+    assert(out.getAs[Double]("p90_duration_ms") === 1460.0)
+  }
 }
