@@ -53,6 +53,12 @@ GATED_QUERIES = [
     "corpus_token_budget",          # 0.41
     "corpus_funnel_order",          # 0.76
     "events_funnel",                # 0.21
+    # round-11 wave-18/19 additions (first measured this round)
+    "cdc_reconcile_repair",         # 0.58
+    "events_session_stats",         # 0.63
+    "mm_modality_mix",              # 0.96 (dominated by the linear
+                                    # encode+decode of the media index)
+    "events_gini",                  # 0.35 (sub-floor at sf0.1; reported)
 ]
 
 

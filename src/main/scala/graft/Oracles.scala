@@ -542,6 +542,35 @@ object Oracles {
     SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS o_date_ms
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
+  /** TPC-H Q3 shape — mirrors `q_shipping_priority`: revenue parity as
+    * per-row floor(price·(1−discount)·100) cents (identical IEEE op
+    * chain both engines) summed exactly. */
+  val qShippingPriority: String = """WITH
+    c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+            epoch_ms(o_orderdate) AS o_date_ms
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    l AS (SELECT l_orderkey,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01')
+    SELECT o.o_orderkey, o.o_date_ms, o.o_orderpriority,
+      CAST(sum(l.cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN c ON o.o_custkey = c.c_custkey
+           JOIN l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""
+
+  /** TPC-H Q4 shape — mirrors `q_late_orders`: EXISTS over late-shipped
+    * lines (each order counted once), priority rollup. */
+  val qLateOrders: String = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1 ORDER BY 1"""
+
   val qOrdersReturned: String = """
     SELECT o_orderpriority, count(*) AS n_orders,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
@@ -4548,6 +4577,8 @@ object Oracles {
     "q1_lineitem_agg" -> q1LineitemAgg,
     "q_region_revenue" -> qRegionRevenue,
     "q_top_orders" -> qTopOrders,
+    "q_shipping_priority" -> qShippingPriority,
+    "q_late_orders" -> qLateOrders,
     "q_events_hourly" -> qEventsHourly,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,

@@ -364,6 +364,42 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // BROADCAST into the one big orders⨝lineitem keyed join; top-10 rides
+    // a TakeOrdered heap, never a global sort. Revenue parity contract:
+    // per-row cents = floor(price·(1−discount)·100) — an identical IEEE
+    // op chain on both engines — summed as exact longs
+    "q_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_cents"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_date_ms", "o_orderpriority")
+        .agg(sum("_cents").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q4 shape: EXISTS as a LEFT SEMI join (each order counted once
+    // no matter how many late lines it has), priority-keyed rollup
+    "q_late_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per
     // level); NULL rollup keys are labeled ALL for a stable cross-engine

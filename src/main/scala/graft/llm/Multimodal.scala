@@ -339,14 +339,18 @@ object Multimodal {
         .otherwise("video").as("modality"),
       col("n_frames"),
       (col("width") * col("height") * col("n_frames")).as("_px"))
+    // the ≤ 3-row aggregate feeds both the output and its own totals:
+    // persisted so the share denominator does NOT re-run the decode pass
+    // over the media column (CacheLifecycle releases it after the action)
     val agg = classed.groupBy("modality").agg(
       count(lit(1)).as("n_docs"),
       sum("n_frames").as("n_frames"),
-      sum("_px").as("n_pixels"))
+      sum("_px").as("n_pixels")).persist()
     val totals = agg.agg(sum("n_docs").as("_td"), sum("n_pixels").as("_tp"))
-    agg.crossJoin(broadcast(totals))
+    val out = agg.crossJoin(broadcast(totals))
       .select(col("modality"), col("n_docs"), col("n_frames"), col("n_pixels"),
         (col("n_docs").cast("double") / col("_td")).as("doc_share"),
         (col("n_pixels").cast("double") / col("_tp")).as("pixel_share"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(agg))
   }
 }

@@ -606,34 +606,40 @@ object Sampling {
     * [[leakageGuardSplit]]'s paraphrase leak. Unlike the hash splits the
     * leak here is inherent, so it is REPORTED, not prevented.
     *
-    * Shape: one 1-row bounds broadcast, one user-keyed conditional
-    * aggregate (map-side combine) for the audit, one 2-row split
-    * aggregate; the feed crosses the wire keyed by user once. */
+    * Shape: ONE pass — a 1-row bounds broadcast, one user-keyed
+    * conditional aggregate (map-side combine), then a 1-row rollup that
+    * already holds BOTH splits' counts (per-split events as Σ per-user
+    * counts, per-split users as conditional user counts), unpivoted into
+    * the 2-row ledger with `explode` — the feed crosses the wire keyed
+    * by user once and nothing is scanned twice. */
   def temporalSplit(events: DataFrame): DataFrame = {
     val day = expr("(ts div 1000000) div 86400000")
     val evd = events.select(col("user_id"), day.as("_d"))
     val bounds = evd.agg(min("_d").as("_lo"), max("_d").as("_hi"))
-    val marked = evd.crossJoin(broadcast(bounds))
-      .withColumn("split",
-        when(col("_d") < expr("(_lo + _hi + 1) div 2"), "train")
-          .otherwise("test"))
-    val audit = marked
+    val perUser = evd.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (col("_d") < expr("(_lo + _hi + 1) div 2")).as("_is_tr"))
       .groupBy("user_id")
       .agg(
-        count(when(col("split") === "train", 1)).as("_tr"),
-        count(when(col("split") === "test", 1)).as("_te"))
+        count(when(col("_is_tr"), 1)).as("_tr"),
+        count(when(!col("_is_tr"), 1)).as("_te"))
+    perUser
       .agg(
-        count(lit(1)).as("n_users_total"),
-        count(when(col("_tr") > 0 && col("_te") > 0, 1)).as("n_users_both"))
-    marked
-      .groupBy("split")
-      .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct("user_id").as("n_users"))
-      .crossJoin(broadcast(audit))
-      .select(col("split"), col("n_events"), col("n_users"),
-        col("n_users_both"),
-        (col("n_users_both").cast("double") / col("n_users_total"))
+        sum("_tr").as("_ev_tr"), sum("_te").as("_ev_te"),
+        count(when(col("_tr") > 0, 1)).as("_u_tr"),
+        count(when(col("_te") > 0, 1)).as("_u_te"),
+        count(when(col("_tr") > 0 && col("_te") > 0, 1)).as("n_users_both"),
+        count(lit(1)).as("_u_total"))
+      .select(
+        explode(array(
+          struct(lit("train").as("split"), col("_ev_tr").as("n_events"),
+            col("_u_tr").as("n_users")),
+          struct(lit("test").as("split"), col("_ev_te").as("n_events"),
+            col("_u_te").as("n_users")))).as("_r"),
+        col("n_users_both"), col("_u_total"))
+      .select(col("_r.split").as("split"), col("_r.n_events").as("n_events"),
+        col("_r.n_users").as("n_users"), col("n_users_both"),
+        (col("n_users_both").cast("double") / col("_u_total"))
           .as("user_leak_frac"))
   }
 
@@ -645,14 +651,18 @@ object Sampling {
         (hash31(col("cluster_id").cast("string")) % k).as("fold"),
         col("cluster_id"),
         size(split(col("text"), " ")).cast("long").as("_toks"))
+    // the k-row fold aggregate feeds both the ledger and its own total:
+    // persisted so the denominator does not re-run the doc↔cluster join
+    // (CacheLifecycle releases it after the consuming action)
     val perFold = assigned.groupBy("fold").agg(
       count(lit(1)).as("n_docs"),
       sum("_toks").as("n_tokens"),
-      countDistinct("cluster_id").as("n_clusters"))
+      countDistinct("cluster_id").as("n_clusters")).persist()
     val totals = perFold.agg(sum("n_tokens").as("_tot"))
-    perFold.crossJoin(broadcast(totals))
+    val out = perFold.crossJoin(broadcast(totals))
       .select(col("fold"), col("n_docs"), col("n_tokens"), col("n_clusters"),
         (col("n_tokens").cast("double") / col("_tot")).as("token_share"),
         (col("n_tokens").cast("double") / col("_tot") * k).as("balance"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perFold))
   }
 }

@@ -66,7 +66,12 @@ class PlansSpec extends SparkSpec {
     // mm_phash_clusters is omitted like dedup_clusters: building its plan
     // runs the driver-side contraction loop
     "events_funnel_cohorted", "vocab_subword_fertility",
-    "pack_efficiency_curve", "split_contamination_matrix")
+    "pack_efficiency_curve", "split_contamination_matrix",
+    // waves 18–19
+    "events_gini", "events_conversion_lag", "cdc_reconcile_repair",
+    "pack_padding_waste", "mm_modality_mix", "mm_pixel_profile",
+    "split_kfold_clustered", "split_temporal", "events_session_stats",
+    "q_shipping_priority", "q_late_orders")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -729,5 +734,84 @@ class PlansSpec extends SparkSpec {
       "ROLLUP must plan as a single Expand, not a union of scans")
     assert(count("q_orders_rollup", "Scan parquet") === 1)
     assert(count("q_orders_rollup", "Join") === 0)
+  }
+
+  test("gini rides the range-partitioned rank — no global single-task sort") {
+    assert(plans("events_gini").contains("rangepartitioning"),
+      "the rank must be GlobalOrder's range partitioning")
+    // GlobalOrder's prefix combine joins the broadcast partition summary
+    // back — broadcast only, never a shuffled join
+    assert(count("events_gini", "SortMergeJoin") === 0)
+    assert(count("events_gini", "ShuffledHashJoin") === 0)
+    assert(count("events_gini", "CartesianProduct") === 0)
+  }
+
+  test("conversion lag: keyed joins, no window over the raw stream") {
+    assert(count("events_conversion_lag", "Window") === 0,
+      "the stage chain is min-aggregates + keyed joins, never a window")
+    assert(count("events_conversion_lag", "CartesianProduct") === 0)
+    assert(count("events_conversion_lag", "BroadcastNestedLoopJoin") === 0,
+      "stage joins are user-KEYED")
+  }
+
+  test("reconcile repair is ONE keyed full-outer join of two state images") {
+    assert(count("cdc_reconcile_repair", "FullOuter") === 1)
+    assert(count("cdc_reconcile_repair", "CartesianProduct") === 0)
+    assert(count("cdc_reconcile_repair", "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("padding waste is one scan, one bounded agg — no joins, no window") {
+    assert(count("pack_padding_waste", "Scan parquet") === 1)
+    assert(count("pack_padding_waste", "Join") === 0)
+    assert(count("pack_padding_waste", "Window") === 0)
+  }
+
+  test("media ledgers: the decode pass runs once; totals come off the cache") {
+    // pixel profile has one consumer: exactly one index scan
+    assert(count("mm_pixel_profile", "Scan parquet") === 1)
+    assert(count("mm_pixel_profile", "SortMergeJoin") === 0)
+    // modality mix caches its ≤3-row aggregate so the share denominator
+    // does not re-decode the corpus: every printed scan sits under a
+    // cached-relation reprint (the pack_efficiency_curve pin pattern)
+    assert(count("mm_modality_mix", "Scan parquet") ===
+      count("mm_modality_mix", "InMemoryRelation"),
+      "the totals branch must read the cached aggregate, not re-decode")
+    for (n <- Seq("mm_modality_mix", "mm_pixel_profile"))
+      assert(count(n, "CartesianProduct") === 0, s"$n cartesian")
+  }
+
+  test("kfold: doc↔cluster join cached at the fold aggregate; totals reuse it") {
+    assert(count("split_kfold_clustered", "CartesianProduct") === 0)
+    assert(count("split_kfold_clustered", "InMemoryRelation") >= 1,
+      "the k-row fold aggregate must be cached so totals skip the join")
+    assert(count("split_kfold_clustered", "Scan parquet") ===
+      count("split_kfold_clustered", "InMemoryRelation") * 2,
+      "each cached reprint holds the one doc↔cluster join's two scans")
+  }
+
+  test("temporal split: conditional aggregates, no keyed join at all") {
+    assert(count("split_temporal", "CartesianProduct") === 0)
+    assert(count("split_temporal", "SortMergeJoin") === 0)
+    assert(count("split_temporal", "ShuffledHashJoin") === 0,
+      "the audit is a user-keyed aggregate, not a join")
+  }
+
+  test("session stats ride the single session-window shuffle, join-free") {
+    assert(count("events_session_stats", "Join") === 0)
+    assert(count("events_session_stats", "CartesianProduct") === 0)
+  }
+
+  test("shipping priority: customers broadcast; top-10 is a heap, not a sort") {
+    assert(count("q_shipping_priority", "BroadcastHashJoin") >= 1,
+      "the filtered customer dimension must broadcast")
+    assert(count("q_shipping_priority", "TakeOrderedAndProject") === 1,
+      "top-10 must ride a bounded heap, never a global sort")
+    assert(count("q_shipping_priority", "CartesianProduct") === 0)
+  }
+
+  test("late orders: EXISTS plans as one left-semi join") {
+    assert(plans("q_late_orders").contains("LeftSemi"),
+      "each order must count once regardless of its late-line count")
+    assert(count("q_late_orders", "CartesianProduct") === 0)
   }
 }
