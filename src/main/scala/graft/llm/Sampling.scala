@@ -325,13 +325,16 @@ object Sampling {
     val root = (1 to halvings).foldLeft(col("n_tokens").cast("double")) {
       case (c, _) => sqrt(c)
     }
+    // the |sources|-row mass frame feeds both the ledger and its weight
+    // total: persisted so the denominator does not re-tokenize the corpus
     val perSource = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("_toks"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"))
       .withColumn("weight_q", floor(root * 1000.0).cast("long"))
+      .persist()
     val totals = perSource.agg(sum("weight_q").as("_w_total"))
-    perSource.crossJoin(broadcast(totals))
+    val out = perSource.crossJoin(broadcast(totals))
       .select(
         col("source"), col("n_docs"), col("n_tokens"), col("weight_q"),
         (col("weight_q").cast("double") / col("_w_total")).as("share"),
@@ -339,6 +342,7 @@ object Sampling {
           .as("alloc_tokens"),
         (col("weight_q").cast("double") * budgetTokens /
           (col("_w_total").cast("double") * col("n_tokens"))).as("epochs"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perSource))
   }
 
   /** DSIR-style importance scoring (Data Selection via Importance
@@ -445,15 +449,19 @@ object Sampling {
     * the expected deviation O(1/√(docs/shard)). One shard-keyed partial
     * agg + a 1-row totals broadcast — nothing per-document survives. */
   def shardStats(docs: DataFrame, nShards: Int = 16, seed: Int = 42): DataFrame = {
+    // the nShards-row aggregate feeds both the ledger and its own total:
+    // persisted so the share denominator does not re-key the corpus
     val perShard = shardKeyed(docs, nShards, seed, 1000003L)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .persist()
     val totals = perShard.agg(sum("n_tokens").as("_tot"))
-    perShard.crossJoin(broadcast(totals))
+    val out = perShard.crossJoin(broadcast(totals))
       .select(
         col("shard"), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("_tot")).as("token_share"),
         (col("n_tokens").cast("double") / col("_tot") * nShards).as("balance"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perShard))
   }
 
   /** Per-shard write manifest for [[shardAssign]] — the ledger a shard
@@ -519,13 +527,18 @@ object Sampling {
     * two low-cardinality aggregates. Nothing here re-runs contraction. */
   def leakageGuardSplit(docs: DataFrame, clusters: DataFrame,
       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    // four subtrees consume this frame (guard leak, naive leak, moved,
+    // per-split ledger): persisted — projected to the four columns they
+    // read — so the doc↔cluster join and token count run ONCE, not 4×
+    // (CacheLifecycle releases it after the consuming action)
     val assigned = docs
       .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
       .select(
-        col("doc_id"), col("cluster_id"),
+        col("cluster_id"),
         size(split(col("text"), " ")).cast("long").as("_toks"),
         splitFor(col("cluster_id"), trainPct, valPct).as("split"),
         splitFor(col("doc_id"), trainPct, valPct).as("naive_split"))
+      .persist()
     // same-cluster pairs straddling splits, as integer arithmetic on
     // cluster member counts (C(n,2) − Σ_split C(n_s,2) per cluster — the
     // pair set is never re-materialized): computed for BOTH assignments,
@@ -539,7 +552,7 @@ object Sampling {
     val naiveLeak = crossSplitPairs("naive_split", "leaked_pairs_naive")
     val moved = assigned
       .agg(count(when(col("split") =!= col("naive_split"), 1)).as("docs_moved"))
-    assigned
+    val out = assigned
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -548,6 +561,7 @@ object Sampling {
       .crossJoin(broadcast(guardLeak))
       .crossJoin(broadcast(naiveLeak))
       .crossJoin(broadcast(moved))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(assigned))
   }
 
   /** Split-contamination matrix — [[leakageGuardSplit]]'s audit expanded
@@ -565,22 +579,26 @@ object Sampling {
     * and a ≤ 6-row rollup. */
   def contaminationMatrix(docs: DataFrame, clusters: DataFrame,
       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    // both sides of the self-join read this (cluster, split) aggregate:
+    // persisted so the doc↔cluster join runs once, not per side
     val counts = docs
       .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
       .select(col("cluster_id"),
         splitFor(col("doc_id"), trainPct, valPct).as("split"))
       .groupBy("cluster_id", "split").agg(count(lit(1)).as("_n"))
+      .persist()
     val a = counts.select(col("cluster_id"), col("split").as("split_a"),
       col("_n").as("_na"))
     val b = counts.select(col("cluster_id"), col("split").as("split_b"),
       col("_n").as("_nb"))
-    a.join(b, Seq("cluster_id"))
+    val out = a.join(b, Seq("cluster_id"))
       .filter(col("split_a") <= col("split_b"))
       .groupBy("split_a", "split_b")
       .agg(sum(
         when(col("split_a") === col("split_b"),
           expr("_na * (_na - 1) div 2"))
           .otherwise(col("_na") * col("_nb"))).as("n_pairs"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(counts))
   }
 
   /** Cluster-aware k-fold assignment — cross-validation's version of the

@@ -700,16 +700,20 @@ object TextAnalysis {
     val freqs = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // the <=64-row octave frame feeds both the ledger and its totals:
+    // persisted so the share denominators do not re-explode the corpus
     val perOctave = freqs
       .withColumn("octave", (length(bin(col("freq"))) - 1).cast("long"))
       .groupBy("octave")
       .agg(count(lit(1)).as("n_types"), sum("freq").as("n_tokens"))
+      .persist()
     val totals = perOctave.agg(
       sum("n_types").as("_tot_types"), sum("n_tokens").as("_tot_tokens"))
-    perOctave.crossJoin(broadcast(totals))
+    val out = perOctave.crossJoin(broadcast(totals))
       .select(col("octave"), col("n_types"), col("n_tokens"),
         (col("n_types").cast("double") / col("_tot_types")).as("type_share"),
         (col("n_tokens").cast("double") / col("_tot_tokens")).as("token_share"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perOctave))
   }
 
   /** Top-k collocations by pointwise lift — the bigram-mining query a

@@ -129,17 +129,22 @@ object EventAnalytics {
   def transitions(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+    // the |types|^2-row pair count feeds both the matrix and its row
+    // totals: persisted so the totals branch does not re-run the lead
+    // window over the whole stream (CacheLifecycle releases it after use)
     val pairs = events
       .select(col("user_id"), col("event_id"), tMs.as("_t"), col("event_type"))
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_pairs"))
+      .persist()
     val fromTotals = pairs.groupBy("from_type")
       .agg(sum("n_pairs").as("n_from"))
-    pairs.join(broadcast(fromTotals), "from_type")
+    val out = pairs.join(broadcast(fromTotals), "from_type")
       .select(col("from_type"), col("to_type"), col("n_pairs"), col("n_from"),
         (col("n_pairs").cast("double") / col("n_from")).as("prob"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(pairs))
   }
 
   /** Top-k most-travelled 3-step event paths — the sequence-mining
@@ -183,16 +188,20 @@ object EventAnalytics {
     * rollup, a 1-row totals broadcast. */
   def userActivityOctaves(events: DataFrame): DataFrame = {
     val perUser = events.groupBy("user_id").agg(count(lit(1)).as("_n"))
+    // the <=64-row octave frame feeds both the ledger and its totals:
+    // persisted so the share denominators do not re-count the stream
     val perOctave = perUser
       .withColumn("octave", (length(bin(col("_n"))) - 1).cast("long"))
       .groupBy("octave")
       .agg(count(lit(1)).as("n_users"), sum("_n").as("n_events"))
+      .persist()
     val totals = perOctave.agg(
       sum("n_users").as("_tu"), sum("n_events").as("_te"))
-    perOctave.crossJoin(broadcast(totals))
+    val out = perOctave.crossJoin(broadcast(totals))
       .select(col("octave"), col("n_users"), col("n_events"),
         (col("n_users").cast("double") / col("_tu")).as("user_share"),
         (col("n_events").cast("double") / col("_te")).as("event_share"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perOctave))
   }
 
   /** Daily/rolling active users — DAU, the `windowDays`-day rolling
@@ -206,7 +215,11 @@ object EventAnalytics {
     * calendar, so the fanout is ≤ windowDays rows per user-day. */
   def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val day = expr("(ts div 1000000) div 86400000")
+    // three subtrees (day list, DAU, rolling) read the distinct user-day
+    // set: persisted so the raw stream collapses to it ONCE
+    // (user-day cardinality — far below the event count)
     val userDays = events.select(col("user_id"), day.as("day")).distinct()
+      .persist()
     val days = userDays.select(col("day").as("_d")).distinct()
     val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
     val rolling = userDays
@@ -214,9 +227,10 @@ object EventAnalytics {
         col("day").between(col("_d") - (windowDays - 1), col("_d")))
       .groupBy(col("_d").as("day"))
       .agg(countDistinct("user_id").as("wau"))
-    dau.join(rolling, "day")
+    val out = dau.join(rolling, "day")
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(userDays))
   }
 
   /** Last-touch revenue attribution — every purchase is credited to the
@@ -481,15 +495,19 @@ object EventAnalytics {
     * Shape: one keyed count collapsing to ≤ 168 × |types| rows map-side,
     * type totals broadcast. */
   def weekdayProfile(events: DataFrame): DataFrame = {
+    // the 168x|types|-row cell frame feeds both the heatmap and its
+    // per-type totals: persisted so the stream is counted once
     val perCell = events
       .groupBy(expr("((ts div 1000000) div 3600000) % 168").as("hour_of_week"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+      .persist()
     val totals = perCell.groupBy("event_type")
       .agg(sum("n_events").as("_tot"))
-    perCell.join(broadcast(totals), "event_type")
+    val out = perCell.join(broadcast(totals), "event_type")
       .select(col("hour_of_week"), col("event_type"), col("n_events"),
         (col("n_events").cast("double") / col("_tot")).as("share"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perCell))
   }
 
   /** Cohort retention matrix — users grouped by their first-signup day;
