@@ -252,6 +252,57 @@ object Oracles {
       CAST(sum(n) AS DOUBLE) / count(*) AS avg_versions
     FROM k GROUP BY tbl ORDER BY tbl"""
 
+  /** Op-sequence legality audit — mirrors `Capture.chainIntegrity`:
+    * per-key lag in lsn order, three violation classes, one exact
+    * division. */
+  val cdcChainIntegrity: String = s"""WITH $opsCte,
+    l AS (SELECT tbl, op,
+            lag(op) OVER (PARTITION BY tbl, pk ORDER BY lsn) AS prev
+          FROM ops)
+    SELECT tbl, count(*) AS n_ops,
+      count(CASE WHEN op = 'insert' AND prev IN ('insert', 'update')
+                 THEN 1 END) AS n_double_insert,
+      count(CASE WHEN op = 'update' AND (prev IS NULL OR prev = 'delete')
+                 THEN 1 END) AS n_update_without_row,
+      count(CASE WHEN op = 'delete' AND (prev IS NULL OR prev = 'delete')
+                 THEN 1 END) AS n_delete_without_row,
+      CAST(count(CASE WHEN (op = 'insert' AND prev IN ('insert', 'update'))
+                        OR (op IN ('update', 'delete')
+                            AND (prev IS NULL OR prev = 'delete'))
+                 THEN 1 END) AS DOUBLE) / count(*) AS violation_frac
+    FROM l GROUP BY tbl ORDER BY tbl"""
+
+  /** Heartbeat/stall ledger — mirrors `Capture.heartbeatGaps`
+    * (stallMs = 60000): per-table consecutive gaps in lsn order. */
+  val cdcHeartbeatGap: String = s"""WITH $opsCte,
+    g AS (SELECT tbl, t - lag(t) OVER (PARTITION BY tbl ORDER BY lsn) AS gap
+          FROM ops)
+    SELECT tbl, count(*) AS n_gaps,
+      count(CASE WHEN gap > 60000 THEN 1 END) AS n_stalls,
+      CAST(max(gap) AS BIGINT) AS max_gap_ms,
+      CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / count(*) AS mean_gap_ms
+    FROM g WHERE gap IS NOT NULL GROUP BY tbl ORDER BY tbl"""
+
+  /** Tombstone-GC planning — mirrors `Capture.tombstoneGc`
+    * (retentionMs = 86400000): GC-eligible tombstones vs the broadcast
+    * high water, reborn keys counted. */
+  val cdcTombstoneGc: String = s"""WITH $opsCte,
+    k AS (SELECT tbl, pk,
+            arg_max(op, lsn) AS last_op, max(t) AS last_t,
+            max(CASE WHEN op = 'delete' THEN lsn END) AS last_del_lsn,
+            max(CASE WHEN op = 'insert' THEN lsn END) AS last_ins_lsn
+          FROM ops GROUP BY tbl, pk),
+    hw AS (SELECT max(t) AS hw FROM ops)
+    SELECT tbl, count(*) AS n_keys,
+      count(CASE WHEN last_op = 'delete' THEN 1 END) AS n_tombstones,
+      count(CASE WHEN last_op = 'delete' AND last_t < hw.hw - 86400000
+                 THEN 1 END) AS n_gc_eligible,
+      count(CASE WHEN last_del_lsn IS NOT NULL AND last_ins_lsn > last_del_lsn
+                 THEN 1 END) AS n_reborn,
+      CAST(count(CASE WHEN last_op = 'delete' AND last_t < hw.hw - 86400000
+                 THEN 1 END) AS DOUBLE) / count(*) AS reclaimable_frac
+    FROM k, hw GROUP BY tbl ORDER BY tbl"""
+
   /** Closed form of the envelope round-trip: encode → decode → assemble →
     * apply is lossless, so keys match the direct JSON reduce, every op
     * lands in a txn, and txns count the distinct event-id groups. */
@@ -4559,6 +4610,9 @@ object Oracles {
     "cdc_incremental_snapshot" -> cdcIncrementalSnapshot,
     "cdc_backfill_audit" -> cdcBackfillAudit,
     "cdc_compaction" -> cdcCompaction,
+    "cdc_chain_integrity" -> cdcChainIntegrity,
+    "cdc_heartbeat_gap" -> cdcHeartbeatGap,
+    "cdc_tombstone_gc" -> cdcTombstoneGc,
     "cdc_debezium_e2e" -> cdcDebeziumE2e,
     "cdc_replay_events" -> cdcReplayEvents,
     "cdc_difflane" -> cdcDiffLane,

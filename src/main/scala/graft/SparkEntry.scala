@@ -157,6 +157,18 @@ object SparkEntry {
     // (last event per key; deletes as tombstones) vs the full log
     "cdc_compaction" -> ((s, dir) =>
       Capture.compactionAudit(ops(s, dir)).orderBy("tbl")),
+    // per-table op-sequence legality audit (double inserts, updates and
+    // deletes on dead rows) — the check a verifier runs before any apply
+    "cdc_chain_integrity" -> ((s, dir) =>
+      Capture.chainIntegrity(ops(s, dir)).orderBy("tbl")),
+    // liveness ledger: consecutive-event gap distribution per table with
+    // gaps over the stall threshold counted — the heartbeat monitor table
+    "cdc_heartbeat_gap" -> ((s, dir) =>
+      Capture.heartbeatGaps(ops(s, dir)).orderBy("tbl")),
+    // compaction retention planning: GC-eligible tombstones vs the
+    // high-water mark, with reborn keys counted (why GC keys on LAST op)
+    "cdc_tombstone_gc" -> ((s, dir) =>
+      Capture.tombstoneGc(ops(s, dir)).orderBy("tbl")),
     // allowed-lateness tuning curve over the backfill stream: dropped-late
     // fraction per candidate watermark delay
     "cdc_watermark_curve" -> ((s, dir) =>

@@ -254,6 +254,102 @@ object Capture {
     * One (tbl, pk)-keyed argmax by lsn (hash aggregation, map-side
     * partials) + one table-keyed rollup — the log crosses the wire once,
     * keyed; nothing sorts. */
+  /** Chain-integrity audit — the per-table legality check a changefeed
+    * verifier runs on the raw op stream: within each key's lsn order,
+    * an insert must open a row (an insert on a live row is
+    * `double_insert`), and update/delete must land on a live row
+    * (`update_without_row` / `delete_without_row` when the previous op is
+    * a delete or absent — the reference feed's mid-stream keys make these
+    * real, not hypothetical). The ledger is per table: op count, each
+    * violation class, and the violation fraction (one IEEE division of
+    * exact longs) — read before trusting any downstream apply.
+    *
+    * One (tbl, pk)-keyed lag window (distributed — each key's history is
+    * its own partition slice) + one table-keyed rollup; nothing sorts
+    * globally. */
+  def chainIntegrity(ops: DataFrame): DataFrame = {
+    val w = Window.partitionBy("tbl", "pk").orderBy("lsn")
+    ops
+      .select(col("tbl"), col("pk"), col("lsn"), col("op"))
+      .withColumn("_prev", lag("op", 1).over(w))
+      .groupBy("tbl")
+      .agg(
+        count(lit(1)).as("n_ops"),
+        count(when(col("op") === "insert" &&
+          col("_prev").isin("insert", "update"), 1)).as("n_double_insert"),
+        count(when(col("op") === "update" &&
+          (col("_prev").isNull || col("_prev") === "delete"), 1))
+          .as("n_update_without_row"),
+        count(when(col("op") === "delete" &&
+          (col("_prev").isNull || col("_prev") === "delete"), 1))
+          .as("n_delete_without_row"))
+      .select(col("tbl"), col("n_ops"), col("n_double_insert"),
+        col("n_update_without_row"), col("n_delete_without_row"),
+        ((col("n_double_insert") + col("n_update_without_row") +
+          col("n_delete_without_row")).cast("double") / col("n_ops"))
+          .as("violation_frac"))
+  }
+
+  /** Heartbeat-gap / stall ledger — "is the capture lane alive?" as a
+    * table: per capture table, the distribution of consecutive-event
+    * time gaps in lsn order, with every gap above `stallMs` counted as a
+    * stall (the monitoring signal a heartbeat table emits in a real
+    * deployment; here the feed IS the heartbeat). Exact long arithmetic;
+    * the mean is one IEEE division.
+    *
+    * One tbl-keyed lag window + one table rollup — the stream crosses
+    * the wire once, keyed by table. */
+  def heartbeatGaps(ops: DataFrame, stallMs: Long = 60000L): DataFrame = {
+    val w = Window.partitionBy("tbl").orderBy("lsn")
+    ops
+      .select(col("tbl"), col("lsn"), col("t"))
+      .withColumn("_gap", col("t") - lag("t", 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy("tbl")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        count(when(col("_gap") > stallMs, 1)).as("n_stalls"),
+        max("_gap").as("max_gap_ms"),
+        sum("_gap").as("_sum"))
+      .select(col("tbl"), col("n_gaps"), col("n_stalls"), col("max_gap_ms"),
+        (col("_sum").cast("double") / col("n_gaps")).as("mean_gap_ms"))
+  }
+
+  /** Tombstone-GC planning ledger — [[compactionAudit]] extended with the
+    * retention question: of the keys whose compacted record is a
+    * tombstone, how many are past `retentionMs` (measured against the
+    * stream's high-water time, broadcast) and thus GC-eligible, and how
+    * many keys were ever REBORN (a later insert after their last delete —
+    * the lifecycle that is exactly why GC must key on the LAST op, never
+    * "any delete older than W"). `reclaimable_frac` prices the compaction
+    * pass per table.
+    *
+    * One (tbl, pk)-keyed aggregate (map-side partials), a 1-row
+    * high-water broadcast, one table rollup — no windows, no sorts. */
+  def tombstoneGc(ops: DataFrame, retentionMs: Long = 86400000L): DataFrame = {
+    val perKey = ops
+      .groupBy("tbl", "pk")
+      .agg(
+        max_by(col("op"), col("lsn")).as("_last_op"),
+        max("t").as("_last_t"),
+        max(when(col("op") === "delete", col("lsn"))).as("_last_del_lsn"),
+        max(when(col("op") === "insert", col("lsn"))).as("_last_ins_lsn"))
+    val hw = ops.agg(max("t").as("_hw"))
+    perKey.crossJoin(broadcast(hw))
+      .groupBy("tbl")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        count(when(col("_last_op") === "delete", 1)).as("n_tombstones"),
+        count(when(col("_last_op") === "delete" &&
+          col("_last_t") < col("_hw") - retentionMs, 1)).as("n_gc_eligible"),
+        count(when(col("_last_del_lsn").isNotNull &&
+          col("_last_ins_lsn") > col("_last_del_lsn"), 1)).as("n_reborn"))
+      .select(col("tbl"), col("n_keys"), col("n_tombstones"),
+        col("n_gc_eligible"), col("n_reborn"),
+        (col("n_gc_eligible").cast("double") / col("n_keys"))
+          .as("reclaimable_frac"))
+  }
+
   def compactionAudit(ops: DataFrame): DataFrame =
     ops
       .groupBy("tbl", "pk")

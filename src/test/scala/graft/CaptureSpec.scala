@@ -235,4 +235,63 @@ class CaptureSpec extends SparkSpec {
       ("t0", 5L, 2L, 1L, 1L, 0.4, 2.5),
       ("t1", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
+
+  test("chain integrity: the three violation classes, counted per table") {
+    val ops = Scenarios.opsDf(spark, Seq(
+      // t0/a: legal lifecycle — no violations
+      (100L, "t0", "a", "insert", true, Some(1.0), false, None),
+      (200L, "t0", "a", "update", true, Some(2.0), false, None),
+      (300L, "t0", "a", "delete", false, None, false, None),
+      (400L, "t0", "a", "insert", true, Some(3.0), false, None),
+      // t0/b: opens with an update -> update_without_row
+      (150L, "t0", "b", "update", true, Some(9.0), false, None),
+      // t1/c: double insert, then delete-after-delete
+      (100L, "t1", "c", "insert", true, Some(1.0), false, None),
+      (200L, "t1", "c", "insert", true, Some(2.0), false, None),
+      (300L, "t1", "c", "delete", false, None, false, None),
+      (400L, "t1", "c", "delete", false, None, false, None)))
+    val out = Capture.chainIntegrity(ops).orderBy("tbl").collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[Long]("n_ops"),
+        r.getAs[Long]("n_double_insert"), r.getAs[Long]("n_update_without_row"),
+        r.getAs[Long]("n_delete_without_row"), r.getAs[Double]("violation_frac")))
+    assert(out.toSeq === Seq(
+      ("t0", 5L, 0L, 1L, 0L, 0.2),
+      ("t1", 4L, 1L, 0L, 1L, 0.5)))
+  }
+
+  test("heartbeat gaps: stalls counted above the threshold, exact mean") {
+    val ops = Scenarios.opsDf(spark, Seq(
+      (0L, "t0", "a", "insert", true, Some(1.0), false, None),
+      (1000L, "t0", "b", "insert", true, Some(1.0), false, None),
+      (91000L, "t0", "a", "update", true, Some(2.0), false, None), // 90 s stall
+      (92000L, "t0", "b", "update", true, Some(2.0), false, None)))
+    val out = Capture.heartbeatGaps(ops, stallMs = 60000L).collect().head
+    assert(out.getAs[Long]("n_gaps") === 3L)
+    assert(out.getAs[Long]("n_stalls") === 1L)
+    assert(out.getAs[Long]("max_gap_ms") === 90000L)
+    assert(out.getAs[Double]("mean_gap_ms") === 92000.0 / 3.0)
+  }
+
+  test("tombstone GC keys on the LAST op; reborn keys never GC-eligible") {
+    val day = 86400000L
+    val ops = Scenarios.opsDf(spark, Seq(
+      // t0/a: deleted long ago, never reborn -> GC-eligible tombstone
+      (0L, "t0", "a", "insert", true, Some(1.0), false, None),
+      (100L, "t0", "a", "delete", false, None, false, None),
+      // t0/b: deleted then REBORN -> live, counted reborn, not a tombstone
+      (200L, "t0", "b", "insert", true, Some(1.0), false, None),
+      (300L, "t0", "b", "delete", false, None, false, None),
+      (400L, "t0", "b", "insert", true, Some(2.0), false, None),
+      // t0/c: fresh tombstone inside retention -> kept
+      (2 * day, "t0", "c", "insert", true, Some(1.0), false, None),
+      (2 * day + 100L, "t0", "c", "delete", false, None, false, None),
+      // high-water setter
+      (2 * day + 200L, "t0", "d", "insert", true, Some(1.0), false, None)))
+    val out = Capture.tombstoneGc(ops, retentionMs = day).collect().head
+    assert(out.getAs[Long]("n_keys") === 4L)
+    assert(out.getAs[Long]("n_tombstones") === 2L)   // a and c
+    assert(out.getAs[Long]("n_gc_eligible") === 1L)  // only a is past W
+    assert(out.getAs[Long]("n_reborn") === 1L)       // b
+    assert(out.getAs[Double]("reclaimable_frac") === 0.25)
+  }
 }

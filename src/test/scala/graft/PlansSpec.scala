@@ -71,7 +71,8 @@ class PlansSpec extends SparkSpec {
     "events_gini", "events_conversion_lag", "cdc_reconcile_repair",
     "pack_padding_waste", "mm_modality_mix", "mm_pixel_profile",
     "split_kfold_clustered", "split_temporal", "events_session_stats",
-    "q_shipping_priority", "q_late_orders")
+    "q_shipping_priority", "q_late_orders",
+    "cdc_chain_integrity", "cdc_heartbeat_gap", "cdc_tombstone_gc")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -813,5 +814,15 @@ class PlansSpec extends SparkSpec {
     assert(plans("q_late_orders").contains("LeftSemi"),
       "each order must count once regardless of its late-line count")
     assert(count("q_late_orders", "CartesianProduct") === 0)
+  }
+
+  test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
+    for (n <- Seq("cdc_chain_integrity", "cdc_heartbeat_gap")) {
+      assert(count(n, "Join") === 0, s"$n must not join")
+      assert(count(n, "CartesianProduct") === 0)
+    }
+    assert(count("cdc_tombstone_gc", "SortMergeJoin") === 0,
+      "the high-water reference must broadcast, never shuffle-join")
+    assert(count("cdc_tombstone_gc", "CartesianProduct") === 0)
   }
 }
