@@ -1026,6 +1026,74 @@ object Streams {
         })
   }
 
+  /** One heartbeat tick of a capture lane: table, lsn, event time. */
+  case class OpTick(tbl: String, lsn: Long, t: Long)
+
+  /** An observed stall: the gap between consecutive ticks of `tbl` in
+    * lsn order exceeded the threshold; emitted the moment the closing
+    * tick arrives. */
+  case class StallOut(tbl: String, fromLsn: Long, toLsn: Long, gapMs: Long)
+
+  /** Last tick seen per table — all the state the stall monitor needs. */
+  case class TickState(lsn: Long, t: Long)
+
+  /** One monitor step for a batch of same-table ticks — the shared fold
+    * of [[heartbeatStream]] and its tests. Ticks process in lsn order
+    * (the batch form's total order); chopped == one-shot on
+    * lsn-ordered feeds (the [[transitionsFold]] contract). */
+  def heartbeatFold(
+      stallMs: Long,
+      start: Option[TickState],
+      incoming: Seq[OpTick]): (Option[TickState], Seq[StallOut]) = {
+    var last = start
+    val out = scala.collection.mutable.ArrayBuffer.empty[StallOut]
+    incoming.sortBy(_.lsn).foreach { tick =>
+      last.foreach { l =>
+        if (tick.t - l.t > stallMs)
+          out += StallOut(tick.tbl, l.lsn, tick.lsn, tick.t - l.t)
+      }
+      last = Some(TickState(tick.lsn, tick.t))
+    }
+    (last, out.toSeq)
+  }
+
+  /** Streaming liveness monitor — the incremental twin of
+    * [[graft.cdc.Capture.heartbeatGaps]]' stall count: ONE (lsn, t)
+    * tuple of keyed state per table, a [[StallOut]] emitted exactly once
+    * per above-threshold gap, the moment its closing tick arrives — so
+    * the alerting path downstream is an append-only feed instead of a
+    * re-windowed scan of the lane history. `count by tbl` over the
+    * emitted stream equals the batch ledger's `n_stalls` at any point.
+    * Parity: StreamingSpec; state is one tuple per TABLE (the smallest
+    * keyed state in the repo), so restart recovery is covered by the
+    * transitions/attribution drills' shape. */
+  def heartbeatStream(
+      ticks: Dataset[OpTick],
+      stallMs: Long = 60000L,
+      ttlMs: Long = 0L): Dataset[StallOut] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ticks
+      .groupByKey(_.tbl)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: String, incoming: Iterator[OpTick],
+            state: GroupState[TickState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (last, out) =
+              heartbeatFold(stallMs, state.getOption, incoming.toSeq)
+            last.foreach(state.update)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming gap sessionization — the incremental twin of
     * [[graft.operators.Sessions.sessionize]], and the reason that batch
     * operator was built on the native `session_window` aggregate in the

@@ -113,4 +113,48 @@ class PropertySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(statuses.keySet === Set("match"))
   }
+
+  test("chain integrity equals a per-key sequential replica on every scenario") {
+    val got = Capture.chainIntegrity(ops).collect()
+      .map(r => r.getAs[String]("tbl") -> (r.getAs[Long]("n_double_insert"),
+        r.getAs[Long]("n_update_without_row"),
+        r.getAs[Long]("n_delete_without_row"))).toMap
+    // driver-side replica: walk each key's lsn-ordered ops with one flag
+    val rows = ops.select("tbl", "pk", "lsn", "op").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = rows.groupBy(_._1).map { case (tbl, trs) =>
+      var di = 0L; var uw = 0L; var dw = 0L
+      trs.groupBy(_._2).values.foreach { keyOps =>
+        var prev: Option[String] = None
+        keyOps.sortBy(_._3).foreach { case (_, _, _, op) =>
+          (op, prev) match {
+            case ("insert", Some("insert") | Some("update")) => di += 1
+            case ("update", None | Some("delete")) => uw += 1
+            case ("delete", None | Some("delete")) => dw += 1
+            case _ =>
+          }
+          prev = Some(op)
+        }
+      }
+      tbl -> ((di, uw, dw))
+    }
+    assert(got === want, "distributed lag-window audit == sequential walk")
+  }
+
+  test("tombstone ledger: GC-eligible ⊆ tombstones; reborn keys are live") {
+    val out = Capture.tombstoneGc(ops).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_gc_eligible") <= r.getAs[Long]("n_tombstones"))
+      assert(r.getAs[Long]("n_tombstones") <= r.getAs[Long]("n_keys"))
+      // a reborn key's LAST insert follows its last delete, so it cannot
+      // also be a tombstone unless deleted again afterwards; the two sets
+      // can overlap only through a later delete — bound, not equality
+      assert(r.getAs[Long]("n_reborn") <= r.getAs[Long]("n_keys"))
+    }
+    // totals: tombstones across tables == keys whose argmax-op is delete
+    val wantTombs = ops.groupBy("tbl", "pk")
+      .agg(max_by(col("op"), col("lsn")).as("lastOp"))
+      .filter(col("lastOp") === "delete").count()
+    assert(out.map(_.getAs[Long]("n_tombstones")).sum === wantTombs)
+  }
 }

@@ -883,4 +883,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got === batch, "streaming gate == batch incrementalFlags")
   }
+
+  test("streaming heartbeat monitor: each stall emits once, == batch ledger") {
+    import spark.implicits._
+    import graft.streaming.Streams.{OpTick, StallOut}
+    implicit val sqlCtx = spark.sqlContext
+    // t0 ticks at 0, 1s, 91s (90s stall), 92s; t1 at 0, 200s (one stall)
+    val feed = Seq(
+      OpTick("t0", 1L, 0L), OpTick("t1", 2L, 0L),
+      OpTick("t0", 3L, 1000L), OpTick("t0", 4L, 91000L),
+      OpTick("t0", 5L, 92000L), OpTick("t1", 6L, 200000L))
+    val input = MemoryStream[OpTick]
+    val q = Streams.heartbeatStream(input.toDS(), stallMs = 60000L)
+      .writeStream.format("memory").queryName("hb_parity")
+      .outputMode("append").start()
+    feed.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val stalls = spark.table("hb_parity").as[StallOut].collect().toSeq
+    q.stop()
+    spark.catalog.dropTempView("hb_parity")
+    assert(stalls.toSet === Set(
+      StallOut("t0", 3L, 4L, 90000L), StallOut("t1", 2L, 6L, 200000L)))
+    // fold chop-invariance on the ordered t0 feed
+    val t0 = feed.filter(_.tbl == "t0")
+    val (s0, o0) = Streams.heartbeatFold(60000L, None, t0)
+    for (cut <- 1 until t0.size) {
+      val (s1, o1) = Streams.heartbeatFold(60000L, None, t0.take(cut))
+      val (s2, o2) = Streams.heartbeatFold(60000L, s1, t0.drop(cut))
+      assert(s2 === s0 && (o1 ++ o2) === o0, s"diverged at cut $cut")
+    }
+    // parity with the batch ledger's stall count on the same ticks
+    val ops = feed.map(tk => (tk.tbl, tk.lsn, tk.t)).toDF("tbl", "lsn", "t")
+    val batch = graft.cdc.Capture.heartbeatGaps(ops, stallMs = 60000L)
+      .collect().map(r => r.getAs[String]("tbl") -> r.getAs[Long]("n_stalls")).toMap
+    val streamed = stalls.groupBy(_.tbl).view.mapValues(_.size.toLong).toMap
+    assert(streamed === batch.filter(_._2 > 0),
+      "streamed stall counts == batch heartbeatGaps n_stalls")
+  }
 }
