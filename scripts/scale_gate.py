@@ -59,6 +59,10 @@ GATED_QUERIES = [
     "mm_modality_mix",              # 0.96 (dominated by the linear
                                     # encode+decode of the media index)
     "events_gini",                  # 0.35 (sub-floor at sf0.1; reported)
+    # round-11 wave-20 stream audits (two-decade avg exponents measured)
+    "cdc_chain_integrity",          # 0.38/decade
+    "cdc_heartbeat_gap",            # 0.67/decade
+    "cdc_tombstone_gc",             # 0.42/decade
 ]
 
 

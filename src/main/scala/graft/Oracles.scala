@@ -1032,6 +1032,21 @@ object Oracles {
     FROM g WHERE gap IS NOT NULL
     GROUP BY event_type ORDER BY event_type"""
 
+  /** New-vs-returning split — mirrors `EventAnalytics.newVsReturning`:
+    * first-ever-day per user off the distinct user-day set. */
+  val eventsNewVsReturning: String = """WITH
+    ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+           FROM events),
+    f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY user_id)
+    SELECT ud.day, count(*) AS dau,
+      count(CASE WHEN ud.day = f.fd THEN 1 END) AS new_users,
+      CAST(count(*) - count(CASE WHEN ud.day = f.fd THEN 1 END) AS BIGINT)
+        AS returning_users,
+      CAST(count(CASE WHEN ud.day = f.fd THEN 1 END) AS DOUBLE) / count(*)
+        AS new_frac
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.day ORDER BY ud.day"""
+
   /** Activity-concentration Gini — mirrors `EventAnalytics.gini`: rank
     * form over per-user counts sorted (cnt, user_id); numerator and
     * denominator exact integers (HUGEINT here, DECIMAL(38,0) engine-side),
@@ -3020,6 +3035,31 @@ object Oracles {
             (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
     FROM t ORDER BY doc_id"""
 
+  /** Source × quality-band matrix — mirrors
+    * `TextAnalysis.sourceQualityMatrix`: band = least(4, floor(score·5))
+    * on the identical composite IEEE chain; per-source band fractions. */
+  val qualitySourceMatrix: String = s"""WITH t AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
+      FROM documents),
+    q AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        least(CAST(4 AS BIGINT), CAST(floor(
+          (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) *
+            (CAST(n_distinct AS DOUBLE) / n_tokens) *
+            (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)) * 5) AS BIGINT))
+          AS band
+      FROM t),
+    cells AS (SELECT source, band, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM q GROUP BY source, band),
+    st AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+      FROM cells GROUP BY source)
+    SELECT cells.source, cells.band, cells.n_docs, cells.n_tokens,
+      CAST(cells.n_docs AS DOUBLE) / st.src_docs AS band_frac
+    FROM cells JOIN st USING (source)
+    ORDER BY cells.source, cells.band"""
+
   /** Quality-gate threshold sweep — mirrors
     * `Corpus.qualityThresholdSweep` (default 6-threshold grid): the
     * quality composite per doc, conditional counts per cutoff. */
@@ -4487,6 +4527,46 @@ object Oracles {
       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
     FROM sized GROUP BY cluster_size ORDER BY cluster_size"""
 
+  /** Frame-level dedup reclaim — mirrors `Multimodal.frameDedupLedger`:
+    * the phash near-dup closure, each cluster keeping its min-doc_id
+    * member, priced in stub-model frames (1 + len % 120). */
+  val mmFrameDedup: String = s"""WITH RECURSIVE $phashCte,
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, j AS band,
+        CASE WHEN j < 4 THEN (phash_lo >> CAST(8 * j AS INTEGER)) & 255
+             ELSE (phash_hi >> CAST(8 * (j - 4) AS INTEGER)) & 255 END AS band_val
+      FROM ph, unnest(range(0, 8)) AS u(j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.phash_hi AS a_hi, a.phash_lo AS a_lo,
+        b.phash_hi AS b_hi, b.phash_lo AS b_lo
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    ppairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM ppairs
+      UNION SELECT b_id AS u, a_id AS v FROM ppairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM ph
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    fr AS (SELECT doc_id, 1 + length(text) % 120 AS f FROM documents),
+    per AS (
+      SELECT lab.cluster_id, count(*) AS n,
+        CAST(sum(fr.f) AS BIGINT) AS f_total,
+        arg_min(fr.f, lab.doc_id) AS f_kept
+      FROM lab JOIN fr USING (doc_id) GROUP BY lab.cluster_id)
+    SELECT CAST(sum(n) AS BIGINT) AS n_clips,
+      count(*) AS n_clusters,
+      CAST(sum(f_total) AS BIGINT) AS n_frames_total,
+      CAST(sum(f_total - f_kept) AS BIGINT) AS n_frames_redundant,
+      CAST(CAST(sum(f_total - f_kept) AS BIGINT) AS DOUBLE)
+        / CAST(sum(f_total) AS BIGINT) AS reclaim_frac
+    FROM per"""
+
   /** Hamming-threshold curve — mirrors `Multimodal.phashThresholdCurve`:
     * the same banded pair set rolled up by exact distance, cumulative
     * count per candidate gate (exact over the whole sweep — every
@@ -4645,6 +4725,7 @@ object Oracles {
     "events_cohort_ltv" -> eventsCohortLtv,
     "events_interarrival" -> eventsInterarrival,
     "events_gini" -> eventsGini,
+    "events_new_vs_returning" -> eventsNewVsReturning,
     "events_conversion_lag" -> eventsConversionLag,
     "events_session_stats" -> eventsSessionStats,
     "events_funnel_windowed" -> eventsFunnelWindowed,
@@ -4659,6 +4740,7 @@ object Oracles {
     "pack_padding_waste" -> packPaddingWaste,
     "split_contamination_matrix" -> splitContaminationMatrix,
     "mm_phash_clusters" -> mmPhashClusters,
+    "mm_frame_dedup" -> mmFrameDedup,
     "mm_modality_mix" -> mmModalityMix,
     "mm_pixel_profile" -> mmPixelProfile,
     "vocab_collocations" -> vocabCollocations,
@@ -4666,6 +4748,7 @@ object Oracles {
     "mm_phash_threshold" -> mmPhashThreshold,
     "cdc_lag_sla" -> cdcLagSla,
     "quality_threshold_sweep" -> qualityThresholdSweep,
+    "quality_source_matrix" -> qualitySourceMatrix,
     "vocab_coverage" -> vocabCoverage,
     "q_events_sessions" -> qEventsSessions,
     "q_events_asof" -> qEventsAsof,

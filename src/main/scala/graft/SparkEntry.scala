@@ -606,6 +606,11 @@ object SparkEntry {
     // the range-partitioned GlobalOrder rank), one IEEE division
     "events_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.gini(Tables.events(s, dir))),
+    // daily new-vs-returning split (growth accounting): first-ever-day
+    // per user off the persisted distinct user-day set
+    "events_new_vs_returning" -> ((s, dir) =>
+      graft.operators.EventAnalytics.newVsReturning(Tables.events(s, dir))
+        .orderBy("day")),
     // per-transition conversion delay (signup->click->purchase): the
     // funnel's first-touch chain with exact mean + interpolating p50/90/99
     "events_conversion_lag" -> ((s, dir) =>
@@ -1146,6 +1151,11 @@ object SparkEntry {
     "quality_threshold_sweep" -> ((s, dir) =>
       Corpus.qualityThresholdSweep(Tables.documents(s, dir))
         .orderBy("threshold")),
+    // source x quality-band matrix: which source ships the junk — read
+    // before setting per-source admission rates
+    "quality_source_matrix" -> ((s, dir) =>
+      TextAnalysis.sourceQualityMatrix(Tables.documents(s, dir))
+        .orderBy("source", "band")),
     // dedup-first vs filter-first retention, same gates and cluster index:
     // filter-first can only rescue (measured), never drop
     "corpus_funnel_order" -> ((s, dir) =>
@@ -1204,6 +1214,10 @@ object SparkEntry {
       Multimodal.pixelProfile(
         Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir))))
         .orderBy("modality")),
+    // frame-level reclaim from clip near-dup dedup: phash clusters priced
+    // in frames (keep min-doc member per cluster)
+    "mm_frame_dedup" -> ((s, dir) =>
+      Multimodal.frameDedupLedger(s.read.parquet(mediaIndexDir(s, dir)))),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

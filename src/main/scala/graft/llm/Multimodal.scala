@@ -290,6 +290,43 @@ object Multimodal {
       .select("threshold", "n_at", "n_pairs_le")
   }
 
+  /** Frame-level dedup reclaim ledger — what clip-level near-dup dedup
+    * is WORTH in frames (the storage/compute unit of video training): the
+    * perceptual-hash near-dup clusters ([[phashDups]] pairs under the
+    * same star contraction as text dedup), each cluster keeping its
+    * min-doc_id member, priced in frames — redundant = Σ(cluster frames −
+    * kept member's frames). In the stub model every frame of a clip
+    * carries the clip's image, so near-dup CLIPS mean near-dup frames;
+    * with a real codec the same ledger runs on per-frame hashes from the
+    * [[frameSample]] stride.
+    *
+    * Shape: the decode/hash pass + banded pair join (both corpus-linear),
+    * the contraction's bounded rounds, then ONE cluster-keyed aggregate
+    * and a 1-row rollup. */
+  def frameDedupLedger(media: DataFrame): DataFrame = {
+    val hashes = aHash(media)
+    val frames = media.select(col("doc_id"),
+      (lit(1L) + col("text_len").cast("long") % 120L).as("n_frames"))
+    val clusters = graft.llm.Clusters.assign(
+      hashes.select(col("doc_id")),
+      phashDups(hashes).select("a_id", "b_id"))
+    clusters.join(frames, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("_n"),
+        sum("n_frames").as("_f_total"),
+        min_by(col("n_frames"), col("doc_id")).as("_f_kept"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum("_n").as("n_clips"),
+        sum("_f_total").as("n_frames_total"),
+        sum(col("_f_total") - col("_f_kept")).as("n_frames_redundant"))
+      .select(col("n_clips"), col("n_clusters"), col("n_frames_total"),
+        col("n_frames_redundant"),
+        (col("n_frames_redundant").cast("double") / col("n_frames_total"))
+          .as("reclaim_frac"))
+  }
+
   /** Modality-mix ledger — the first table a multimodal corpus build
     * reads: what share of the stored media is stills vs short clips vs
     * long-form video, in items AND in pixel mass (compute cost is pixel-

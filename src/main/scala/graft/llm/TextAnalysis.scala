@@ -34,15 +34,24 @@ object TextAnalysis {
     * named once and referenced many times — the aliases are non-cheap, so
     * `CollapseProject` keeps the stages separate and each split/HOF runs
     * once per row instead of once per use site. */
-  def quality(docs: DataFrame): DataFrame = {
-    val tokenized = docs.select(col("doc_id"), col("text"), toks.as("_toks"))
+  def quality(docs: DataFrame): DataFrame = quality(docs, Nil)
+
+  /** [[quality]] with extra passthrough columns (e.g. `source`) kept on
+    * the scored frame — the default overload keeps the original schema
+    * so every existing oracle is untouched. */
+  def quality(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val tokenized = docs.select(
+      (Seq(col("doc_id"), col("text"), toks.as("_toks")) ++ keep.map(col)): _*)
     val counted = tokenized.select(
-      col("doc_id"),
-      length(col("text")).as("_n_chars"),
-      size(col("_toks")).as("_n_toks"),
-      size(array_distinct(col("_toks"))).as("_n_dist"),
-      size(filter(col("_toks"), t => t.isin(Stopwords.map(lit(_)): _*))).as("_n_stop"))
+      (Seq(
+        col("doc_id"),
+        length(col("text")).as("_n_chars"),
+        size(col("_toks")).as("_n_toks"),
+        size(array_distinct(col("_toks"))).as("_n_dist"),
+        size(filter(col("_toks"), t => t.isin(Stopwords.map(lit(_)): _*))).as("_n_stop"))
+        ++ keep.map(col)): _*)
     counted.select(
+      (Seq(
       col("doc_id"),
       col("_n_chars").cast("long").as("n_chars_obs"),
       col("_n_toks").cast("long").as("n_tokens"),
@@ -58,6 +67,32 @@ object TextAnalysis {
       (least(col("_n_toks").cast("double") / 100.0, lit(1.0)) *
         (col("_n_dist").cast("double") / col("_n_toks")) *
         (lit(1.0) - col("_n_stop").cast("double") / col("_n_toks"))).as("quality_score"))
+        ++ keep.map(col)): _*)
+  }
+
+  /** Source × quality-band matrix — "which source ships the junk?": per
+    * (source, band) the doc/token counts and each source's share of its
+    * own rows, with band = `least(4, floor(score·5))` on [[quality]]'s
+    * composite (the identical IEEE chain both engines — the
+    * `quality_vs_dup` decile parity precedent). The table read before
+    * deciding per-source admission rates instead of one global cutoff.
+    *
+    * One scan (quality is a projection), one low-cardinality keyed agg;
+    * the per-source totals ride a window over the ≤ |sources|·5-row
+    * aggregate — no second pass. */
+  def sourceQualityMatrix(docs: DataFrame): DataFrame = {
+    val scored = quality(docs, Seq("source"))
+      .select(col("source"),
+        least(lit(4L), floor(col("quality_score") * 5).cast("long")).as("band"),
+        col("n_tokens"))
+    val cells = scored.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .persist()
+    val totals = cells.groupBy("source").agg(sum("n_docs").as("_src_docs"))
+    val out = cells.join(broadcast(totals), "source")
+      .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("_src_docs")).as("band_frac"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cells))
   }
 
   /** Linear quality-classifier gate — the model-based filter stage of a

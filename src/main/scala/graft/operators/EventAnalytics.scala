@@ -510,6 +510,32 @@ object EventAnalytics {
     graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perCell))
   }
 
+  /** New-vs-returning daily split — growth accounting's first table: per
+    * day, how many active users are brand NEW (their first-ever event is
+    * that day) vs returning, with the new fraction (one IEEE division of
+    * exact longs). Read next to [[activeUsers]]' stickiness: growth that
+    * is all `new_users` with low stickiness is churn-and-burn.
+    *
+    * Shape: the distinct (user, day) set (persisted — the first-day
+    * aggregate and the join both read it), a user-keyed min, one
+    * user-co-partitioned join, a day-keyed rollup. Nothing wider than
+    * user-day cardinality ever shuffles. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val userDays = events.select(col("user_id"), day.as("day")).distinct()
+      .persist()
+    val firstDay = userDays.groupBy("user_id").agg(min("day").as("_first"))
+    val out = userDays.join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("dau"),
+        count(when(col("day") === col("_first"), 1)).as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning_users"),
+        (col("new_users").cast("double") / col("dau")).as("new_frac"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(userDays))
+  }
+
   /** Cohort retention matrix — users grouped by their first-signup day;
     * for each (cohort day, day offset ≥ 0) the count and fraction of the
     * cohort active (any event) that day. The classic triangle table,

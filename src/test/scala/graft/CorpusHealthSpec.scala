@@ -187,6 +187,43 @@ class CorpusHealthSpec extends SparkSpec {
       ("video", 1L, 200L, 0.25, 200.0 / 267.0)))
   }
 
+  test("frame dedup ledger: identical clips collapse to the kept member's frames") {
+    // A and B identical text (one near-dup cluster), C distinct
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "zz yy xx ww vv qq rr tt uu pp oo nn mm ll", "en", "s", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.encodeCorpus(docs)
+    val out = Multimodal.frameDedupLedger(media).collect().head
+    val fAB = 1L + "a b c d e".length % 120L
+    val fC = 1L + "zz yy xx ww vv qq rr tt uu pp oo nn mm ll".length % 120L
+    assert(out.getAs[Long]("n_clips") === 3L)
+    assert(out.getAs[Long]("n_clusters") === 2L)
+    assert(out.getAs[Long]("n_frames_total") === 2 * fAB + fC)
+    assert(out.getAs[Long]("n_frames_redundant") === fAB)
+    assert(out.getAs[Double]("reclaim_frac") ===
+      fAB.toDouble / (2 * fAB + fC))
+  }
+
+  test("source quality matrix: bands 0..4, per-source fractions sum to 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 22L),
+      (2L, "the the the the the", "en", "s1", 19L),      // stopword soup
+      (3L, "epsilon zeta eta theta iota", "en", "s2", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.llm.TextAnalysis.sourceQualityMatrix(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("band"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("band_frac")))
+    assert(out.forall(c => c._2 >= 0L && c._2 <= 4L))
+    assert(out.map(_._3).sum === 3L)
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12)
+    }
+    // the all-stopword doc must land in band 0
+    assert(out.exists(c => c._1 == "s1" && c._2 == 0L))
+  }
+
   test("pixel profile: per-modality sums, mean and dimension envelope") {
     val meta = Seq(
       (1L, 2L, 2L, 1L, 10L),    // image: 4 px, red 10

@@ -240,6 +240,21 @@ class EventAnalyticsSpec extends SparkSpec {
       .getAs[Double]("gini") === 2.0 / 12.0)
   }
 
+  test("newVsReturning: first-ever day counts as new, later days return") {
+    val day = 86400000L
+    val events = ev(Seq(
+      (1L, "click", 0L), (1L, "click", day),        // new d0, returns d1
+      (2L, "view", day), (2L, "view", day + 100L),  // new d1 (one user-day)
+      (3L, "view", day)))                           // new d1
+    val out = EventAnalytics.newVsReturning(events).orderBy("day").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("new_users"), r.getAs[Long]("returning_users"),
+        r.getAs[Double]("new_frac")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1L, 0L, 1.0),
+      (1L, 3L, 2L, 1L, 2.0 / 3.0)))
+  }
+
   test("temporalSplit: integer midpoint cut; straddling users reported") {
     val day = 86400000L
     val events = ev(Seq(
