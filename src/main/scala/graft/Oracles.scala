@@ -2305,6 +2305,32 @@ object Oracles {
     SELECT q_id, rnk, n_id, cos AS cos_sim
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** Filtered-search recall audit — mirrors
+    * `Similarity.filteredSearchAudit` (nQueries 10, k 5): one scored
+    * stream, global rank, conditional per-query rollup. */
+  val annFilteredRecall: String = s"""WITH
+    n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+          FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+        c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, q_label, n_label,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored)
+    SELECT q_id, q_label,
+      count(CASE WHEN n_label = q_label THEN 1 END) AS n_label_pool,
+      count(CASE WHEN n_label = q_label AND rnk <= 5 THEN 1 END)
+        AS n_in_global_topk,
+      CAST(count(CASE WHEN n_label = q_label AND rnk <= 5 THEN 1 END)
+        AS DOUBLE) /
+        least(CAST(5 AS BIGINT),
+          count(CASE WHEN n_label = q_label THEN 1 END))
+        AS postfilter_recall
+    FROM ranked GROUP BY q_id, q_label ORDER BY q_id"""
+
   /** Int8 symmetric quantization in SQL — mirrors `Similarity.quantizeInt8`:
     * `scale = max|x|/127` (1 for an all-zero vector), `q_i = floor(x_i /
     * scale + 0.5)`. Every quantized intermediate is an exact integer in
@@ -4832,6 +4858,7 @@ object Oracles {
     "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
     "ann_hard_negatives" -> annHardNegatives,
+    "ann_filtered_recall" -> annFilteredRecall,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,

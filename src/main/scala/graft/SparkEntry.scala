@@ -860,6 +860,10 @@ object SparkEntry {
     // DIFFERENT label — the near-miss negatives contrastive training needs
     "ann_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // pre-filter vs post-filter recall for metadata-filtered search: the
+    // table that says when to over-fetch k or push the filter into the index
+    "ann_filtered_recall" -> ((s, dir) =>
+      Similarity.filteredSearchAudit(Tables.embeddings(s, dir)).orderBy("q_id")),
     // int8 scalar quantization (4x vector bytes): scales cancel in cosine,
     // so the quantized score is integer-exact and hash-stable by design
     "ann_quantized_topk" -> ((s, dir) =>

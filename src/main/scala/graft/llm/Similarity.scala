@@ -64,6 +64,51 @@ object Similarity {
     * production form swaps the exact scan for the IVF/LSH candidate path
     * with the label filter applied to the probed lists — the mining
     * predicate composes unchanged. */
+  /** Filtered-search recall audit — vector search's pre-filter vs
+    * post-filter question as a measured table: a metadata-filtered query
+    * ("top-k most similar WITH my label") answered by filtering AFTER a
+    * global top-k keeps only the same-label rows that survived — a
+    * subset of the pre-filter truth (the global top-k's same-label rows
+    * are exactly the best same-label rows, so recall is the count
+    * surviving over the truth size). Per query: the label pool size,
+    * how many same-label rows the global top-k retained, and the recall
+    * — the table that says when k must be over-fetched or the filter
+    * pushed into the index (IVF list pruning composes with the label
+    * predicate exactly like [[hardNegatives]]' mining predicate).
+    *
+    * Shape: the corpus streams ONCE through the codegen'd dot against
+    * the broadcast query set; one window rank (global) over the scored
+    * stream; the audit is a conditional per-query aggregate. Exact
+    * integers + one IEEE division. */
+  def filteredSearchAudit(emb: DataFrame, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val withNorm = emb.select(
+      col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cand = withNorm.select(
+      col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("q_id", "q_label")
+      .agg(
+        count(when(col("n_label") === col("q_label"), 1)).as("n_label_pool"),
+        count(when(col("n_label") === col("q_label") && col("rnk") <= k, 1))
+          .as("n_in_global_topk"))
+      .select(col("q_id"), col("q_label"), col("n_label_pool"),
+        col("n_in_global_topk"),
+        (col("n_in_global_topk").cast("double") /
+          least(lit(k.toLong), col("n_label_pool"))).as("postfilter_recall"))
+  }
+
   def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val withNorm = emb.select(
       col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))

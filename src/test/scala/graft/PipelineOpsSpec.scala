@@ -450,6 +450,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
   }
 
+  test("filteredSearchAudit: post-filter recall counts survivors of the global top-k") {
+    // query 0 (label 0); same-label pool = {100 near, 103 far};
+    // k=2 global top-k = {100, 101} -> only 100 survives the filter
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (100L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.001).toFloat), 0),
+      (101L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.01).toFloat), 1),
+      (102L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.02).toFloat), 1),
+      (103L, Array.tabulate(64)(i => (math.sin(i + 1) * -1).toFloat), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredSearchAudit(vecs, nQueries = 1, k = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_label_pool") === 2L)
+    assert(out.getAs[Long]("n_in_global_topk") === 1L)
+    assert(out.getAs[Double]("postfilter_recall") === 0.5)
+  }
+
   test("shardAssign: dense per-shard positions, stable under repartition, seed re-mixes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Sampling.shardAssign(docs).collect()

@@ -72,7 +72,8 @@ class PlansSpec extends SparkSpec {
     "pack_padding_waste", "mm_modality_mix", "mm_pixel_profile",
     "split_kfold_clustered", "split_temporal", "events_session_stats",
     "q_shipping_priority", "q_late_orders",
-    "cdc_chain_integrity", "cdc_heartbeat_gap", "cdc_tombstone_gc")
+    "cdc_chain_integrity", "cdc_heartbeat_gap", "cdc_tombstone_gc",
+    "events_new_vs_returning", "quality_source_matrix", "ann_filtered_recall")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -814,6 +815,20 @@ class PlansSpec extends SparkSpec {
     assert(plans("q_late_orders").contains("LeftSemi"),
       "each order must count once regardless of its late-line count")
     assert(count("q_late_orders", "CartesianProduct") === 0)
+  }
+
+  test("filtered recall: the corpus streams once against broadcast queries") {
+    assert(count("ann_filtered_recall", "BroadcastNestedLoopJoin") === 1,
+      "the query set broadcasts; the corpus is never shuffled for scoring")
+    assert(count("ann_filtered_recall", "SortMergeJoin") === 0)
+    assert(count("ann_filtered_recall", "CartesianProduct") === 0)
+  }
+
+  test("growth ledgers: user-keyed aggregates, no shuffled joins") {
+    assert(count("events_new_vs_returning", "CartesianProduct") === 0)
+    assert(count("quality_source_matrix", "SortMergeJoin") === 0,
+      "the per-source totals must broadcast onto the cached cells")
+    assert(count("quality_source_matrix", "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
