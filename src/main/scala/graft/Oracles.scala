@@ -663,6 +663,32 @@ object Oracles {
       CAST(count(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Gap-tuning curve — mirrors `Sessions.sessionGapCurve` (candidate
+    * gaps 15 m / 30 m / 1 h / 8 h): n_sessions(G) = n_users + breaks(G)
+    * off ONE per-user lag. */
+  val eventsSessionGapCurve: String = """WITH
+    g AS (SELECT user_id,
+            epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts)) AS gap
+          FROM events),
+    a AS (SELECT count(DISTINCT user_id) AS n_users,
+            count(*) AS n_events,
+            count(CASE WHEN gap > 900000 THEN 1 END) AS b15,
+            count(CASE WHEN gap > 1800000 THEN 1 END) AS b30,
+            count(CASE WHEN gap > 3600000 THEN 1 END) AS b60,
+            count(CASE WHEN gap > 28800000 THEN 1 END) AS b480
+          FROM g),
+    f(gap_ms) AS (VALUES (CAST(900000 AS BIGINT)), (CAST(1800000 AS BIGINT)),
+                         (CAST(3600000 AS BIGINT)), (CAST(28800000 AS BIGINT)))
+    SELECT f.gap_ms,
+      CAST(a.n_users + CASE f.gap_ms WHEN 900000 THEN b15 WHEN 1800000 THEN b30
+                       WHEN 3600000 THEN b60 ELSE b480 END AS BIGINT)
+        AS n_sessions,
+      CAST(a.n_events AS DOUBLE) /
+        (a.n_users + CASE f.gap_ms WHEN 900000 THEN b15 WHEN 1800000 THEN b30
+                     WHEN 3600000 THEN b60 ELSE b480 END) AS mean_events
+    FROM a, f ORDER BY f.gap_ms"""
+
   /** Session-shape ledger — mirrors `Sessions.sessionStats` (gap 8 h):
     * the `q_events_sessions` sessionization aggregated to one row; exact
     * means, interpolating percentiles rounded to 3 on both sides. */
@@ -2330,6 +2356,39 @@ object Oracles {
           count(CASE WHEN n_label = q_label THEN 1 END))
         AS postfilter_recall
     FROM ranked GROUP BY q_id, q_label ORDER BY q_id"""
+
+  /** Over-fetch tuning curve — mirrors `Similarity.overfetchCurve`
+    * (k = 5, factors 1/2/4/8): the same scored stream and rank, swept
+    * with conditional counts. */
+  val annOverfetchCurve: String = s"""WITH
+    n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+          FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+        c.vec_id AS n_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT q_id, q_label, n_label,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM scored),
+    per AS (
+      SELECT q_id, q_label,
+        count(CASE WHEN n_label = q_label THEN 1 END) AS pool,
+        count(CASE WHEN n_label = q_label AND rnk <= 5 THEN 1 END) AS k1,
+        count(CASE WHEN n_label = q_label AND rnk <= 10 THEN 1 END) AS k2,
+        count(CASE WHEN n_label = q_label AND rnk <= 20 THEN 1 END) AS k4,
+        count(CASE WHEN n_label = q_label AND rnk <= 40 THEN 1 END) AS k8
+      FROM ranked GROUP BY q_id, q_label),
+    f(fetch_k) AS (VALUES (CAST(5 AS BIGINT)), (CAST(10 AS BIGINT)),
+                          (CAST(20 AS BIGINT)), (CAST(40 AS BIGINT)))
+    SELECT per.q_id, per.q_label, f.fetch_k,
+      CAST(CASE f.fetch_k WHEN 5 THEN k1 WHEN 10 THEN k2
+                          WHEN 20 THEN k4 ELSE k8 END AS BIGINT) AS n_kept,
+      CAST(CASE f.fetch_k WHEN 5 THEN k1 WHEN 10 THEN k2
+                          WHEN 20 THEN k4 ELSE k8 END AS DOUBLE)
+        / least(CAST(5 AS BIGINT), pool) AS recall
+    FROM per, f ORDER BY per.q_id, f.fetch_k"""
 
   /** Int8 symmetric quantization in SQL — mirrors `Similarity.quantizeInt8`:
     * `scale = max|x|/127` (1 for an all-zero vector), `q_i = floor(x_i /
@@ -4754,6 +4813,7 @@ object Oracles {
     "events_new_vs_returning" -> eventsNewVsReturning,
     "events_conversion_lag" -> eventsConversionLag,
     "events_session_stats" -> eventsSessionStats,
+    "events_session_gap_curve" -> eventsSessionGapCurve,
     "events_funnel_windowed" -> eventsFunnelWindowed,
     "events_rfm" -> eventsRfm,
     "events_session_funnel" -> eventsSessionFunnel,
@@ -4859,6 +4919,7 @@ object Oracles {
     "ann_cosine_topk" -> annCosineTopK,
     "ann_hard_negatives" -> annHardNegatives,
     "ann_filtered_recall" -> annFilteredRecall,
+    "ann_overfetch_curve" -> annOverfetchCurve,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_quantized_recall" -> annQuantizedRecall,
     "ann_pq_topk" -> annPqTopK,

@@ -466,6 +466,10 @@ object SparkEntry {
     // interpolating percentiles) on the same single session_window shuffle
     "events_session_stats" -> ((s, dir) =>
       Sessions.sessionStats(Tables.events(s, dir))),
+    // gap-tuning curve: session count per candidate gap off ONE lag
+    // window (n_sessions = n_users + breaks), no per-gap re-sessionization
+    "events_session_gap_curve" -> ((s, dir) =>
+      Sessions.sessionGapCurve(Tables.events(s, dir)).orderBy("gap_ms")),
     // temporal train/test split at the integer midpoint day, with the
     // inherent user-overlap leak REPORTED (the events-side leakage audit)
     "split_temporal" -> ((s, dir) =>
@@ -864,6 +868,11 @@ object SparkEntry {
     // table that says when to over-fetch k or push the filter into the index
     "ann_filtered_recall" -> ((s, dir) =>
       Similarity.filteredSearchAudit(Tables.embeddings(s, dir)).orderBy("q_id")),
+    // the fix, measured: recall recovered by over-fetching k'=k..8k before
+    // filtering — one scored stream, one rank, the sweep as conditional counts
+    "ann_overfetch_curve" -> ((s, dir) =>
+      Similarity.overfetchCurve(Tables.embeddings(s, dir))
+        .orderBy("q_id", "fetch_k")),
     // int8 scalar quantization (4x vector bytes): scales cancel in cosine,
     // so the quantized score is integer-exact and hash-stable by design
     "ann_quantized_topk" -> ((s, dir) =>

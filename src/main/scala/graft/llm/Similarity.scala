@@ -109,6 +109,51 @@ object Similarity {
           least(lit(k.toLong), col("n_label_pool"))).as("postfilter_recall"))
   }
 
+  /** Over-fetch tuning curve — [[filteredSearchAudit]]'s fix, measured:
+    * post-filtering recovers recall by over-fetching the global top-k'
+    * (k' = k, 2k, 4k, 8k) before applying the label filter. One row per
+    * (query, k') with the survivors and recall, ALL off the same scored
+    * stream and the same single window rank — the sweep is conditional
+    * counts on `rnk ≤ k'`, never a re-scan per factor (the
+    * threshold-curve discipline).
+    *
+    * Read the curve, pick the smallest k' whose recall is acceptable —
+    * or conclude the filter must push into the index. */
+  def overfetchCurve(emb: DataFrame, nQueries: Int = 10,
+      k: Int = 5, factors: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val withNorm = emb.select(
+      col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cand = withNorm.select(
+      col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("q_id", "q_label")
+      .agg(
+        count(when(col("n_label") === col("q_label"), 1)).as("_pool"),
+        factors.map(f =>
+          count(when(col("n_label") === col("q_label") &&
+            col("rnk") <= k * f, 1)).as(s"_kept_$f")): _*)
+    ranked
+      .select(col("q_id"), col("q_label"), col("_pool"),
+        explode(array(factors.map(f =>
+          struct(lit(k.toLong * f).as("fetch_k"),
+            col(s"_kept_$f").as("n_kept"))): _*)).as("_r"))
+      .select(col("q_id"), col("q_label"), col("_r.fetch_k").as("fetch_k"),
+        col("_r.n_kept").as("n_kept"),
+        (col("_r.n_kept").cast("double") /
+          least(lit(k.toLong), col("_pool"))).as("recall"))
+  }
+
   def hardNegatives(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val withNorm = emb.select(
       col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))

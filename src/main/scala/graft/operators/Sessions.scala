@@ -95,6 +95,37 @@ object Sessions {
     * ONE global aggregate over the session-cardinality frame — the same
     * exact-percentile trade [[graft.cdc.MetricsAgg]] documents (the
     * rolling sketch is the unbounded-stream form). */
+  /** Gap-tuning curve — the table read BEFORE fixing [[sessionize]]'s
+    * gap: for each candidate gap G, how many sessions the corpus splits
+    * into and their mean size. Needs no per-gap sessionization: each
+    * user's first event opens a session and every inter-event gap > G
+    * opens one more, so `n_sessions(G) = n_users + |{gaps > G}|` — the
+    * WHOLE curve reads off ONE user-keyed lag window, the sweep is
+    * conditional counts (the threshold-curve discipline), and the mean
+    * is one IEEE division per row of exact longs.
+    *
+    * One keyed window + a 1-row aggregate exploded to |gaps| rows. */
+  def sessionGapCurve(events: DataFrame,
+      gaps: Seq[Long] = Seq(900000L, 1800000L, 3600000L, 28800000L)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("_t")
+    val g = events
+      .select(col("user_id"), expr("ts div 1000000").as("_t"))
+      .withColumn("_gap", col("_t") - lag("_t", 1).over(w))
+    g.agg(
+      countDistinct("user_id").as("_n_users"),
+      (count(lit(1)).as("_n_events") +: gaps.map(gp =>
+        count(when(col("_gap") > gp, 1)).as(s"_b_$gp"))): _*)
+      .select(explode(array(gaps.map(gp =>
+        struct(lit(gp).as("gap_ms"),
+          (col("_n_users") + col(s"_b_$gp")).as("n_sessions"))): _*)).as("_r"),
+        col("_n_events"))
+      .select(col("_r.gap_ms").as("gap_ms"),
+        col("_r.n_sessions").as("n_sessions"),
+        (col("_n_events").cast("double") / col("_r.n_sessions"))
+          .as("mean_events"))
+  }
+
   def sessionStats(events: DataFrame, gapMs: Long = 28800000L): DataFrame =
     sessionize(events, gapMs)
       .select(

@@ -467,6 +467,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getAs[Double]("postfilter_recall") === 0.5)
   }
 
+  test("overfetchCurve: recall is monotone in fetch_k and saturates at 1") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (100L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.001).toFloat), 0),
+      (101L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.01).toFloat), 1),
+      (102L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.02).toFloat), 1),
+      (103L, Array.tabulate(64)(i => (math.sin(i + 1) * -1).toFloat), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.overfetchCurve(vecs, nQueries = 1, k = 2,
+      factors = Seq(1, 2)).orderBy("fetch_k").collect()
+      .map(r => (r.getAs[Long]("fetch_k"), r.getAs[Long]("n_kept"),
+        r.getAs[Double]("recall")))
+    // k'=2 keeps only vec 100 of the label-0 pool {100, 103};
+    // k'=4 fetches everything -> both survive
+    assert(out.toSeq === Seq((2L, 1L, 0.5), (4L, 2L, 1.0)))
+  }
+
   test("shardAssign: dense per-shard positions, stable under repartition, seed re-mixes") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Sampling.shardAssign(docs).collect()

@@ -90,6 +90,21 @@ class SessionsSpec extends SparkSpec {
       out.getAs[Long]("n_converted")) === ((2L, 1L, 0L)))
   }
 
+  test("gap curve equals per-gap sessionize counts (one window, no re-runs)") {
+    val events = (ev(1L, 0L, 500L, 2000L, 10000L) ++ ev(2L, 0L, 5000L))
+      .toDF("user_id", "ts")
+    val curve = Sessions.sessionGapCurve(events,
+      gaps = Seq(1000L, 3000L, 60000L)).orderBy("gap_ms").collect()
+      .map(r => r.getAs[Long]("gap_ms") -> r.getAs[Long]("n_sessions")).toMap
+    for (g <- Seq(1000L, 3000L, 60000L)) {
+      val direct = Sessions.sessionize(events, gapMs = g).count()
+      assert(curve(g) === direct, s"gap $g: curve ${curve(g)} != sessionize $direct")
+    }
+    // hand check: g=1000 -> u1 {0,500},{2000},{10000} + u2 {0},{5000} = 5
+    assert(curve(1000L) === 5L)
+    assert(curve(60000L) === 2L)
+  }
+
   test("session stats: exact means and interpolating percentiles over sessions") {
     // sessions (gap 1s): u1 {0,500} dur 1500 n=2; u1 {10000} dur 1000 n=1;
     // u2 {0,100,200,300} dur 1300 n=4
