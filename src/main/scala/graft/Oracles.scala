@@ -128,6 +128,21 @@ object Oracles {
   val cdcApplyState: String = s"""WITH $stateCte, $stateFinalCte
     SELECT * FROM state_final ORDER BY tbl, pk"""
 
+  /** SCD Type-2 dimension history — mirrors `ApplyEngine.scd2`: one row
+    * per non-delete op with the merged image (`cur_*`), validity interval
+    * `[valid_from, valid_to)` from `lead(t)` over the key timeline (so a
+    * delete closes the previous version), `is_current` where no later op
+    * exists. */
+  val cdcScd2: String = s"""WITH $stateCte,
+    v AS (
+      SELECT tbl, pk, CAST(ver AS BIGINT) AS ver, op, t AS valid_from,
+        lead(t) OVER (PARTITION BY tbl, pk ORDER BY lsn) AS valid_to,
+        cur_val AS val, cur_k AS k
+      FROM st)
+    SELECT tbl, pk, ver, valid_from, valid_to, val, k,
+      valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'delete' ORDER BY tbl, pk, ver"""
+
   /** JSON partial-payload feed + its generic reduce — mirrors
     * `CdcOps.jsonOps` → `ApplyEngine.applyJsonState`. All JSON values are
     * strings with integer content, so the merged row image reassembles by
@@ -622,6 +637,47 @@ object Oracles {
                     AND l.l_shipdate > o.o_orderdate)
     GROUP BY 1 ORDER BY 1"""
 
+  /** TPC-H Q5 shape — mirrors `q_local_supplier_volume`: one region,
+    * customer and supplier nation must match, floor-cents revenue summed
+    * exactly, the double only at the final /100 projection. */
+  val qLocalSupplierVolume: String = """WITH
+    nr AS (SELECT n_nationkey, n_name FROM nation
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+    l AS (SELECT l_orderkey, l_suppkey,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem)
+    SELECT nr.n_name,
+      CAST(sum(l.cents) AS BIGINT) AS revenue_cents,
+      CAST(CAST(sum(l.cents) AS BIGINT) AS DOUBLE) / 100 AS revenue
+    FROM l
+    JOIN orders ON l.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nr ON c_nationkey = nr.n_nationkey
+    JOIN supplier ON l.l_suppkey = s_suppkey
+    WHERE s_nationkey = c_nationkey
+    GROUP BY nr.n_name
+    ORDER BY revenue_cents DESC, n_name"""
+
+  /** TPC-H Q14 shape — mirrors `q_promo_revenue`: per ship-month promo
+    * revenue share, cents summed exactly, one IEEE division. */
+  val qPromoRevenue: String = """WITH
+    l AS (SELECT l_partkey,
+            CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER)
+              AS ship_month,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem)
+    SELECT ship_month,
+      CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents END) AS BIGINT)
+        AS promo_cents,
+      CAST(sum(cents) AS BIGINT) AS total_cents,
+      CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents END) AS BIGINT)
+           AS DOUBLE)
+        / CAST(sum(cents) AS BIGINT) AS promo_share
+    FROM l JOIN part ON l.l_partkey = p_partkey
+    GROUP BY ship_month ORDER BY ship_month"""
+
   val qOrdersReturned: String = """
     SELECT o_orderpriority, count(*) AS n_orders,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
@@ -1072,6 +1128,35 @@ object Oracles {
         AS new_frac
     FROM ud JOIN f USING (user_id)
     GROUP BY ud.day ORDER BY ud.day"""
+
+  /** Weekly growth accounting — mirrors `EventAnalytics.growthAccounting`:
+    * per-user lag/lead over active weeks classifies new/retained/
+    * resurrected and emits churn at week+1, clipped at the last observed
+    * week; exact longs throughout. */
+  val eventsGrowthAccounting: String = """WITH
+    uw AS (SELECT DISTINCT user_id,
+             (epoch_ms(ts) // 86400000) // 7 AS week FROM events),
+    m AS (SELECT week,
+            lag(week) OVER w AS prv, lead(week) OVER w AS nxt
+          FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+    status AS (
+      SELECT week, CASE WHEN prv IS NULL THEN 'new'
+                        WHEN prv = week - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS kind FROM m
+      UNION ALL
+      SELECT week + 1, 'churned' FROM m
+      WHERE nxt IS NULL OR nxt > week + 1),
+    mx AS (SELECT max(week) AS maxw FROM uw)
+    SELECT week,
+      count(CASE WHEN kind = 'new' THEN 1 END) AS new_users,
+      count(CASE WHEN kind = 'retained' THEN 1 END) AS retained_users,
+      count(CASE WHEN kind = 'resurrected' THEN 1 END) AS resurrected_users,
+      count(CASE WHEN kind = 'churned' THEN 1 END) AS churned_users,
+      count(CASE WHEN kind = 'new' THEN 1 END)
+        + count(CASE WHEN kind = 'resurrected' THEN 1 END)
+        - count(CASE WHEN kind = 'churned' THEN 1 END) AS net_growth
+    FROM status, mx WHERE week <= maxw
+    GROUP BY week ORDER BY week"""
 
   /** Activity-concentration Gini — mirrors `EventAnalytics.gini`: rank
     * form over per-user counts sorted (cnt, user_id); numerator and
@@ -3575,6 +3660,42 @@ object Oracles {
     * decoded metadata: frame count 1 = image, 2..60 = clip, >60 = video;
     * the oracle predicts dims/frames from the generator contract
     * (`dimsFor`) while the engine reads them off a real decode. */
+  /** Aspect-bucket ledger — mirrors `Multimodal.aspectBuckets`: dims
+    * re-derived arithmetically (w = 8+len%24, h = 8+len%16, the
+    * `dimsFor` contract the decode path realizes), nearest rung by the
+    * same exact-integer order key `|w·q − p·h|·(36/q)·8 + idx`
+    * (`arg_min` ↔ engine `min_by`), ceil-division letterbox, shares as
+    * single IEEE divisions of exact longs. */
+  val mmAspectBuckets: String = """WITH
+    base AS (SELECT doc_id, CAST(8 + len(text) % 24 AS BIGINT) AS w,
+                    CAST(8 + len(text) % 16 AS BIGINT) AS h FROM documents),
+    ladder(idx, bucket, p, q, mult) AS (VALUES
+      (0,'1:2',1,2,18),(1,'3:4',3,4,9),(2,'1:1',1,1,36),(3,'4:3',4,3,12),
+      (4,'16:9',16,9,4),(5,'2:1',2,1,36),(6,'3:1',3,1,36)),
+    pick AS (
+      SELECT d.doc_id, d.w, d.h,
+        arg_min(struct_pack(bucket := l.bucket, p := l.p, q := l.q),
+                abs(d.w*l.q - l.p*d.h) * l.mult * 8 + l.idx) AS b
+      FROM base d CROSS JOIN ladder l
+      GROUP BY d.doc_id, d.w, d.h),
+    perdoc AS (
+      SELECT b['bucket'] AS bucket, w*h AS px,
+        CASE WHEN w*b['q'] >= b['p']*h
+             THEN w * ((w*b['q'] + b['p'] - 1) // b['p'])
+             ELSE h * ((h*b['p'] + b['q'] - 1) // b['q']) END AS padded
+      FROM pick),
+    agg AS (SELECT bucket, count(*) AS n_images, sum(px) AS native_pixels,
+              sum(padded) AS padded_pixels
+            FROM perdoc GROUP BY bucket),
+    tot AS (SELECT CAST(sum(n_images) AS BIGINT) AS tn FROM agg)
+    SELECT bucket, n_images,
+      CAST(n_images AS DOUBLE) / tn AS image_share,
+      CAST(native_pixels AS BIGINT) AS native_pixels,
+      CAST(padded_pixels AS BIGINT) AS padded_pixels,
+      CAST(CAST(padded_pixels AS BIGINT) - CAST(native_pixels AS BIGINT)
+           AS DOUBLE) / CAST(padded_pixels AS BIGINT) AS waste_frac
+    FROM agg, tot ORDER BY bucket"""
+
   val mmModalityMix: String = """WITH
     base AS (
       SELECT (8 + len(text) % 24) * (8 + len(text) % 16) AS wh,
@@ -4770,6 +4891,7 @@ object Oracles {
     "cdc_poll_capture" -> cdcPollCapture,
     "cdc_poll_loss" -> cdcPollLoss,
     "cdc_apply_state" -> cdcApplyState,
+    "cdc_scd2" -> cdcScd2,
     "cdc_apply_json" -> cdcApplyJson,
     "cdc_snapshot_tail" -> cdcSnapshotTail,
     "cdc_incremental_snapshot" -> cdcIncrementalSnapshot,
@@ -4811,6 +4933,7 @@ object Oracles {
     "events_interarrival" -> eventsInterarrival,
     "events_gini" -> eventsGini,
     "events_new_vs_returning" -> eventsNewVsReturning,
+    "events_growth_accounting" -> eventsGrowthAccounting,
     "events_conversion_lag" -> eventsConversionLag,
     "events_session_stats" -> eventsSessionStats,
     "events_session_gap_curve" -> eventsSessionGapCurve,
@@ -4827,6 +4950,7 @@ object Oracles {
     "split_contamination_matrix" -> splitContaminationMatrix,
     "mm_phash_clusters" -> mmPhashClusters,
     "mm_frame_dedup" -> mmFrameDedup,
+    "mm_aspect_buckets" -> mmAspectBuckets,
     "mm_modality_mix" -> mmModalityMix,
     "mm_pixel_profile" -> mmPixelProfile,
     "vocab_collocations" -> vocabCollocations,
@@ -4975,5 +5099,7 @@ object Oracles {
     "cdc_broker_drift_exact" -> cdcBrokerDriftExact,
     "q_supplier_nation" -> qSupplierNation,
     "q_orders_returned" -> qOrdersReturned,
+    "q_local_supplier_volume" -> qLocalSupplierVolume,
+    "q_promo_revenue" -> qPromoRevenue,
     "q_customer_top_order" -> qCustomerTopOrder)
 }

@@ -97,6 +97,11 @@ object SparkEntry {
     // ------------------------------------------------ apply / state fold
     "cdc_apply_state" -> ((s, dir) =>
       ApplyEngine.applyState(ops(s, dir)).orderBy("tbl", "pk")),
+    // SCD Type-2 dimension history off the change feed: merged row image
+    // per version with [valid_from, valid_to) and is_current; deletes
+    // close intervals without opening a row
+    "cdc_scd2" -> ((s, dir) =>
+      ApplyEngine.scd2(st(s, dir)).orderBy("tbl", "pk", "ver")),
     "cdc_replay_events" -> ((s, dir) =>
       ApplyEngine.replayEvents(Capture.log(st(s, dir)), "lsn").orderBy("tbl", "pk")),
     // open-schema apply: the generic JSON reduce over the partial-payload
@@ -412,6 +417,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
     }),
+    // TPC-H Q5 shape (local supplier volume): revenue by nation within one
+    // region where the customer and supplier share a nation. The two big
+    // fact joins (lineitem⨝orders on orderkey, then custkey/suppkey) stay
+    // keyed shuffles; only the 25-row nation⊳region map broadcasts
+    // explicitly — customer/supplier are SF-scaled, so AQE promotes them
+    // at test scale without baking a 100TB-wrong hint into the plan.
+    // Revenue parity: per-row floor-cents, summed as exact longs.
+    "q_local_supplier_volume" -> ((s, dir) => {
+      val nr = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .as("_cents"))
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("_cents").as("revenue_cents"))
+        .select(col("n_name"), col("revenue_cents"),
+          (col("revenue_cents").cast("double") / 100).as("revenue"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+    // TPC-H Q14 shape (promo revenue share): per ship-month, the share of
+    // revenue from PROMO-type parts. One keyed fact⨝part join (AQE
+    // broadcasts the dimension at test scale), month-keyed rollup, one
+    // IEEE division of exactly-summed cents.
+    "q_promo_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("_promo"))
+      val l = Tables.lineitem(s, dir).select(
+        col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ship_month"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .as("_cents"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+          sum(when(col("_promo"), col("_cents"))).as("promo_cents"),
+          sum("_cents").as("total_cents"))
+        .select(col("ship_month"), col("promo_cents"), col("total_cents"),
+          (col("promo_cents").cast("double") / col("total_cents"))
+            .as("promo_share"))
+        .orderBy("ship_month")
+    }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per
     // level); NULL rollup keys are labeled ALL for a stable cross-engine
@@ -615,6 +672,11 @@ object SparkEntry {
     "events_new_vs_returning" -> ((s, dir) =>
       graft.operators.EventAnalytics.newVsReturning(Tables.events(s, dir))
         .orderBy("day")),
+    // weekly growth accounting: the four-way new/retained/resurrected/
+    // churned user-flow ledger with the net-growth identity column
+    "events_growth_accounting" -> ((s, dir) =>
+      graft.operators.EventAnalytics.growthAccounting(Tables.events(s, dir))
+        .orderBy("week")),
     // per-transition conversion delay (signup->click->purchase): the
     // funnel's first-touch chain with exact mean + interpolating p50/90/99
     "events_conversion_lag" -> ((s, dir) =>
@@ -1231,6 +1293,13 @@ object SparkEntry {
     // in frames (keep min-doc member per cluster)
     "mm_frame_dedup" -> ((s, dir) =>
       Multimodal.frameDedupLedger(s.read.parquet(mediaIndexDir(s, dir)))),
+    // aspect-ratio bucketed batching ledger off the DECODED dims: nearest
+    // ladder rung by exact integer cross-multiplied distance, letterbox
+    // padding waste per bucket (the image twin of pack_padding_waste)
+    "mm_aspect_buckets" -> ((s, dir) =>
+      Multimodal.aspectBuckets(
+        Multimodal.metaFromPayloads(s.read.parquet(mediaIndexDir(s, dir))))
+        .orderBy("bucket")),
 
     // ------------------------------------------------ evaluate / consumer / hash
     "cdc_evaluate" -> ((s, dir) => {

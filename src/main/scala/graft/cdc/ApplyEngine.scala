@@ -206,4 +206,32 @@ object ApplyEngine {
       .filter(col("last.op") =!= "d")
       .select(col("tbl"), col("pk"),
         col("last.v").as("val"), col("last.kk").as("k"))
+
+  /** Slowly-changing-dimension TYPE 2 build — turn the change feed into a
+    * versioned dimension history: one row per non-delete op carrying the
+    * MERGED row image at that version (`CdcOps.withState`'s `cur_*`), the
+    * validity interval `[valid_from, valid_to)` (logical ms), and the
+    * `is_current` flag. A delete closes the previous version's interval
+    * without opening a row, so deleted keys have no current version — the
+    * standard warehouse-dimension treatment of the reference's apply
+    * semantics (`src/domain/storage.ts:137-164`: merge-upsert + remove).
+    *
+    * Input is the enriched op-state (`CdcOps.withState`), whose windows
+    * are all partitioned (tbl, pk) ordered by lsn — the ONE extra
+    * `lead(t)` here shares that exact partitioning and ordering, so the
+    * Window operators chain over a single keyed exchange + per-key sort
+    * (distinct frame specs keep them separate operators, but nothing
+    * re-shuffles or re-sorts): the whole history build still costs one
+    * shuffle, the minimum any versioned fold needs. */
+  def scd2(st: DataFrame): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl", "pk").orderBy("lsn")
+    st
+      .withColumn("valid_to", lead(col("t"), 1).over(byKey))
+      .filter(col("op") =!= "delete")
+      .select(col("tbl"), col("pk"), col("ver"),
+        col("t").as("valid_from"), col("valid_to"),
+        col("cur_val").as("val"), col("cur_k").as("k"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

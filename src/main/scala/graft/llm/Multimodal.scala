@@ -390,4 +390,76 @@ object Multimodal {
         (col("n_pixels").cast("double") / col("_tp")).as("pixel_share"))
     graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(agg))
   }
+
+  /** The fixed aspect-ratio ladder for [[aspectBuckets]]:
+    * (index, name, p, q) with aspect p/q — portrait 1:2 through panorama
+    * 3:1, covering the synthetic corpus' 8/23..31/8 spread. `q` values'
+    * LCM is 36, the scaling constant that makes cross-bucket distance
+    * comparison exact-integer (see below). */
+  val AspectLadder: Seq[(Int, String, Int, Int)] = Seq(
+    (0, "1:2", 1, 2), (1, "3:4", 3, 4), (2, "1:1", 1, 1),
+    (3, "4:3", 4, 3), (4, "16:9", 16, 9), (5, "2:1", 2, 1), (6, "3:1", 3, 1))
+
+  /** Aspect-ratio bucketed batching ledger — assign every image to the
+    * nearest rung of a fixed aspect ladder (the variable-resolution
+    * vision-training trick: batch same-aspect images so padding is
+    * minimal), and price each bucket: item count and share, native
+    * pixels, pixels after letterboxing each image to its bucket's aspect
+    * at native resolution, and the resulting padding-waste fraction —
+    * the image-side twin of the token-packing `pack_padding_waste`
+    * ledger.
+    *
+    * Exactness: nearest-rung selection compares |w/h − p/q| across rungs
+    * without ever leaving integers — within one image, h is common to
+    * every rung, so |w·q − p·h| · (36/q) (36 = LCM of ladder q's) ranks
+    * rungs exactly; the argmin rides ONE BIGINT key
+    * `scaled_diff · 8 + rung_index` (diff ≤ ~350·36 ≪ 2^63/8), so
+    * engine `min_by` and oracle `arg_min` agree bit-for-bit, ties
+    * breaking to the lower rung. Letterbox dims use ceiling division —
+    * integer again. The only doubles are the final share/waste divisions
+    * of exactly-summed longs.
+    *
+    * Shape: the 7-rung ladder EXPLODES over the metadata scan (map-side,
+    * 7× a metadata-cardinality frame, no shuffle), collapses back to one
+    * row per doc via `min_by` partial aggregation, then to the 7-row
+    * ledger; the grand total for shares joins back as a broadcast 1-row
+    * aggregate. Nothing wider than the metadata ever shuffles. */
+  def aspectBuckets(meta: DataFrame): DataFrame = {
+    val ladder = AspectLadder.map { case (i, nm, p, q) =>
+      struct(lit(i).as("idx"), lit(nm).as("bucket"),
+        lit(p).as("p"), lit(q).as("q"), lit(36 / q).as("mult"))
+    }
+    val perDoc = meta
+      .select(col("doc_id"), col("width").as("w"), col("height").as("h"),
+        explode(array(ladder: _*)).as("r"))
+      .select(col("doc_id"), col("w"), col("h"),
+        col("r.idx").as("idx"), col("r.bucket").as("bucket"),
+        col("r.p").as("p"), col("r.q").as("q"),
+        (abs(col("w") * col("r.q") - col("r.p") * col("h")) * col("r.mult") * 8
+          + col("r.idx")).as("_ord"))
+      .groupBy("doc_id")
+      .agg(min_by(
+        struct(col("bucket"), col("p"), col("q"), col("w"), col("h")),
+        col("_ord")).as("b"))
+      .select(col("b.bucket").as("bucket"), col("b.p").as("p"),
+        col("b.q").as("q"), col("b.w").as("w"), col("b.h").as("h"))
+      .select(col("bucket"), (col("w") * col("h")).as("_px"),
+        // letterbox to the bucket aspect at native resolution:
+        // wider than the rung ⇒ pad height to ceil(w·q/p), else pad width
+        expr("""CASE WHEN w * q >= p * h
+                THEN w * ((w * q + p - 1) div p)
+                ELSE h * ((h * p + q - 1) div q) END""").as("_padded"))
+    val agg = perDoc.groupBy("bucket").agg(
+      count(lit(1)).as("n_images"),
+      sum("_px").as("native_pixels"),
+      sum("_padded").as("padded_pixels")).persist()
+    val total = agg.agg(sum("n_images").as("_tn"))
+    val out = agg.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_images"),
+        (col("n_images").cast("double") / col("_tn")).as("image_share"),
+        col("native_pixels"), col("padded_pixels"),
+        ((col("padded_pixels") - col("native_pixels")).cast("double")
+          / col("padded_pixels")).as("waste_frac"))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(agg))
+  }
 }

@@ -637,4 +637,60 @@ object EventAnalytics {
     }
     rows.reduce(_ unionAll _)
   }
+
+  /** Weekly growth accounting — the full four-way user-flow ledger per
+    * week: `new` (first-ever active week), `retained` (also active the
+    * week before), `resurrected` (active before, but not last week) and
+    * `churned` (active last week, absent this week — attributed to the
+    * week the user went missing), plus the identity-check column
+    * `net_growth = new + resurrected − churned` (which telescopes to the
+    * week-over-week WAU delta). [[newVsReturning]] is the daily
+    * two-way split; this is the weekly table a growth team actually
+    * reads. Churn past the observation window is clipped at the last
+    * observed week (those users have not had a week in which to return).
+    *
+    * Shape: the event stream collapses to the distinct user-week set
+    * (map-side combine), then ONE per-user window ordered by week derives
+    * lag/lead — a user's active weeks are bounded by the calendar, so
+    * every window frame is tiny regardless of corpus size. Each marked
+    * row then EXPLODES into its status row plus (when the user goes
+    * missing) a churn row — map-side, so the union of the two ledgers
+    * never re-runs the window — and the result is a week-keyed
+    * conditional-count rollup. The max-week clip joins as a broadcast
+    * 1-row aggregate. Exact longs throughout. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("week")
+    val userWeeks = events
+      .select(col("user_id"), expr("((ts div 1000000) div 86400000) div 7").as("week"))
+      .distinct()
+      .persist()
+    val marked = userWeeks
+      .withColumn("_prev", lag(col("week"), 1).over(w))
+      .withColumn("_next", lead(col("week"), 1).over(w))
+    val kinds = marked
+      .select(explode(array(
+        struct(col("week"),
+          when(col("_prev").isNull, lit("new"))
+            .when(col("_prev") === col("week") - 1, lit("retained"))
+            .otherwise(lit("resurrected")).as("kind")),
+        struct((col("week") + 1).as("week"),
+          when(col("_next").isNull || col("_next") > col("week") + 1,
+            lit("churned")).as("kind")))).as("r"))
+      .select(col("r.week").as("week"), col("r.kind").as("kind"))
+      .filter(col("kind").isNotNull)
+    val maxWeek = userWeeks.agg(max("week").as("_maxw"))
+    val out = kinds
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") <= col("_maxw"))
+      .groupBy("week")
+      .agg(
+        count(when(col("kind") === "new", 1)).as("new_users"),
+        count(when(col("kind") === "retained", 1)).as("retained_users"),
+        count(when(col("kind") === "resurrected", 1)).as("resurrected_users"),
+        count(when(col("kind") === "churned", 1)).as("churned_users"))
+      .withColumn("net_growth",
+        col("new_users") + col("resurrected_users") - col("churned_users"))
+    CacheLifecycle.releaseAfterUse(out, Seq(userWeeks))
+  }
 }

@@ -84,4 +84,43 @@ class ApplyEngineSpec extends SparkSpec {
     assert(dropped("1") === """{"city":"x","name":"ada"}""")
     assert(dropped("2") === "{}", "row survives with its drifted column removed")
   }
+
+  private def scd2Of(ops: Seq[OpIn]): Seq[Row] = {
+    import spark.implicits._
+    val df = ops.toDS().toDF()
+      .withColumnRenamed("setsVal", "sets_val")
+      .withColumnRenamed("valV", "val")
+      .withColumnRenamed("setsK", "sets_k")
+      .withColumnRenamed("kV", "k")
+    ApplyEngine.scd2(graft.cdc.CdcOps.withState(df))
+      .orderBy("tbl", "pk", "ver").collect().toSeq
+  }
+
+  test("scd2: versions chain [valid_from, valid_to); delete closes the " +
+      "interval without opening a row") {
+    val out = scd2Of(Seq(
+      OpIn("t0", "1", 1, 10, "insert", setsVal = true, Some(1.0), setsK = true, Some(100L)),
+      OpIn("t0", "1", 2, 20, "update", setsVal = true, Some(2.0), setsK = false, None),
+      OpIn("t0", "1", 3, 30, "delete", setsVal = false, None, setsK = false, None),
+      OpIn("t0", "1", 4, 40, "insert", setsVal = true, Some(5.0), setsK = false, None)))
+    // the delete (ver 3) emits no row; it closes ver 2's interval at t=30
+    assert(out.map(_.getAs[Long]("ver")) === Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[Long]("valid_from")) === Seq(10L, 20L, 40L))
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong)) ===
+      Seq(Some(20L), Some(30L), None))
+    // merged images at each version; k does not leak across the delete
+    assert(out.map(_.getAs[Double]("val")) === Seq(1.0, 2.0, 5.0))
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("k")).map(_.toLong)) ===
+      Seq(Some(100L), Some(100L), None))
+    assert(out.map(_.getAs[Boolean]("is_current")) === Seq(false, false, true))
+  }
+
+  test("scd2: a trailing delete leaves the key with no current version") {
+    val out = scd2Of(Seq(
+      OpIn("t0", "9", 1, 10, "insert", setsVal = true, Some(1.0), setsK = false, None),
+      OpIn("t0", "9", 2, 20, "delete", setsVal = false, None, setsK = false, None)))
+    assert(out.size === 1)
+    assert(!out.head.getAs[Boolean]("is_current"))
+    assert(out.head.getAs[Long]("valid_to") === 20L)
+  }
 }

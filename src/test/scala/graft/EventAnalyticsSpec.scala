@@ -288,4 +288,27 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, "signup", "click", 2L, 1500.0, 1500.0),
       (2L, "click", "purchase", 1L, 3000.0, 3000.0)))
   }
+
+  test("growthAccounting: four-way ledger, churn clipped at the last " +
+      "observed week, net_growth telescopes to the WAU delta") {
+    val wk = 7 * 86400000L
+    // u1 active weeks {0,1,3}; u2 {0}; u3 {2,3}
+    val events = ev(Seq(
+      (1L, "view", 0L), (1L, "view", 100L),    // dup events, one active week
+      (1L, "view", wk), (1L, "view", 3 * wk),
+      (2L, "view", 0L),
+      (3L, "view", 2 * wk), (3L, "view", 3 * wk)))
+    val out = EventAnalytics.growthAccounting(events).orderBy("week").collect()
+      .map(r => (r.getAs[Long]("week"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("retained_users"), r.getAs[Long]("resurrected_users"),
+        r.getAs[Long]("churned_users"), r.getAs[Long]("net_growth")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0L, 0L, 0L, 2L),   // u1, u2 new
+      (1L, 0L, 1L, 0L, 1L, -1L),  // u1 retained; u2 churned
+      (2L, 1L, 0L, 0L, 1L, 0L),   // u3 new; u1 absent after week 1
+      (3L, 0L, 1L, 1L, 0L, 1L))) // u3 retained; u1 resurrected; week-4 churn clipped
+    // identity: net_growth = ΔWAU (WAU: 2,1,1,2)
+    assert(out.map(_._6).toSeq === Seq(2L, -1L, 0L, 1L),
+      "net_growth must equal the week-over-week WAU delta")
+  }
 }

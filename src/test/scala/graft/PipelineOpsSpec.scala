@@ -879,4 +879,25 @@ class PipelineOpsSpec extends SparkSpec {
         "max load can never be below the uniform expectation")
     }
   }
+
+  test("aspectBuckets: exact nearest rung, tie to the lower index, " +
+      "ceil-division letterbox") {
+    val meta = Seq(
+      (0L, 100L, 100L),  // exactly 1:1 — zero padding
+      (1L, 160L, 90L),   // exactly 16:9 — zero padding
+      (2L, 150L, 100L),  // 3:2 — nearest rung 4:3, pads height to 113
+      (3L, 7L, 6L)       // equidistant 1:1 / 4:3 — lower index (1:1) wins
+    ).toDF("doc_id", "width", "height")
+    val out = graft.llm.Multimodal.aspectBuckets(meta).orderBy("bucket").collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_images"), r.getAs[Long]("native_pixels"),
+         r.getAs[Long]("padded_pixels"), r.getAs[Double]("waste_frac"))).toMap
+    assert(out.keySet === Set("1:1", "16:9", "4:3"))
+    // 1:1 holds the exact square AND the 7x6 tie (padded to 7x7)
+    assert(out("1:1") === ((2L, 100L * 100 + 42, 100L * 100 + 49,
+      7.0 / (100L * 100 + 49))))
+    assert(out("16:9") === ((1L, 160L * 90, 160L * 90, 0.0)))
+    // 150x100 → 4:3: w·q=450 ≥ p·h=400 ⇒ pad height to ceil(450/4)=113
+    assert(out("4:3") === ((1L, 15000L, 150L * 113, 1950.0 / (150L * 113))))
+  }
 }

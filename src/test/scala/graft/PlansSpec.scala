@@ -73,7 +73,10 @@ class PlansSpec extends SparkSpec {
     "split_kfold_clustered", "split_temporal", "events_session_stats",
     "q_shipping_priority", "q_late_orders",
     "cdc_chain_integrity", "cdc_heartbeat_gap", "cdc_tombstone_gc",
-    "events_new_vs_returning", "quality_source_matrix", "ann_filtered_recall")
+    "events_new_vs_returning", "quality_source_matrix", "ann_filtered_recall",
+    // wave 20
+    "cdc_scd2", "q_local_supplier_volume", "q_promo_revenue",
+    "events_growth_accounting", "mm_aspect_buckets")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -131,6 +134,31 @@ class PlansSpec extends SparkSpec {
     assert(count("cdc_apply_state", "Exchange hashpartitioning") === 1)
     assert(count("cdc_apply_state", "Window") === 0,
       "applyState is a secondary-sort fold, not a window scan")
+  }
+
+  test("scd2 history rides withState's single keyed exchange") {
+    // the whole versioned-history build: ONE (tbl, pk) exchange; the
+    // Window operators (withState's two frames + the lead) chain over it
+    // with one per-key sort — the extra lead() must not add a shuffle
+    assert(count("cdc_scd2", "Exchange hashpartitioning") === 1,
+      "scd2 must reuse withState's keyed partitioning")
+    assert(count("cdc_scd2", "Window") === 3,
+      "exactly the three chained frame specs — no duplicated window pass")
+  }
+
+  test("growth accounting: one per-user window over the distinct " +
+      "user-week set; the max-week clip broadcasts") {
+    assert(count("events_growth_accounting", "Window") === 1)
+    assert(count("events_growth_accounting", "BroadcastNestedLoopJoin") === 1,
+      "the 1-row max-week aggregate joins broadcast")
+    assert(count("events_growth_accounting", "SortMergeJoin") === 0)
+  }
+
+  test("aspect buckets: map-side ladder explode, no data-frame joins") {
+    // only the broadcast 1-row total may join; the explode+min_by collapse
+    // is shuffle-bounded by metadata cardinality
+    assert(count("mm_aspect_buckets", "SortMergeJoin") === 0)
+    assert(count("mm_aspect_buckets", "ShuffledHashJoin") === 0)
   }
 
   test("banded dedup/ANN paths stay equality joins (no nested-loop)") {
