@@ -678,6 +678,71 @@ object Oracles {
     FROM l JOIN part ON l.l_partkey = p_partkey
     GROUP BY ship_month ORDER BY ship_month"""
 
+  /** TPC-H Q19 shape — mirrors `q_disjunctive_revenue`: the three
+    * brand/size/quantity disjuncts with the derivable `l_quantity <= 30`
+    * conjunct hoisted to the scan (the pushdown the engine relies on),
+    * per-brand exact floor-cents rollup. */
+  val qDisjunctiveRevenue: String = """WITH
+    l AS (SELECT l_partkey, l_quantity,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem WHERE l_quantity >= 1 AND l_quantity <= 30)
+    SELECT p_brand, count(*) AS n_lines,
+      CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM l JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** TPC-H Q22 shape — mirrors `q_cold_customers`: above-average-balance
+    * customers with no orders; balance in exact floor-cents, the average
+    * is the one IEEE division, NOT EXISTS is the anti join. */
+  val qColdCustomers: String = """WITH
+    c AS (SELECT c_custkey, c_mktsegment,
+            CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer),
+    a AS (SELECT CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / count(*)
+            AS avg_cents
+          FROM c WHERE bal_cents > 0)
+    SELECT c_mktsegment, count(*) AS n_customers,
+      CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM c, a
+    WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** TPC-H Q18 shape — mirrors `q_big_basket`: HAVING-subquery baskets
+    * over threshold 300 (quantities are integral doubles, summed as exact
+    * BIGINT), joined back to orders + customer, top-20. */
+  val qBigBasket: String = """WITH
+    big AS (SELECT l_orderkey,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 300)
+    SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+      total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20"""
+
+  /** TPC-H Q15 shape — mirrors `q_top_supplier`: argmax over the
+    * per-supplier revenue rollup with ties kept; the max comparison is an
+    * integer equality on exact floor-cents. */
+  val qTopSupplier: String = """WITH
+    rev AS (SELECT l_suppkey,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, revenue_cents
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+    ORDER BY s_suppkey"""
+
   val qOrdersReturned: String = """
     SELECT o_orderpriority, count(*) AS n_orders,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
@@ -5101,5 +5166,9 @@ object Oracles {
     "q_orders_returned" -> qOrdersReturned,
     "q_local_supplier_volume" -> qLocalSupplierVolume,
     "q_promo_revenue" -> qPromoRevenue,
+    "q_disjunctive_revenue" -> qDisjunctiveRevenue,
+    "q_cold_customers" -> qColdCustomers,
+    "q_big_basket" -> qBigBasket,
+    "q_top_supplier" -> qTopSupplier,
     "q_customer_top_order" -> qCustomerTopOrder)
 }

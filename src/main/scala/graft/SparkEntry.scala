@@ -469,6 +469,103 @@ object SparkEntry {
             .as("promo_share"))
         .orderBy("ship_month")
     }),
+    // TPC-H Q19 shape (disjunctive-predicate revenue): three brand/size/
+    // quantity disjuncts over the one fact⨝part join. The derivable common
+    // bound (l_quantity ≤ 30) is written EXPLICITLY on the fact select so
+    // the parquet scan prunes rows the disjunction would otherwise drag
+    // through the join — a disjunction alone does not push down, its
+    // derived conjunct does. Per-brand rollup, floor-cents exact sums.
+    "q_disjunctive_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_cents"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), sum("_cents").as("revenue_cents"))
+        .orderBy("p_brand")
+    }),
+    // TPC-H Q22 shape (cold customers): above-average-balance customers
+    // DORMANT since the cutoff — no order on or after 2000-01-01. The
+    // scalar subquery (avg positive balance) is a broadcast 1-row cross;
+    // dormancy is a LEFT ANTI join against the date-filtered orders (the
+    // cutoff pushes to the orders scan, the anti side prunes to one key
+    // column). Balance kept in exact floor-cents; the average is the one
+    // IEEE division, compared in double on both engines.
+    "q_cold_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("_bal_cents"))
+        .persist() // the avg branch and the main stream both read it
+      val avg = c.filter(col("_bal_cents") > 0)
+        .agg((sum("_bal_cents").cast("double") / count(lit(1)))
+          .as("_avg_cents"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >=
+          lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        c.join(broadcast(avg))
+          .filter(col("_bal_cents").cast("double") > col("_avg_cents"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("_bal_cents").as("bal_cents"))
+          .orderBy("c_mktsegment"),
+        Seq(c))
+    }),
+    // TPC-H Q18 shape (large-volume baskets): HAVING-subquery orders whose
+    // total quantity clears a threshold, joined back to orders+customer.
+    // The post-HAVING frame is selectivity-tiny, so AQE broadcasts it into
+    // the orders join at runtime — the plan never hints a broadcast that
+    // would be wrong if the threshold were loosened at 100 TB. Quantities
+    // are integral doubles; cast long so the basket sums stay exact.
+    "q_big_basket" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_date_ms"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // TPC-H Q15 shape (top supplier): argmax over a keyed aggregate with
+    // ties KEPT — the per-supplier revenue rollup joins its own broadcast
+    // 1-row max instead of sorting the aggregate or windowing over an
+    // unpartitioned frame. Floor-cents exact, so "equal to the max" is an
+    // integer equality, never a float-tolerance question.
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_cents"))
+        .groupBy("l_suppkey")
+        .agg(sum("_cents").as("revenue_cents"))
+        .persist() // supplier-cardinality; both the max and the join read it
+      val mx = rev.agg(max("revenue_cents").as("_max_cents"))
+      graft.operators.CacheLifecycle.releaseAfterUse(
+        rev.join(broadcast(mx), col("revenue_cents") === col("_max_cents"))
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+          .orderBy("s_suppkey"),
+        Seq(rev))
+    }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per
     // level); NULL rollup keys are labeled ALL for a stable cross-engine

@@ -76,7 +76,10 @@ class PlansSpec extends SparkSpec {
     "events_new_vs_returning", "quality_source_matrix", "ann_filtered_recall",
     // wave 20
     "cdc_scd2", "q_local_supplier_volume", "q_promo_revenue",
-    "events_growth_accounting", "mm_aspect_buckets")
+    "events_growth_accounting", "mm_aspect_buckets",
+    // wave 23: the remaining classic OLAP shapes
+    "q_disjunctive_revenue", "q_cold_customers", "q_big_basket",
+    "q_top_supplier")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -857,6 +860,38 @@ class PlansSpec extends SparkSpec {
     assert(count("quality_source_matrix", "SortMergeJoin") === 0,
       "the per-source totals must broadcast onto the cached cells")
     assert(count("quality_source_matrix", "CartesianProduct") === 0)
+  }
+
+  test("disjunctive revenue: the derived quantity bound reaches the scan") {
+    assert(plans("q_disjunctive_revenue").contains("PushedFilters"),
+      "the lineitem scan must carry pushed filters")
+    // the hoisted conjunct (l_quantity <= 30) must be visible at the scan,
+    // not only inside the post-join disjunction
+    assert(plans("q_disjunctive_revenue").contains("LessThanOrEqual(l_quantity,30.0)"),
+      "the derivable quantity bound must push to the parquet scan")
+    assert(count("q_disjunctive_revenue", "CartesianProduct") === 0)
+  }
+
+  test("cold customers: scalar subquery broadcasts; dormancy is one anti join") {
+    assert(plans("q_cold_customers").contains("LeftAnti"),
+      "dormancy must plan as a left-anti join")
+    assert(count("q_cold_customers", "BroadcastNestedLoopJoin") === 1,
+      "the 1-row average must broadcast-cross, never shuffle")
+    assert(count("q_cold_customers", "CartesianProduct") === 0)
+  }
+
+  test("big basket: the post-HAVING frame joins without a cartesian; top-20 is a heap") {
+    assert(count("q_big_basket", "TakeOrderedAndProject") === 1,
+      "top-20 must ride a bounded heap, never a global sort")
+    assert(count("q_big_basket", "CartesianProduct") === 0)
+  }
+
+  test("top supplier: the argmax is a broadcast 1-row equality, not a window") {
+    assert(count("q_top_supplier", "BroadcastHashJoin") >= 1,
+      "the 1-row max must broadcast back onto the rollup")
+    assert(count("q_top_supplier", "Window") === 0,
+      "no unpartitioned window over the supplier rollup")
+    assert(count("q_top_supplier", "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
