@@ -3971,6 +3971,67 @@ object Oracles {
     FROM part WHERE p_size > 25 AND p_type = 'ECONOMY'
     GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Per-label norm profile — mirrors `Similarity.normProfile`: norms
+    * quantized to floor(norm·2²⁰) so the label sums are exact BIGINTs,
+    * the mean is the identical left-to-right IEEE chain. */
+  val embNormProfile: String = s"""WITH
+    n AS (SELECT label,
+            CAST(floor(${normSql("embedding")} * 1048576.0) AS BIGINT) AS nq
+          FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+      CAST(sum(nq) AS BIGINT) AS sum_norm_q,
+      min(nq) AS min_norm_q, max(nq) AS max_norm_q,
+      CAST(CAST(sum(nq) AS BIGINT) AS DOUBLE) / 1048576.0 / count(*)
+        AS mean_norm
+    FROM n GROUP BY label ORDER BY label"""
+
+  /** Anisotropy audit — mirrors `Similarity.centroidCone`: integer
+    * per-dimension sums build the exact centroid (the Lloyd step with one
+    * list), per-row centroid-cosines quantize to BIGINT before the
+    * rollup. */
+  val embCentroidCone: String = s"""WITH
+    comps AS (
+      SELECT t.i,
+        CAST(sum(CAST(floor(e.embedding[t.i]::DOUBLE * 1048576.0) AS BIGINT))
+          AS BIGINT) AS s,
+        count(*) AS cnt
+      FROM embeddings e, range(1, 65) t(i)
+      GROUP BY t.i),
+    cent AS (
+      SELECT list(s::DOUBLE / (1048576.0 * cnt) ORDER BY i) AS c_emb
+      FROM comps),
+    centn AS (SELECT c_emb, ${normSql("c_emb")} AS c_nrm FROM cent),
+    scored AS (
+      SELECT c.c_nrm,
+        CAST(floor(${dotSql("e.embedding", "c.c_emb")}
+          / (${normSql("e.embedding")} * c.c_nrm) * 1048576.0) AS BIGINT)
+          AS cq
+      FROM embeddings e, centn c)
+    SELECT count(*) AS n_vecs, c_nrm AS centroid_norm,
+      CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) / 1048576.0 / count(*)
+        AS mean_cos,
+      min(cq) AS min_cos_q, max(cq) AS max_cos_q
+    FROM scored GROUP BY c_nrm"""
+
+  /** Per-dimension variance — mirrors `Similarity.dimVariance`:
+    * components quantized to floor(x·2²⁰), Σx² accumulated in
+    * DECIMAL(38,0) (overflow-proof at any corpus size), variance as one
+    * fixed IEEE chain. */
+  val embDimVariance: String = """WITH
+    x AS (
+      SELECT CAST(t.i - 1 AS INTEGER) AS pos,
+        CAST(floor(e.embedding[t.i]::DOUBLE * 1048576.0) AS BIGINT) AS xq
+      FROM embeddings e, range(1, 65) t(i)),
+    s AS (
+      SELECT pos, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sum_q,
+        CAST(sum(xq * xq) AS DECIMAL(38,0)) AS sumsq_q
+      FROM x GROUP BY pos)
+    SELECT pos, n, sum_q, sumsq_q,
+      ((CAST(sumsq_q AS DOUBLE) / n)
+        - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n))
+        / (1048576.0 * 1048576.0) AS variance
+    FROM s ORDER BY pos"""
+
   /** IVF ANN with quantized-mean Lloyd k-means centroids (2 iterations,
     * seeded with vec_id < 16), nProbe=4, exact top-3 within probed lists —
     * mirrors `Similarity.kmeansCentroids` + `ivfTopK`. Centroid means sum
@@ -5106,6 +5167,9 @@ object Oracles {
     "dedup_substring_sampled" -> dedupSubstring(anchorMod = 8L),
     "dedup_substring_clean" -> dedupSubstringClean(),
     "ann_cosine_topk" -> annCosineTopK,
+    "emb_norm_profile" -> embNormProfile,
+    "emb_centroid_cone" -> embCentroidCone,
+    "emb_dim_variance" -> embDimVariance,
     "ann_hard_negatives" -> annHardNegatives,
     "ann_filtered_recall" -> annFilteredRecall,
     "ann_overfetch_curve" -> annOverfetchCurve,

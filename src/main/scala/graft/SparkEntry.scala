@@ -1019,6 +1019,17 @@ object SparkEntry {
     // ------------------------------------------------ similarity search
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
+    // embedding-table health checks — run BEFORE any index is built:
+    // per-label norm envelope (dead head / bad batch tell) ...
+    "emb_norm_profile" -> ((s, dir) =>
+      Similarity.normProfile(Tables.embeddings(s, dir)).orderBy("label")),
+    // ... anisotropy: mean cosine to the corpus centroid (the cone
+    // pathology that decides centering/whitening) ...
+    "emb_centroid_cone" -> ((s, dir) =>
+      Similarity.centroidCone(Tables.embeddings(s, dir))),
+    // ... and the per-dimension variance ledger (dead/dominant dims)
+    "emb_dim_variance" -> ((s, dir) =>
+      Similarity.dimVariance(Tables.embeddings(s, dir)).orderBy("pos")),
     // hard-negative mining: per probe, top-k most-similar vectors of a
     // DIFFERENT label — the near-miss negatives contrastive training needs
     "ann_hard_negatives" -> ((s, dir) =>

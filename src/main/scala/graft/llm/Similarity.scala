@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table
   * (`vec_id, embedding: array<float>, label`).
@@ -1440,5 +1441,103 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
         col("rrf"), col("sem_rnk"), col("lex_rnk"))
+  }
+
+  /** Fixed-point scale shared by the embedding-health ledgers — the same
+    * 2²⁰ quantum the Lloyd trainer sums in, so every cross-row float sum
+    * is an exact, associative BIGINT under any partitioning/AQE re-plan. */
+  private val HealthQ = 1048576.0
+
+  /** Per-label embedding-norm profile — the first health check run on a
+    * new embedding table: a label whose vectors' norms collapse toward 0
+    * (dead encoder head) or spread wildly (mixed precision / bad batch)
+    * shows up here before any retrieval metric moves. One corpus pass,
+    * one label-keyed aggregate; norms quantized to `floor(norm · 2²⁰)` so
+    * the per-label sums are exact longs, the mean is ONE IEEE chain. */
+  def normProfile(emb: DataFrame): DataFrame = {
+    emb
+      .select(col("label"),
+        floor(norm(col("embedding")) * HealthQ).as("_nq"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("_nq").as("sum_norm_q"),
+        min("_nq").as("min_norm_q"),
+        max("_nq").as("max_norm_q"))
+      .select(col("label"), col("n_vecs"), col("sum_norm_q"),
+        col("min_norm_q"), col("max_norm_q"),
+        (col("sum_norm_q").cast("double") / HealthQ / col("n_vecs"))
+          .as("mean_norm"))
+  }
+
+  /** Anisotropy ("cone") audit: the mean cosine of every vector to the
+    * corpus centroid. Trained-transformer embeddings famously collapse
+    * into a narrow cone (Ethayarajh 2019) — mean centroid-cosine near 1
+    * means cosine similarity is dominated by the common direction and
+    * retrieval contrast is weak; post-processing (centering, whitening)
+    * is decided off exactly this number.
+    *
+    * Scale shape: per-dimension integer sums ((dim)-keyed partial agg —
+    * the Lloyd trainer's step with ONE list), the 1-row centroid
+    * broadcasts back, the corpus streams once through the codegen'd
+    * [[graft.functions.ArrayDot]], and the per-row cosines are quantized
+    * to exact longs before the final rollup. No collect, no second pass. */
+  def centroidCone(emb: DataFrame): DataFrame = {
+    val comps = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(floor(col("x").cast("double") * HealthQ)).as("s"),
+        count(lit(1)).as("cnt"))
+    val centroid = comps
+      .groupBy(lit(1).as("_one"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("pc"),
+        first(col("cnt")).as("_n"))
+      .select(
+        transform(col("pc"),
+          p => p.getField("s").cast("double") / (lit(HealthQ) * col("_n")))
+          .as("c_emb"))
+      .select(col("c_emb"), norm(col("c_emb")).as("c_nrm"))
+    val scored = emb
+      .join(broadcast(centroid))
+      .select(floor(dot(col("embedding"), col("c_emb")) /
+        (norm(col("embedding")) * col("c_nrm")) * HealthQ).as("_cq"),
+        col("c_nrm"))
+    scored
+      .groupBy(col("c_nrm").as("centroid_norm"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("_cq").as("sum_cos_q"),
+        min("_cq").as("min_cos_q"),
+        max("_cq").as("max_cos_q"))
+      .select(col("n_vecs"), col("centroid_norm"),
+        (col("sum_cos_q").cast("double") / HealthQ / col("n_vecs"))
+          .as("mean_cos"),
+        col("min_cos_q"), col("max_cos_q"))
+  }
+
+  /** Per-dimension variance ledger — the dead/dominant-dimension audit
+    * (a dimension with ~0 variance wastes index width; one with outsized
+    * variance dominates every dot product; both are whitening decisions).
+    * One corpus pass, one (dim)-keyed aggregate. Components quantize to
+    * `floor(x · 2²⁰)`; squares stay inside a long per row and accumulate
+    * in DECIMAL(38,0) so the Σx² column cannot overflow at any corpus
+    * size; the variance is then ONE fixed IEEE chain. */
+  def dimVariance(emb: DataFrame): DataFrame = {
+    val sums = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), floor(col("x").cast("double") * HealthQ).as("_xq"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("_xq").as("sum_q"),
+        sum((col("_xq") * col("_xq")).cast(DecimalType(38, 0))).as("sumsq_q"))
+    sums.select(
+      col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
+      ((col("sumsq_q").cast("double") / col("n")) -
+        (col("sum_q").cast("double") / col("n")) *
+          (col("sum_q").cast("double") / col("n")))
+        .as("var_q2"))
+      .select(col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
+        (col("var_q2") / (lit(HealthQ) * lit(HealthQ))).as("variance"))
   }
 }

@@ -900,4 +900,60 @@ class PipelineOpsSpec extends SparkSpec {
     // 150x100 → 4:3: w·q=450 ≥ p·h=400 ⇒ pad height to ceil(450/4)=113
     assert(out("4:3") === ((1L, 15000L, 150L * 113, 1950.0 / (150L * 113))))
   }
+
+  test("normProfile: quantized norm sums are exact; mean is the one division") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 1),   // norm 5
+      (1L, Array(6.0f, 8.0f), 1),   // norm 10
+      (2L, Array(0.0f, 2.0f), 2)    // norm 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.normProfile(emb).orderBy("label").collect()
+    val q = 1048576L
+    assert(out(0).getAs[Long]("n_vecs") === 2L)
+    assert(out(0).getAs[Long]("sum_norm_q") === 5 * q + 10 * q)
+    assert(out(0).getAs[Long]("min_norm_q") === 5 * q)
+    assert(out(0).getAs[Long]("max_norm_q") === 10 * q)
+    assert(out(0).getAs[Double]("mean_norm") === 7.5)
+    assert(out(1).getAs[Long]("sum_norm_q") === 2 * q)
+  }
+
+  test("centroidCone: orthogonal pair's centroid cosine is floor-exact") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidCone(emb).collect().head
+    // centroid = (0.5, 0.5); each cos = 0.5/sqrt(0.5) = sqrt(0.5);
+    // cq = floor(sqrt(0.5) * 2^20) = 741455 for BOTH rows
+    assert(out.getAs[Long]("n_vecs") === 2L)
+    assert(out.getAs[Long]("min_cos_q") === 741455L)
+    assert(out.getAs[Long]("max_cos_q") === 741455L)
+    assert(math.abs(out.getAs[Double]("mean_cos") - 741455.0 / 1048576.0) < 1e-12)
+    assert(math.abs(out.getAs[Double]("centroid_norm") - math.sqrt(0.5)) < 1e-9)
+  }
+
+  test("centroidCone: identical vectors collapse to mean_cos 1 (tight cone)") {
+    val emb = Seq(
+      (0L, Array(2.0f, 0.0f), 1),
+      (1L, Array(2.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidCone(emb).collect().head
+    assert(out.getAs[Long]("min_cos_q") === 1048576L) // floor(1.0 * 2^20)
+    assert(out.getAs[Double]("mean_cos") === 1.0)
+  }
+
+  test("dimVariance: E[x^2] - E[x]^2 recovered exactly from quantized sums") {
+    val emb = Seq(
+      (0L, Array(1.0f, 3.0f), 1),
+      (1L, Array(3.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimVariance(emb).orderBy("pos").collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n") === 2L)
+      assert(r.getAs[Long]("sum_q") === 4L * 1048576L)
+      // var of {1, 3} is 1.0; quantization is exact for these values
+      assert(math.abs(r.getAs[Double]("variance") - 1.0) < 1e-12)
+    }
+  }
 }

@@ -79,7 +79,9 @@ class PlansSpec extends SparkSpec {
     "events_growth_accounting", "mm_aspect_buckets",
     // wave 23: the remaining classic OLAP shapes
     "q_disjunctive_revenue", "q_cold_customers", "q_big_basket",
-    "q_top_supplier")
+    "q_top_supplier",
+    // wave 24: embedding-table health ledgers
+    "emb_norm_profile", "emb_centroid_cone", "emb_dim_variance")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -892,6 +894,18 @@ class PlansSpec extends SparkSpec {
     assert(count("q_top_supplier", "Window") === 0,
       "no unpartitioned window over the supplier rollup")
     assert(count("q_top_supplier", "CartesianProduct") === 0)
+  }
+
+  test("embedding health: keyed aggregates; only the 1-row centroid broadcasts") {
+    assert(count("emb_norm_profile", "Join") === 0,
+      "the norm profile is a label-keyed aggregate, join-free")
+    assert(count("emb_dim_variance", "Join") === 0,
+      "the variance ledger is a dim-keyed aggregate, join-free")
+    assert(count("emb_centroid_cone", "BroadcastNestedLoopJoin") === 1,
+      "the 1-row centroid must broadcast back onto the corpus")
+    assert(count("emb_centroid_cone", "SortMergeJoin") === 0)
+    for (n <- Seq("emb_norm_profile", "emb_centroid_cone", "emb_dim_variance"))
+      assert(count(n, "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
