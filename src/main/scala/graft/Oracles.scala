@@ -1066,6 +1066,48 @@ object Oracles {
     FROM p JOIN f USING (from_type)
     ORDER BY p.from_type, p.to_type"""
 
+  /** PageRank over the type-transition graph — mirrors
+    * `EventAnalytics.pageRank` (10 iterations, damping 17/20, ppm edge
+    * weights): the power iteration is UNROLLED (standard SQL forbids
+    * aggregation in a recursive CTE member) — every step is the identical
+    * integer chain `150000 + Σ ((mass·17) div 20 · w_ppm) div 10⁶`. */
+  def eventsPagerank(iters: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (
+      SELECT n.node,
+        CAST(150000 + coalesce(sum((em.mass * 17 // 20) * em.w_ppm // 1000000), 0)
+          AS BIGINT) AS mass
+      FROM nodes n LEFT JOIN
+        (SELECT e.dst, e.w_ppm, m.mass
+         FROM edges e JOIN m${i - 1} m ON m.node = e.src) em
+        ON em.dst = n.node
+      GROUP BY n.node)"""
+    }.mkString(",\n    ")
+    s"""WITH
+    e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts), event_id) AS to_type
+          FROM events),
+    p AS (SELECT event_type AS src, to_type AS dst, count(*) AS n_pairs
+          FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    f AS (SELECT src, CAST(sum(n_pairs) AS BIGINT) AS n_out
+          FROM p GROUP BY src),
+    edges AS (
+      SELECT p.src, p.dst,
+        CAST(CAST(p.n_pairs AS HUGEINT) * 1000000 // f.n_out AS BIGINT)
+          AS w_ppm
+      FROM p JOIN f USING (src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM p UNION ALL SELECT dst FROM p)),
+    m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+    $steps
+    SELECT node AS event_type, mass,
+      CAST(mass AS DOUBLE) / t.total AS rank_share
+    FROM m$iters, (SELECT CAST(sum(mass) AS BIGINT) AS total FROM m$iters) t
+    ORDER BY mass DESC, event_type"""
+  }
+
   /** DAU / rolling active users — mirrors `EventAnalytics.activeUsers`
     * (windowDays = 7): the distinct (user, day) set is the only wide
     * intermediate; the rolling count joins it to the bounded day list. */
@@ -1569,6 +1611,60 @@ object Oracles {
       pass_word_len, pass_alpha, pass_symbol, pass_stop,
       (pass_word_len AND pass_alpha AND pass_symbol AND pass_stop) AS pass_gopher
     FROM f ORDER BY doc_id"""
+
+  /** Gopher-gate ablation — mirrors `TextAnalysis.gopherAblation`: the
+    * same flag CTE as [[textGopher]] plus the token count, one row of
+    * conditional sums, unpivoted to (rule, alone, marginal) rows. */
+  def qualityAblation: String = {
+    val rules = Seq("word_len", "alpha", "symbol", "stop")
+    def others(r: String) =
+      rules.filter(_ != r).map(o => s"pass_$o").mkString(" AND ")
+    val perRule = rules.flatMap { r => Seq(
+      s"CAST(sum(CASE WHEN NOT pass_$r THEN 1 ELSE 0 END) AS BIGINT) AS f_$r",
+      s"CAST(sum(CASE WHEN NOT pass_$r THEN n_toks ELSE 0 END) AS BIGINT) AS ft_$r",
+      s"CAST(sum(CASE WHEN NOT pass_$r AND ${others(r)} THEN 1 ELSE 0 END) AS BIGINT) AS o_$r",
+      s"CAST(sum(CASE WHEN NOT pass_$r AND ${others(r)} THEN n_toks ELSE 0 END) AS BIGINT) AS ot_$r")
+    }.mkString(",\n        ")
+    val nf = rules.map(r => s"CASE WHEN NOT pass_$r THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val unions = (rules :+ "any").map(r =>
+      s"""SELECT '$r' AS rule, f_$r AS n_fail, ft_$r AS toks_fail,
+        o_$r AS n_fail_only, ot_$r AS toks_fail_only FROM a""")
+      .mkString("\n    UNION ALL ")
+    s"""WITH t AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_toks,
+        len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks AS mean_word_len,
+        CAST(n_alpha AS DOUBLE) / n_toks AS alpha_word_frac,
+        CAST(n_sym AS DOUBLE) / n_toks AS symbol_ratio,
+        CAST(n_stop AS BIGINT) AS n_stop
+      FROM t),
+    f AS (
+      SELECT n_toks,
+        mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+        alpha_word_frac >= 0.8 AS pass_alpha,
+        symbol_ratio <= 0.1 AS pass_symbol,
+        n_stop >= 2 AS pass_stop
+      FROM s),
+    a AS (
+      SELECT
+        $perRule,
+        CAST(sum(CASE WHEN NOT (pass_word_len AND pass_alpha AND pass_symbol
+          AND pass_stop) THEN 1 ELSE 0 END) AS BIGINT) AS f_any,
+        CAST(sum(CASE WHEN NOT (pass_word_len AND pass_alpha AND pass_symbol
+          AND pass_stop) THEN n_toks ELSE 0 END) AS BIGINT) AS ft_any,
+        CAST(sum(CASE WHEN ($nf) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_any,
+        CAST(sum(CASE WHEN ($nf) = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS ot_any
+      FROM f)
+    SELECT * FROM ($unions) ORDER BY rule"""
+  }
 
   private val minhashP = 104729L
 
@@ -2133,6 +2229,18 @@ object Oracles {
       FROM p)
     SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, priority
     FROM r WHERE rnk <= 10 ORDER BY source, rnk"""
+
+  /** Order-free per-source reservoir — mirrors `Sampling.reservoirSample`
+    * (k=5, modulus 104729): bottom-k by doc-id hash within each source,
+    * ties by doc_id. */
+  val sampleReservoir: String = s"""WITH
+    h AS (SELECT doc_id, source,
+            ${h31("CAST(doc_id AS VARCHAR)", 104729L)} AS h
+          FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+            AS rnk FROM h)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, h
+    FROM r WHERE rnk <= 5 ORDER BY source, rnk"""
 
   /** Deterministic training-shard shuffle — mirrors `Sampling.shardAssign`
     * (nShards=16, seed=42, M=1000003): shard = hash31(doc_id‖':42') mod 16,
@@ -5050,6 +5158,7 @@ object Oracles {
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_transitions" -> eventsTransitions,
+    "events_pagerank" -> eventsPagerank(),
     "events_dau" -> eventsDau,
     "events_anomaly" -> eventsAnomaly,
     "events_path_topk" -> eventsPathTopK,
@@ -5149,6 +5258,7 @@ object Oracles {
     "vocab_oov" -> vocabOov,
     "batch_buckets" -> batchBuckets,
     "sample_priority" -> samplePriority,
+    "sample_reservoir" -> sampleReservoir,
     "export_shards" -> exportShards,
     "export_shard_stats" -> exportShardStats,
     "export_manifest" -> exportManifest,
@@ -5201,6 +5311,7 @@ object Oracles {
     "ann_cluster_profile" -> annClusterProfile,
     "text_quality" -> textQuality,
     "text_gopher" -> textGopher,
+    "quality_ablation" -> qualityAblation,
     "text_lm_score" -> textLmScore,
     "quality_logit" -> qualityLogit,
     "corpus_snapshot_diff" -> corpusSnapshotDiff,

@@ -697,6 +697,12 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       graft.operators.EventAnalytics.retention(Tables.events(s, dir))
         .orderBy("cohort_day", "day_offset")),
+    // PageRank centrality over the type-transition graph: integer-exact
+    // power iteration (10 rounds) on the bounded edge table — one lead
+    // pass over the stream, no per-iteration re-scan
+    "events_pagerank" -> ((s, dir) =>
+      graft.operators.EventAnalytics.pageRank(Tables.events(s, dir))
+        .orderBy(col("mass").desc, col("event_type"))),
     // first-order Markov transition matrix over consecutive same-user events
     "events_transitions" -> ((s, dir) =>
       graft.operators.EventAnalytics.transitions(Tables.events(s, dir))
@@ -1193,6 +1199,10 @@ object SparkEntry {
       TextAnalysis.simpsonConcentration(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // which Gopher rule does the work: per-rule alone/marginal removal in
+    // docs and tokens, plus the composite 'any' row — one corpus pass
+    "quality_ablation" -> ((s, dir) =>
+      TextAnalysis.gopherAblation(Tables.documents(s, dir)).orderBy("rule")),
     // PII scrub over deterministically augmented text (the synthetic corpus
     // carries no PII-shaped tokens, so the query plants a known mix —
     // identically in the oracle — and the scrubber must count and redact it).
@@ -1236,6 +1246,10 @@ object SparkEntry {
     // inclusion odds proportional-ish to token count, reproducible anywhere
     "sample_priority" -> ((s, dir) =>
       Sampling.prioritySample(Tables.documents(s, dir)).orderBy("source", "rnk")),
+    // deterministic per-source uniform k-sample (the order-free reservoir):
+    // bottom-k by doc-id hash within each source
+    "sample_reservoir" -> ((s, dir) =>
+      Sampling.reservoirSample(Tables.documents(s, dir)).orderBy("source", "rnk")),
     // deterministic training-shard shuffle: hash31-keyed shard + in-shard
     // position, reproducible under re-partitioning and incremental rebuilds
     "export_shards" -> ((s, dir) =>

@@ -683,4 +683,29 @@ object Sampling {
         (col("n_tokens").cast("double") / col("_tot") * k).as("balance"))
     graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(perFold))
   }
+
+  /** Deterministic per-source uniform `k`-sample — the distributed
+    * replacement for reservoir sampling. A classic reservoir is
+    * sequential (its result depends on arrival order, so a re-run after
+    * a task retry or an AQE re-plan keeps DIFFERENT rows); ranking by a
+    * per-row hash keeps the same statistical guarantee (each source row
+    * equally likely under the hash's uniformity) while being
+    * arrival-order-free, restart-stable, and incremental — a new batch
+    * can only displace rows with larger hashes, which is exactly the
+    * bottom-k sketch's merge rule.
+    *
+    * One scan, one source-partitioned window rank (hash ties broken by
+    * doc_id, so the sample is a pure function of the id set). The large
+    * prime modulus keeps hash collisions — and therefore tie-break bias —
+    * negligible. */
+  def reservoirSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        hash31(col("doc_id").cast("string"), 104729L).as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("h"))
+  }
 }

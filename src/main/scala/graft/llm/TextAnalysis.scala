@@ -370,7 +370,50 @@ object TextAnalysis {
     *
     * Shape: one staged projection per row — zero shuffles; every ratio is
     * a single integer division (bit-stable in Spark and DuckDB). */
-  def gopherStats(docs: DataFrame): DataFrame = {
+  def gopherStats(docs: DataFrame): DataFrame = gopherFlagged(docs).drop("n_toks")
+
+  /** Per-rule ablation of the Gopher gate — "which rule does the work":
+    * for each rule, the documents (and their tokens) it would remove
+    * ALONE (`n_fail`/`toks_fail`) and the ones ONLY it removes — its
+    * marginal over the other three (`n_fail_only`/`toks_fail_only`). The
+    * `any` row is the composite gate's total removal, with the
+    * exactly-one-rule count as its marginal column (Σ of the per-rule
+    * onlys by construction). This is the table a curation review reads
+    * before loosening a threshold: a rule with a large `n_fail` but ~0
+    * `n_fail_only` is redundant; one with a large marginal is the gate.
+    *
+    * ONE corpus pass: the doc-level flags collapse into a single row of
+    * conditional sums (map-side combine), unpivoted with `stack` — no
+    * per-rule re-scan, no join, no window. */
+  def gopherAblation(docs: DataFrame): DataFrame = {
+    val rules = Seq("word_len" -> "pass_word_len", "alpha" -> "pass_alpha",
+      "symbol" -> "pass_symbol", "stop" -> "pass_stop")
+    def fail(c: String) = !col(c)
+    def onlyFail(c: String) =
+      fail(c) && rules.map(_._2).filter(_ != c).map(col).reduce(_ && _)
+    val nFailed = rules.map { case (_, c) =>
+      when(fail(c), 1).otherwise(0) }.reduce(_ + _)
+    val aggCols = rules.flatMap { case (n, c) => Seq(
+      sum(when(fail(c), 1L).otherwise(0L)).as(s"_f_$n"),
+      sum(when(fail(c), col("n_toks")).otherwise(0L)).as(s"_ft_$n"),
+      sum(when(onlyFail(c), 1L).otherwise(0L)).as(s"_o_$n"),
+      sum(when(onlyFail(c), col("n_toks")).otherwise(0L)).as(s"_ot_$n"))
+    } ++ Seq(
+      sum(when(!col("pass_gopher"), 1L).otherwise(0L)).as("_f_any"),
+      sum(when(!col("pass_gopher"), col("n_toks")).otherwise(0L)).as("_ft_any"),
+      sum(when(nFailed === 1, 1L).otherwise(0L)).as("_o_any"),
+      sum(when(nFailed === 1, col("n_toks")).otherwise(0L)).as("_ot_any"))
+    val stacked = (rules.map(_._1) :+ "any").map(n =>
+      s"'$n', _f_$n, _ft_$n, _o_$n, _ot_$n").mkString(", ")
+    gopherFlagged(docs)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(s"stack(5, $stacked) AS " +
+        "(rule, n_fail, toks_fail, n_fail_only, toks_fail_only)"))
+  }
+
+  /** [[gopherStats]] plus the doc's token count carried through — the
+    * shared frame [[gopherAblation]] prices rule removals in tokens on. */
+  private def gopherFlagged(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), col("text"), toks.as("_toks"))
     val counted = tokenized.select(
       col("doc_id"),
@@ -386,14 +429,16 @@ object TextAnalysis {
         .as("mean_word_len"),
       (col("_n_alpha").cast("double") / col("_n_toks")).as("alpha_word_frac"),
       (col("_n_sym").cast("double") / col("_n_toks")).as("symbol_ratio"),
-      col("_n_stop").cast("long").as("n_stop"))
+      col("_n_stop").cast("long").as("n_stop"),
+      col("_n_toks").cast("long").as("n_toks"))
     stats.select(
       col("doc_id"), col("mean_word_len"), col("alpha_word_frac"),
       col("symbol_ratio"), col("n_stop"),
       col("mean_word_len").between(3.0, 10.0).as("pass_word_len"),
       (col("alpha_word_frac") >= 0.8).as("pass_alpha"),
       (col("symbol_ratio") <= 0.1).as("pass_symbol"),
-      (col("n_stop") >= 2).as("pass_stop"))
+      (col("n_stop") >= 2).as("pass_stop"),
+      col("n_toks")) // kept last so gopherStats' drop restores its contract
       .withColumn("pass_gopher",
         col("pass_word_len") && col("pass_alpha") && col("pass_symbol") && col("pass_stop"))
   }

@@ -693,4 +693,64 @@ object EventAnalytics {
         col("new_users") + col("resurrected_users") - col("churned_users"))
     CacheLifecycle.releaseAfterUse(out, Seq(userWeeks))
   }
+
+  /** PageRank over the event-type transition graph — "which screen/state
+    * actually anchors the product", the centrality read on top of
+    * [[transitions]]' local probabilities (a type can have high in-count
+    * but only from low-traffic states; rank propagation tells them
+    * apart).
+    *
+    * INTEGER-EXACT power iteration: every node starts with 1,000,000
+    * units of mass; each of the `iters` rounds sends
+    * `((mass·17) div 20 · w_ppm) div 10⁶` along each edge (damping 0.85
+    * and the edge's integer-ppm share of its source's outflow) and
+    * re-seeds `150000` per node. All arithmetic is long division at
+    * fixed points — associative, order-free, bit-identical on any
+    * engine and under any partitioning; dangling mass decays into the
+    * re-seed term (the simple variant, mirrored exactly in the oracle).
+    *
+    * Scale shape: the heavy work is ONE user-partitioned `lead` pass
+    * building the |types|²-row edge table (the same single shuffle as
+    * [[transitions]]); the power iteration then runs on that bounded
+    * frame — `iters` broadcast-joined rounds over ≤ |types|² rows, no
+    * further pass over the raw stream, no driver-side collect. */
+  def pageRank(events: DataFrame, iters: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), tMs.as("_t"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .persist()
+    val outTot = pairs.groupBy("src").agg(sum("n_pairs").as("n_out"))
+    // integer-ppm outflow share; the decimal product keeps the ppm mint
+    // overflow-proof at any edge count
+    val edges = pairs.join(broadcast(outTot), "src")
+      .select(col("src"), col("dst"),
+        expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div n_out AS BIGINT)")
+          .as("w_ppm"))
+      .persist()
+    val nodes = pairs.select(col("src").as("node"))
+      .unionAll(pairs.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val init = nodes.select(col("node"), lit(1000000L).as("mass"))
+    val ranked = (1 to iters).foldLeft(init) { (m, _) =>
+      val inflow = m.join(edges, m("node") === edges("src"))
+        .select(col("dst"),
+          expr("(mass * 17 div 20) * w_ppm div 1000000").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("inflow"))
+      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"), (lit(150000L) + coalesce(col("inflow"), lit(0L)))
+          .as("mass"))
+    }
+    val total = ranked.agg(sum("mass").as("_total"))
+    val out = ranked.join(broadcast(total))
+      .select(col("node").as("event_type"), col("mass"),
+        (col("mass").cast("double") / col("_total")).as("rank_share"))
+    CacheLifecycle.releaseAfterUse(out, Seq(pairs, edges, nodes))
+  }
 }

@@ -311,4 +311,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.map(_._6).toSeq === Seq(2L, -1L, 0L, 1L),
       "net_growth must equal the week-over-week WAU delta")
   }
+
+  test("pageRank: a symmetric 2-cycle conserves mass at the uniform point") {
+    // u1: A→B→A, u2: A→B ⇒ edges A→B (w 1.0), B→A (w 1.0); the uniform
+    // distribution is the exact fixed point of the integer iteration
+    val events = evId(Seq(
+      (1L, 1L, "A", 1000L, 1.0), (2L, 1L, "B", 2000L, 1.0),
+      (3L, 1L, "A", 3000L, 1.0),
+      (4L, 2L, "A", 1000L, 1.0), (5L, 2L, "B", 2000L, 1.0)))
+    val out = EventAnalytics.pageRank(events).orderBy("event_type").collect()
+    assert(out.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("mass"), r.getAs[Double]("rank_share"))).toSeq ===
+      Seq(("A", 1000000L), ("B", 1000000L)).map(t => (t._1, t._2, 0.5)))
+  }
+
+  test("pageRank: a sink with a self-loop accumulates to the exact integer " +
+      "fixed point") {
+    // u1: A→B→B ⇒ A only feeds B, B self-loops. Hand iteration:
+    // m(A) drops to the 150000 re-seed; m(B) reaches the fixed point
+    // 150000 + (150000·17 div 20) + (m(B)·17 div 20) ⇒ 1850000 by iter 2
+    val events = evId(Seq(
+      (1L, 1L, "A", 1000L, 1.0), (2L, 1L, "B", 2000L, 1.0),
+      (3L, 1L, "B", 3000L, 1.0)))
+    val out = EventAnalytics.pageRank(events).orderBy("event_type").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("mass")).toMap
+    assert(out === Map("A" -> 150000L, "B" -> 1850000L))
+  }
 }

@@ -901,6 +901,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("4:3") === ((1L, 15000L, 150L * 113, 1950.0 / (150L * 113))))
   }
 
+  test("reservoirSample: bottom-k by hash per source, stable across runs") {
+    val docs = (0L to 8L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val once = Sampling.reservoirSample(docs, k = 2).orderBy("source", "rnk")
+    val rows = once.collect()
+    assert(rows.length === 6, "two winners per source")
+    for (src <- Seq("src0", "src1", "src2")) {
+      val s = rows.filter(_.getAs[String]("source") == src)
+      assert(s.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L))
+      assert(s(0).getAs[Long]("h") <= s(1).getAs[Long]("h"),
+        "rank must follow the hash order")
+    }
+    val again = Sampling.reservoirSample(docs, k = 2).orderBy("source", "rnk")
+    assert(again.collect().toSeq === rows.toSeq, "the sample is a pure function")
+  }
+
+  test("gopherAblation: marginals are consistent with the composite gate") {
+    val good = "the quick brown fox jumps over the lazy dog and runs home"
+    val docs = Seq(
+      (0L, good),                                  // passes everything
+      (1L, "x " * 40 + "y"),                       // no stopwords: fails stop only
+      (2L, "#### #### #### ####"),                 // symbols + alpha + stop fail
+      (3L, good + " " + ("#" * 90))                // symbol ratio + word len
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherAblation(docs).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_fail"), r.getAs[Long]("n_fail_only"))).toMap
+    assert(out.keySet === Set("word_len", "alpha", "symbol", "stop", "any"))
+    for ((r, (f, o)) <- out if r != "any")
+      assert(o <= f, s"$r: the marginal cannot exceed the alone count")
+    val onlySum = Seq("word_len", "alpha", "symbol", "stop").map(out(_)._2).sum
+    assert(out("any")._2 === onlySum,
+      "the any row's marginal is the sum of exactly-one-rule failures")
+    assert(out("any")._1 <= Seq("word_len", "alpha", "symbol", "stop")
+      .map(out(_)._1).sum, "union bound")
+    assert(out("stop")._1 >= 1, "doc 1 must fail the stopword gate")
+  }
+
   test("normProfile: quantized norm sums are exact; mean is the one division") {
     val emb = Seq(
       (0L, Array(3.0f, 4.0f), 1),   // norm 5

@@ -81,7 +81,9 @@ class PlansSpec extends SparkSpec {
     "q_disjunctive_revenue", "q_cold_customers", "q_big_basket",
     "q_top_supplier",
     // wave 24: embedding-table health ledgers
-    "emb_norm_profile", "emb_centroid_cone", "emb_dim_variance")
+    "emb_norm_profile", "emb_centroid_cone", "emb_dim_variance",
+    // wave 25
+    "events_pagerank", "sample_reservoir", "quality_ablation")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -906,6 +908,31 @@ class PlansSpec extends SparkSpec {
     assert(count("emb_centroid_cone", "SortMergeJoin") === 0)
     for (n <- Seq("emb_norm_profile", "emb_centroid_cone", "emb_dim_variance"))
       assert(count(n, "CartesianProduct") === 0)
+  }
+
+  test("pageRank: iterations ride the persisted edge/node frames") {
+    // every one of the ten rounds must read the cached bounded frames —
+    // never replay the lead pass over the raw stream (each InMemoryTableScan
+    // in the printed plan is one cache read; 10 rounds x (edges + nodes)
+    // plus the total/share joins all hit the cache)
+    assert(count("events_pagerank", "InMemoryTableScan") >= 20,
+      "the power iteration must consume the persisted frames")
+    assert(count("events_pagerank", "CartesianProduct") === 0)
+  }
+
+  test("reservoir sample: one rank window, group-limit pushed, join-free") {
+    assert(count("sample_reservoir", "Join") === 0)
+    assert(count("sample_reservoir", "Window \\[") === 1,
+      "exactly one source-partitioned rank pass")
+    assert(plans("sample_reservoir").contains("WindowGroupLimit"),
+      "the rnk <= k filter must push into the window as a group limit")
+  }
+
+  test("quality ablation: one corpus pass, join-free, window-free") {
+    assert(count("quality_ablation", "Join") === 0)
+    assert(count("quality_ablation", "Window") === 0)
+    assert(count("quality_ablation", "Exchange hashpartitioning") === 0,
+      "the single-row conditional rollup needs no hash exchange")
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
