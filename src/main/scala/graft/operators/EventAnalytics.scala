@@ -711,9 +711,12 @@ object EventAnalytics {
     *
     * Scale shape: the heavy work is ONE user-partitioned `lead` pass
     * building the |types|²-row edge table (the same single shuffle as
-    * [[transitions]]); the power iteration then runs on that bounded
-    * frame — `iters` broadcast-joined rounds over ≤ |types|² rows, no
-    * further pass over the raw stream, no driver-side collect. */
+    * [[transitions]]); the edge table then collapses to a SINGLE row
+    * and all `iters` rounds run as nested higher-order functions on
+    * that row — zero per-iteration shuffles or joins (a 10-round
+    * DataFrame loop costs ~30 stage launches for ≤25-row frames; the
+    * in-row fold costs none), no further pass over the raw stream, no
+    * driver-side collect. */
   def pageRank(events: DataFrame, iters: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
@@ -727,30 +730,34 @@ object EventAnalytics {
     val outTot = pairs.groupBy("src").agg(sum("n_pairs").as("n_out"))
     // integer-ppm outflow share; the decimal product keeps the ppm mint
     // overflow-proof at any edge count
-    val edges = pairs.join(broadcast(outTot), "src")
-      .select(col("src"), col("dst"),
+    val graph = pairs.join(broadcast(outTot), "src")
+      .select(struct(col("src"), col("dst"),
         expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div n_out AS BIGINT)")
-          .as("w_ppm"))
-      .persist()
-    val nodes = pairs.select(col("src").as("node"))
-      .unionAll(pairs.select(col("dst").as("node")))
-      .distinct()
-      .persist()
-    val init = nodes.select(col("node"), lit(1000000L).as("mass"))
-    val ranked = (1 to iters).foldLeft(init) { (m, _) =>
-      val inflow = m.join(edges, m("node") === edges("src"))
-        .select(col("dst"),
-          expr("(mass * 17 div 20) * w_ppm div 1000000").as("c"))
-        .groupBy("dst")
-        .agg(sum("c").as("inflow"))
-      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"), (lit(150000L) + coalesce(col("inflow"), lit(0L)))
-          .as("mass"))
-    }
-    val total = ranked.agg(sum("mass").as("_total"))
-    val out = ranked.join(broadcast(total))
-      .select(col("node").as("event_type"), col("mass"),
+          .as("w_ppm")).as("e"))
+      .agg(collect_list(col("e")).as("edges"))
+      .withColumn("nodes", expr(
+        "array_sort(array_distinct(concat(" +
+          "transform(edges, e -> e.src), transform(edges, e -> e.dst))))"))
+    // ALL rounds run as ONE in-row fold (`aggregate` over sequence):
+    // the accumulator binds each round's mass map to a lambda variable,
+    // so it is MATERIALIZED once per round — chaining `withColumn`s
+    // instead would inline round k's expression into round k+1 and
+    // interpreted HOF evaluation would re-derive it per (node × edge),
+    // i.e. (|nodes|·|edges|)^iters work. Every node re-seeds 150000 and
+    // collects the damped, ppm-weighted inflow; the inner sum is
+    // long-only (exact integer addition commutes, edge order free).
+    val ranked = graph.withColumn("mass", expr(
+      s"""aggregate(sequence(1, $iters),
+        map_from_arrays(nodes, transform(nodes, n -> 1000000L)),
+        (mass, i) -> map_from_arrays(nodes, transform(nodes, n ->
+          150000L + aggregate(filter(edges, e -> e.dst = n), 0L,
+            (acc, e) -> acc + (element_at(mass, e.src) * 17L div 20L)
+              * e.w_ppm div 1000000L))))"""))
+    val out = ranked
+      .withColumn("_total", expr("aggregate(map_values(mass), 0L, (a, x) -> a + x)"))
+      .select(col("_total"), explode(col("mass")).as(Seq("event_type", "mass")))
+      .select(col("event_type"), col("mass"),
         (col("mass").cast("double") / col("_total")).as("rank_share"))
-    CacheLifecycle.releaseAfterUse(out, Seq(pairs, edges, nodes))
+    CacheLifecycle.releaseAfterUse(out, Seq(pairs))
   }
 }

@@ -910,13 +910,14 @@ class PlansSpec extends SparkSpec {
       assert(count(n, "CartesianProduct") === 0)
   }
 
-  test("pageRank: iterations ride the persisted edge/node frames") {
-    // every one of the ten rounds must read the cached bounded frames —
-    // never replay the lead pass over the raw stream (each InMemoryTableScan
-    // in the printed plan is one cache read; 10 rounds x (edges + nodes)
-    // plus the total/share joins all hit the cache)
-    assert(count("events_pagerank", "InMemoryTableScan") >= 20,
-      "the power iteration must consume the persisted frames")
+  test("pageRank: the ten rounds are ONE in-row fold — no iteration joins") {
+    // exactly the pairs⨝outflow broadcast; the cached edge frame is read
+    // twice (outflow totals + the graph collapse) and the power iteration
+    // adds zero operators beyond the single-row projection
+    assert(count("events_pagerank", "BroadcastHashJoin") === 1,
+      "only the outflow-share broadcast joins")
+    assert(count("events_pagerank", "InMemoryTableScan") === 2,
+      "the persisted edge counts are read exactly twice")
     assert(count("events_pagerank", "CartesianProduct") === 0)
   }
 
