@@ -63,6 +63,20 @@ GATED_QUERIES = [
     "cdc_chain_integrity",          # 0.38/decade
     "cdc_heartbeat_gap",            # 0.67/decade
     "cdc_tombstone_gc",             # 0.42/decade
+    # round-11 waves 22-25 (everything over the 0.35 s floor at sf0.1)
+    "cdc_scd2",                     # keyed apply + lead windows
+    "q_local_supplier_volume",      # the Q5 multi-join shape
+    "q_disjunctive_revenue",        # Q19: pushed-conjunct disjunction
+    "q_cold_customers",             # Q22: anti join + 1-row broadcast
+    "q_big_basket",                 # Q18: HAVING subquery joined back
+    "q_promo_revenue",              # Q14
+    "q_top_supplier",               # Q15 argmax
+    "events_growth_accounting",     # user-week ledger
+    "events_pagerank",              # one lead pass + in-row fold
+    "mm_aspect_buckets",            # decoded-dims ladder ledger
+    "emb_centroid_cone",            # two corpus passes, dim-keyed sums
+    "emb_dim_variance",             # dim-keyed sums
+    "quality_ablation",             # one gopher-flag pass
 ]
 
 
