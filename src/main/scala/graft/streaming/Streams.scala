@@ -1057,6 +1057,84 @@ object Streams {
     (last, out.toSeq)
   }
 
+  /** One CDC op for the SCD2 builder: the partial payload (`setsVal`/
+    * `setsK` mirror the ops feed's `sets_val`/`sets_k`). */
+  case class ScdIn(tbl: String, pk: String, lsn: Long, t: Long, op: String,
+      setsVal: Boolean, v: Double, setsK: Boolean, kk: Long)
+
+  /** A CLOSED dimension version: `[validFrom, validTo)` with the merged
+    * row image — emitted exactly once, when the closing op arrives. */
+  case class ScdOut(tbl: String, pk: String, ver: Long, validFrom: Long,
+      validTo: Long, v: Option[Double], kk: Option[Long])
+
+  /** Per-key SCD2 state: the op counter plus the OPEN version (absent
+    * after a delete — deleted keys have no current version, and the
+    * image resets so a later partial insert starts from nulls, exactly
+    * `CdcOps.withState`'s RESET semantics). */
+  case class ScdState(lastVer: Long, open: Boolean, openVer: Long,
+      validFrom: Long, v: Option[Double], kk: Option[Long])
+
+  /** One SCD2 step for a batch of same-key ops — the shared fold of
+    * [[scd2Stream]] and its tests. Ops process in lsn order; chopped ==
+    * one-shot on lsn-ordered feeds (the [[transitionsFold]] contract):
+    * every op closes the previous version (emitting it), a non-delete
+    * opens the next one with the image merged over the previous. */
+  def scd2Fold(
+      start: Option[ScdState],
+      incoming: Seq[ScdIn]): (Option[ScdState], Seq[ScdOut]) = {
+    var st = start
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+    incoming.sortBy(_.lsn).foreach { o =>
+      val ver = st.map(_.lastVer).getOrElse(0L) + 1
+      val open = st.filter(_.open)
+      open.foreach { p =>
+        out += ScdOut(o.tbl, o.pk, p.openVer, p.validFrom, o.t, p.v, p.kk)
+      }
+      st =
+        if (o.op == "delete") Some(ScdState(ver, open = false, 0L, 0L, None, None))
+        else Some(ScdState(ver, open = true, ver, o.t,
+          if (o.setsVal) Some(o.v) else open.flatMap(_.v),
+          if (o.setsK) Some(o.kk) else open.flatMap(_.kk)))
+    }
+    (st, out.toSeq)
+  }
+
+  /** Streaming SCD Type-2 dimension builder — the incremental twin of
+    * [[graft.cdc.ApplyEngine.scd2]]: per (tbl, pk) the state is the op
+    * counter plus the one OPEN version; each arriving op emits the
+    * version it closes (exactly once, in Append mode) and a non-delete
+    * opens the next. The emitted feed equals the batch history's
+    * `is_current = false` rows at any point — the open (current)
+    * versions live only in state, like open sessions in [[sessionStream]].
+    * A warehouse consuming this feed appends closed versions and
+    * maintains current rows from the companion apply stream, so the
+    * dimension table needs no rebuild scan at 100 TB.
+    * Parity + chop-invariance: StreamingSpec; per-key state is O(1). */
+  def scd2Stream(
+      ops: Dataset[ScdIn],
+      ttlMs: Long = 0L): Dataset[ScdOut] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ops
+      .groupByKey(o => (o.tbl, o.pk))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: (String, String), incoming: Iterator[ScdIn],
+            state: GroupState[ScdState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = scd2Fold(state.getOption, incoming.toSeq)
+            next.foreach(state.update)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming liveness monitor — the incremental twin of
     * [[graft.cdc.Capture.heartbeatGaps]]' stall count: ONE (lsn, t)
     * tuple of keyed state per table, a [[StallOut]] emitted exactly once

@@ -1048,4 +1048,59 @@ class FailureDrillSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 0L), (1L, 0L, 1L), (1L, 0L, 3L), (2L, 2L, 0L)),
       s"buffered pre-signup day must emit once after resume: $got")
   }
+
+  /** Restart drill for the streaming SCD2 builder (`Streams.scd2Stream`):
+    * the OPEN version lives only in state — a reset would re-open it at
+    * version 1 with a blank image, silently rewriting dimension history.
+    * The version spanning the crash must close exactly once after
+    * resume, with the pre-crash image and version number intact. */
+  test("restart drill: scd2 open version spans the kill and closes once") {
+    val root = Files.createTempDirectory("scd2_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type V = (String, Long, Long, Long, Option[Double], Option[Long])
+    val closed = new java.util.concurrent.ConcurrentLinkedQueue[V]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("tbl STRING, pk STRING, lsn LONG, t LONG, op STRING, " +
+          "setsVal BOOLEAN, v DOUBLE, setsK BOOLEAN, kk LONG")
+        .json(srcDir.getPath)
+        .as[graft.streaming.Streams.ScdIn]
+      graft.streaming.Streams.scd2Stream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.ScdOut],
+              _: Long) =>
+            df.collect().foreach(o =>
+              closed.add((o.pk, o.ver, o.validFrom, o.validTo, o.v, o.kk))))
+        .start()
+    }
+    def writeRows(name: String, rows: Seq[String]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name), rows.mkString("\n"))
+    // pre-crash: insert (ver 1, sets both) then a partial update (ver 2
+    // opens with the carried k) — ver 2 is OPEN when the kill lands
+    writeRows("b1.json", Seq(
+      """{"tbl":"t0","pk":"a","lsn":1,"t":10,"op":"insert","setsVal":true,"v":1.5,"setsK":true,"kk":100}""",
+      """{"tbl":"t0","pk":"a","lsn":2,"t":20,"op":"update","setsVal":true,"v":2.5,"setsK":false,"kk":0}"""))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with ver 2 open
+    val pre = closed.toArray(Array.empty[V]).toSeq
+    assert(pre === Seq(("a", 1L, 10L, 20L, Some(1.5), Some(100L))),
+      s"only ver 1 may close before the crash: $pre")
+    // post-resume: the delete must close ver 2 with the PRE-crash image
+    // (v from the update, k carried from the insert) — exactly once
+    writeRows("b2.json", Seq(
+      """{"tbl":"t0","pk":"a","lsn":3,"t":30,"op":"delete","setsVal":false,"v":0.0,"setsK":false,"kk":0}"""))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = closed.toArray(Array.empty[V]).toSeq
+    assert(got === Seq(
+      ("a", 1L, 10L, 20L, Some(1.5), Some(100L)),
+      ("a", 2L, 20L, 30L, Some(2.5), Some(100L))),
+      s"ver 2 must close once, image and version intact across the kill: $got")
+  }
 }

@@ -919,4 +919,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch.filter(_._2 > 0),
       "streamed stall counts == batch heartbeatGaps n_stalls")
   }
+
+  test("streaming SCD2: closed versions emit once and equal the batch " +
+      "history's is_current = false rows") {
+    import spark.implicits._
+    import graft.streaming.Streams.{ScdIn, ScdOut}
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      ScdIn("t0", "1", 1L, 10L, "insert", setsVal = true, 1.0, setsK = true, 100L),
+      ScdIn("t0", "1", 2L, 20L, "update", setsVal = true, 2.0, setsK = false, 0L),
+      ScdIn("t0", "1", 3L, 30L, "delete", setsVal = false, 0.0, setsK = false, 0L),
+      ScdIn("t0", "1", 4L, 40L, "insert", setsVal = true, 5.0, setsK = false, 0L),
+      ScdIn("t1", "2", 5L, 15L, "insert", setsVal = false, 0.0, setsK = true, 7L),
+      ScdIn("t1", "2", 6L, 25L, "update", setsVal = true, 9.5, setsK = false, 0L))
+    val input = MemoryStream[ScdIn]
+    val q = Streams.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_parity")
+      .outputMode("append").start()
+    feed.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val closed = spark.table("scd2_parity").as[ScdOut].collect().toSeq
+    q.stop()
+    spark.catalog.dropTempView("scd2_parity")
+    assert(closed.toSet === Set(
+      // t0/1: ver 1 closed by the update, ver 2 closed by the delete;
+      // ver 4 stays OPEN (current) so it must NOT emit; k does not leak
+      // across the delete
+      ScdOut("t0", "1", 1L, 10L, 20L, Some(1.0), Some(100L)),
+      ScdOut("t0", "1", 2L, 20L, 30L, Some(2.0), Some(100L)),
+      // t1/2: the partial insert (k only) closed by the update
+      ScdOut("t1", "2", 1L, 15L, 25L, None, Some(7L))))
+    // batch parity: the closed feed == is_current = false history rows
+    val opsDf = feed.map(o => (o.tbl, o.pk, o.lsn, o.t, o.op,
+        o.setsVal, if (o.setsVal) Some(o.v) else None,
+        o.setsK, if (o.setsK) Some(o.kk) else None))
+      .toDF("tbl", "pk", "lsn", "t", "op", "sets_val", "val", "sets_k", "k")
+    val batch = graft.cdc.ApplyEngine.scd2(graft.cdc.CdcOps.withState(opsDf))
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => ScdOut(r.getAs[String]("tbl"), r.getAs[String]("pk"),
+        r.getAs[Long]("ver"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"),
+        Option(r.getAs[java.lang.Double]("val")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("k")).map(_.toLong))).toSet
+    assert(closed.toSet === batch,
+      "streamed closed versions == batch scd2 non-current rows")
+    // fold chop-invariance on the ordered t0 feed
+    val t0 = feed.filter(_.tbl == "t0")
+    val (s0, o0) = Streams.scd2Fold(None, t0)
+    for (cut <- 1 until t0.size) {
+      val (s1, o1) = Streams.scd2Fold(None, t0.take(cut))
+      val (s2, o2) = Streams.scd2Fold(s1, t0.drop(cut))
+      assert(s2 === s0 && (o1 ++ o2) === o0, s"diverged at cut $cut")
+    }
+  }
 }
