@@ -234,6 +234,37 @@ class FoldPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Fold: chopped == one-shot on lsn-ordered feeds") {
+    val feedGen: Gen[List[Streams.ScdIn]] = for {
+      n <- Gen.choose(0, 25)
+      ops <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.const("insert"), 4 -> Gen.const("update"),
+        2 -> Gen.const("delete")))
+      svs <- Gen.listOfN(n, Gen.oneOf(true, false))
+      sks <- Gen.listOfN(n, Gen.oneOf(true, false))
+      vs <- Gen.listOfN(n, Gen.choose(0.0, 99.0))
+      ks <- Gen.listOfN(n, Gen.choose(0L, 9L))
+    } yield (0 until n).map { i =>
+      val del = ops(i) == "delete"
+      Streams.ScdIn("t0", "a", i + 1L, 10L * (i + 1), ops(i),
+        setsVal = !del && svs(i), v = vs(i),
+        setsK = !del && sks(i), kk = ks(i))
+    }.toList
+    samples(feedGen, 80, 6200L).foreach { feed =>
+      val (s0, o0) = Streams.scd2Fold(None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.ScdState] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.scd2Fold(st, batch)
+          st = s1.orElse(st); o1
+        }
+        assert(st === s0 || (st.isEmpty && feed.isEmpty),
+          s"state diverged: $feed chopped $chop")
+        assert(out === o0, s"output diverged: $feed chopped $chop")
+      }
+    }
+  }
+
   test("transitionsFold: chopped == one-shot on (tMs, id)-ordered feeds") {
     val feedGen: Gen[List[(Long, String, Long)]] = for {
       n <- Gen.choose(0, 30)

@@ -141,6 +141,36 @@ class PropertySpec extends SparkSpec {
     assert(got === want, "distributed lag-window audit == sequential walk")
   }
 
+  test("scd2 history equals the streaming fold's replica on every scenario") {
+    import graft.streaming.Streams
+    val got = ApplyEngine.scd2(state).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("pk"),
+        r.getAs[Long]("ver"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        Option(r.getAs[java.lang.Double]("val")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+    // replica: the streaming fold per key — closed versions plus the open
+    // version from the final state (the stream's in-state current row)
+    val rows = ops.select("tbl", "pk", "lsn", "t", "op", "sets_val", "val",
+        "sets_k", "k").collect()
+      .map(r => Streams.ScdIn(r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getBoolean(5),
+        Option(r.getAs[java.lang.Double]("val")).map(_.toDouble).getOrElse(0.0),
+        r.getBoolean(7),
+        Option(r.getAs[java.lang.Long]("k")).map(_.toLong).getOrElse(0L)))
+    val want = rows.groupBy(o => (o.tbl, o.pk)).flatMap { case ((tbl, pk), keyOps) =>
+      val (st, closed) = Streams.scd2Fold(None, keyOps.toSeq)
+      val closedRows = closed.map(c =>
+        (tbl, pk, c.ver, c.validFrom, Some(c.validTo), c.v, c.kk, false))
+      val openRow = st.filter(_.open).map(s =>
+        (tbl, pk, s.openVer, s.validFrom, None, s.v, s.kk, true))
+      closedRows ++ openRow
+    }.toSet
+    assert(got === want,
+      "batch scd2 == streaming fold replica (closed + in-state open rows)")
+  }
+
   test("tombstone ledger: GC-eligible ⊆ tombstones; reborn keys are live") {
     val out = Capture.tombstoneGc(ops).collect()
     out.foreach { r =>
