@@ -743,6 +743,31 @@ object Oracles {
     WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
     ORDER BY s_suppkey"""
 
+  /** TPC-H Q13 shape — mirrors `q_order_count_distribution`: LEFT OUTER
+    * keeps zero-order customers, then the histogram of counts. */
+  val qOrderCountDistribution: String = """WITH
+    pc AS (SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+    SELECT n_orders, count(*) AS n_customers
+    FROM pc GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC"""
+
+  /** TPC-H Q10 shape — mirrors `q_returned_revenue`: per-customer exact
+    * floor-cents revenue from R-flagged lines, top-20. */
+  val qReturnedRevenue: String = """WITH
+    l AS (SELECT l_orderkey,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem WHERE l_returnflag = 'R'),
+    rev AS (SELECT o_custkey,
+              CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM l JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey)
+    SELECT c_custkey, c_name, revenue_cents
+    FROM rev JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""
+
   val qOrdersReturned: String = """
     SELECT o_orderpriority, count(*) AS n_orders,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
@@ -5345,5 +5370,7 @@ object Oracles {
     "q_cold_customers" -> qColdCustomers,
     "q_big_basket" -> qBigBasket,
     "q_top_supplier" -> qTopSupplier,
+    "q_order_count_distribution" -> qOrderCountDistribution,
+    "q_returned_revenue" -> qReturnedRevenue,
     "q_customer_top_order" -> qCustomerTopOrder)
 }

@@ -566,6 +566,41 @@ object SparkEntry {
           .orderBy("s_suppkey"),
         Seq(rev))
     }),
+    // TPC-H Q13 shape (order-count distribution): LEFT OUTER join keeps
+    // zero-order customers in the histogram; two keyed aggregates — the
+    // second collapses to ≤ max-orders-per-customer rows map-side. The
+    // "histogram of counts" pattern every engagement dashboard runs.
+    "q_order_count_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    }),
+    // TPC-H Q10 shape (returned-item revenue): per-customer revenue from
+    // R-flagged lines, top-20. The return filter pushes to the lineitem
+    // scan; revenue sums exact floor-cents; top-20 rides a TakeOrdered
+    // heap after the customer rejoin (name carried through the agg would
+    // widen the shuffle for nothing).
+    "q_returned_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_cents"))
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("_cents").as("revenue_cents"))
+      rev.join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per
     // level); NULL rollup keys are labeled ALL for a stable cross-engine

@@ -83,7 +83,9 @@ class PlansSpec extends SparkSpec {
     // wave 24: embedding-table health ledgers
     "emb_norm_profile", "emb_centroid_cone", "emb_dim_variance",
     // wave 25
-    "events_pagerank", "sample_reservoir", "quality_ablation")
+    "events_pagerank", "sample_reservoir", "quality_ablation",
+    // wave 26
+    "q_order_count_distribution", "q_returned_revenue")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -934,6 +936,20 @@ class PlansSpec extends SparkSpec {
     assert(count("quality_ablation", "Window") === 0)
     assert(count("quality_ablation", "Exchange hashpartitioning") === 0,
       "the single-row conditional rollup needs no hash exchange")
+  }
+
+  test("order-count distribution: one outer join, two keyed aggregates") {
+    assert(plans("q_order_count_distribution").contains("LeftOuter"),
+      "zero-order customers must survive the join")
+    assert(count("q_order_count_distribution", "CartesianProduct") === 0)
+  }
+
+  test("returned revenue: the R filter reaches the scan; top-20 is a heap") {
+    assert(plans("q_returned_revenue").contains(
+      "EqualTo(l_returnflag,R)"),
+      "the return filter must push to the lineitem scan")
+    assert(count("q_returned_revenue", "TakeOrderedAndProject") === 1)
+    assert(count("q_returned_revenue", "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
