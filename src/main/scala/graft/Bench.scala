@@ -189,8 +189,29 @@ object Bench {
     // Field order matters: the driver snapshots the LAST ~2000 chars of
     // this line, so the queries map and the contamination flags go at the
     // END (rel_spread earlier — it is fully preserved in BENCH.json).
+    // Host-speed calibration constant: a fixed single-thread CPU workload
+    // (400M xorshift64* steps) timed on THIS box right after the run. The
+    // round-11 close measured the same code 1.4x slower than the previous
+    // committed artifact — uniformly, including pure scans — because the
+    // multi-tenant host itself had slowed; dividing two runs' totals by
+    // their calib ratio separates "the code got slower" from "the box got
+    // slower" in cross-round comparison. Median of 3 so one scheduler
+    // hiccup can't skew the constant.
+    val calib: Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+        while (i < 400000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+        }
+        if (acc == 42L) System.err.print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT warm
+      median(Seq(once(), once(), once()))
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"rel_spread":$sp,"failed":$fs,"preload":$preload,"preload_high":${preload > PreloadLimit},"queries":$qs,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"rel_spread":$sp,"failed":$fs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"queries":$qs,"contaminated":$contaminated}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
     // can truncate the one-line artifact; the file always holds it whole —
     // plus the RAW per-rep times, so every median can defend itself
