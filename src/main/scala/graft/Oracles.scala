@@ -4112,9 +4112,9 @@ object Oracles {
             CAST(floor(${normSql("embedding")} * 1048576.0) AS BIGINT) AS nq
           FROM embeddings)
     SELECT label, count(*) AS n_vecs,
-      CAST(sum(nq) AS BIGINT) AS sum_norm_q,
+      CAST(sum(nq) AS DECIMAL(38,0)) AS sum_norm_q,
       min(nq) AS min_norm_q, max(nq) AS max_norm_q,
-      CAST(CAST(sum(nq) AS BIGINT) AS DOUBLE) / 1048576.0 / count(*)
+      CAST(CAST(sum(nq) AS DECIMAL(38,0)) AS DOUBLE) / 1048576.0 / count(*)
         AS mean_norm
     FROM n GROUP BY label ORDER BY label"""
 

@@ -1452,8 +1452,10 @@ object Similarity {
     * new embedding table: a label whose vectors' norms collapse toward 0
     * (dead encoder head) or spread wildly (mixed precision / bad batch)
     * shows up here before any retrieval metric moves. One corpus pass,
-    * one label-keyed aggregate; norms quantized to `floor(norm · 2²⁰)` so
-    * the per-label sums are exact longs, the mean is ONE IEEE chain. */
+    * one label-keyed aggregate; norms quantized to `floor(norm · 2²⁰)`
+    * and summed in DECIMAL(38,0) — norms are unbounded (nothing says the
+    * table is normalized), so unlike the cosine ledgers a long sum has
+    * no a-priori safe bound; the mean is ONE IEEE chain. */
   def normProfile(emb: DataFrame): DataFrame = {
     emb
       .select(col("label"),
@@ -1461,7 +1463,7 @@ object Similarity {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum("_nq").as("sum_norm_q"),
+        sum(col("_nq").cast(DecimalType(38, 0))).as("sum_norm_q"),
         min("_nq").as("min_norm_q"),
         max("_nq").as("max_norm_q"))
       .select(col("label"), col("n_vecs"), col("sum_norm_q"),

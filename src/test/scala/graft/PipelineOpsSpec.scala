@@ -946,12 +946,14 @@ class PipelineOpsSpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.normProfile(emb).orderBy("label").collect()
     val q = 1048576L
+    def sumQ(r: org.apache.spark.sql.Row): Long =
+      r.getAs[java.math.BigDecimal]("sum_norm_q").longValueExact()
     assert(out(0).getAs[Long]("n_vecs") === 2L)
-    assert(out(0).getAs[Long]("sum_norm_q") === 5 * q + 10 * q)
+    assert(sumQ(out(0)) === 5 * q + 10 * q)
     assert(out(0).getAs[Long]("min_norm_q") === 5 * q)
     assert(out(0).getAs[Long]("max_norm_q") === 10 * q)
     assert(out(0).getAs[Double]("mean_norm") === 7.5)
-    assert(out(1).getAs[Long]("sum_norm_q") === 2 * q)
+    assert(sumQ(out(1)) === 2 * q)
   }
 
   test("centroidCone: orthogonal pair's centroid cosine is floor-exact") {
