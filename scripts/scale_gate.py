@@ -77,6 +77,9 @@ GATED_QUERIES = [
     "emb_centroid_cone",            # two corpus passes, dim-keyed sums
     "emb_dim_variance",             # dim-keyed sums
     "quality_ablation",             # one gopher-flag pass
+    # round-11 wave 26
+    "q_order_count_distribution",   # Q13: outer join + double aggregate
+    "q_returned_revenue",           # Q10: pushed filter + keyed agg + heap
 ]
 
 
