@@ -190,14 +190,21 @@ object Bench {
     // this line, so the queries map and the contamination flags go at the
     // END (rel_spread earlier — it is fully preserved in BENCH.json).
     // Host-speed calibration constant: a fixed single-thread CPU workload
-    // (400M xorshift64* steps) timed on THIS box right after the run. The
-    // round-11 close measured the same code 1.4x slower than the previous
-    // committed artifact — uniformly, including pure scans — because the
+    // (400M plain-xorshift64 steps — the 13/7/17 shift chain, no star
+    // multiply) timed on THIS box right after the run. The round-11 close
+    // measured the same code 1.4x slower than the previous committed
+    // artifact — uniformly, including pure scans — because the
     // multi-tenant host itself had slowed; dividing two runs' totals by
     // their calib ratio separates "the code got slower" from "the box got
     // slower" in cross-round comparison. Median of 3 so one scheduler
-    // hiccup can't skew the constant.
-    val calib: Double = {
+    // hiccup can't skew the constant. Skipped (calib_sec = 0.0) for
+    // filtered runs — SPARK_GRAFT_ONLY debug/gate invocations only read
+    // per-query times and should not pay ~4 s of spinning; full-surface
+    // runs (the committed artifact and the driver's round bench) always
+    // carry it, and SPARK_GRAFT_CALIB=1 forces it on anywhere.
+    val wantCalib =
+      sys.env.get("SPARK_GRAFT_ONLY").isEmpty || sys.env.get("SPARK_GRAFT_CALIB").contains("1")
+    val calib: Double = if (!wantCalib) 0.0 else {
       def once(): Double = {
         val t0 = System.nanoTime()
         var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0

@@ -1097,6 +1097,7 @@ object Oracles {
     * aggregation in a recursive CTE member) — every step is the identical
     * integer chain `150000 + Σ ((mass·17) div 20 · w_ppm) div 10⁶`. */
   def eventsPagerank(iters: Int = 10): String = {
+    require(iters >= 1, s"pageRank oracle needs at least one iteration, got $iters")
     val steps = (1 to iters).map { i =>
       s"""m$i AS (
       SELECT n.node,
@@ -1607,10 +1608,11 @@ object Oracles {
       CAST(sum(inv) AS DOUBLE) / count(*) AS lm_score
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
-  /** Gopher table-A1 gates — mirrors `TextAnalysis.gopherStats`: every
-    * ratio is one integer division (bit-stable); regexp counts use the
-    * same non-overlapping left-to-right scan in both engines. */
-  def textGopher: String = s"""WITH t AS (
+  /** Shared Gopher flag pipeline (tokens carried through) — the single
+    * source of truth for the A1 thresholds on the oracle side, consumed
+    * by [[textGopher]] and [[qualityAblation]] exactly as the Spark side
+    * shares `TextAnalysis.gopherFlagged`. */
+  private def gopherFlagsCte: String = s"""t AS (
       SELECT doc_id,
         length(text) AS n_chars,
         len(string_split(text, ' ')) AS n_toks,
@@ -1619,7 +1621,7 @@ object Oracles {
         len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
       FROM documents),
     s AS (
-      SELECT doc_id,
+      SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
         CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks AS mean_word_len,
         CAST(n_alpha AS DOUBLE) / n_toks AS alpha_word_frac,
         CAST(n_sym AS DOUBLE) / n_toks AS symbol_ratio,
@@ -1631,7 +1633,12 @@ object Oracles {
         alpha_word_frac >= 0.8 AS pass_alpha,
         symbol_ratio <= 0.1 AS pass_symbol,
         n_stop >= 2 AS pass_stop
-      FROM s)
+      FROM s)"""
+
+  /** Gopher table-A1 gates — mirrors `TextAnalysis.gopherStats`: every
+    * ratio is one integer division (bit-stable); regexp counts use the
+    * same non-overlapping left-to-right scan in both engines. */
+  def textGopher: String = s"""WITH $gopherFlagsCte
     SELECT doc_id, mean_word_len, alpha_word_frac, symbol_ratio, n_stop,
       pass_word_len, pass_alpha, pass_symbol, pass_stop,
       (pass_word_len AND pass_alpha AND pass_symbol AND pass_stop) AS pass_gopher
@@ -1656,28 +1663,7 @@ object Oracles {
       s"""SELECT '$r' AS rule, f_$r AS n_fail, ft_$r AS toks_fail,
         o_$r AS n_fail_only, ot_$r AS toks_fail_only FROM a""")
       .mkString("\n    UNION ALL ")
-    s"""WITH t AS (
-      SELECT doc_id,
-        length(text) AS n_chars,
-        len(string_split(text, ' ')) AS n_toks,
-        len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
-        len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
-        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop
-      FROM documents),
-    s AS (
-      SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
-        CAST(n_chars - n_toks + 1 AS DOUBLE) / n_toks AS mean_word_len,
-        CAST(n_alpha AS DOUBLE) / n_toks AS alpha_word_frac,
-        CAST(n_sym AS DOUBLE) / n_toks AS symbol_ratio,
-        CAST(n_stop AS BIGINT) AS n_stop
-      FROM t),
-    f AS (
-      SELECT n_toks,
-        mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
-        alpha_word_frac >= 0.8 AS pass_alpha,
-        symbol_ratio <= 0.1 AS pass_symbol,
-        n_stop >= 2 AS pass_stop
-      FROM s),
+    s"""WITH $gopherFlagsCte,
     a AS (
       SELECT
         $perRule,

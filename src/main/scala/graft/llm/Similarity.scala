@@ -1490,13 +1490,17 @@ object Similarity {
       .groupBy("pos")
       .agg(sum(floor(col("x").cast("double") * HealthQ)).as("s"),
         count(lit(1)).as("cnt"))
+    // each dimension divides by ITS OWN count (mirrors the oracle; also
+    // keeps the mean exact and deterministic if a ragged/short vector
+    // ever reaches the table — first(cnt) would pick an arbitrary row)
     val centroid = comps
       .groupBy(lit(1).as("_one"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("pc"),
-        first(col("cnt")).as("_n"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt"))))
+        .as("pc"))
       .select(
         transform(col("pc"),
-          p => p.getField("s").cast("double") / (lit(HealthQ) * col("_n")))
+          p => p.getField("s").cast("double") /
+            (lit(HealthQ) * p.getField("cnt")))
           .as("c_emb"))
       .select(col("c_emb"), norm(col("c_emb")).as("c_nrm"))
     val scored = emb

@@ -718,6 +718,9 @@ object EventAnalytics {
     * in-row fold costs none), no further pass over the raw stream, no
     * driver-side collect. */
   def pageRank(events: DataFrame, iters: Int = 10): DataFrame = {
+    // sequence(1, 0) in Spark generates DESCENDING [1, 0] — an iters=0
+    // call would silently run two rounds instead of zero
+    require(iters >= 1, s"pageRank needs at least one iteration, got $iters")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("_t"), col("event_id"))
     val pairs = events

@@ -1063,9 +1063,15 @@ object Streams {
       setsVal: Boolean, v: Double, setsK: Boolean, kk: Long)
 
   /** A CLOSED dimension version: `[validFrom, validTo)` with the merged
-    * row image — emitted exactly once, when the closing op arrives. */
+    * row image — emitted exactly once, when the closing op arrives (or,
+    * under a TTL, when eviction forces the OPEN version out with
+    * [[ScdEvictedOpen]] as `validTo`). */
   case class ScdOut(tbl: String, pk: String, ver: Long, validFrom: Long,
       validTo: Long, v: Option[Double], kk: Option[Long])
+
+  /** Sentinel `validTo` marking a TTL-evicted OPEN version — still the
+    * key's current row at eviction time, not a business-time closure. */
+  val ScdEvictedOpen: Long = -1L
 
   /** Per-key SCD2 state: the op counter plus the OPEN version (absent
     * after a delete — deleted keys have no current version, and the
