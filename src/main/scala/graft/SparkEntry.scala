@@ -1155,9 +1155,18 @@ object SparkEntry {
     // ledger shows where the quantized stage mis-ordered the head
     "ann_rerank" -> ((s, dir) =>
       Similarity.rerankTopK(Tables.embeddings(s, dir)).orderBy("q_id", "rnk")),
-    // recall-vs-nProbe tuning curve over ONE IVF index build
-    "ann_probe_curve" -> ((s, dir) =>
-      Similarity.ivfProbeCurve(Tables.embeddings(s, dir)).orderBy("n_probe")),
+    // recall-vs-nProbe tuning curve probed against the PERSISTED index
+    // (shared ivf:$dir IndexCache build with ann_ivf_persisted) — the
+    // curve measures probing, not a per-invocation Lloyd re-train; the
+    // in-memory ivfProbeCurve form stays as the build-included baseline
+    // and both share one oracle by the centroid determinism contract
+    "ann_probe_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = graft.sources.IndexCache.dirFor(s"ivf:$dir")(d =>
+        Similarity.ivfIndexWrite(emb, d))
+      val (centroids, lists) = Similarity.ivfIndexLoad(s, idxDir)
+      Similarity.ivfProbeCurveFrom(emb, centroids, lists).orderBy("n_probe")
+    }),
     // hybrid retrieval: exact-cosine and trigram-Jaccard top-10 fused by
     // reciprocal-rank 1/(60+rank) - rank arithmetic, no score mixing
     "search_hybrid_rrf" -> ((s, dir) =>

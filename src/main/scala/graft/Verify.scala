@@ -15,6 +15,25 @@ import java.nio.file.{Files, Paths}
   * driver's DuckDB is evaluating the oracle SQL differently; if the
   * self-hash moves, the nondeterminism is ours and reproducible. */
 object Verify {
+  /** Round-12 guard: DECIMAL columns in a query's OUTPUT contract are a
+    * driver-hash hazard — round 11 proved two value-exact results can
+    * still red on hash skew purely because the canonical rendering of
+    * DECIMAL(38,0)/HUGEINT differs between engines. Accumulate in
+    * DECIMAL internally all you like; the published schema must not
+    * carry it. Returns the offending column paths (recursing through
+    * struct/array/map), empty = clean. */
+  def decimalColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType     => Seq(path)
+      case s: StructType      => s.fields.toSeq.flatMap(f => walk(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType       => walk(a.elementType, s"$path[]")
+      case m: MapType         => walk(m.keyType, s"$path{k}") ++ walk(m.valueType, s"$path{v}")
+      case _                  => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name))
+  }
+
   /** Canonical whole-result hash: sha256 over the SORTED per-row canonical
     * hashes, so row order and partitioning drop out — equal row multisets
     * hash equal, across sessions, partition counts and rounds. */
@@ -45,11 +64,20 @@ object Verify {
       "dedup_substring_clean").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val hashes = scala.collection.mutable.LinkedHashMap[String, String]()
     val stability = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    val decimalHits = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        val dec = decimalColumns(df.schema)
+        if (dec.nonEmpty) {
+          decimalHits(name) = dec
+          System.err.println(
+            s"[verify] DECIMAL-OUTPUT GUARD: $name exposes ${dec.mkString(",")}" +
+              " — driver-hash hazard, reduce mod ChecksumPrime or cast")
+        }
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // hash the parquet ACTUALLY WRITTEN — the exact bytes the driver's
         // DuckDB will read — not the in-memory result
@@ -99,7 +127,14 @@ object Verify {
       val defs = SparkEntry.oracleSql
         .filter { case (k, _) => hashes.contains(k) }
         .map { case (k, v) => s"${q(k)}: ${q(sha(v))}" }.mkString("{", ",", "}")
-      s"""{"sf": ${q(sfDir)}, "queries": $qs, "defs": $defs, "double_run": $dr}"""
+      // the round-12 decimal-output guard's machine-readable record —
+      // SchemaContractSpec is the hard sbt-test gate; this sidecar field
+      // makes a violation visible in the round artifact too
+      val decg = decimalHits.map { case (k, cols) =>
+        s"${q(k)}: ${cols.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      s"""{"sf": ${q(sfDir)}, "queries": $qs, "defs": $defs, """ +
+        s""""double_run": $dr, "decimal_outputs": $decg}"""
     }
     Files.writeString(Paths.get(s"$outDir/SELFHASH.json"), selfJson)
     sys.env.get("SPARK_GRAFT_SELFHASH_OUT")

@@ -986,7 +986,31 @@ object Similarity {
       probes: Seq[Int] = Seq(1, 2, 4, 8), nQueries: Int = 10, k: Int = 3,
       kmeansIters: Int = 2): DataFrame = {
     val (centroids, assigned0) = ivfIndexBuild(emb, nLists, kmeansIters)
+    // persist belongs to THIS path only: the in-memory assignment carries
+    // the whole Lloyd lineage, which every probe of the sweep would
+    // otherwise re-run
     val assigned = assigned0.persist()
+    val out = ivfProbeCurveFrom(emb, centroids, assigned, probes, nQueries, k)
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(assigned))
+  }
+
+  /** The probe sweep against an ALREADY-BUILT index (in-memory or loaded
+    * from an [[ivfIndexWrite]] parquet layout): a tuning curve is read
+    * against a standing index in production — re-training Lloyd per sweep
+    * would both cost the build each time and tune against an index the
+    * serving path doesn't use. Identical output to [[ivfProbeCurve]] by
+    * the centroid determinism contract (exact BIGINT sums, fixed seeds),
+    * so the two forms share one oracle.
+    *
+    * Deliberately does NOT persist `assigned`: for a loaded index that
+    * would swap the list-partitioned parquet scan for an
+    * InMemoryRelation SESSION-WIDE (the cache manager substitutes by
+    * plan), destroying the dynamic partition pruning every persisted
+    * probe path is built on — each probe's equality join prunes the scan
+    * to its probed lists instead. */
+  def ivfProbeCurveFrom(emb: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, probes: Seq[Int] = Seq(1, 2, 4, 8),
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
     val exact = cosineTopK(emb, nQueries, k).select(col("q_id"), col("n_id")).persist()
     val queries = emb.filter(col("vec_id") < nQueries)
     val out = probes.map { p =>
@@ -998,7 +1022,7 @@ object Similarity {
     }.reduce(_ unionByName _)
       .withColumn("recall",
         col("n_hits").cast("double") / lit((nQueries * k).toDouble))
-    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(assigned, exact))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(exact))
   }
 
   // ──────────────────── Product quantization (Jégou et al. 2011) ──────────
@@ -1455,20 +1479,30 @@ object Similarity {
     * one label-keyed aggregate; norms quantized to `floor(norm · 2²⁰)`
     * and summed in DECIMAL(38,0) — norms are unbounded (nothing says the
     * table is normalized), so unlike the cosine ledgers a long sum has
-    * no a-priori safe bound; the mean is ONE IEEE chain. */
+    * no a-priori safe bound; the mean is ONE IEEE chain.
+    *
+    * The DECIMAL accumulation is INTERNAL only: the published checksum
+    * column `sum_norm_qm` is the quantized-norm sum reduced modulo
+    * [[graft.llm.Sampling.ChecksumPrime]] (the proven `exportManifest`
+    * contract — every reduced term stays under 2³⁰, a plain long sum is
+    * exact for ~2³³ rows per label, and no DECIMAL type ever crosses the
+    * output boundary where canonical-hash renderings diverge between
+    * engines). */
   def normProfile(emb: DataFrame): DataFrame = {
+    val P = Sampling.ChecksumPrime
     emb
       .select(col("label"),
         floor(norm(col("embedding")) * HealthQ).as("_nq"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum(col("_nq").cast(DecimalType(38, 0))).as("sum_norm_q"),
+        sum(col("_nq").cast(DecimalType(38, 0))).as("_sum_dec"),
+        (sum(col("_nq") % P) % P).as("sum_norm_qm"),
         min("_nq").as("min_norm_q"),
         max("_nq").as("max_norm_q"))
-      .select(col("label"), col("n_vecs"), col("sum_norm_q"),
+      .select(col("label"), col("n_vecs"), col("sum_norm_qm"),
         col("min_norm_q"), col("max_norm_q"),
-        (col("sum_norm_q").cast("double") / HealthQ / col("n_vecs"))
+        (col("_sum_dec").cast("double") / HealthQ / col("n_vecs"))
           .as("mean_norm"))
   }
 
@@ -1526,9 +1560,16 @@ object Similarity {
     * variance dominates every dot product; both are whitening decisions).
     * One corpus pass, one (dim)-keyed aggregate. Components quantize to
     * `floor(x · 2²⁰)`; squares stay inside a long per row and accumulate
-    * in DECIMAL(38,0) so the Σx² column cannot overflow at any corpus
-    * size; the variance is then ONE fixed IEEE chain. */
+    * in DECIMAL(38,0) so the Σx² sum cannot overflow at any corpus
+    * size; the variance is then ONE fixed IEEE chain.
+    *
+    * As in [[normProfile]], DECIMAL never crosses the output boundary:
+    * the published checksum `sumsq_qm` is Σ((xq² mod P) mod P) with
+    * P = [[graft.llm.Sampling.ChecksumPrime]] — each reduced term under
+    * 2³⁰ so a plain long accumulator is exact — while the overflow-proof
+    * DECIMAL sum stays internal, feeding only the derived double. */
   def dimVariance(emb: DataFrame): DataFrame = {
+    val P = Sampling.ChecksumPrime
     val sums = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos"), floor(col("x").cast("double") * HealthQ).as("_xq"))
@@ -1536,14 +1577,15 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum("_xq").as("sum_q"),
-        sum((col("_xq") * col("_xq")).cast(DecimalType(38, 0))).as("sumsq_q"))
+        sum((col("_xq") * col("_xq")).cast(DecimalType(38, 0))).as("_sumsq_dec"),
+        (sum(pmod(col("_xq") * col("_xq"), lit(P))) % P).as("sumsq_qm"))
     sums.select(
-      col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
-      ((col("sumsq_q").cast("double") / col("n")) -
+      col("pos"), col("n"), col("sum_q"), col("sumsq_qm"),
+      ((col("_sumsq_dec").cast("double") / col("n")) -
         (col("sum_q").cast("double") / col("n")) *
           (col("sum_q").cast("double") / col("n")))
         .as("var_q2"))
-      .select(col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
+      .select(col("pos"), col("n"), col("sum_q"), col("sumsq_qm"),
         (col("var_q2") / (lit(HealthQ) * lit(HealthQ))).as("variance"))
   }
 }

@@ -952,6 +952,156 @@ object Streams {
         })
   }
 
+  /** A daily-activity mark: `userId` was active on `day` (epoch days),
+    * `isNew` iff that day is the user's first-ever active day. Each
+    * (user, day) emits AT MOST ONCE, so over the emitted stream
+    * `count(*) group by day` is the DAU series and `count(isNew)` the
+    * new-user count — the batch
+    * [[graft.operators.EventAnalytics.newVsReturning]] ledger becomes an
+    * append-only per-day aggregate instead of a re-scan of all history. */
+  case class DayActive(userId: Long, day: Long, isNew: Boolean)
+
+  /** Per-user activity state: the distinct active-day set (bounded by the
+    * calendar — the same argument that bounds the batch window frames),
+    * sorted ascending so `days.head` is the first-ever day. */
+  case class ActivityState(days: Seq[Long])
+
+  /** One DAU step for a batch of same-user events — shared fold of
+    * [[activityStream]] and its tests. Within a batch arrival order does
+    * not matter (day sets); across batches the ordered-arrival contract
+    * of [[funnelFold]] applies: a day earlier than the recorded first
+    * would re-write history the batch `min` already settled, so feeds
+    * are time-ordered (the same contract every twin in this file rides). */
+  def activityFold(
+      userId: Long,
+      start: Option[ActivityState],
+      incoming: Seq[EventIn]): (ActivityState, Seq[DayActive]) = {
+    val dayMs = 86400000L
+    val seen = scala.collection.mutable.Set[Long](
+      start.map(_.days).getOrElse(Seq.empty): _*)
+    val hadAny = seen.nonEmpty
+    val fresh = incoming.map(e => Math.floorDiv(e.tMs, dayMs)).distinct
+      .filterNot(seen.contains).sorted
+    fresh.foreach(seen += _)
+    val out = fresh.zipWithIndex.map { case (d, i) =>
+      DayActive(userId, d, isNew = !hadAny && i == 0)
+    }
+    (ActivityState(seen.toSeq.sorted), out)
+  }
+
+  /** Streaming DAU / new-vs-returning twin of
+    * [[graft.operators.EventAnalytics.newVsReturning]]: per-user
+    * active-day-set keyed state, one [[DayActive]] per (user, day) ever.
+    * Aggregating the emitted stream by day reproduces the batch ledger
+    * (dau / new_users / returning_users) at any point in time.
+    * Parity: EventStreamSpec. */
+  def activityStream(
+      events: Dataset[EventIn],
+      ttlMs: Long = 0L): Dataset[DayActive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[EventIn],
+            state: GroupState[ActivityState]) => {
+          if (state.hasTimedOut) {
+            // eviction loses only the DEDUP set: a re-appearing user's
+            // days re-emit as returning (isNew = false since the set is
+            // gone — the conservative direction: DAU may overcount a
+            // TTL-evicted user's revisited day, never invent a new user
+            // twice unless the TTL outlived their entire history)
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = activityFold(uid, state.getOption, incoming.toSeq)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** A growth-accounting mark: in `week`, `userId` classified as `kind`
+    * (`new` / `retained` / `resurrected` / `churned` — churned rows carry
+    * the week the user went MISSING, the batch attribution). Conditional
+    * counts per week over the emitted stream equal the event-driven rows
+    * of [[graft.operators.EventAnalytics.growthAccounting]]; the
+    * trailing silent-churn rows (users who never return) additionally
+    * need a clock — they emit on TTL eviction ([[growthStream]]'s
+    * timeout path), the same evidence a batch re-run would only gain
+    * from a later max-week. */
+  case class GrowthMark(userId: Long, week: Long, kind: String)
+
+  /** Per-user growth state: the last active week. */
+  case class GrowthState(lastWeek: Long)
+
+  /** One growth step for a batch of same-user events — shared fold of
+    * [[growthStream]] and its tests. Weeks process ascending (ordered-
+    * arrival contract): first-ever week emits `new`, consecutive weeks
+    * `retained`, a gap emits `churned` AT lastWeek+1 (the week the user
+    * went missing) plus `resurrected` at the return week — exactly the
+    * batch lag/lead classification, incrementally. */
+  def growthFold(
+      userId: Long,
+      start: Option[GrowthState],
+      incoming: Seq[EventIn]): (GrowthState, Seq[GrowthMark]) = {
+    val weekMs = 7L * 86400000L
+    var last = start.map(_.lastWeek).getOrElse(-1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[GrowthMark]
+    incoming.map(e => Math.floorDiv(e.tMs, weekMs)).distinct.sorted.foreach { w =>
+      if (last < 0) out += GrowthMark(userId, w, "new")
+      else if (w == last) ()
+      else if (w == last + 1) out += GrowthMark(userId, w, "retained")
+      else if (w > last + 1) {
+        out += GrowthMark(userId, last + 1, "churned")
+        out += GrowthMark(userId, w, "resurrected")
+      }
+      if (w > last) last = w
+    }
+    (GrowthState(last), out.toSeq)
+  }
+
+  /** Streaming weekly growth-accounting twin of
+    * [[graft.operators.EventAnalytics.growthAccounting]]: ONE long of
+    * keyed state per user (the last active week), each classification
+    * emitted the moment its evidence arrives. The event-driven kinds
+    * (new/retained/resurrected + gap churn) stream exactly; silent churn
+    * — a user who never returns — has no closing event, so it emits on
+    * TTL eviction as `churned` at lastWeek+1, mirroring what the batch
+    * ledger attributes once max-week passes the user's silence.
+    * Parity: EventStreamSpec (event-driven rows + derived trailing churn
+    * == the batch ledger). */
+  def growthStream(
+      events: Dataset[EventIn],
+      ttlMs: Long = 0L): Dataset[GrowthMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[EventIn],
+            state: GroupState[GrowthState]) => {
+          if (state.hasTimedOut) {
+            val evicted = state.getOption.filter(_.lastWeek >= 0)
+              .map(s => GrowthMark(uid, s.lastWeek + 1, "churned"))
+            state.remove()
+            evicted.iterator
+          } else {
+            val (next, out) = growthFold(uid, state.getOption, incoming.toSeq)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** An attributed purchase on the stream: `userId` bought for
     * `valueTicks` (value × 100, exact money) at `tMs`, credited to
     * `channel` — the latest prior touch type, or "direct". Summing
@@ -1127,11 +1277,19 @@ object Streams {
     ops
       .groupByKey(o => (o.tbl, o.pk))
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        (_: (String, String), incoming: Iterator[ScdIn],
+        (key: (String, String), incoming: Iterator[ScdIn],
             state: GroupState[ScdState]) => {
           if (state.hasTimedOut) {
+            // TTL eviction must not LOSE the key's current version: emit
+            // the open version with the ScdEvictedOpen sentinel as its
+            // validTo so the downstream append feed still closes every
+            // version it ever saw opened (a silently dropped open row is
+            // a dimension history that never ends).
+            val evicted = state.getOption.filter(_.open).map(p =>
+              ScdOut(key._1, key._2, p.openVer, p.validFrom,
+                ScdEvictedOpen, p.v, p.kk))
             state.remove()
-            Iterator.empty
+            evicted.iterator
           } else {
             val (next, out) = scd2Fold(state.getOption, incoming.toSeq)
             next.foreach(state.update)

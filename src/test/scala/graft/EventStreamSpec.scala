@@ -282,4 +282,136 @@ class EventStreamSpec extends SparkSpec {
       s"stream ${closed.sorted} != batch ${batch.sorted}")
     assert(closed.size === 4, "two sessions per real user")
   }
+
+  test("streaming DAU marks aggregate to the batch newVsReturning ledger (4 chunks)") {
+    import spark.implicits._
+    import graft.streaming.Streams.DayActive
+    val marks = runChunked[EventIn, DayActive](
+      in => Streams.activityStream(in.toDS()), scenario, 4, "dau_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("day"),
+        r.getAs[Boolean]("isNew")))
+    assert(marks.distinct.size === marks.size, s"duplicate (user, day): $marks")
+    assert(marks.count(_._3) === marks.map(_._1).distinct.size,
+      "exactly one isNew mark per user ever")
+    val streamed = marks.groupBy(_._2).view.mapValues(ms =>
+      (ms.size.toLong, ms.count(_._3).toLong)).toMap
+    val batch = EventAnalytics.newVsReturning(batchDf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("new_users"))).toMap
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
+  test("activity fold: chopped == one-shot, any in-batch order") {
+    val u1 = scenario.filter(_.userId == 1L)
+    val (s0, o0) = Streams.activityFold(1L, None, u1)
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.activityFold(1L, None, u1.take(cut))
+      val (s2, o2) = Streams.activityFold(1L, Some(s1), u1.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert((o1 ++ o2).sortBy(_.day) === o0.sortBy(_.day),
+        s"output diverged at cut $cut")
+    }
+    val (sShuf, oShuf) = Streams.activityFold(1L, None, u1.reverse)
+    assert(sShuf === s0 && oShuf.sortBy(_.day) === o0.sortBy(_.day),
+      "day sets make intra-batch order free")
+  }
+
+  /** Multi-week growth feed: u1 active weeks 0,1,2 (new, retained×2 —
+    * then silent, trailing churn @3); u2 active weeks 0,3 (new, churned
+    * @1, resurrected @3); u3 active week 1 only (new; trailing churn
+    * @2). maxWeek = 3 so all trailing churn rows survive the batch
+    * clip. */
+  private def growthFeed: Seq[EventIn] = {
+    val weekMs = 7L * dayMs
+    Seq(
+      EventIn(1L, "view", 100L), EventIn(1L, "view", weekMs + 100L),
+      EventIn(1L, "view", 2 * weekMs + 100L),
+      EventIn(2L, "view", 200L), EventIn(2L, "view", 3 * weekMs + 200L),
+      EventIn(3L, "view", weekMs + 300L)).sortBy(_.tMs)
+  }
+
+  test("streaming growth marks + trailing silent churn equal the batch " +
+      "growthAccounting ledger (3 chunks)") {
+    import spark.implicits._
+    import graft.streaming.Streams.GrowthMark
+    val weekMs = 7L * dayMs
+    val marks = runChunked[EventIn, GrowthMark](
+      in => Streams.growthStream(in.toDS()), growthFeed, 3, "growth_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("week"),
+        r.getAs[String]("kind")))
+    assert(marks.distinct.size === marks.size, s"duplicate mark: $marks")
+    // event-driven expectations, pinned individually
+    assert(marks.filter(_._1 == 1L).toSet ===
+      Set((1L, 0L, "new"), (1L, 1L, "retained"), (1L, 2L, "retained")))
+    assert(marks.filter(_._1 == 2L).toSet ===
+      Set((2L, 0L, "new"), (2L, 1L, "churned"), (2L, 3L, "resurrected")),
+      "a gap emits churned at the week the user went missing")
+    assert(marks.filter(_._1 == 3L).toSet === Set((3L, 1L, "new")))
+    // trailing silent churn (users who never return) needs a clock — in
+    // production the TTL path emits it; here derive it from the feed's
+    // final per-user state exactly as a batch re-run at maxWeek would
+    val lastWeek = growthFeed.groupBy(_.userId).view
+      .mapValues(es => es.map(e => Math.floorDiv(e.tMs, weekMs)).max).toMap
+    val maxWeek = lastWeek.values.max
+    val trailing = lastWeek.toSeq
+      .filter { case (_, lw) => lw + 1 <= maxWeek }
+      .map { case (u, lw) => (u, lw + 1, "churned") }
+      // a gap-churn row for the same (user, week) already streamed
+      .filterNot(t => marks.contains(t))
+    val all = marks ++ trailing
+    val streamed = all.groupBy(_._2).view.mapValues { ms =>
+      (ms.count(_._3 == "new").toLong, ms.count(_._3 == "retained").toLong,
+        ms.count(_._3 == "resurrected").toLong,
+        ms.count(_._3 == "churned").toLong)
+    }.toMap
+    val batchEvents = growthFeed
+      .map(e => (e.userId, e.eventType, e.tMs * 1000000L))
+      .toDF("user_id", "event_type", "ts")
+    val batch = EventAnalytics.growthAccounting(batchEvents).collect()
+      .map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("new_users"), r.getAs[Long]("retained_users"),
+          r.getAs[Long]("resurrected_users"), r.getAs[Long]("churned_users")))
+      .toMap
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
+  test("growth fold: chopped == one-shot on ordered feeds") {
+    val u2 = growthFeed.filter(_.userId == 2L)
+    val (s0, o0) = Streams.growthFold(2L, None, u2)
+    assert(o0.map(m => (m.week, m.kind)) ===
+      Seq((0L, "new"), (1L, "churned"), (3L, "resurrected")))
+    for (cut <- 1 until u2.size) {
+      val (s1, o1) = Streams.growthFold(2L, None, u2.take(cut))
+      val (s2, o2) = Streams.growthFold(2L, Some(s1), u2.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert(o1 ++ o2 === o0, s"output diverged at cut $cut")
+    }
+  }
+
+  test("growth TTL eviction emits the silent-churn row, never drops it") {
+    import spark.implicits._
+    import graft.streaming.Streams.GrowthMark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val q = Streams.growthStream(input.toDS(), ttlMs = 200L)
+      .writeStream.format("memory").queryName("growth_ttl")
+      .outputMode("append").start()
+    // no processAllAvailable: ProcessingTimeTimeout self-triggers batches
+    // continuously, so noNewData never latches — poll the sink instead
+    // (see the scd2 TTL test for the full note)
+    input.addData(EventIn(1L, "view", 100L))
+    def rows(): Seq[GrowthMark] =
+      spark.table("growth_ttl").as[GrowthMark].collect().toSeq
+    val deadline = System.currentTimeMillis() + 60000L
+    // the "new" mark emits from batch 1; the churned row from eviction
+    while (!rows().exists(_.kind == "churned") &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    q.stop()
+    val got = rows()
+    spark.catalog.dropTempView("growth_ttl")
+    assert(got.contains(GrowthMark(1L, 0L, "new")))
+    assert(got.contains(GrowthMark(1L, 1L, "churned")),
+      s"evicted user must close with a churned row; got $got")
+  }
 }

@@ -946,8 +946,9 @@ class PipelineOpsSpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.normProfile(emb).orderBy("label").collect()
     val q = 1048576L
+    // checksum contract: modulo ChecksumPrime, a no-op at these sizes
     def sumQ(r: org.apache.spark.sql.Row): Long =
-      r.getAs[java.math.BigDecimal]("sum_norm_q").longValueExact()
+      r.getAs[Long]("sum_norm_qm")
     assert(out(0).getAs[Long]("n_vecs") === 2L)
     assert(sumQ(out(0)) === 5 * q + 10 * q)
     assert(out(0).getAs[Long]("min_norm_q") === 5 * q)

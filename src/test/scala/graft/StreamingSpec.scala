@@ -971,4 +971,34 @@ class StreamingSpec extends SparkSpec {
       assert(s2 === s0 && (o1 ++ o2) === o0, s"diverged at cut $cut")
     }
   }
+
+  test("streaming SCD2 TTL eviction emits the OPEN version with the " +
+      "ScdEvictedOpen sentinel, never silently drops it") {
+    import spark.implicits._
+    import graft.streaming.Streams.{ScdIn, ScdOut, ScdEvictedOpen}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScdIn]
+    val q = Streams.scd2Stream(input.toDS(), ttlMs = 200L)
+      .writeStream.format("memory").queryName("scd2_ttl")
+      .outputMode("append").start()
+    // batch 1 opens a version for (t0, 1) — nothing closes it.
+    // NOTE: no processAllAvailable here — under ProcessingTimeTimeout the
+    // microbatch engine self-triggers continuously (shouldRunAnotherBatch
+    // is always true for clock-based timeouts), so noNewData never latches
+    // and processAllAvailable blocks forever; TTL tests must POLL the sink.
+    input.addData(ScdIn("t0", "1", 1L, 10L, "insert",
+      setsVal = true, 1.0, setsK = true, 100L))
+    def rows(): Seq[ScdOut] = spark.table("scd2_ttl").as[ScdOut].collect().toSeq
+    val deadline = System.currentTimeMillis() + 60000L
+    while (rows().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    q.stop()
+    val got = rows()
+    spark.catalog.dropTempView("scd2_ttl")
+    assert(got.contains(
+      ScdOut("t0", "1", 1L, 10L, ScdEvictedOpen, Some(1.0), Some(100L))),
+      s"evicted open version must reach the append feed; got $got")
+    // nothing else may have emitted — the open version closed exactly once
+    assert(got.size === 1, s"exactly the eviction row expected; got $got")
+  }
 }
