@@ -80,6 +80,21 @@ GATED_QUERIES = [
     # round-11 wave 26
     "q_order_count_distribution",   # Q13: outer join + double aggregate
     "q_returned_revenue",           # Q10: pushed filter + keyed agg + heap
+    # round-12: the four heavies the r11 verdict ordered through the
+    # standing gate (second-decade spot checks recorded in SCALE.md)
+    "mm_phash_clusters",            # banded Hamming pairs + star contraction
+    "mm_frame_dedup",               # aHash → banded pairs → cluster agg
+    "split_contamination_matrix",   # cluster-index join, count-only cells
+    "search_hybrid_rrf",            # cosine + trigram top-k rank fusion
+    # round-12 TPC-H wave (Q1 full/Q6/Q7/Q8/Q9/Q17/Q21 shapes; the
+    # sub-floor ones report without gating)
+    "q_pricing_summary",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_product_profit",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
 ]
 
 

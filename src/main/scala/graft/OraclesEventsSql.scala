@@ -815,4 +815,162 @@ private[graft] trait OraclesEventsSql extends OraclesCdcSql {
       AND p.purchase_t - c.click_t BETWEEN 0 AND 3600000
     ORDER BY c.click_id, p.purchase_id"""
 
+  /** TPC-H Q1 shape, full form — mirrors `q_pricing_summary`: every sum
+    * exact floor-cents/long, avgs derived from exact sums with the same
+    * left-associated division chain. */
+  val qPricingSummary: String = """WITH
+    l AS (SELECT l_returnflag, l_linestatus,
+            CAST(l_quantity AS BIGINT) AS q,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS dc,
+            CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+              * 100) AS BIGINT) AS cc
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(q) AS BIGINT) AS sum_qty,
+      CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+      CAST(sum(dc) AS BIGINT) AS sum_disc_price_cents,
+      CAST(sum(cc) AS BIGINT) AS sum_charge_cents,
+      CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100 / count(*) AS avg_price,
+      count(*) AS cnt
+    FROM l GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q6 shape — mirrors `q_forecast_revenue`: filter + global agg,
+    * exact floor-cents. */
+  val qForecastRevenue: String = """
+    SELECT
+      CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+        AS BIGINT) AS forecast_cents,
+      count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  /** TPC-H Q7 shape — mirrors `q_volume_shipping`: both nations
+    * prefiltered, pair disjunction post-join (here: both named, unequal),
+    * exact floor-cents per (supp, cust, year). */
+  val qVolumeShipping: String = """WITH
+    sup AS (SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2')),
+    cus AS (SELECT c_custkey, n_name AS cust_nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2')),
+    l AS (SELECT l_orderkey, l_suppkey,
+            CAST(year(l_shipdate) AS INTEGER) AS l_year,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01')
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM l
+    JOIN sup ON l.l_suppkey = sup.s_suppkey
+    JOIN orders ON l.l_orderkey = o_orderkey
+    JOIN cus ON o_custkey = cus.c_custkey
+    WHERE supp_nation <> cust_nation
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q8 shape — mirrors `q_market_share`: type-filtered parts,
+    * region semi-join on orders, NATION_3's share of exact cents per
+    * order year. */
+  val qMarketShare: String = """WITH
+    p AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    cus AS (SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+    o AS (SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INTEGER) AS o_year
+          FROM orders
+          WHERE EXISTS (SELECT 1 FROM cus WHERE c_custkey = o_custkey)),
+    sup AS (SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem)
+    SELECT o_year,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+        AS BIGINT) AS nation_cents,
+      CAST(sum(cents) AS BIGINT) AS total_cents,
+      CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+             AS BIGINT) AS DOUBLE)
+        / CAST(sum(cents) AS BIGINT) AS mkt_share
+    FROM l
+    JOIN p ON l.l_partkey = p.p_partkey
+    JOIN o ON l.l_orderkey = o.o_orderkey
+    JOIN sup ON l.l_suppkey = sup.s_suppkey
+    GROUP BY o_year ORDER BY o_year"""
+
+  /** TPC-H Q9 shape (adapted: no partsupp in the testdata, so profit
+    * reduces to revenue) — mirrors `q_product_profit`. */
+  val qProductProfit: String = """WITH
+    p AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+    sup AS (SELECT s_suppkey, n_name AS nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    o AS (SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders),
+    l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              AS cents
+          FROM lineitem)
+    SELECT nation, o_year, CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM l
+    JOIN p ON l.l_partkey = p.p_partkey
+    JOIN o ON l.l_orderkey = o.o_orderkey
+    JOIN sup ON l.l_suppkey = sup.s_suppkey
+    GROUP BY nation, o_year ORDER BY nation, o_year"""
+
+  /** TPC-H Q17 shape — mirrors `q_small_qty_revenue`: the 0.2·avg
+    * threshold evaluated exactly in integers (5·qty·n < Σqty), revenue
+    * exact floor-cents. */
+  val qSmallQtyRevenue: String = """WITH
+    lp AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#13'),
+    a AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS sumq,
+            count(*) AS n
+          FROM lp GROUP BY 1)
+    SELECT
+      CAST(sum(pc) AS BIGINT) AS small_qty_cents,
+      count(*) AS n_lines,
+      CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100 / 7 AS avg_yearly
+    FROM lp JOIN a ON lp.l_partkey = a.pk
+    WHERE q * 5 * n < sumq"""
+
+  /** TPC-H Q21 shape (adapted: late = shipped > 60 days after the order
+    * date — the testdata has no commit/receipt dates) — mirrors
+    * `q_waiting_suppliers`: EXISTS another supplier on the order, NOT
+    * EXISTS another late one, over distinct (order, supplier) pairs. */
+  val qWaitingSuppliers: String = """WITH
+    ofin AS (SELECT o_orderkey, o_orderdate FROM orders
+             WHERE o_orderstatus = 'F'),
+    lf AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+           FROM lineitem JOIN ofin ON l_orderkey = o_orderkey),
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lf),
+    late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lf
+             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    blocking AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      WHERE EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.l_orderkey = l1.l_orderkey
+                      AND p.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey))
+    SELECT s_name, numwait FROM (
+      SELECT l_suppkey, count(*) AS numwait
+      FROM blocking GROUP BY l_suppkey) b
+    JOIN supplier ON b.l_suppkey = s_suppkey
+    ORDER BY numwait DESC, s_name LIMIT 10"""
+
 }

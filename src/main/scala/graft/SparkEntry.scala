@@ -601,6 +601,218 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     }),
+    // TPC-H Q1 shape, full form (pricing summary): shipdate-filtered
+    // single-pass rollup by (returnflag, linestatus). Every money/qty sum
+    // is exact floor-cents longs (per-row IEEE chains identical on both
+    // engines); the avg columns are derived doubles of exact sums, so no
+    // re-associated float accumulation ever crosses engines.
+    "q_pricing_summary" -> ((s, dir) => {
+      val cut = lit("2001-09-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir).filter(col("l_shipdate") <= cut)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("_q"),
+          floor(col("l_extendedprice") * 100).as("_pc"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_dc"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 100).as("_cc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("_q").as("sum_qty"),
+          sum("_pc").as("sum_price_cents"),
+          sum("_dc").as("sum_disc_price_cents"),
+          sum("_cc").as("sum_charge_cents"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_price_cents"),
+          col("sum_disc_price_cents"), col("sum_charge_cents"),
+          (col("sum_qty").cast("double") / col("cnt")).as("avg_qty"),
+          (col("sum_price_cents").cast("double") / 100 / col("cnt"))
+            .as("avg_price"),
+          col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q6 shape (forecast revenue): pure filter + global agg — every
+    // predicate (date window, discount band, quantity cap) reaches the
+    // parquet scan as a pushed filter; zero joins, zero shuffles beyond
+    // the final 1-row combine. The 100 TB plan is a scan and nothing else.
+    "q_forecast_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(floor(col("l_extendedprice") * col("l_discount") * 100))
+            .as("forecast_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q7 shape (volume shipping): revenue between one nation pair
+    // per direction per year. Both dimension sides are PRE-FILTERED to the
+    // two nations before touching the fact (supplier and customer shrink
+    // to ~2/25, so AQE broadcasts them at any scale); the pair disjunction
+    // is applied AFTER the joins on the two carried nation names — a
+    // disjunction over join results does not prune scans, the nation
+    // prefilters do.
+    "q_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val ns = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val nc = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(ns), col("s_nationkey") === col("_snk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = Tables.customer(s, dir)
+        .join(broadcast(nc), col("c_nationkey") === col("_cnk"))
+        .select("c_custkey", "cust_nation")
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .as("_cents"))
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("_cents").as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q8 shape (national market share): one supplier nation's share
+    // of the type-filtered revenue sold into one region, per order year.
+    // The part filter prunes the fact first (keyed join, AQE-broadcast at
+    // test scale); region-membership is a LEFT SEMI on orders (no row
+    // multiplication); the share is one IEEE division of two exact sums.
+    "q_market_share" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val rn = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("_rnk"))
+      val cus = Tables.customer(s, dir)
+        .join(broadcast(rn), col("c_nationkey") === col("_rnk"))
+        .select("c_custkey")
+      val oFil = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+        .join(cus, col("o_custkey") === col("c_custkey"), "left_semi")
+      val supN = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(supN), col("s_nationkey") === col("_snk"))
+        .select("s_suppkey", "supp_nation")
+      val l = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .as("_cents"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(oFil, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("_cents"))
+            .otherwise(0L)).as("nation_cents"),
+          sum("_cents").as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          (col("nation_cents").cast("double") / col("total_cents"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // TPC-H Q9 shape (product-line profit by nation and year), adapted:
+    // the testdata carries no partsupp/ps_supplycost, so profit reduces to
+    // revenue — the SHAPE is intact (name-pattern part prune into the
+    // fact, supplier nation rollup crossed with order year). Cited
+    // limitation, not a silent drop.
+    "q_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+        .select("p_partkey")
+      val supN = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("nation"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(supN), col("s_nationkey") === col("_snk"))
+        .select("s_suppkey", "nation")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val l = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .as("_cents"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("nation", "o_year")
+        .agg(sum("_cents").as("revenue_cents"))
+        .orderBy("nation", "o_year")
+    }),
+    // TPC-H Q17 shape (small-quantity-order revenue): brand-filtered
+    // parts, lines under 20% of their part's average quantity. The
+    // correlated avg subquery becomes one per-part aggregate joined back;
+    // the 0.2·avg threshold is evaluated EXACTLY in integers
+    // (5·qty·n < Σqty ⇔ qty < 0.2·avg — quantities are integral), so no
+    // float-boundary row can flip between engines.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#13")
+        .select("p_partkey")
+      val lp = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("_q"),
+          floor(col("l_extendedprice") * 100).as("_pc"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val avgQ = lp.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum("_q").as("_sumq"), count(lit(1)).as("_n"))
+      lp.join(avgQ, col("l_partkey") === col("_pk"))
+        .filter(col("_q") * 5 * col("_n") < col("_sumq"))
+        .agg(
+          sum("_pc").as("small_qty_cents"),
+          count(lit(1)).as("n_lines"))
+        .select(col("small_qty_cents"), col("n_lines"),
+          (col("small_qty_cents").cast("double") / 100 / 7)
+            .as("avg_yearly"))
+    }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted: the
+    // testdata has no commit/receipt dates, so "late" = shipped more than
+    // 60 days after the order date. A supplier blocked a finished order
+    // iff it shipped late, ANOTHER supplier shares the order (EXISTS →
+    // left semi on distinct pairs), and NO other supplier was also late
+    // (NOT EXISTS → left anti). All three legs ride the same distinct
+    // (order, supplier) reductions, keyed on orderkey.
+    "q_waiting_suppliers" -> ((s, dir) => {
+      val oF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lf = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(oF, col("l_orderkey") === col("o_orderkey"))
+      val pairs = lf.select("l_orderkey", "l_suppkey").distinct()
+      val late = lf
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = pairs
+        .select(col("l_orderkey").as("_ok"), col("l_suppkey").as("_sk"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("_ok"), col("l_suppkey").as("_sk"))
+      val blocking = late
+        .join(others,
+          col("l_orderkey") === col("_ok") && col("l_suppkey") =!= col("_sk"),
+          "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("_ok") && col("l_suppkey") =!= col("_sk"),
+          "left_anti")
+      blocking.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        // supplier is SF-scaled — no explicit broadcast hint (house rule:
+        // AQE promotes it at test scale without baking a 100TB-wrong hint)
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per
     // level); NULL rollup keys are labeled ALL for a stable cross-engine

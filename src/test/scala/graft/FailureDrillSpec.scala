@@ -1103,4 +1103,118 @@ class FailureDrillSpec extends SparkSpec {
       ("a", 2L, 20L, 30L, Some(2.5), Some(100L))),
       s"ver 2 must close once, image and version intact across the kill: $got")
   }
+
+  /** Restart drill for the streaming DAU / new-vs-returning twin
+    * (`Streams.activityStream`): the per-user active-day set must survive
+    * a kill — a day marked before the crash must not re-emit when the
+    * same (user, day) arrives again after resume, and the ONE-isNew-ever
+    * invariant must hold across the restart (a resumed user is returning,
+    * never new again). */
+  test("restart drill: DAU day-set state survives kill; no (user, day) re-emits") {
+    val root = Files.createTempDirectory("dau_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val dayMs = 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("user_id LONG, t_ms LONG").json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.Streams.activityStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.DayActive],
+              _: Long) =>
+            df.collect().foreach(m => marks.add((m.userId, m.day, m.isNew))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    // pre-crash: u1 and u2 both active on day 0 (both new)
+    writeEvents("b1.json", Seq((1L, 100L), (2L, 200L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with both day sets in state
+    // while down: u1 revisits day 0 (must NOT re-emit), u1 moves to day 1
+    // (returning — the crash must not reset first-ever), u3 appears (new)
+    writeEvents("b2.json",
+      Seq((1L, 500L), (1L, dayMs + 100L), (3L, dayMs + 200L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = marks.toArray(Array.empty[(Long, Long, Boolean)]).toSeq
+    assert(got.distinct.size === got.size,
+      s"a (user, day) mark may never emit twice across the kill: $got")
+    assert(got.toSet === Set(
+      (1L, 0L, true), (2L, 0L, true), (1L, 1L, false), (3L, 1L, true)),
+      s"got $got")
+    // batch==streaming under fault: per-day (dau, new) equals the batch
+    // ledger over the union of arrivals
+    val streamed = got.groupBy(_._2).view.mapValues(ms =>
+      (ms.size.toLong, ms.count(_._3).toLong)).toMap
+    val batch = graft.operators.EventAnalytics.newVsReturning(
+      Seq((1L, 100L), (2L, 200L), (1L, 500L), (1L, dayMs + 100L),
+        (3L, dayMs + 200L))
+        .map { case (u, t) => (u, t * 1000000L) }.toDF("user_id", "ts"))
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("new_users"))).toMap
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
+  /** Restart drill for the streaming growth-accounting twin
+    * (`Streams.growthStream`): the last-active-week state must survive a
+    * kill — a user retained across the crash classifies `retained` (not
+    * `new` again), and a gap spanning the crash still yields the
+    * churned-at-missing-week + resurrected pair exactly once. */
+  test("restart drill: growth last-week state survives kill; classifications stay exact") {
+    val root = Files.createTempDirectory("growth_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val weekMs = 7L * 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("user_id LONG, t_ms LONG").json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.Streams.growthStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.GrowthMark],
+              _: Long) =>
+            df.collect().foreach(m => marks.add((m.userId, m.week, m.kind))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    // pre-crash: u1 and u2 both first seen in week 0
+    writeEvents("b1.json", Seq((1L, 100L), (2L, 200L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with lastWeek=0 in state for both
+    // while down: u1 returns in week 1 (retained ACROSS the crash),
+    // u2 skips to week 3 (churned @1 + resurrected @3 — the gap spans
+    // the kill), u3 first seen in week 1 (new)
+    writeEvents("b2.json",
+      Seq((1L, weekMs + 100L), (2L, 3 * weekMs + 200L), (3L, weekMs + 300L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = marks.toArray(Array.empty[(Long, Long, String)]).toSeq
+    assert(got.distinct.size === got.size,
+      s"a growth mark may never emit twice across the kill: $got")
+    assert(got.toSet === Set(
+      (1L, 0L, "new"), (2L, 0L, "new"), (3L, 1L, "new"),
+      (1L, 1L, "retained"), (2L, 1L, "churned"), (2L, 3L, "resurrected")),
+      s"got $got")
+  }
 }
