@@ -42,11 +42,37 @@ VEC_STRIDE = 1_000_000
 
 os.makedirs(OUT, exist_ok=True)
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"]:
+# Dimension tables stay symlinked — at real scale dimensions grow far
+# slower than facts, and the TPC-H shapes' whole scaling argument is
+# "dims broadcast, only the fact side grows".
+for t in ["region", "nation", "customer", "supplier", "part"]:
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
+
+# FACT tables replicate (round 12): orders/lineitem were symlinked before,
+# which made every TPC-H gate row measure a constant-size input (the
+# flat/negative exponents r12 observed). Each replica offsets o_orderkey/
+# l_orderkey by ORD_STRIDE so per-order join cardinalities are preserved;
+# customer/supplier/part keys stay in-range against the fixed dims.
+ORD_STRIDE = 100_000_000
+con = duckdb.connect()
+sels = {
+    "orders": ("SELECT o_orderkey + {off} AS o_orderkey, o_custkey, "
+               "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+               f"FROM '{SRC}/orders.parquet'"),
+    "lineitem": ("SELECT l_orderkey + {off} AS l_orderkey, l_partkey, "
+                 "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+                 "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+                 f"FROM '{SRC}/lineitem.parquet'"),
+}
+for t, sel in sels.items():
+    dst = f"{OUT}/{t}.parquet"
+    if not os.path.exists(dst):
+        union = " UNION ALL ".join(
+            sel.format(off=k * ORD_STRIDE) for k in range(K))
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"{t}: replicated x{K}")
 
 # ---- documents ------------------------------------------------------------
 docs = duckdb.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id") \
