@@ -1216,6 +1216,82 @@ private[graft] trait OraclesMediaSql extends OraclesAnnSql {
         / CAST(sum(f_total) AS BIGINT) AS reclaim_frac
     FROM per"""
 
+  /** The SCALE-path pair CTE chain — mirrors `Multimodal.phashDupsWide`:
+    * FOUR 16-bit bands (Hamming ≤ 3 pigeonhole), hot-bucket cap 64
+    * applied BEFORE pairing, star edges on identical full hashes. Shared
+    * by the two `_capped` media queries. */
+  protected val phashWideCte: String = """
+    bands AS (
+      SELECT doc_id, phash_hi, phash_lo, j AS band,
+        CASE WHEN j < 2 THEN (phash_lo >> CAST(16 * j AS INTEGER)) & 65535
+             ELSE (phash_hi >> CAST(16 * (j - 2) AS INTEGER)) & 65535
+        END AS band_val
+      FROM ph, unnest(range(0, 4)) AS u(j)),
+    keptb AS (SELECT band, band_val FROM bands
+              GROUP BY 1, 2 HAVING count(*) <= 64),
+    kb AS (SELECT bands.* FROM bands JOIN keptb USING (band, band_val)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.phash_hi AS a_hi, a.phash_lo AS a_lo,
+        b.phash_hi AS b_hi, b.phash_lo AS b_lo
+      FROM kb a JOIN kb b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    bp AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 3),
+    grp AS (SELECT phash_hi, phash_lo, min(doc_id) AS a_id
+            FROM ph GROUP BY 1, 2 HAVING count(*) > 1),
+    stars AS (SELECT grp.a_id, ph.doc_id AS b_id
+              FROM ph JOIN grp USING (phash_hi, phash_lo)
+              WHERE ph.doc_id > grp.a_id),
+    ppairs AS (SELECT a_id, b_id FROM bp
+               UNION SELECT a_id, b_id FROM stars)"""
+
+  /** Cluster-size histogram over the SCALE-path pair set — mirrors
+    * `mm_phash_clusters_capped`. */
+  val mmPhashClustersCapped: String = s"""WITH RECURSIVE $phashCte,
+    $phashWideCte,
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM ppairs
+      UNION SELECT b_id AS u, a_id AS v FROM ppairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM ph
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM lab GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      count(*) AS n_clusters,
+      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sized GROUP BY cluster_size ORDER BY cluster_size"""
+
+  /** Frame-reclaim ledger over the SCALE-path pair set — mirrors
+    * `mm_frame_dedup_capped`. */
+  val mmFrameDedupCapped: String = s"""WITH RECURSIVE $phashCte,
+    $phashWideCte,
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM ppairs
+      UNION SELECT b_id AS u, a_id AS v FROM ppairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM ph
+      UNION
+      SELECT e.u AS id, reach.r FROM e JOIN reach ON reach.id = e.v),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    fr AS (SELECT doc_id, 1 + length(text) % 120 AS f FROM documents),
+    per AS (
+      SELECT lab.cluster_id, count(*) AS n,
+        CAST(sum(fr.f) AS BIGINT) AS f_total,
+        arg_min(fr.f, lab.doc_id) AS f_kept
+      FROM lab JOIN fr USING (doc_id) GROUP BY lab.cluster_id)
+    SELECT CAST(sum(n) AS BIGINT) AS n_clips,
+      count(*) AS n_clusters,
+      CAST(sum(f_total) AS BIGINT) AS n_frames_total,
+      CAST(sum(f_total - f_kept) AS BIGINT) AS n_frames_redundant,
+      CAST(CAST(sum(f_total - f_kept) AS BIGINT) AS DOUBLE)
+        / CAST(sum(f_total) AS BIGINT) AS reclaim_frac
+    FROM per"""
+
   /** Hamming-threshold curve — mirrors `Multimodal.phashThresholdCurve`:
     * the same banded pair set rolled up by exact distance, cumulative
     * count per candidate gate (exact over the whole sweep — every

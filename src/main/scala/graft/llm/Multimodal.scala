@@ -245,7 +245,18 @@ object Multimodal {
     * the pigeonhole bound. */
   def phashDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8 bands of 8 bits guarantee recall only to Hamming 7")
-    val banded = hashes.select(
+    // the hash frame is read on BOTH sides of the band self-join, and its
+    // lineage holds the full-corpus image decode — localCheckpoint the
+    // 4-longs-per-image frame (~16 MB per 500k images) so the decode runs
+    // once, not once per plan leg (measured: each extra leg is a full
+    // decode pass at 100×). Lazy checkpoint, not persist+release: the
+    // consumers run driver-side contraction loops whose build-time
+    // actions race a release listener (measured as intermittent
+    // 25× reps), while checkpoint blocks are lineage-truncating and
+    // cleaned by the ContextCleaner when the frame is GC'd — the exact
+    // starEdges discipline.
+    val h = hashes.localCheckpoint(false)
+    val banded = h.select(
       col("doc_id"),
       col("phash_hi"), col("phash_lo"),
       posexplode(array((0 until 8).map { j =>
@@ -258,7 +269,7 @@ object Multimodal {
       col("phash_lo").as("a_lo"), col("band"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("phash_hi").as("b_hi"),
       col("phash_lo").as("b_lo"), col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
+    val out = a.join(b, Seq("band", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
       .withColumn("hamming",
@@ -266,6 +277,84 @@ object Multimodal {
           bit_count(col("a_lo").bitwiseXOR(col("b_lo"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+    out
+  }
+
+  /** Hot-bucket cap for the SCALE-path image pair join
+    * ([[phashDupsWide]]) — same discipline as
+    * [[graft.llm.Dedup.DefaultMaxBucket]]: an oversized bucket costs one
+    * count row, never sz² pairs. */
+  val DefaultPhashBucketCap: Int = 64
+
+  /** SCALE-path image near-dup pairs: [[phashDups]]' 8-bit bands have a
+    * 256-value key domain per band, so bucket occupancy grows as n/256
+    * and the within-bucket pairing is Σ|bucket|²/2 — n²/512 per band.
+    * The second-decade (100×) rehearsal measured exactly that: exponent
+    * 1.24–1.34 for the clusters/frame-dedup consumers at 500k images
+    * (the same hidden-quadratic shape the r11 rehearsal caught in
+    * `ann_semdedup`). This form makes the pair join n·occupancy by
+    * construction, three structural changes:
+    *
+    *   - FOUR 16-bit bands (65536-value key domain — 256× the bucket
+    *     headroom; same 64-bit hash, lo bits 0..31 + hi bits 0..31).
+    *     Pigeonhole now guarantees full recall to Hamming ≤ 3 (3
+    *     differing bits cannot touch all 4 bands), so `maxHamming` must
+    *     stay ≤ 3 — a TIGHTER near-dup contract than the exact form's 7,
+    *     which is why this is a separately-oracled query, not a swap.
+    *   - a hot-bucket cap ([[DefaultPhashBucketCap]]): buckets larger
+    *     than the cap are dropped BEFORE any pair materializes (the
+    *     bucket-size table is ≤ 4·65536 rows — broadcast-sized).
+    *   - STAR EDGES on the full hash restore the recall the cap costs on
+    *     exact duplicates: a group of g identical images floods every
+    *     band bucket it touches, and identical-hash grouping emits g−1
+    *     edges (linear, never pairwise) so the cluster stays connected.
+    *
+    * Near-identical (Hamming 1..3) members of a DROPPED hot bucket are
+    * the documented recall trade; the exact [[phashDups]] stays the
+    * small-corpus baseline, this form is the prescribed scale default. */
+  def phashDupsWide(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultPhashBucketCap): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to Hamming 3")
+    // four plan legs read the hash frame (band self-join ×2, identical-
+    // hash groups, star join-back) and its lineage holds the full-corpus
+    // decode — lazy localCheckpoint so the decode runs once (see
+    // [[phashDups]] for why checkpoint, not persist+release)
+    val h = hashes.localCheckpoint(false)
+    val banded = h.select(
+      col("doc_id"),
+      col("phash_hi"), col("phash_lo"),
+      posexplode(array((0 until 4).map { j =>
+        if (j < 2) shiftright(col("phash_lo"), 16 * j).bitwiseAND(lit(65535L))
+        else shiftright(col("phash_hi"), 16 * (j - 2)).bitwiseAND(lit(65535L))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val kept = banded.join(
+      banded.groupBy("band", "band_val")
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucket)
+        .select("band", "band_val"),
+      Seq("band", "band_val"))
+    val a = kept.select(col("doc_id").as("a_id"), col("phash_hi").as("a_hi"),
+      col("phash_lo").as("a_lo"), col("band"), col("band_val"))
+    val b = kept.select(col("doc_id").as("b_id"), col("phash_hi").as("b_hi"),
+      col("phash_lo").as("b_lo"), col("band"), col("band_val"))
+    val bandPairs = a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        bit_count(col("a_hi").bitwiseXOR(col("b_hi"))).cast("long") +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+    val groups = h.groupBy("phash_hi", "phash_lo")
+      .agg(min("doc_id").as("a_id"), count(lit(1)).as("_g"))
+      .filter(col("_g") > 1)
+      .select("phash_hi", "phash_lo", "a_id")
+    val stars = h.join(groups, Seq("phash_hi", "phash_lo"))
+      .filter(col("doc_id") > col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"), lit(0L).as("hamming"))
+    bandPairs.unionByName(stars).distinct()
   }
 
   /** Hamming-threshold tuning curve for the image near-dup join — per
@@ -303,13 +392,27 @@ object Multimodal {
     * Shape: the decode/hash pass + banded pair join (both corpus-linear),
     * the contraction's bounded rounds, then ONE cluster-keyed aggregate
     * and a 1-row rollup. */
-  def frameDedupLedger(media: DataFrame): DataFrame = {
+  def frameDedupLedger(media: DataFrame): DataFrame =
+    frameDedupLedgerFrom(media, h => phashDups(h).select("a_id", "b_id"))
+
+  /** [[frameDedupLedger]] over the SCALE-path pair join
+    * ([[phashDupsWide]]: 16-bit bands + hot-bucket cap + star edges,
+    * Hamming ≤ 3 contract) — the prescribed default once the corpus
+    * outgrows the 8-bit bands' 256-bucket key domain. */
+  def frameDedupLedgerCapped(media: DataFrame): DataFrame =
+    frameDedupLedgerFrom(media, h => phashDupsWide(h).select("a_id", "b_id"))
+
+  private def frameDedupLedgerFrom(media: DataFrame,
+      pairsOf: DataFrame => DataFrame): DataFrame = {
     val hashes = aHash(media)
     val frames = media.select(col("doc_id"),
       (lit(1L) + col("text_len").cast("long") % 120L).as("n_frames"))
+    // doc ids come off the media INDEX scan, not the hash frame — aHash
+    // emits one row per media row, and the hash lineage would re-decode
+    // the corpus just to list ids
     val clusters = graft.llm.Clusters.assign(
-      hashes.select(col("doc_id")),
-      phashDups(hashes).select("a_id", "b_id"))
+      media.select(col("doc_id")),
+      pairsOf(hashes))
     clusters.join(frames, "doc_id")
       .groupBy("cluster_id")
       .agg(

@@ -318,6 +318,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("phashDupsWide: equals the exact pair set at hamming <= 3 when no bucket caps; " +
+      "star edges keep identical groups connected under a cap of 1") {
+    val docs = Seq(
+      (0L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 50).map(i => s"w$i").mkString(" ")),   // identical → hamming 0
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")),   // identical → hamming 0
+      (3L, (1 to 50).map(i => s"z${i * 7}").mkString(" ")),
+      (4L, (1 to 40).map(i => s"q${i * 3}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val hashes = graft.llm.Multimodal.aHash(graft.llm.Multimodal.encodeCorpus(docs))
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no-cap regime: the 16-bit-band path must reproduce the exact ≤3 set
+    val exact3 = set(graft.llm.Multimodal.phashDups(hashes).filter(col("hamming") <= 3))
+    val wide = set(graft.llm.Multimodal.phashDupsWide(hashes))
+    assert(wide === exact3, s"wide $wide != exact@3 $exact3")
+    // cap 1 drops EVERY shared bucket (identical docs always share all
+    // bands) — the star edges alone must keep the identical trio connected
+    val capped = set(graft.llm.Multimodal.phashDupsWide(hashes, maxBucket = 1))
+    assert(capped.contains((0L, 1L, 0L)) && capped.contains((0L, 2L, 0L)),
+      s"star edges must survive the cap: $capped")
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.phashDupsWide(hashes, maxHamming = 4)
+    }
+  }
+
   test("tokenBudget: cum_tokens follows logit-desc order and the cut is exact") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.tokenBudget(docs, budget = 500L).orderBy("cum_tokens").collect()

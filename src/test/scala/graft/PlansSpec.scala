@@ -85,7 +85,11 @@ class PlansSpec extends SparkSpec {
     // wave 25
     "events_pagerank", "sample_reservoir", "quality_ablation",
     // wave 26
-    "q_order_count_distribution", "q_returned_revenue")
+    "q_order_count_distribution", "q_returned_revenue",
+    // round-12 TPC-H wave (Q1 full/Q6/Q7/Q8/Q9/Q17/Q21 shapes)
+    "q_pricing_summary", "q_forecast_revenue", "q_volume_shipping",
+    "q_market_share", "q_product_profit", "q_small_qty_revenue",
+    "q_waiting_suppliers")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -950,6 +954,58 @@ class PlansSpec extends SparkSpec {
       "the return filter must push to the lineitem scan")
     assert(count("q_returned_revenue", "TakeOrderedAndProject") === 1)
     assert(count("q_returned_revenue", "CartesianProduct") === 0)
+  }
+
+  test("pricing summary: every predicate and only needed columns at the scan; join-free") {
+    assert(count("q_pricing_summary", "Join") === 0,
+      "Q1 is a single-pass rollup, join-free")
+    assert(plans("q_pricing_summary").contains(
+      "LessThanOrEqual(l_shipdate"),
+      "the shipdate cutoff must push to the parquet scan")
+  }
+
+  test("forecast revenue: Q6 is a pushed-filter scan and nothing else") {
+    assert(count("q_forecast_revenue", "Join") === 0, "Q6 must not join")
+    // the PushedFilters list is TRUNCATED in plan toString, so pin the
+    // scan-adjacent Filter conditions (filter directly over FileScan ⇒
+    // the data filters reached the scan) plus the pushdown prefix
+    assert(plans("q_forecast_revenue").contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "the lineitem scan must carry pushed filters")
+    for (f <- Seq(">= 0.05)", "<= 0.07)", "< 24.0)"))
+      assert(plans("q_forecast_revenue").contains(f),
+        s"predicate $f must sit at the scan filter")
+    assert(count("q_forecast_revenue", "Exchange hashpartitioning") === 0,
+      "the global agg needs no hash exchange — partial combine + single gather")
+  }
+
+  test("volume shipping: nation prefilters reach the dimension scans") {
+    assert(plans("q_volume_shipping").contains("In(n_name, [NATION_1,NATION_2])"),
+      "the pair filter must prune BOTH nation scans before the fact join")
+    assert(count("q_volume_shipping", "CartesianProduct") === 0)
+  }
+
+  test("market share: region membership is a semi join, never a row multiplier") {
+    assert(plans("q_market_share").contains("LeftSemi"),
+      "ASIA membership must plan as a left-semi join on orders")
+    assert(count("q_market_share", "CartesianProduct") === 0)
+  }
+
+  test("small-qty revenue: brand filter prunes both legs; threshold join stays keyed") {
+    assert(plans("q_small_qty_revenue").contains("EqualTo(p_brand,Brand#13)"),
+      "the brand filter must reach the part scan")
+    assert(count("q_small_qty_revenue", "BroadcastNestedLoopJoin") === 0)
+    assert(count("q_small_qty_revenue", "CartesianProduct") === 0)
+  }
+
+  test("waiting suppliers: the EXISTS/NOT-EXISTS pair is ONE per-order aggregate") {
+    // the canonical three self-joins over distinct pairs measured
+    // decade-2 exponent 1.13; the per-order (n_supp, n_late, blocker)
+    // aggregate is the plan — only the fact⨝orders and name joins remain
+    for (j <- Seq("LeftSemi", "LeftAnti"))
+      assert(!plans("q_waiting_suppliers").contains(j),
+        s"the rewrite must not plan a $j — the property is a per-order aggregate")
+    assert(count("q_waiting_suppliers", "BroadcastNestedLoopJoin") === 0)
+    assert(count("q_waiting_suppliers", "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
