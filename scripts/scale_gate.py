@@ -84,6 +84,10 @@ GATED_QUERIES = [
     # standing gate (second-decade spot checks recorded in SCALE.md)
     "mm_phash_clusters",            # banded Hamming pairs + star contraction
     "mm_frame_dedup",               # aHash → banded pairs → cluster agg
+    # round-12 image-side scale fixes (SCALE.md round-12 table)
+    "mm_phash_clusters_capped",     # 0.98/decade-2: 16-bit bands + cap + stars
+    "mm_frame_dedup_capped",        # 0.91/decade-2
+    "mm_phash_clusters_persisted",  # 0.61/decade-2: standing mmhash: index
     "split_contamination_matrix",   # cluster-index join, count-only cells
     "search_hybrid_rrf",            # cosine + trigram top-k rank fusion
     # round-12 TPC-H wave (Q1 full/Q6/Q7/Q8/Q9/Q17/Q21 shapes; the
