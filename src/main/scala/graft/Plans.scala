@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // `all` = every one-plan query (the SCALE.md shuffle-inventory set):
+    // dedup_clusters and mm_phash_clusters stay excluded — their plans
+    // are per-contraction-round, not one tree
+    val names = if (args.length > 1 && args(1) == "all")
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(Set("dedup_clusters", "mm_phash_clusters").contains)
+    else if (args.length > 1) args.drop(1).toSeq
       else Seq("cdc_apply_state", "cdc_difflane", "q1_lineitem_agg",
         "q_region_revenue", "dedup_jaccard", "ann_cosine_topk",
         "cdc_evaluate", "cdc_txn_apply", "cdc_commit_floor", "ann_ivf_topk",
