@@ -99,6 +99,8 @@ GATED_QUERIES = [
     "q_product_profit",
     "q_small_qty_revenue",
     "q_waiting_suppliers",
+    # round-13: Q12 shape (one fact pass, conditional counts)
+    "q_ship_priority_mix",
 ]
 
 

@@ -947,6 +947,23 @@ private[graft] trait OraclesEventsSql extends OraclesCdcSql {
     FROM lp JOIN a ON lp.l_partkey = a.pk
     WHERE q * 5 * n < sumq"""
 
+  /** TPC-H Q12 shape (adapted: ship class = l_returnflag IN ('A','R')
+    * standing in for shipmode IN ('MAIL','SHIP'); late receipt = shipped
+    * > 60 days after the order date — the testdata has no shipmode or
+    * commit/receipt dates) — mirrors `q_ship_priority_mix`. */
+  val qShipPriorityMix: String = """
+    SELECT l_returnflag AS ship_class,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1 ORDER BY 1"""
+
   /** TPC-H Q21 shape (adapted: late = shipped > 60 days after the order
     * date — the testdata has no commit/receipt dates) — mirrors
     * `q_waiting_suppliers`: EXISTS another supplier on the order, NOT

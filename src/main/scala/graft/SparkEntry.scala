@@ -787,6 +787,16 @@ object SparkEntry {
     // (n_suppliers, n_late, the_late) and a supplier-keyed rollup counts
     // the blocks. The DuckDB oracle keeps the canonical EXISTS/NOT-EXISTS
     // SQL, so the rewrite's equivalence is verified per value, not argued.
+    // The blocking aggregate deliberately avoids countDistinct: Catalyst
+    // expands two distinct aggregates into an Expand + double shuffle
+    // (the r12 100× rehearsal spilled three 60M-row shuffles, exponent
+    // 1.13). Instead, a (l_orderkey, l_suppkey) pre-aggregate with
+    // max(_late) makes the per-order rollup plain count/count-when/
+    // min-when — and because the order join's sort-merge output is
+    // already HashPartitioning(l_orderkey), which satisfies the
+    // clustered distribution of BOTH groupBys (orderkey is a prefix of
+    // (orderkey, suppkey)), the whole chain reuses the join's single
+    // shuffle at scale.
     "q_waiting_suppliers" -> ((s, dir) => {
       val oF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate")
@@ -795,10 +805,12 @@ object SparkEntry {
         .join(oF, col("l_orderkey") === col("o_orderkey"))
         .withColumn("_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val blocking = lf.groupBy("l_orderkey")
+      val perSupp = lf.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("_late")).as("_late"))
+      val blocking = perSupp.groupBy("l_orderkey")
         .agg(
-          countDistinct(col("l_suppkey")).as("_ns"),
-          countDistinct(when(col("_late"), col("l_suppkey"))).as("_nl"),
+          count(lit(1)).as("_ns"),
+          count(when(col("_late"), lit(1))).as("_nl"),
           min(when(col("_late"), col("l_suppkey"))).as("_blocker"))
         .filter(col("_ns") > 1 && col("_nl") === 1)
       blocking.groupBy(col("_blocker").as("l_suppkey"))
@@ -810,6 +822,37 @@ object SparkEntry {
         .select(col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
+    }),
+    // TPC-H Q12 shape (shipmode × order-priority counts), adapted twice
+    // for the testdata: no l_shipmode column, so the two-valued ship
+    // class is l_returnflag IN ('A','R') (mirrors Q12's shipmode IN
+    // ('MAIL','SHIP')); no commit/receipt dates, so "late receipt" =
+    // shipped > 60 days after the order date (same proxy q_waiting_
+    // suppliers uses, cited not silent). The priority split is computed
+    // in ONE fact pass — the returnflag + year predicates push to the
+    // parquet scan, the orders side carries only (key, date, priority)
+    // and the conditional counts are map-side partial aggregates into a
+    // 2-row result.
+    "q_ship_priority_mix" -> ((s, dir) => {
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          sum(when(high, lit(1)).otherwise(lit(0)).cast("long"))
+            .as("high_line_count"),
+          sum(when(high, lit(0)).otherwise(lit(1)).cast("long"))
+            .as("low_line_count"))
+        .orderBy("ship_class")
     }),
     // ROLLUP revenue cube: (priority, status), per-priority subtotals and
     // the grand total in ONE pass (Expand + partial agg — no re-scan per

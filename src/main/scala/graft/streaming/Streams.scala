@@ -963,8 +963,12 @@ object Streams {
 
   /** Per-user activity state: the distinct active-day set (bounded by the
     * calendar — the same argument that bounds the batch window frames),
-    * sorted ascending so `days.head` is the first-ever day. */
-  case class ActivityState(days: Seq[Long])
+    * sorted ascending so `days.head` is the first-ever day.
+    * `everActive` survives TTL eviction as a tombstone (the day set is
+    * dropped, the one boolean stays) so a re-appearing user is never
+    * re-counted as `new` — without it, eviction would reset the fold to
+    * first-contact and inflate `new_users` by one per evicted returnee. */
+  case class ActivityState(days: Seq[Long], everActive: Boolean = true)
 
   /** One DAU step for a batch of same-user events — shared fold of
     * [[activityStream]] and its tests. Within a batch arrival order does
@@ -979,7 +983,9 @@ object Streams {
     val dayMs = 86400000L
     val seen = scala.collection.mutable.Set[Long](
       start.map(_.days).getOrElse(Seq.empty): _*)
-    val hadAny = seen.nonEmpty
+    // a post-eviction tombstone has an empty day set but everActive=true:
+    // the user is known history, so no day of theirs is ever `new` again
+    val hadAny = start.exists(s => s.everActive || s.days.nonEmpty)
     val fresh = incoming.map(e => Math.floorDiv(e.tMs, dayMs)).distinct
       .filterNot(seen.contains).sorted
     fresh.foreach(seen += _)
@@ -1009,12 +1015,13 @@ object Streams {
         (uid: Long, incoming: Iterator[EventIn],
             state: GroupState[ActivityState]) => {
           if (state.hasTimedOut) {
-            // eviction loses only the DEDUP set: a re-appearing user's
-            // days re-emit as returning (isNew = false since the set is
-            // gone — the conservative direction: DAU may overcount a
-            // TTL-evicted user's revisited day, never invent a new user
-            // twice unless the TTL outlived their entire history)
-            state.remove()
+            // eviction drops the DEDUP set but keeps a one-boolean
+            // tombstone (everActive=true, no further timeout): a
+            // re-appearing user's days re-emit as returning, never as a
+            // second `new` — the conservative direction. DAU may
+            // overcount a TTL-evicted user's REVISITED day (its dedup
+            // evidence is gone); `new_users` never inflates.
+            state.update(ActivityState(Seq.empty, everActive = true))
             Iterator.empty
           } else {
             val (next, out) = activityFold(uid, state.getOption, incoming.toSeq)
@@ -1036,8 +1043,13 @@ object Streams {
     * from a later max-week. */
   case class GrowthMark(userId: Long, week: Long, kind: String)
 
-  /** Per-user growth state: the last active week. */
-  case class GrowthState(lastWeek: Long)
+  /** Per-user growth state: the last active week, plus whether a
+    * `churned` mark for this user is already on the stream (set by the
+    * TTL-eviction path). The tombstone keeps (lastWeek, churned=true)
+    * past eviction so a returning user classifies as `resurrected` —
+    * consistent with the churn already emitted — never as a second
+    * `new`, which is what a bare state.remove() would produce. */
+  case class GrowthState(lastWeek: Long, churned: Boolean = false)
 
   /** One growth step for a batch of same-user events — shared fold of
     * [[growthStream]] and its tests. Weeks process ascending (ordered-
@@ -1051,10 +1063,20 @@ object Streams {
       incoming: Seq[EventIn]): (GrowthState, Seq[GrowthMark]) = {
     val weekMs = 7L * 86400000L
     var last = start.map(_.lastWeek).getOrElse(-1L)
+    // churned=true: the TTL path already put this user's churn mark on
+    // the stream — the next activity is a resurrection (at ANY later
+    // week, even lastWeek+1: the append-only stream cannot retract the
+    // eviction-time churn, so the consistent classification is
+    // churn → resurrected, exactly the pair a real gap emits)
+    var churnOut = start.exists(_.churned)
     val out = scala.collection.mutable.ArrayBuffer.empty[GrowthMark]
     incoming.map(e => Math.floorDiv(e.tMs, weekMs)).distinct.sorted.foreach { w =>
       if (last < 0) out += GrowthMark(userId, w, "new")
       else if (w == last) ()
+      else if (churnOut && w > last) {
+        out += GrowthMark(userId, w, "resurrected")
+        churnOut = false
+      }
       else if (w == last + 1) out += GrowthMark(userId, w, "retained")
       else if (w > last + 1) {
         out += GrowthMark(userId, last + 1, "churned")
@@ -1062,19 +1084,28 @@ object Streams {
       }
       if (w > last) last = w
     }
-    (GrowthState(last), out.toSeq)
+    (GrowthState(last, churnOut), out.toSeq)
   }
 
   /** Streaming weekly growth-accounting twin of
     * [[graft.operators.EventAnalytics.growthAccounting]]: ONE long of
     * keyed state per user (the last active week), each classification
-    * emitted the moment its evidence arrives. The event-driven kinds
-    * (new/retained/resurrected + gap churn) stream exactly; silent churn
-    * — a user who never returns — has no closing event, so it emits on
-    * TTL eviction as `churned` at lastWeek+1, mirroring what the batch
-    * ledger attributes once max-week passes the user's silence.
+    * emitted the moment its evidence arrives. With ttlMs=0 the
+    * event-driven kinds (new/retained/resurrected + gap churn) stream
+    * exactly. Silent churn — a user who never returns — has no closing
+    * event, so it emits on TTL eviction as `churned` at lastWeek+1,
+    * mirroring what the batch ledger attributes once max-week passes
+    * the user's silence; the evicted key keeps a (lastWeek,
+    * churned=true) tombstone, so a user who RETURNS after eviction
+    * classifies `resurrected` — the batch gap pair — never a second
+    * `new`. TTL trade-off (documented contract, pinned in
+    * EventStreamSpec): if the TTL fires before the user's gap is real
+    * (they return in week lastWeek+1), the stream has emitted
+    * churned+resurrected where the batch ledger says `retained` — an
+    * append-only stream cannot retract an eviction-time mark; choose
+    * ttlMs ≫ the week cadence.
     * Parity: EventStreamSpec (event-driven rows + derived trailing churn
-    * == the batch ledger). */
+    * == the batch ledger; post-eviction return pinned). */
   def growthStream(
       events: Dataset[EventIn],
       ttlMs: Long = 0L): Dataset[GrowthMark] = {
@@ -1089,10 +1120,15 @@ object Streams {
         (uid: Long, incoming: Iterator[EventIn],
             state: GroupState[GrowthState]) => {
           if (state.hasTimedOut) {
-            val evicted = state.getOption.filter(_.lastWeek >= 0)
-              .map(s => GrowthMark(uid, s.lastWeek + 1, "churned"))
-            state.remove()
-            evicted.iterator
+            // emit the silent churn, but KEEP (lastWeek, churned=true)
+            // as a tombstone (no further timeout; the state is one long
+            // + one boolean, so there is nothing worth evicting): a
+            // return classifies `resurrected`, matching the batch
+            // ledger's gap pair instead of a spurious second `new`
+            val evicted = state.getOption.filter(s => s.lastWeek >= 0 && !s.churned)
+            evicted.foreach(s =>
+              state.update(GrowthState(s.lastWeek, churned = true)))
+            evicted.map(s => GrowthMark(uid, s.lastWeek + 1, "churned")).iterator
           } else {
             val (next, out) = growthFold(uid, state.getOption, incoming.toSeq)
             state.update(next)

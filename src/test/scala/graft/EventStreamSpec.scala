@@ -414,4 +414,73 @@ class EventStreamSpec extends SparkSpec {
     assert(got.contains(GrowthMark(1L, 1L, "churned")),
       s"evicted user must close with a churned row; got $got")
   }
+
+  test("activity fold past a TTL tombstone: re-appearing user is never " +
+      "a second new") {
+    import graft.streaming.Streams.ActivityState
+    // the eviction path leaves ActivityState(Seq.empty, everActive=true)
+    val tomb = ActivityState(Seq.empty, everActive = true)
+    val (s1, o1) = Streams.activityFold(7L, Some(tomb),
+      Seq(EventIn(7L, "view", 5 * dayMs + 10L), EventIn(7L, "view", 6 * dayMs)))
+    assert(o1.forall(!_.isNew),
+      s"post-eviction days must all be returning, got $o1")
+    assert(o1.map(_.day) === Seq(5L, 6L))
+    assert(s1.everActive, "tombstone flag must persist through the fold")
+    // contrast: a genuinely unseen user still gets exactly one new mark
+    val (_, o2) = Streams.activityFold(8L, None,
+      Seq(EventIn(8L, "view", 5 * dayMs)))
+    assert(o2.map(_.isNew) === Seq(true))
+  }
+
+  test("growth fold past a TTL tombstone: return classifies resurrected " +
+      "(the batch gap pair), never a second new — including the " +
+      "premature-TTL week, the documented divergence") {
+    import graft.streaming.Streams.GrowthState
+    val weekMs = 7L * dayMs
+    // eviction left (lastWeek=2, churned=true); user returns at week 5
+    val (s1, o1) = Streams.growthFold(9L, Some(GrowthState(2L, churned = true)),
+      Seq(EventIn(9L, "view", 5 * weekMs + 1L)))
+    assert(o1.map(m => (m.week, m.kind)) === Seq((5L, "resurrected")))
+    assert(s1 === GrowthState(5L, churned = false))
+    // premature TTL: the return lands at lastWeek+1, where the batch
+    // ledger would say retained — the stream's churn mark is already
+    // out, so the pinned contract is churn → resurrected, not retained
+    val (s2, o2) = Streams.growthFold(9L, Some(GrowthState(2L, churned = true)),
+      Seq(EventIn(9L, "view", 3 * weekMs + 1L)))
+    assert(o2.map(m => (m.week, m.kind)) === Seq((3L, "resurrected")))
+    assert(s2 === GrowthState(3L, churned = false))
+  }
+
+  test("growth stream end-to-end: churned on eviction, resurrected on " +
+      "return — no second new") {
+    import spark.implicits._
+    import graft.streaming.Streams.GrowthMark
+    implicit val sqlCtx = spark.sqlContext
+    val weekMs = 7L * dayMs
+    val input = MemoryStream[EventIn]
+    val q = Streams.growthStream(input.toDS(), ttlMs = 200L)
+      .writeStream.format("memory").queryName("growth_ttl_return")
+      .outputMode("append").start()
+    def rows(): Seq[GrowthMark] =
+      spark.table("growth_ttl_return").as[GrowthMark].collect().toSeq
+    input.addData(EventIn(1L, "view", 100L))
+    val deadline = System.currentTimeMillis() + 60000L
+    while (!rows().exists(_.kind == "churned") &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    // after eviction's churn mark, the user comes back three weeks on
+    input.addData(EventIn(1L, "view", 4 * weekMs + 100L))
+    while (!rows().exists(_.kind == "resurrected") &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    q.stop()
+    val got = rows()
+    spark.catalog.dropTempView("growth_ttl_return")
+    assert(got.contains(GrowthMark(1L, 0L, "new")))
+    assert(got.contains(GrowthMark(1L, 1L, "churned")))
+    assert(got.contains(GrowthMark(1L, 4L, "resurrected")),
+      s"post-eviction return must resurrect, got $got")
+    assert(got.count(_.kind == "new") === 1,
+      s"exactly one new mark per user ever, got $got")
+  }
 }
