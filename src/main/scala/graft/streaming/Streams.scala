@@ -1212,6 +1212,167 @@ object Streams {
         })
   }
 
+  /** A running RFM snapshot for one user: last purchase day, purchase
+    * count, and exact money in integer ticks (×100). The LATEST mark per
+    * user, joined with a reference "now" day of the consumer's choosing,
+    * reproduces the batch [[graft.operators.EventAnalytics.rfm]] row
+    * (recency = refDay − lastDay; the 1..3 scores are a deterministic
+    * projection of these three numbers) — recency is deliberately NOT
+    * baked into the mark because it is a property of the reference
+    * clock, not of the user's history. */
+  case class RfmMark(
+      userId: Long, lastDay: Long, frequency: Long, monetaryTicks: Long)
+
+  /** Per-user RFM state: the three running totals behind [[RfmMark]]. */
+  case class RfmState(lastDay: Long, frequency: Long, ticks: Long)
+
+  /** One RFM step for a batch of same-user events — shared fold of
+    * [[rfmStream]] and its tests. Only purchases move the totals; a
+    * batch with ≥1 purchase emits ONE superseding mark (marks are
+    * snapshots, not deltas — the consumer keeps the latest per user,
+    * which makes replay after an exactly-once sink upsert idempotent).
+    * max/count/sum are in-batch order free; across batches the
+    * ordered-arrival contract of [[funnelFold]] applies. */
+  def rfmFold(
+      userId: Long,
+      start: Option[RfmState],
+      incoming: Seq[AttrIn]): (Option[RfmState], Seq[RfmMark]) = {
+    val dayMs = 86400000L
+    val buys = incoming.filter(_.eventType == "purchase")
+    if (buys.isEmpty) (start, Seq.empty)
+    else {
+      val s = start.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+      val next = RfmState(
+        math.max(s.lastDay, buys.map(e => Math.floorDiv(e.tMs, dayMs)).max),
+        s.frequency + buys.size,
+        s.ticks + buys.map(_.valueTicks).sum)
+      (Some(next),
+        Seq(RfmMark(userId, next.lastDay, next.frequency, next.ticks)))
+    }
+  }
+
+  /** Streaming RFM twin of [[graft.operators.EventAnalytics.rfm]]: the
+    * keyed state is three longs per purchasing user; every purchase
+    * batch emits a superseding running snapshot, so the segmentation
+    * table downstream is a latest-mark-per-user upsert plus the fixed
+    * scoring projection — never a re-scan of purchase history. Money
+    * stays integer ticks end to end (ticks / 100 = the batch
+    * DECIMAL(18,2) monetary). Parity: EventStreamSpec; restart:
+    * FailureDrillSpec. */
+  def rfmStream(
+      events: Dataset[AttrIn],
+      ttlMs: Long = 0L): Dataset[RfmMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[AttrIn],
+            state: GroupState[RfmState]) => {
+          if (state.hasTimedOut) {
+            // the totals ARE the product — evicting them would corrupt
+            // every later mark, so TTL only drops users the sink has
+            // already seen the final mark of; a re-appearing purchaser
+            // restarts their totals, which the docstring's
+            // latest-mark-wins consumer surfaces as a visible reset
+            // rather than silently wrong arithmetic
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = rfmFold(uid, state.getOption, incoming.toSeq)
+            next.foreach(state.update)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** One cohort-LTV mark: `entry=true` announces the user joining the
+    * `cohortDay` cohort (counting these per cohort gives the batch
+    * `cohort_size`); `entry=false` is one attributed purchase at
+    * `weekOffset` weeks since signup worth `valueTicks`. Aggregating
+    * purchase marks per (cohortDay, weekOffset) — count, Σticks/100,
+    * running Σ over the week axis, divided by the entry count —
+    * reproduces the batch
+    * [[graft.operators.EventAnalytics.cohortLtv]] triangle at any point
+    * in time. */
+  case class LtvMark(userId: Long, cohortDay: Long, weekOffset: Long,
+      valueTicks: Long, entry: Boolean)
+
+  /** Per-user LTV state: the signup cohort day (−1 = no signup seen). */
+  case class LtvState(cohortDay: Long)
+
+  /** One cohort-LTV step for a batch of same-user events — shared fold
+    * of [[ltvStream]] and its tests. The cohort day settles FIRST from
+    * the batch's earliest signup (in-batch order free, like
+    * [[activityFold]]), then purchases with day ≥ cohortDay emit one
+    * mark each — the batch form's `_pd >= cohort_day` filter applied at
+    * day granularity. A purchase arriving before ANY signup of its user
+    * drops, exactly like the batch inner join drops purchasers who
+    * never signed up; ordered arrival ([[funnelFold]] contract) makes
+    * the two forms agree for users who did. */
+  def ltvFold(
+      userId: Long,
+      start: Option[LtvState],
+      incoming: Seq[AttrIn]): (LtvState, Seq[LtvMark]) = {
+    val dayMs = 86400000L
+    var cohort = start.map(_.cohortDay).getOrElse(-1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[LtvMark]
+    val sigDays = incoming.filter(_.eventType == "signup")
+      .map(e => Math.floorDiv(e.tMs, dayMs))
+    if (cohort < 0 && sigDays.nonEmpty) {
+      cohort = sigDays.min
+      out += LtvMark(userId, cohort, 0L, 0L, entry = true)
+    }
+    if (cohort >= 0)
+      incoming.filter(_.eventType == "purchase").foreach { e =>
+        val d = Math.floorDiv(e.tMs, dayMs)
+        if (d >= cohort)
+          out += LtvMark(userId, cohort, (d - cohort) / 7, e.valueTicks,
+            entry = false)
+      }
+    (LtvState(cohort), out.toSeq)
+  }
+
+  /** Streaming cohort-LTV twin of
+    * [[graft.operators.EventAnalytics.cohortLtv]]: ONE long of keyed
+    * state per user (the signup cohort day); every purchase emits
+    * already cohort-attributed, so the LTV triangle downstream is an
+    * append-only (cohortDay, weekOffset) aggregate instead of a
+    * re-join of all purchases against all signups. Money stays integer
+    * ticks end to end. TTL note: evicting a user forgets their cohort
+    * — their LATER purchases drop from the triangle (the conservative
+    * direction: revenue undercounts, cohort sizes never double-count,
+    * because the entry mark is emitted exactly once before any
+    * eviction). Parity: EventStreamSpec; restart: FailureDrillSpec. */
+  def ltvStream(
+      events: Dataset[AttrIn],
+      ttlMs: Long = 0L): Dataset[LtvMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (uid: Long, incoming: Iterator[AttrIn],
+            state: GroupState[LtvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = ltvFold(uid, state.getOption, incoming.toSeq)
+            if (next.cohortDay >= 0) state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** One heartbeat tick of a capture lane: table, lsn, event time. */
   case class OpTick(tbl: String, lsn: Long, t: Long)
 

@@ -221,6 +221,133 @@ class EventStreamSpec extends SparkSpec {
       "u1's second purchase and u3's same-ms purchase both credit view")
   }
 
+  /** RFM / cohort-LTV feed: u1 signs up day 0 and buys on days 1 and 8
+    * (weeks 0 and 1 of its cohort); u2 signs up and buys the same day;
+    * u3 buys without ever signing up (in RFM, absent from LTV); u4
+    * signs up day 2 and never buys (cohort entry only, absent from
+    * RFM). tMs ascending — the ordered-arrival contract. */
+  private def moneyFeed: Seq[Streams.AttrIn] = {
+    import graft.streaming.Streams.AttrIn
+    Seq(
+      AttrIn(0L, 1L, "signup", 100L, 0L),
+      AttrIn(1L, 2L, "signup", 200L, 0L),
+      AttrIn(2L, 2L, "purchase", 300L, 300L),
+      AttrIn(3L, 1L, "purchase", dayMs + 100L, 2000L),
+      AttrIn(4L, 3L, "purchase", dayMs + 200L, 750L),
+      AttrIn(5L, 4L, "signup", 2 * dayMs + 100L, 0L),
+      AttrIn(6L, 1L, "purchase", 8 * dayMs + 100L, 550L)).sortBy(_.tMs)
+  }
+
+  private def moneyBatchDf = {
+    import spark.implicits._
+    moneyFeed.map(e => (e.eventId, e.userId, e.eventType, e.tMs * 1000000L,
+      e.valueTicks / 100.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+  }
+
+  test("streaming RFM marks (latest per user + the feed's reference day) " +
+      "equal the batch segmentation table (3 chunks)") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AttrIn, RfmMark}
+    val marks = runChunked[AttrIn, RfmMark](
+      in => Streams.rfmStream(in.toDS()), moneyFeed, 3, "rfm_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("lastDay"),
+        r.getAs[Long]("frequency"), r.getAs[Long]("monetaryTicks")))
+    // marks are running snapshots: the latest (max frequency) per user wins
+    val latest = marks.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    val refDay = moneyFeed.map(e => Math.floorDiv(e.tMs, dayMs)).max
+    val streamed = latest.values.map(m =>
+      m._1 -> (refDay - m._2, m._3, m._4)).toMap
+    val batch = EventAnalytics.rfm(moneyBatchDf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          math.round(r.getAs[Double]("monetary") * 100)))
+      .toMap
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(!streamed.contains(4L), "a never-buyer has no RFM row")
+    assert(streamed(1L) === ((0L, 2L, 2550L)), "u1's running totals")
+  }
+
+  test("rfm fold: chopped reaches the one-shot state; the last mark is " +
+      "the superseding snapshot") {
+    import graft.streaming.Streams.AttrIn
+    val u1 = moneyFeed.filter(_.userId == 1L)
+    val (s0, o0) = Streams.rfmFold(1L, None, u1)
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.rfmFold(1L, None, u1.take(cut))
+      val (s2, o2) = Streams.rfmFold(1L, s1, u1.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert((o1 ++ o2).lastOption === o0.lastOption,
+        s"final snapshot diverged at cut $cut")
+    }
+    // a purchase-free batch emits nothing and keeps state untouched
+    val (sIdle, oIdle) = Streams.rfmFold(1L, s0,
+      Seq(AttrIn(99L, 1L, "view", 9 * dayMs, 0L)))
+    assert(sIdle === s0 && oIdle.isEmpty)
+  }
+
+  test("streaming LTV marks aggregate to the batch cohort triangle " +
+      "(3 chunks)") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AttrIn, LtvMark}
+    val marks = runChunked[AttrIn, LtvMark](
+      in => Streams.ltvStream(in.toDS()), moneyFeed, 3, "ltv_parity")
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("cohortDay"),
+        r.getAs[Long]("weekOffset"), r.getAs[Long]("valueTicks"),
+        r.getAs[Boolean]("entry")))
+    val entries = marks.filter(_._5)
+    assert(entries.map(_._1).distinct.size === entries.size,
+      "one cohort entry per user ever")
+    val sizes = entries.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(sizes === Map(0L -> 2L, 2L -> 1L), s"cohort sizes $sizes")
+    assert(!marks.exists(_._1 == 3L), "a signup-less buyer joins no cohort")
+    // purchase marks -> (cohort, week) cells; cum + /size reproduce LTV
+    val cells = marks.filterNot(_._5).groupBy(m => (m._2, m._3)).view
+      .mapValues(ms => (ms.size.toLong, ms.map(_._4).sum)).toMap
+    val streamed = cells.toSeq.sortBy(_._1).map { case ((c, w), (n, ticks)) =>
+      val cum = cells.filter { case ((c2, w2), _) => c2 == c && w2 <= w }
+        .values.map(_._2).sum
+      (c, w, n, ticks / 100.0, cum / 100.0, sizes(c), cum / 100.0 / sizes(c))
+    }
+    val batch = EventAnalytics.cohortLtv(moneyBatchDf).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_purchases"), r.getAs[Double]("week_revenue"),
+        r.getAs[Double]("cum_revenue"), r.getAs[Long]("cohort_size"),
+        r.getAs[Double]("ltv_per_user")))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
+  test("ltv fold: chopped == one-shot on ordered feeds; in-batch the " +
+      "cohort settles before purchases") {
+    import graft.streaming.Streams.AttrIn
+    val u1 = moneyFeed.filter(_.userId == 1L)
+    val (s0, o0) = Streams.ltvFold(1L, None, u1)
+    assert(o0.map(m => (m.weekOffset, m.valueTicks, m.entry)) ===
+      Seq((0L, 0L, true), (0L, 2000L, false), (1L, 550L, false)))
+    for (cut <- 1 until u1.size) {
+      val (s1, o1) = Streams.ltvFold(1L, None, u1.take(cut))
+      val (s2, o2) = Streams.ltvFold(1L, Some(s1), u1.drop(cut))
+      assert(s2 === s0, s"state diverged at cut $cut")
+      assert(o1 ++ o2 === o0, s"output diverged at cut $cut")
+    }
+    // same-day signup + purchase landing in ONE batch, purchase first by
+    // tMs: the cohort settles from the batch's earliest signup before any
+    // purchase is judged, so the purchase counts (batch day-granularity)
+    val (_, oSame) = Streams.ltvFold(7L, None, Seq(
+      AttrIn(0L, 7L, "purchase", 100L, 900L),
+      AttrIn(1L, 7L, "signup", 200L, 0L)))
+    assert(oSame.map(m => (m.weekOffset, m.valueTicks, m.entry)) ===
+      Seq((0L, 0L, true), (0L, 900L, false)),
+      "in-batch order free at day granularity")
+    // but a purchase on a day BEFORE the cohort day still drops
+    val (_, oEarly) = Streams.ltvFold(8L, None, Seq(
+      AttrIn(0L, 8L, "purchase", 100L, 900L),
+      AttrIn(1L, 8L, "signup", dayMs + 200L, 0L)))
+    assert(oEarly.map(_.entry) === Seq(true),
+      "pre-cohort-day purchases drop, like the batch filter")
+  }
+
   test("attribution fold: chopped == one-shot on ordered feeds") {
     import graft.streaming.Streams.AttrIn
     val touches = Set("click", "view")

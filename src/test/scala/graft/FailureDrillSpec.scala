@@ -1217,4 +1217,117 @@ class FailureDrillSpec extends SparkSpec {
       (1L, 1L, "retained"), (2L, 1L, "churned"), (2L, 3L, "resurrected")),
       s"got $got")
   }
+
+  /** Restart drill for the streaming RFM twin (`Streams.rfmStream`): the
+    * three running totals must survive a kill — a post-resume purchase
+    * continues the pre-crash frequency/monetary instead of restarting
+    * them, and the latest-mark-per-user read stays exact. */
+  test("restart drill: RFM running totals survive kill; post-resume marks continue them") {
+    val root = Files.createTempDirectory("rfm_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val dayMs = 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, t_ms LONG, ticks LONG")
+        .json(srcDir.getPath)
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("t_ms").as("tMs"),
+          col("ticks").as("valueTicks"))
+        .as[graft.streaming.Streams.AttrIn]
+      graft.streaming.Streams.rfmStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.RfmMark],
+              _: Long) =>
+            df.collect().foreach(m =>
+              marks.add((m.userId, m.lastDay, m.frequency, m.monetaryTicks))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long, String, Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (id, u, et, t, v) =>
+          s"""{"event_id":$id,"user_id":$u,"event_type":"$et","t_ms":$t,"ticks":$v}"""
+        }.mkString("\n"))
+    // pre-crash: u1 buys twice on day 0 (one mark: freq 2, 3000 ticks)
+    writeEvents("b1.json", Seq(
+      (0L, 1L, "purchase", 100L, 1000L), (1L, 1L, "purchase", 200L, 2000L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with the running totals in state
+    // while down: u1 buys again on day 2; u2's first purchase arrives
+    writeEvents("b2.json", Seq(
+      (2L, 1L, "purchase", 2 * dayMs + 100L, 500L),
+      (3L, 2L, "purchase", 2 * dayMs + 200L, 700L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = marks.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+    assert(got.toSet === Set(
+      (1L, 0L, 2L, 3000L), (1L, 2L, 3L, 3500L), (2L, 2L, 1L, 700L)),
+      s"post-resume mark must CONTINUE the pre-crash totals: $got")
+    // latest mark per user == a batch one-shot over the union
+    val latest = got.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    assert(latest(1L) === ((1L, 2L, 3L, 3500L)) && latest(2L) === ((2L, 2L, 1L, 700L)))
+  }
+
+  /** Restart drill for the streaming cohort-LTV twin (`Streams.ltvStream`):
+    * the cohort-day state must survive a kill — a post-resume purchase
+    * still lands in the cohort settled before the crash, the entry mark
+    * never re-emits, and a purchase replayed by the checkpointed source
+    * never double-counts. */
+  test("restart drill: LTV cohort state survives kill; entry never re-emits") {
+    val root = Files.createTempDirectory("ltv_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val dayMs = 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Boolean)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, t_ms LONG, ticks LONG")
+        .json(srcDir.getPath)
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("t_ms").as("tMs"),
+          col("ticks").as("valueTicks"))
+        .as[graft.streaming.Streams.AttrIn]
+      graft.streaming.Streams.ltvStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.LtvMark],
+              _: Long) =>
+            df.collect().foreach(m => marks.add(
+              (m.userId, m.cohortDay, m.weekOffset, m.valueTicks, m.entry))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long, String, Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (id, u, et, t, v) =>
+          s"""{"event_id":$id,"user_id":$u,"event_type":"$et","t_ms":$t,"ticks":$v}"""
+        }.mkString("\n"))
+    // pre-crash: u1 joins cohort day 0 and buys in week 0
+    writeEvents("b1.json", Seq(
+      (0L, 1L, "signup", 100L, 0L), (1L, 1L, "purchase", 200L, 1200L)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // crash with cohortDay=0 in state
+    // while down: u1 buys again in week 1 (must attribute to cohort 0,
+    // not re-enter); u2 buys with no signup ever (must drop)
+    writeEvents("b2.json", Seq(
+      (2L, 1L, "purchase", 8 * dayMs + 100L, 800L),
+      (3L, 2L, "purchase", 8 * dayMs + 200L, 999L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = marks.toArray(Array.empty[(Long, Long, Long, Long, Boolean)]).toSeq
+    assert(got.count(_._5) === 1, s"entry mark must emit exactly once: $got")
+    assert(got.toSet === Set(
+      (1L, 0L, 0L, 0L, true), (1L, 0L, 0L, 1200L, false),
+      (1L, 0L, 1L, 800L, false)),
+      s"post-resume purchase joins the pre-crash cohort; signup-less buyer drops: $got")
+  }
 }
