@@ -185,6 +185,45 @@ object Bench {
       if (failed.contains(name) || all.isEmpty) None
       else Some((name, shipped, flagSpread, warm ++ all))
     }
+    // Train/probe attribution for the train-in-query ANN forms (round-12
+    // directive #6): their medians wander 1.4–1.6× between rounds because
+    // in-query codebook/centroid TRAINING dominates and is co-tenant
+    // sensitive, while the probe term — the part a standing pipeline
+    // actually pays per query (the `_persisted` twins) — is stable. Each
+    // entry here materializes ONLY the training artifact the query builds
+    // internally (same defaults, same session), timed with the same
+    // warm-rep + median discipline and published as `train_sec`;
+    // cross-round comparison reads probe ≈ median − train_sec. The timed
+    // queries themselves are untouched — this is attribution, not a
+    // splice.
+    val trainForms: Map[String, (SparkSession, String) => Seq[org.apache.spark.sql.DataFrame]] = {
+      import graft.llm.Similarity
+      import graft.sources.Tables
+      Map(
+        "ann_pq_recall" -> ((s: SparkSession, dir: String) =>
+          Seq(Similarity.pqCodebooks(Tables.embeddings(s, dir)))),
+        "ann_pq_rerank" -> ((s: SparkSession, dir: String) =>
+          Seq(Similarity.pqCodebooks(Tables.embeddings(s, dir)))),
+        "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
+          val emb = Tables.embeddings(s, dir)
+          Seq(Similarity.ivfIndexBuild(emb)._1, Similarity.pqCodebooks(emb))
+        }))
+    }
+    val trainSecs: Seq[(String, Double)] = results.map(_._1)
+      .filter(trainForms.contains)
+      .flatMap { name =>
+        def one(): Option[Double] = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            trainForms(name)(spark, sfDir).foreach(exec)
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        one() // warm, unscored — same discipline as the query reps
+        val ts = (1 to reps).flatMap(_ => one())
+        if (ts.isEmpty) None else Some(name -> median(ts))
+      }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
@@ -236,7 +275,7 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"rel_spread":$sp,"failed":$fs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"queries":$qs,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"rel_spread":$sp,"failed":$fs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"train_sec":${jmap(trainSecs)},"queries":$qs,"contaminated":$contaminated}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
     // can truncate the one-line artifact; the file always holds it whole —
     // plus the RAW per-rep times, so every median can defend itself
