@@ -234,6 +234,90 @@ class FoldPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("rfmFold: chopped reaches the one-shot state; the last mark is the " +
+      "one-shot snapshot") {
+    val types = Gen.oneOf("purchase", "view", "click")
+    val feedGen: Gen[List[Streams.AttrIn]] = for {
+      n <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 40L * 86400000L))
+      tys <- Gen.listOfN(n, types)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+    } yield ts.sorted.zip(tys).zip(vs).zipWithIndex.map {
+      case (((t, ty), v), i) => Streams.AttrIn(i.toLong, 1L, ty, t, v)
+    }
+    samples(feedGen, 80, 5100L).foreach { feed =>
+      val (s0, o0) = Streams.rfmFold(1L, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.RfmState] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.rfmFold(1L, st, batch)
+          st = s1; o1
+        }
+        assert(st === s0, s"state diverged: $feed chopped $chop")
+        // marks are superseding snapshots: the LAST chopped mark must be
+        // the one-shot mark; intermediate marks are the extra (valid)
+        // running prefixes a consumer overwrites
+        assert(out.lastOption === o0.lastOption,
+          s"final snapshot diverged: $feed chopped $chop")
+      }
+    }
+  }
+
+  test("ltvFold: chopped == one-shot on signup-first ordered feeds") {
+    // arrival contract: the user's signup is their earliest event (a
+    // same-day purchase arriving BEFORE any signup is the documented
+    // in-batch-only allowance, so the chop-invariant feed class keeps
+    // the signup first)
+    val types = Gen.oneOf("purchase", "view", "signup")
+    val feedGen: Gen[List[Streams.AttrIn]] = for {
+      n <- Gen.choose(0, 30)
+      t0 <- Gen.choose(0L, 5L * 86400000L)
+      ts <- Gen.listOfN(n, Gen.choose(t0, t0 + 60L * 86400000L))
+      tys <- Gen.listOfN(n, types)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+    } yield Streams.AttrIn(0L, 1L, "signup", t0, 0L) ::
+      ts.sorted.zip(tys).zip(vs).zipWithIndex.map {
+        case (((t, ty), v), i) => Streams.AttrIn(i + 1L, 1L, ty, t, v)
+      }
+    samples(feedGen, 80, 5200L).foreach { feed =>
+      val (s0, o0) = Streams.ltvFold(1L, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        var st: Option[Streams.LtvState] = None
+        val out = chop.flatMap { batch =>
+          val (s1, o1) = Streams.ltvFold(1L, st, batch)
+          st = Some(s1); o1
+        }
+        assert(st.contains(s0) || (st.isEmpty && feed.isEmpty),
+          s"state diverged: $feed chopped $chop")
+        assert(out === o0, s"output diverged: $feed chopped $chop")
+      }
+    }
+  }
+
+  test("tombstone properties: a TTL-evicted user never re-emits new") {
+    val dayGen = Gen.listOf(Gen.choose(0L, 40L * 86400000L))
+    samples(dayGen, 120, 5300L).foreach { ts =>
+      val evs = ts.sorted.map(t => Streams.EventIn(1L, "view", t))
+      // activity: fold from the eviction tombstone — zero isNew marks
+      val (as, ao) = Streams.activityFold(1L,
+        Some(Streams.ActivityState(Seq.empty, everActive = true)), evs)
+      assert(ao.forall(!_.isNew), s"post-eviction new mark: $evs -> $ao")
+      assert(as.everActive)
+      // growth: fold from a churned tombstone — no `new`, and the first
+      // post-churn activity is exactly one `resurrected`
+      val (gs, go) = Streams.growthFold(1L,
+        Some(Streams.GrowthState(2L, churned = true)), evs)
+      assert(!go.exists(_.kind == "new"), s"post-churn new mark: $evs -> $go")
+      val fresh = evs.map(e => Math.floorDiv(e.tMs, 7L * 86400000L)).distinct
+        .filter(_ > 2L)
+      // the FIRST post-churn activity resurrects (later real gaps may
+      // legitimately emit further churn/resurrect pairs)
+      assert(go.headOption.map(_.kind) ===
+        (if (fresh.nonEmpty) Some("resurrected") else None), s"$evs -> $go")
+      if (fresh.isEmpty) assert(gs.churned, "tombstone persists until a return")
+    }
+  }
+
   test("scd2Fold: chopped == one-shot on lsn-ordered feeds") {
     val feedGen: Gen[List[Streams.ScdIn]] = for {
       n <- Gen.choose(0, 25)
