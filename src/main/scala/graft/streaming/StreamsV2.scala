@@ -162,6 +162,87 @@ object StreamsV2 {
       .transformWithState(new FunnelProcessor(steps, ttl), mode, OutputMode.Append())
   }
 
+  /** RFM processor: one 3-long `ValueState` per purchasing user — the
+    * running (lastDay, frequency, ticks). The fold is
+    * [[Streams.rfmFold]], the SAME function the
+    * `flatMapGroupsWithState` form calls — the two APIs cannot drift.
+    * TTL here is declarative; the [[Streams.rfmStream]] docstring's
+    * eviction caveat (totals ARE the product; expiry resets a
+    * re-appearing purchaser visibly) applies identically. */
+  class RfmProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.AttrIn, Streams.RfmMark] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[Streams.RfmState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState(
+        "rfmTotals", Encoders.product[Streams.RfmState], ttl)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.AttrIn],
+        timerValues: TimerValues): Iterator[Streams.RfmMark] = {
+      val start = if (totals.exists()) Some(totals.get()) else None
+      val (next, out) = Streams.rfmFold(userId, start, rows.toSeq)
+      next.foreach(totals.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming RFM on `transformWithState` — drop-in for
+    * [[Streams.rfmStream]]. `ttlMs <= 0` disables expiry. */
+  def rfmStream(
+      events: Dataset[Streams.AttrIn],
+      ttlMs: Long = 0L): Dataset[Streams.RfmMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new RfmProcessor(ttl), mode, OutputMode.Append())
+  }
+
+  /** Cohort-LTV processor: one long of `ValueState` per user (the signup
+    * cohort day). The fold is [[Streams.ltvFold]] — shared with the
+    * `flatMapGroupsWithState` form. TTL expiry forgets a cohort, so a
+    * user's LATER purchases drop from the triangle (the conservative
+    * direction — the entry mark emitted exactly once before expiry, so
+    * cohort sizes never double-count). */
+  class LtvProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.AttrIn, Streams.LtvMark] {
+    @transient private var cohort: org.apache.spark.sql.streaming.ValueState[Streams.LtvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cohort = getHandle.getValueState(
+        "ltvCohort", Encoders.product[Streams.LtvState], ttl)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.AttrIn],
+        timerValues: TimerValues): Iterator[Streams.LtvMark] = {
+      val start = if (cohort.exists()) Some(cohort.get()) else None
+      val (next, out) = Streams.ltvFold(userId, start, rows.toSeq)
+      if (next.cohortDay >= 0) cohort.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming cohort LTV on `transformWithState` — drop-in for
+    * [[Streams.ltvStream]]. `ttlMs <= 0` disables expiry. */
+  def ltvStream(
+      events: Dataset[Streams.AttrIn],
+      ttlMs: Long = 0L): Dataset[Streams.LtvMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new LtvProcessor(ttl), mode, OutputMode.Append())
+  }
+
   /** Token-bucket throttle processor: one small `ValueState` per lane —
     * the scalar-state counterpart to the ListState buffers above (the
     * bucket is (tick, allowance, used); RocksDB rewrites one tiny value

@@ -144,6 +144,38 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState RFM + LTV: parity with the " +
+      "flatMapGroupsWithState forms") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AttrIn, LtvMark, RfmMark}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def rfmRows(tag: String, mk: MemoryStream[AttrIn] =>
+          org.apache.spark.sql.Dataset[RfmMark]) =
+        runChunked[AttrIn, RfmMark](mk, moneyFeed, 3, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("lastDay"),
+            r.getAs[Long]("frequency"), r.getAs[Long]("monetaryTicks"))).sorted
+      assert(rfmRows("rfm_v2", in => graft.streaming.StreamsV2.rfmStream(in.toDS())) ===
+        rfmRows("rfm_v1", in => Streams.rfmStream(in.toDS())),
+        "the two state APIs must emit identical RFM snapshots")
+      def ltvRows(tag: String, mk: MemoryStream[AttrIn] =>
+          org.apache.spark.sql.Dataset[LtvMark]) =
+        runChunked[AttrIn, LtvMark](mk, moneyFeed, 3, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("cohortDay"),
+            r.getAs[Long]("weekOffset"), r.getAs[Long]("valueTicks"),
+            r.getAs[Boolean]("entry"))).sorted
+      assert(ltvRows("ltv_v2", in => graft.streaming.StreamsV2.ltvStream(in.toDS())) ===
+        ltvRows("ltv_v1", in => Streams.ltvStream(in.toDS())),
+        "the two state APIs must emit identical LTV marks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming transitions equal the batch matrix (3 chunks)") {
     import spark.implicits._
     // feed: (userId, eventId, eventType, tMs) — ids mint a total order
