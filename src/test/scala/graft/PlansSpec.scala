@@ -89,7 +89,7 @@ class PlansSpec extends SparkSpec {
     // round-12 TPC-H wave (Q1 full/Q6/Q7/Q8/Q9/Q17/Q21 shapes)
     "q_pricing_summary", "q_forecast_revenue", "q_volume_shipping",
     "q_market_share", "q_product_profit", "q_small_qty_revenue",
-    "q_waiting_suppliers")
+    "q_waiting_suppliers", "q_ship_priority_mix")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -1006,6 +1006,22 @@ class PlansSpec extends SparkSpec {
         s"the rewrite must not plan a $j — the property is a per-order aggregate")
     assert(count("q_waiting_suppliers", "BroadcastNestedLoopJoin") === 0)
     assert(count("q_waiting_suppliers", "CartesianProduct") === 0)
+    // round-13 collapse: no countDistinct — two distinct aggregates
+    // expand into Expand + a double shuffle (the r12 100× spill); the
+    // (orderkey, suppkey) pre-aggregate keeps the plan Expand-free, and
+    // under sort-merge both groupBys reuse HashPartitioning(l_orderkey)
+    assert(count("q_waiting_suppliers", "Expand") === 0,
+      "the blocking aggregate must not plan an Expand (countDistinct)")
+  }
+
+  test("ship-priority mix (Q12): one fact pass, predicates at the scan") {
+    assert(plans("q_ship_priority_mix").contains("PushedFilters"),
+      "the returnflag/shipdate predicates must reach the parquet scan")
+    assert(count("q_ship_priority_mix", "Join") === 1,
+      "exactly the lineitem⨝orders join — the priority split is " +
+        "conditional aggregation, not extra joins")
+    assert(count("q_ship_priority_mix", "Expand") === 0)
+    assert(count("q_ship_priority_mix", "CartesianProduct") === 0)
   }
 
   test("cdc stream audits: keyed windows/aggs only — no joins beyond the hw broadcast") {
