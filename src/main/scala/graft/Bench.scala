@@ -199,11 +199,20 @@ object Bench {
     val trainForms: Map[String, (SparkSession, String) => Seq[org.apache.spark.sql.DataFrame]] = {
       import graft.llm.Similarity
       import graft.sources.Tables
+      val pqTrain = (s: SparkSession, dir: String) =>
+        Seq(Similarity.pqCodebooks(Tables.embeddings(s, dir)))
+      val ivfTrain = (s: SparkSession, dir: String) =>
+        Seq(Similarity.ivfIndexBuild(Tables.embeddings(s, dir))._1)
       Map(
-        "ann_pq_recall" -> ((s: SparkSession, dir: String) =>
-          Seq(Similarity.pqCodebooks(Tables.embeddings(s, dir)))),
-        "ann_pq_rerank" -> ((s: SparkSession, dir: String) =>
-          Seq(Similarity.pqCodebooks(Tables.embeddings(s, dir)))),
+        "ann_pq_recall" -> pqTrain,
+        "ann_pq_rerank" -> pqTrain,
+        "ann_pq_topk" -> pqTrain,
+        "ann_pq_recall_curve" -> pqTrain,
+        "ann_pq_balance" -> pqTrain,
+        "ann_ivf_topk" -> ivfTrain,
+        "ann_ivf_recall" -> ivfTrain,
+        "ann_ivf_balance" -> ivfTrain,
+        "ann_ivfsq_topk" -> ivfTrain,
         "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
           val emb = Tables.embeddings(s, dir)
           Seq(Similarity.ivfIndexBuild(emb)._1, Similarity.pqCodebooks(emb))

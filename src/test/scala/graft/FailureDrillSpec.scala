@@ -1274,6 +1274,58 @@ class FailureDrillSpec extends SparkSpec {
     assert(latest(1L) === ((1L, 2L, 3L, 3500L)) && latest(2L) === ((2L, 2L, 1L, 700L)))
   }
 
+  /** Restart drill for the `transformWithState` RFM form
+    * (`StreamsV2.rfmStream`): the ValueState running totals must survive
+    * a kill under the RocksDB provider exactly like the
+    * flatMapGroupsWithState form's GroupState — one drill pins that the
+    * V2 state plumbing checkpoints, not just the shared fold math. */
+  test("restart drill: V2 (transformWithState) RFM totals survive kill under RocksDB") {
+    val root = Files.createTempDirectory("rfm_v2_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val dayMs = 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, t_ms LONG, ticks LONG")
+        .json(srcDir.getPath)
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("t_ms").as("tMs"),
+          col("ticks").as("valueTicks"))
+        .as[graft.streaming.Streams.AttrIn]
+      graft.streaming.StreamsV2.rfmStream(arrivals)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.RfmMark],
+              _: Long) =>
+            df.collect().foreach(m =>
+              marks.add((m.userId, m.lastDay, m.frequency, m.monetaryTicks))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long, String, Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (id, u, et, t, v) =>
+          s"""{"event_id":$id,"user_id":$u,"event_type":"$et","t_ms":$t,"ticks":$v}"""
+        }.mkString("\n"))
+    withRocksDb {
+      writeEvents("b1.json", Seq(
+        (0L, 1L, "purchase", 100L, 1000L), (1L, 1L, "purchase", 200L, 2000L)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      writeEvents("b2.json", Seq(
+        (2L, 1L, "purchase", 2 * dayMs + 100L, 500L)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = marks.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq
+      assert(got.toSet === Set((1L, 0L, 2L, 3000L), (1L, 2L, 3L, 3500L)),
+        s"V2 post-resume mark must CONTINUE the pre-crash totals: $got")
+    }
+  }
+
   /** Restart drill for the streaming cohort-LTV twin (`Streams.ltvStream`):
     * the cohort-day state must survive a kill — a post-resume purchase
     * still lands in the cohort settled before the crash, the entry mark
