@@ -162,6 +162,123 @@ object StreamsV2 {
       .transformWithState(new FunnelProcessor(steps, ttl), mode, OutputMode.Append())
   }
 
+  /** [[Streams.ActivityState]] plus the last-touch processing time the
+    * timer-based TTL eviction needs (V2 has no `setTimeoutDuration`; a
+    * timer is registered per batch and a stale-timer guard compares
+    * against `lastTouchMs`). */
+  case class ActivityStateV2(days: Seq[Long], everActive: Boolean,
+      lastTouchMs: Long)
+
+  /** DAU / new-vs-returning processor — the `transformWithState` form of
+    * [[Streams.activityStream]], same fold ([[Streams.activityFold]]),
+    * same TTL-eviction contract: expiry drops the day SET but keeps the
+    * one-boolean `everActive` tombstone, so a re-appearing user is never
+    * a second `new`. */
+  class ActivityProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, Streams.EventIn, Streams.DayActive] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[ActivityStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "activity", Encoders.product[ActivityStateV2], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.EventIn],
+        timerValues: TimerValues): Iterator[Streams.DayActive] = {
+      val start = if (st.exists()) {
+        val s = st.get(); Some(Streams.ActivityState(s.days, s.everActive))
+      } else None
+      val (next, out) = Streams.activityFold(userId, start, rows.toSeq)
+      val now = timerValues.getCurrentProcessingTimeInMs()
+      st.update(ActivityStateV2(next.days, next.everActive, now))
+      if (ttlMs > 0) getHandle.registerTimer(now + ttlMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Streams.DayActive] = {
+      // a timer registered before a later touch is STALE — only evict
+      // when the key has been silent for a full TTL
+      if (st.exists() &&
+          timerValues.getCurrentProcessingTimeInMs() - st.get().lastTouchMs >= ttlMs)
+        st.update(st.get().copy(days = Seq.empty, everActive = true))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming DAU on `transformWithState` — drop-in for
+    * [[Streams.activityStream]]. `ttlMs <= 0` disables expiry. */
+  def activityStream(
+      events: Dataset[Streams.EventIn],
+      ttlMs: Long = 0L): Dataset[Streams.DayActive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new ActivityProcessor(ttlMs), mode, OutputMode.Append())
+  }
+
+  /** [[Streams.GrowthState]] plus the last-touch processing time (same
+    * stale-timer discipline as [[ActivityStateV2]]). */
+  case class GrowthStateV2(lastWeek: Long, churned: Boolean, lastTouchMs: Long)
+
+  /** Growth-accounting processor — the `transformWithState` form of
+    * [[Streams.growthStream]], same fold ([[Streams.growthFold]]), same
+    * eviction contract: expiry emits the silent `churned` row and keeps
+    * the (lastWeek, churned=true) tombstone so a return classifies
+    * `resurrected`, never a second `new`. */
+  class GrowthProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, Streams.EventIn, Streams.GrowthMark] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[GrowthStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "growth", Encoders.product[GrowthStateV2], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.EventIn],
+        timerValues: TimerValues): Iterator[Streams.GrowthMark] = {
+      val start = if (st.exists()) {
+        val s = st.get(); Some(Streams.GrowthState(s.lastWeek, s.churned))
+      } else None
+      val (next, out) = Streams.growthFold(userId, start, rows.toSeq)
+      val now = timerValues.getCurrentProcessingTimeInMs()
+      st.update(GrowthStateV2(next.lastWeek, next.churned, now))
+      if (ttlMs > 0) getHandle.registerTimer(now + ttlMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Streams.GrowthMark] = {
+      if (st.exists() &&
+          timerValues.getCurrentProcessingTimeInMs() - st.get().lastTouchMs >= ttlMs) {
+        val s = st.get()
+        if (s.lastWeek >= 0 && !s.churned) {
+          st.update(s.copy(churned = true))
+          return Iterator.single(
+            Streams.GrowthMark(userId, s.lastWeek + 1, "churned"))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming growth accounting on `transformWithState` — drop-in for
+    * [[Streams.growthStream]]. `ttlMs <= 0` disables expiry. */
+  def growthStream(
+      events: Dataset[Streams.EventIn],
+      ttlMs: Long = 0L): Dataset[Streams.GrowthMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new GrowthProcessor(ttlMs), mode, OutputMode.Append())
+  }
+
   /** RFM processor: one 3-long `ValueState` per purchasing user — the
     * running (lastDay, frequency, ticks). The fold is
     * [[Streams.rfmFold]], the SAME function the

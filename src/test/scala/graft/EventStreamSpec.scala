@@ -144,6 +144,93 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState DAU + growth: parity with the " +
+      "flatMapGroupsWithState forms") {
+    import spark.implicits._
+    import graft.streaming.Streams.{DayActive, GrowthMark}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def dauRows(tag: String, mk: MemoryStream[EventIn] =>
+          org.apache.spark.sql.Dataset[DayActive]) =
+        runChunked[EventIn, DayActive](mk, scenario, 4, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("day"),
+            r.getAs[Boolean]("isNew"))).sorted
+      assert(dauRows("dau_v2", in => graft.streaming.StreamsV2.activityStream(in.toDS())) ===
+        dauRows("dau_v1", in => Streams.activityStream(in.toDS())),
+        "the two state APIs must emit identical DAU marks")
+      def growthRows(tag: String, mk: MemoryStream[EventIn] =>
+          org.apache.spark.sql.Dataset[GrowthMark]) =
+        runChunked[EventIn, GrowthMark](mk, growthFeed, 3, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("week"),
+            r.getAs[String]("kind"))).sorted
+      assert(growthRows("growth_v2", in => graft.streaming.StreamsV2.growthStream(in.toDS())) ===
+        growthRows("growth_v1", in => Streams.growthStream(in.toDS())),
+        "the two state APIs must emit identical growth marks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState growth TTL: the timer path emits churned and " +
+      "keeps the tombstone (return resurrects, never a second new)") {
+    import spark.implicits._
+    import graft.streaming.Streams.GrowthMark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val weekMs = 7L * dayMs
+      val input = MemoryStream[EventIn]
+      val q = graft.streaming.StreamsV2.growthStream(input.toDS(), ttlMs = 200L)
+        .writeStream.format("memory").queryName("growth_ttl_v2")
+        .outputMode("append").start()
+      def rows(): Seq[GrowthMark] =
+        spark.table("growth_ttl_v2").as[GrowthMark].collect().toSeq
+      input.addData(EventIn(1L, "view", 100L))
+      // NO processAllAvailable in this test: with registered
+      // processing-time timers the microbatch loop keeps planning work,
+      // so noNewData never latches and processAllAvailable can block —
+      // the v1 TTL tests' documented hazard, V2-flavored. Pure sink
+      // polling; each nudge (an unrelated user's event) guarantees a
+      // real batch runs after the TTL expires, firing the due timer.
+      // The nudge user may legitimately churn/resurrect between nudges;
+      // every assertion below reads ONLY u1's marks.
+      def u1(): Seq[GrowthMark] = rows().filter(_.userId == 1L)
+      val deadline = System.currentTimeMillis() + 90000L
+      var nudge = 1000L
+      while (!u1().exists(_.kind == "churned") &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        nudge += 1
+        input.addData(EventIn(99L, "view", nudge))
+      }
+      input.addData(EventIn(1L, "view", 4 * weekMs + 100L))
+      while (!u1().exists(_.kind == "resurrected") &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      assert(u1().exists(_.kind == "resurrected"),
+        s"the tombstone must resurrect the returning user: ${u1()}")
+      q.stop()
+      val got = u1()
+      spark.catalog.dropTempView("growth_ttl_v2")
+      assert(got.contains(GrowthMark(1L, 0L, "new")))
+      assert(got.contains(GrowthMark(1L, 1L, "churned")),
+        s"V2 timer eviction must close with a churned row; got $got")
+      assert(got.contains(GrowthMark(1L, 4L, "resurrected")),
+        s"V2 post-eviction return must resurrect, got $got")
+      assert(got.count(_.kind == "new") === 1, s"one new ever: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState RFM + LTV: parity with the " +
       "flatMapGroupsWithState forms") {
     import spark.implicits._
