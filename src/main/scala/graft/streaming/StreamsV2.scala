@@ -162,6 +162,122 @@ object StreamsV2 {
       .transformWithState(new FunnelProcessor(steps, ttl), mode, OutputMode.Append())
   }
 
+  /** Transition-matrix processor: ONE previous-event tuple of
+    * `ValueState` per user — the fold is [[Streams.transitionsFold]],
+    * shared with the `flatMapGroupsWithState` form. TTL expiry clears
+    * the carried tuple (declarative `TTLConfig`, like the v1 form's
+    * plain eviction — a re-appearing user simply starts a new chain). */
+  class TransitionsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, (Long, Long, String, Long), Streams.TransitionOut] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[Streams.LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState(
+        "lastEvent", Encoders.product[Streams.LastEvent], ttl)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[(Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[Streams.TransitionOut] = {
+      val start = if (last.exists()) Some(last.get()) else None
+      val (next, out) = Streams.transitionsFold(userId, start,
+        rows.map(e => (e._2, e._3, e._4)).toSeq)
+      next.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming transition matrix on `transformWithState` — drop-in for
+    * [[Streams.transitionsStream]]. `ttlMs <= 0` disables expiry. */
+  def transitionsStream(
+      events: Dataset[(Long, Long, String, Long)],
+      ttlMs: Long = 0L): Dataset[Streams.TransitionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_._1)
+      .transformWithState(new TransitionsProcessor(ttl), mode, OutputMode.Append())
+  }
+
+  /** Retention processor: (cohortDay, emitted-day set, pending) per user
+    * — the fold is [[Streams.retentionFold]], shared with the v1 form
+    * (including the pre-signup same-day `pending` buffer). */
+  class RetentionProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.EventIn, Streams.RetentionMark] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Streams.RetentionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "retention", Encoders.product[Streams.RetentionState], ttl)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.EventIn],
+        timerValues: TimerValues): Iterator[Streams.RetentionMark] = {
+      val start = if (st.exists()) Some(st.get()) else None
+      val (next, out) = Streams.retentionFold(userId, start, rows.toSeq)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming retention triangle on `transformWithState` — drop-in for
+    * [[Streams.retentionStream]]. `ttlMs <= 0` disables expiry. */
+  def retentionStream(
+      events: Dataset[Streams.EventIn],
+      ttlMs: Long = 0L): Dataset[Streams.RetentionMark] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new RetentionProcessor(ttl), mode, OutputMode.Append())
+  }
+
+  /** Last-touch attribution processor: ONE carried touch tuple per user
+    * — the fold is [[Streams.attributionFold]], shared with the v1
+    * form; every purchase emits already credited. */
+  class AttributionProcessor(touchTypes: Set[String], ttl: TTLConfig)
+      extends StatefulProcessor[Long, Streams.AttrIn, Streams.AttributionOut] {
+    @transient private var touch: org.apache.spark.sql.streaming.ValueState[Streams.LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState(
+        "lastTouch", Encoders.product[Streams.LastEvent], ttl)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.AttrIn],
+        timerValues: TimerValues): Iterator[Streams.AttributionOut] = {
+      val start = if (touch.exists()) Some(touch.get()) else None
+      val (next, out) =
+        Streams.attributionFold(userId, touchTypes, start, rows.toSeq)
+      next.foreach(touch.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming last-touch attribution on `transformWithState` — drop-in
+    * for [[Streams.attributionStream]]. `ttlMs <= 0` disables expiry. */
+  def attributionStream(
+      events: Dataset[Streams.AttrIn],
+      touchTypes: Set[String] = Set("click", "view"),
+      ttlMs: Long = 0L): Dataset[Streams.AttributionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor(touchTypes, ttl), mode, OutputMode.Append())
+  }
+
   /** [[Streams.ActivityState]] plus the last-touch processing time the
     * timer-based TTL eviction needs (V2 has no `setTimeoutDuration`; a
     * timer is registered per batch and a stale-timer guard compares

@@ -175,6 +175,57 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState transitions + retention + attribution: parity " +
+      "with the flatMapGroupsWithState forms") {
+    import spark.implicits._
+    import graft.streaming.Streams.{AttrIn, AttributionOut, RetentionMark, TransitionOut}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val transFeed = scenario.zipWithIndex.map { case (e, i) =>
+        (e.userId, i.toLong, e.eventType, e.tMs)
+      }
+      def transRows(tag: String, mk: MemoryStream[(Long, Long, String, Long)] =>
+          org.apache.spark.sql.Dataset[TransitionOut]) =
+        runChunked[(Long, Long, String, Long), TransitionOut](mk, transFeed, 3, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[String]("fromType"),
+            r.getAs[String]("toType"), r.getAs[Long]("tMs"))).sorted
+      assert(transRows("trans_v2",
+          in => graft.streaming.StreamsV2.transitionsStream(in.toDS())) ===
+        transRows("trans_v1", in => Streams.transitionsStream(in.toDS())),
+        "the two state APIs must emit identical transition pairs")
+      def retRows(tag: String, mk: MemoryStream[EventIn] =>
+          org.apache.spark.sql.Dataset[RetentionMark]) =
+        runChunked[EventIn, RetentionMark](mk, scenario, 4, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("cohortDay"),
+            r.getAs[Long]("dayOffset"))).sorted
+      assert(retRows("ret_v2",
+          in => graft.streaming.StreamsV2.retentionStream(in.toDS())) ===
+        retRows("ret_v1", in => Streams.retentionStream(in.toDS())),
+        "the two state APIs must emit identical retention marks")
+      val attrFeed = Seq(
+        AttrIn(0L, 1L, "purchase", 100L, 1000L),
+        AttrIn(1L, 1L, "click", 200L, 0L),
+        AttrIn(2L, 1L, "purchase", 300L, 550L),
+        AttrIn(3L, 2L, "view", 100L, 0L),
+        AttrIn(4L, 2L, "purchase", 200L, 450L))
+      def attrRows(tag: String, mk: MemoryStream[AttrIn] =>
+          org.apache.spark.sql.Dataset[AttributionOut]) =
+        runChunked[AttrIn, AttributionOut](mk, attrFeed, 2, tag)
+          .map(r => (r.getAs[Long]("userId"), r.getAs[String]("channel"),
+            r.getAs[Long]("valueTicks"), r.getAs[Long]("tMs"))).sorted
+      assert(attrRows("attr_v2",
+          in => graft.streaming.StreamsV2.attributionStream(in.toDS())) ===
+        attrRows("attr_v1", in => Streams.attributionStream(in.toDS())),
+        "the two state APIs must emit identical attribution credits")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState growth TTL: the timer path emits churned and " +
       "keeps the tombstone (return resurrects, never a second new)") {
     import spark.implicits._
