@@ -60,8 +60,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Default double-run set (round-13 widening): the queries whose
+    // construction is most nondeterminism-prone — the sampled substring
+    // path (the original member), the iterative star contraction, the
+    // banded+capped image dedup, and a quantized-k-means consumer. Each
+    // runs twice per Verify; a moved hash between the two runs is OUR
+    // nondeterminism, reproducible, and flagged in SELFHASH.json before
+    // any cross-engine compare can blame DuckDB.
     val doubleRun = sys.env.getOrElse("SPARK_GRAFT_DOUBLE_RUN",
-      "dedup_substring_clean").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "dedup_substring_clean,dedup_clusters,mm_phash_clusters_capped,ann_pq_topk")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val hashes = scala.collection.mutable.LinkedHashMap[String, String]()
     val stability = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
     val decimalHits = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
