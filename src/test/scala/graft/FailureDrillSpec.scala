@@ -1326,6 +1326,79 @@ class FailureDrillSpec extends SparkSpec {
     }
   }
 
+  /** Restart drill for the V2 timer path (`StreamsV2.growthStream`): a
+    * processing-time timer registered BEFORE a kill lives in the state
+    * store, so after resume the silent-churn eviction must still fire —
+    * and the tombstone it writes must survive into the resumed query so
+    * the user's return classifies `resurrected`. Pins the part of the
+    * timer plumbing no ttl=0 parity test can reach: recovery. */
+  test("restart drill: V2 growth timer fires after resume; tombstone survives the kill") {
+    val root = Files.createTempDirectory("growth_v2_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val weekMs = 7L * 86400000L
+    val marks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("user_id LONG, t_ms LONG").json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.StreamsV2.growthStream(arrivals, ttlMs = 200L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.GrowthMark],
+              _: Long) =>
+            df.collect().foreach(m => marks.add((m.userId, m.week, m.kind))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    def u1(): Seq[(Long, Long, String)] =
+      marks.toArray(Array.empty[(Long, Long, String)]).toSeq.filter(_._1 == 1L)
+    withRocksDb {
+      // batch 1: u1 first seen (week 0); a 200 ms eviction timer is now
+      // registered in the checkpointed state store
+      writeEvents("b1.json", Seq((1L, 100L)))
+      val q1 = startQuery()
+      val d0 = System.currentTimeMillis() + 60000L
+      while (!u1().exists(_._3 == "new") && System.currentTimeMillis() < d0)
+        Thread.sleep(100L)
+      q1.stop() // kill BEFORE the timer fires
+      assert(u1().map(_._3) === Seq("new"), s"pre-kill marks: ${u1()}")
+      Thread.sleep(300L) // the TTL expires while the query is down
+      // resume: the recovered timer must fire once a batch runs — drive
+      // batches with an unrelated user's events (the V2 nudge discipline;
+      // processAllAvailable can block while timers keep the loop busy)
+      val q2 = startQuery()
+      val deadline = System.currentTimeMillis() + 90000L
+      var nudge = 1000L
+      while (!u1().exists(_._3 == "churned") &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        nudge += 1
+        writeEvents(s"nudge$nudge.json", Seq((99L, nudge)))
+      }
+      assert(u1().exists(_._3 == "churned"),
+        s"the recovered timer must emit the silent churn: ${u1()}")
+      // the tombstone written by the post-resume eviction must classify
+      // u1's return as resurrected, never a second new
+      writeEvents("b2.json", Seq((1L, 4 * weekMs + 100L)))
+      while (!u1().exists(_._3 == "resurrected") &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      q2.stop()
+      val got = u1()
+      assert(got.contains((1L, 1L, "churned")) &&
+        got.contains((1L, 4L, "resurrected")) &&
+        got.count(_._3 == "new") === 1,
+        s"churn@1 + resurrect@4 + one new ever, got $got")
+    }
+  }
+
   /** Restart drill for the streaming cohort-LTV twin (`Streams.ltvStream`):
     * the cohort-day state must survive a kill — a post-resume purchase
     * still lands in the cohort settled before the crash, the entry mark
