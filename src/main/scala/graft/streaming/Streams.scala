@@ -967,7 +967,14 @@ object Streams {
     * `everActive` survives TTL eviction as a tombstone (the day set is
     * dropped, the one boolean stays) so a re-appearing user is never
     * re-counted as `new` — without it, eviction would reset the fold to
-    * first-contact and inflate `new_users` by one per evicted returnee. */
+    * first-contact and inflate `new_users` by one per evicted returnee.
+    *
+    * CHECKPOINT COMPATIBILITY: adding `everActive` (round 13) changed the
+    * `GroupState` encoder schema of [[activityStream]] — a production
+    * query resuming a checkpoint written by the pre-round-13 shape will
+    * fail or misdecode state (the case-class default does NOT apply to
+    * already-serialized rows); resume requires a fresh checkpoint
+    * (replay or batch-backfill the state, the FailureDrillSpec recipe). */
   case class ActivityState(days: Seq[Long], everActive: Boolean = true)
 
   /** One DAU step for a batch of same-user events — shared fold of
@@ -1048,7 +1055,13 @@ object Streams {
     * TTL-eviction path). The tombstone keeps (lastWeek, churned=true)
     * past eviction so a returning user classifies as `resurrected` —
     * consistent with the churn already emitted — never as a second
-    * `new`, which is what a bare state.remove() would produce. */
+    * `new`, which is what a bare state.remove() would produce.
+    *
+    * CHECKPOINT COMPATIBILITY: adding `churned` (round 13) changed the
+    * `GroupState` encoder schema of [[growthStream]] — resuming a
+    * pre-round-13 checkpoint fails or misdecodes state (defaults don't
+    * apply to already-serialized rows); resume needs a fresh checkpoint
+    * (see the [[ActivityState]] note). */
   case class GrowthState(lastWeek: Long, churned: Boolean = false)
 
   /** One growth step for a batch of same-user events — shared fold of

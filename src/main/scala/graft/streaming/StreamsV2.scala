@@ -307,7 +307,15 @@ object StreamsV2 {
       val (next, out) = Streams.activityFold(userId, start, rows.toSeq)
       val now = timerValues.getCurrentProcessingTimeInMs()
       st.update(ActivityStateV2(next.days, next.everActive, now))
-      if (ttlMs > 0) getHandle.registerTimer(now + ttlMs)
+      if (ttlMs > 0) {
+        // one pending timer per key, not one per batch: a key active
+        // every micro-batch would otherwise accumulate a timer per batch
+        // within each TTL window (the stale guard keeps that CORRECT but
+        // timer-state size and expired-timer invocations grow with batch
+        // rate) — same discipline as DriftBrokerProcessor
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(now + ttlMs)
+      }
       out.iterator
     }
 
@@ -362,7 +370,11 @@ object StreamsV2 {
       val (next, out) = Streams.growthFold(userId, start, rows.toSeq)
       val now = timerValues.getCurrentProcessingTimeInMs()
       st.update(GrowthStateV2(next.lastWeek, next.churned, now))
-      if (ttlMs > 0) getHandle.registerTimer(now + ttlMs)
+      if (ttlMs > 0) {
+        // one pending timer per key (see ActivityProcessor)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(now + ttlMs)
+      }
       out.iterator
     }
 
@@ -797,5 +809,270 @@ object StreamsV2 {
       .groupByKey(e => (e.tbl, e.pk))
       .transformWithState(
         new PollProcessor(pollIntervalMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** SCD2 processor — the `transformWithState` form of
+    * [[Streams.scd2Stream]] (the heaviest per-key state of the keyed
+    * family: the OPEN dimension version plus the version counter). The
+    * step is [[Streams.scd2Fold]], the SAME function the
+    * `flatMapGroupsWithState` form calls — the two APIs cannot drift.
+    *
+    * TTL contract matches v1 exactly: eviction emits the OPEN version
+    * with [[Streams.ScdEvictedOpen]] as its `validTo` (a silently dropped
+    * open row would be a dimension history that never ends) and then
+    * REMOVES the state entirely — a re-appearing key restarts its version
+    * counter at 1, the v1 `state.remove()` semantics. One pending timer
+    * per key (delete-before-register, the DriftBrokerProcessor
+    * discipline), slid on every batch, so the timer fires only after a
+    * full TTL of silence. */
+  class Scd2Processor(ttlMs: Long)
+      extends StatefulProcessor[(String, String), Streams.ScdIn, Streams.ScdOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Streams.ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "scd2Open", Encoders.product[Streams.ScdState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String), rows: Iterator[Streams.ScdIn],
+        timerValues: TimerValues): Iterator[Streams.ScdOut] = {
+      val start = if (st.exists()) Some(st.get()) else None
+      val (next, out) = Streams.scd2Fold(start, rows.toSeq)
+      next.foreach(st.update)
+      if (ttlMs > 0) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + ttlMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (String, String), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Streams.ScdOut] = {
+      val evicted =
+        if (st.exists()) {
+          val p = st.get()
+          if (p.open)
+            Some(Streams.ScdOut(key._1, key._2, p.openVer, p.validFrom,
+              Streams.ScdEvictedOpen, p.v, p.kk))
+          else None
+        } else None
+      st.clear()
+      evicted.iterator
+    }
+  }
+
+  /** Streaming SCD Type-2 dimension builder on `transformWithState` —
+    * drop-in for [[Streams.scd2Stream]]. `ttlMs <= 0` disables expiry. */
+  def scd2Stream(
+      ops: Dataset[Streams.ScdIn],
+      ttlMs: Long = 0L): Dataset[Streams.ScdOut] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    ops
+      .groupByKey(o => (o.tbl, o.pk))
+      .transformWithState(new Scd2Processor(ttlMs), mode, OutputMode.Append())
+  }
+
+  /** Heartbeat processor — the `transformWithState` form of
+    * [[Streams.heartbeatStream]]: one (lsn, t) tuple per table, the
+    * smallest keyed state in the repo. The step is
+    * [[Streams.heartbeatFold]], shared with the v1 form. TTL removes the
+    * tuple silently (v1 semantics — a table going quiet is itself a gap
+    * the NEXT tick will report against whatever state remains). */
+  class HeartbeatProcessor(stallMs: Long, ttlMs: Long)
+      extends StatefulProcessor[String, Streams.OpTick, Streams.StallOut] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[Streams.TickState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState(
+        "lastTick", Encoders.product[Streams.TickState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        tbl: String, rows: Iterator[Streams.OpTick],
+        timerValues: TimerValues): Iterator[Streams.StallOut] = {
+      val start = if (last.exists()) Some(last.get()) else None
+      val (next, out) = Streams.heartbeatFold(stallMs, start, rows.toSeq)
+      next.foreach(last.update)
+      if (ttlMs > 0) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + ttlMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        tbl: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Streams.StallOut] = {
+      last.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Streaming liveness monitor on `transformWithState` — drop-in for
+    * [[Streams.heartbeatStream]]. `ttlMs <= 0` disables expiry. */
+  def heartbeatStream(
+      ticks: Dataset[Streams.OpTick],
+      stallMs: Long = 60000L,
+      ttlMs: Long = 0L): Dataset[Streams.StallOut] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    ticks
+      .groupByKey(_.tbl)
+      .transformWithState(new HeartbeatProcessor(stallMs, ttlMs), mode, OutputMode.Append())
+  }
+
+  /** Budget-admission processor — the `transformWithState` form of
+    * [[Streams.budgetAdmissionStream]]: one long (tokens consumed) per
+    * source, declarative TTL (the v1 timeout just removes the counter, so
+    * TTLConfig expresses it exactly — no timer needed). The step is
+    * [[Streams.budgetFold]], shared with the v1 form. */
+  class BudgetProcessor(budgetPerSource: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, Streams.BudgetIn, Streams.BudgetOut] {
+    @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState("usedTokens", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(
+        source: String, rows: Iterator[Streams.BudgetIn],
+        timerValues: TimerValues): Iterator[Streams.BudgetOut] = {
+      val start = if (used.exists()) Some(used.get()) else None
+      val (next, out) = Streams.budgetFold(source, start, rows.toSeq, budgetPerSource)
+      used.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-source token-budget admission on `transformWithState` —
+    * drop-in for [[Streams.budgetAdmissionStream]]. `ttlMs <= 0` disables
+    * expiry. */
+  def budgetAdmissionStream(
+      rows: Dataset[Streams.BudgetIn],
+      budgetPerSource: Long = 2000L,
+      ttlMs: Long = 3600000L): Dataset[Streams.BudgetOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    rows
+      .groupByKey(_.source)
+      .transformWithState(new BudgetProcessor(budgetPerSource, ttl), mode, OutputMode.Append())
+  }
+
+  /** One OPEN gap session: `[start, end)` with `end = last event time +
+    * gap` (the `session_window` convention — two events share a session
+    * iff the later one's time is STRICTLY before the earlier one's end).
+    * `n` counts the session's events. */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** A closed session — same fields as [[Streams.sessionStream]]'s row
+    * (`session_end` already includes the gap, the `session_window`
+    * convention). */
+  case class SessionOut(
+      userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
+
+  /** One session-merge step: fold a batch of same-user event times into
+    * the open-session list. Pure interval merge — each event is a
+    * `[t, t+gap)` candidate, sessions merge while the next start is
+    * strictly before the current end (Spark's `session_window` rule, so
+    * this form, the v1 native-aggregate form, and the batch
+    * [[graft.operators.Sessions.sessionize]] agree event-for-event).
+    * Order-insensitive within a batch (the sort owns the order), and a
+    * late-but-within-watermark event can BRIDGE two open sessions — the
+    * case the list state exists for. */
+  def sessionFold(
+      gapMs: Long,
+      open: Seq[OpenSession],
+      arrivalTs: Seq[Long]): Seq[OpenSession] = {
+    val all = (open ++ arrivalTs.map(t => OpenSession(t, t + gapMs, 1L)))
+      .sortBy(s => (s.start, s.end))
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    all.foreach { s =>
+      if (out.nonEmpty && s.start < out.last.end) {
+        val l = out.last
+        out(out.size - 1) = OpenSession(l.start, math.max(l.end, s.end), l.n + s.n)
+      } else out += s
+    }
+    out.toSeq
+  }
+
+  /** Gap-sessionization processor — the keyed-state form of
+    * [[Streams.sessionStream]] (which rides the native `session_window`
+    * aggregate): per user a `ListState` of OPEN sessions, merged against
+    * each batch's arrivals by [[sessionFold]] and closed by event-time
+    * timers once the watermark passes a session's end. The state is
+    * list-shaped on purpose: out-of-order events within the watermark
+    * allowance can hold several sessions open per user at once (and a
+    * late event can merge two of them), which is exactly what
+    * `UpdatingSessionsExec` tracks internally — here it is explicit,
+    * per-entry in RocksDB, instead of inside an aggregation buffer.
+    *
+    * Emission contract matches v1 append mode: a (user, session) row
+    * emits ONCE, when the watermark passes `session end` (= last event
+    * time + gap). Input rows older than the watermark are dropped by the
+    * runtime before reaching the processor — the same honest-delay caveat
+    * as [[PollProcessor]], plus one boundary: `transformWithState`
+    * filters late rows as `eventTime <= watermark` and the watermark
+    * STARTS at 0, so a row at event time 0 is dropped before the first
+    * batch ever runs (the v1 aggregate keeps it — its filter is on window
+    * END). Event times must be positive, which every epoch-ms feed
+    * satisfies. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Streams.EventIn, SessionOut] {
+    @transient private var open: ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState(
+        "openSessions", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Streams.EventIn],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val merged = sessionFold(gapMs, open.get().toSeq, rows.map(_.tMs).toSeq)
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (closed, stillOpen) = merged.partition(_.end <= wm)
+      if (stillOpen.isEmpty) open.clear() else open.put(stillOpen.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (stillOpen.nonEmpty) getHandle.registerTimer(stillOpen.map(_.end).min)
+      closed.sortBy(_.start)
+        .map(s => SessionOut(userId, s.start, s.end, s.n)).iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (closed, stillOpen) = open.get().toSeq.partition(_.end <= wm)
+      if (stillOpen.isEmpty) open.clear() else open.put(stillOpen.toArray)
+      // the fired timer is consumed by the runtime; one-timer discipline
+      // means no stale ones remain — just arm the next deadline
+      if (stillOpen.nonEmpty) getHandle.registerTimer(stillOpen.map(_.end).min)
+      closed.sortBy(_.start)
+        .map(s => SessionOut(userId, s.start, s.end, s.n)).iterator
+    }
+  }
+
+  /** Streaming gap sessionization on `transformWithState` — emits the
+    * same closed-session rows as [[Streams.sessionStream]] (as a typed
+    * Dataset; parity in EventStreamSpec). */
+  def sessionStream(
+      events: Dataset[Streams.EventIn],
+      gapMs: Long = 28800000L,
+      watermarkDelayMs: Long = 0L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    events
+      .withColumn("event_time", timestamp_millis(col("tMs")))
+      .withWatermark("event_time", s"$watermarkDelayMs milliseconds")
+      .as[Streams.EventIn]
+      .groupByKey(_.userId)
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -580,6 +580,76 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.size === 4, "two sessions per real user")
   }
 
+  test("transformWithState sessionization: keyed open-session ListState " +
+      "equals the session_window form and batch sessionize") {
+    import spark.implicits._
+    import graft.streaming.StreamsV2.SessionOut
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the v1 test's feed shifted +1 s off epoch 0 (the TWS late-row
+      // filter drops event time <= the INITIAL watermark of 0 — see the
+      // SessionProcessor docstring); u99 is the watermark-pushing sentinel
+      val feed = Seq(
+        EventIn(1L, "view", 1000L), EventIn(2L, "view", 11000L),
+        EventIn(1L, "view", 31000L),
+        EventIn(1L, "view", 201000L),
+        EventIn(2L, "view", 251000L),
+        EventIn(99L, "view", 10001000L))
+      val v2 = runChunked[EventIn, SessionOut](
+        in => graft.streaming.StreamsV2.sessionStream(in.toDS(), gapMs = 60000L),
+        feed, 3, "session_tws")
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("sessionStart"),
+          r.getAs[Long]("sessionEnd"), r.getAs[Long]("nEvents")))
+        .filter(_._1 != 99L)
+      assert(v2.distinct.size === v2.size, s"duplicate session: $v2")
+      val v1 = runChunked[EventIn, org.apache.spark.sql.Row](
+        in => Streams.sessionStream(in.toDS(), gapMs = 60000L),
+        feed, 3, "session_v1_ref")
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+        .filter(_._1 != 99L)
+      assert(v2.toSet === v1.toSet,
+        s"keyed-state sessions ${v2.sorted} != session_window ${v1.sorted}")
+      val batch = graft.operators.Sessions.sessionize(
+        feed.filter(_.userId != 99L)
+          .map(e => (e.userId, e.tMs * 1000000L)).toDF("user_id", "ts"),
+        gapMs = 60000L).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      assert(v2.toSet === batch.toSet,
+        s"keyed-state sessions ${v2.sorted} != batch ${batch.sorted}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("session fold: interval merge matches session_window semantics " +
+      "(strict gap boundary; late event bridges two open sessions)") {
+    import graft.streaming.StreamsV2.{sessionFold, OpenSession}
+    val gap = 60000L
+    // strict boundary: an event exactly gap after the last does NOT merge
+    val exact = sessionFold(gap, Seq.empty, Seq(0L, gap))
+    assert(exact === Seq(OpenSession(0L, gap, 1L), OpenSession(gap, 2 * gap, 1L)),
+      s"gap-exact event must open a NEW session: $exact")
+    // one ms inside merges
+    val inside = sessionFold(gap, Seq.empty, Seq(0L, gap - 1))
+    assert(inside === Seq(OpenSession(0L, gap - 1 + gap, 2L)))
+    // a late-but-within-watermark event can bridge two open sessions
+    val open = Seq(OpenSession(0L, gap, 1L), OpenSession(100000L, 100000L + gap, 1L))
+    val bridged = sessionFold(gap, open, Seq(55000L))
+    assert(bridged === Seq(OpenSession(0L, 100000L + gap, 3L)),
+      s"bridging event must merge both open sessions: $bridged")
+    // chop-invariance: feeding in two batches == one batch
+    val oneShot = sessionFold(gap, Seq.empty, Seq(0L, 30000L, 200000L))
+    val chopped = sessionFold(gap, sessionFold(gap, Seq.empty, Seq(0L, 30000L)),
+      Seq(200000L))
+    assert(chopped === oneShot)
+  }
+
   test("streaming DAU marks aggregate to the batch newVsReturning ledger (4 chunks)") {
     import spark.implicits._
     import graft.streaming.Streams.DayActive

@@ -1455,4 +1455,84 @@ class FailureDrillSpec extends SparkSpec {
       (1L, 0L, 1L, 800L, false)),
       s"post-resume purchase joins the pre-crash cohort; signup-less buyer drops: $got")
   }
+
+  /** Restart drill for the V2 SCD2 builder (`StreamsV2.scd2Stream`): the
+    * heaviest per-key state of the keyed family must survive a kill under
+    * RocksDB — the version OPEN at the crash closes exactly once after
+    * resume with image and counter intact; a TTL timer registered BEFORE
+    * the kill is recovered from the checkpoint and still evicts (emitting
+    * the ScdEvictedOpen row, never dropping it); and the eviction removes
+    * the state entirely, so the key's next insert restarts at version 1 —
+    * the v1 `state.remove()` semantics, drilled through recovery. */
+  test("restart drill: V2 scd2 recovered timer evicts the open version; " +
+      "counter resets after eviction") {
+    val root = Files.createTempDirectory("scd2_v2_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type V = (String, Long, Long, Long, Option[Double], Option[Long])
+    val closed = new java.util.concurrent.ConcurrentLinkedQueue[V]()
+    def startQuery() = {
+      val arrivals = spark.readStream
+        .schema("tbl STRING, pk STRING, lsn LONG, t LONG, op STRING, " +
+          "setsVal BOOLEAN, v DOUBLE, setsK BOOLEAN, kk LONG")
+        .json(srcDir.getPath)
+        .as[graft.streaming.Streams.ScdIn]
+      graft.streaming.StreamsV2.scd2Stream(arrivals, ttlMs = 200L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.Streams.ScdOut],
+              _: Long) =>
+            df.collect().foreach(o =>
+              if (o.tbl == "t0") // nudge-key rows are not under test
+                closed.add((o.pk, o.ver, o.validFrom, o.validTo, o.v, o.kk))))
+        .start()
+    }
+    def writeRows(name: String, rows: Seq[String]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name), rows.mkString("\n"))
+    def rows(): Seq[V] = closed.toArray(Array.empty[V]).toSeq
+    withRocksDb {
+      // pre-crash: insert (ver 1) + partial update (ver 2 OPEN, carries k);
+      // a 200 ms eviction timer is now in the checkpointed state store
+      writeRows("b1.json", Seq(
+        """{"tbl":"t0","pk":"a","lsn":1,"t":10,"op":"insert","setsVal":true,"v":1.5,"setsK":true,"kk":100}""",
+        """{"tbl":"t0","pk":"a","lsn":2,"t":20,"op":"update","setsVal":true,"v":2.5,"setsK":false,"kk":0}"""))
+      val q1 = startQuery()
+      val d0 = System.currentTimeMillis() + 60000L
+      while (rows().isEmpty && System.currentTimeMillis() < d0)
+        Thread.sleep(100L)
+      q1.stop() // kill BEFORE the timer fires
+      assert(rows() === Seq(("a", 1L, 10L, 20L, Some(1.5), Some(100L))),
+        s"only ver 1 may close before the crash: ${rows()}")
+      Thread.sleep(300L) // the TTL expires while the query is down
+      // resume: the recovered timer must evict ver 2 once a batch runs —
+      // drive batches with an unrelated key (the V2 nudge discipline)
+      val q2 = startQuery()
+      val deadline = System.currentTimeMillis() + 90000L
+      var nudge = 1000L
+      while (!rows().exists(_._4 == graft.streaming.Streams.ScdEvictedOpen) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        nudge += 1
+        writeRows(s"nudge$nudge.json", Seq(
+          s"""{"tbl":"t9","pk":"z","lsn":$nudge,"t":$nudge,"op":"insert","setsVal":true,"v":0.0,"setsK":false,"kk":0}"""))
+      }
+      assert(rows().contains(("a", 2L, 20L, graft.streaming.Streams.ScdEvictedOpen,
+        Some(2.5), Some(100L))),
+        s"recovered timer must evict ver 2 with the pre-crash image: ${rows()}")
+      // eviction removed the state: the key's next insert+update restarts
+      // the version counter at 1 with a BLANK image (no k carry-over)
+      writeRows("b2.json", Seq(
+        """{"tbl":"t0","pk":"a","lsn":50,"t":500,"op":"insert","setsVal":true,"v":9.0,"setsK":false,"kk":0}""",
+        """{"tbl":"t0","pk":"a","lsn":51,"t":600,"op":"update","setsVal":true,"v":9.5,"setsK":false,"kk":0}"""))
+      while (!rows().exists(_._3 == 500L) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250L)
+      q2.stop()
+      val reborn = rows().filter(_._3 == 500L)
+      assert(reborn === Seq(("a", 1L, 500L, 600L, Some(9.0), None)),
+        s"post-eviction history must restart at ver 1 with a blank image: $reborn")
+    }
+  }
 }
