@@ -101,6 +101,20 @@ GATED_QUERIES = [
     "q_waiting_suppliers",
     # round-13: Q12 shape (one fact pass, conditional counts)
     "q_ship_priority_mix",
+    # round-14: the fixed-batch bucket-pruned admission shape
+    "corpus_admission_batch",
+]
+
+# Queries whose prescriptions carry SECOND-decade (100x) numbers in
+# SCALE.md: the standing gate re-measures these at the 100x slice too
+# (one scored rep after warm), so a decade-2 regression trips the gate
+# instead of living only in a narrative table (round-13 verdict #6).
+# Gated against LIMIT on the 10x->100x exponent.
+DECADE2_QUERIES = [
+    "q_waiting_suppliers",    # SCALE.md r13: 12.26 s @100x, exponent 0.83
+    "q_ship_priority_mix",    # SCALE.md r13: 4.81 s @100x, exponent 0.68
+    "corpus_admission",       # SCALE.md r14: 10.3 s @100x, exponent 0.49
+    "corpus_admission_batch", # SCALE.md r14: 3.2 s @100x, ~flat (O(batch))
 ]
 
 
@@ -120,28 +134,47 @@ def run_bench(sf_dir, queries, reps, out_path):
 def main():
     args = sys.argv[1:]
     slice_dir, out_file = "/tmp/sfr10", os.path.join(REPO, "SCALE_REHEARSAL.json")
+    slice100_dir = "/tmp/sfr100"
+    skip_d2 = False
     queries = []
     i = 0
     while i < len(args):
         if args[i] == "--slice":
             slice_dir = args[i + 1]; i += 2
+        elif args[i] == "--slice100":
+            slice100_dir = args[i + 1]; i += 2
+        elif args[i] == "--no-decade2":
+            skip_d2 = True; i += 1
         elif args[i] == "--out":
             out_file = args[i + 1]; i += 2
         else:
             queries.append(args[i]); i += 1
     if not queries:
         queries = GATED_QUERIES
+    d2_queries = [] if skip_d2 else [q for q in DECADE2_QUERIES if q in queries]
 
     if not os.path.exists(os.path.join(slice_dir, "documents.parquet")):
         print(f"[scale_gate] building 10x slice at {slice_dir}")
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/scale_rehearsal.py"),
              "10", slice_dir], check=True)
+    if d2_queries and not os.path.exists(
+            os.path.join(slice100_dir, "documents.parquet")):
+        print(f"[scale_gate] building 100x slice at {slice100_dir}")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/scale_rehearsal.py"),
+             "100", slice100_dir], check=True)
 
     print(f"[scale_gate] sf0.1 reps=3 over {len(queries)} queries")
     b1 = run_bench(SF1, queries, 3, "/tmp/scale_gate_sf1.json")
     print("[scale_gate] 10x slice reps=1")
     b10 = run_bench(slice_dir, queries, 1, "/tmp/scale_gate_sf10.json")
+    b100 = {}
+    if d2_queries:
+        print(f"[scale_gate] 100x slice reps=1 over {len(d2_queries)} "
+              "decade-2 queries")
+        b100 = run_bench(slice100_dir, d2_queries, 1,
+                         "/tmp/scale_gate_sf100.json")
 
     report, violations, skipped = {}, [], []
     for q in sorted(queries):
@@ -161,6 +194,14 @@ def main():
             "gated": gated,
             "spread_t1": round(b1.get("rel_spread", {}).get(q, 0.0), 2),
         }
+        t100 = b100.get("queries", {}).get(q)
+        if t100 is not None and t10 > 0:
+            exp2 = math.log10(t100 / t10)
+            report[q]["t100"] = round(t100, 3)
+            report[q]["exponent2"] = round(exp2, 2)
+            if gated and exp2 > LIMIT:
+                violations.append(
+                    f"{q}: decade-2 exponent {exp2:.2f} > {LIMIT}")
         if not gated:
             skipped.append(q)
         elif exponent > LIMIT:
@@ -171,12 +212,14 @@ def main():
         "floor_sec": FLOOR_SEC,
         "sf1": SF1,
         "slice": slice_dir,
+        "slice100": slice100_dir if d2_queries else None,
         "queries": report,
         "not_gated_under_floor": skipped,
         "violations": violations,
         "ok": not violations,
         "contaminated_sf1": b1.get("contaminated", []),
-        "preload": [b1.get("preload"), b10.get("preload")],
+        "preload": [b1.get("preload"), b10.get("preload")] +
+                   ([b100.get("preload")] if d2_queries else []),
     }
     with open(out_file, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)

@@ -175,6 +175,44 @@ private[graft] trait OraclesCorpusSql extends OraclesEventsSql {
     FROM feats f JOIN gate g USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Fixed-batch admission — mirrors `Corpus.admissionGatePruned` on the
+    * doc_id < 2000 micro-batch. The oracle is the UNPRUNED join against
+    * the full index: bucket pruning only drops index partitions no batch
+    * signature hashes into, so the pruned and unpruned verdicts must be
+    * row-identical — which is exactly what this oracle checks. */
+  def corpusAdmissionBatch: String = s"""WITH $minhashSigCte,
+    idx AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS dup_of
+      FROM sigs WHERE doc_id % 10 <> 0
+      GROUP BY m0, m1, m2, m3, m4, m5, m6, m7),
+    gate AS (
+      SELECT s.doc_id, idx.dup_of
+      FROM sigs s LEFT JOIN idx USING (m0, m1, m2, m3, m4, m5, m6, m7)
+      WHERE s.doc_id % 10 = 0 AND s.doc_id < 2000),
+    feats AS (
+      SELECT doc_id,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS lenf,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS ttr,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_r,
+        CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+          / len(string_split(text, ' ')) AS atl,
+        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+          + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{4}\\b'))
+          + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+          AS npii
+      FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000)
+    SELECT f.doc_id,
+      (-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0 AS pass_quality,
+      npii = 0 AS pass_pii,
+      g.dup_of IS NULL AS pass_dedup,
+      coalesce(g.dup_of, -1) AS dup_of,
+      ((-1.0 + 2.0 * lenf + 1.5 * ttr + -3.0 * stop_r + -0.05 * atl) > 0.0
+        AND npii = 0 AND g.dup_of IS NULL) AS admitted
+    FROM feats f JOIN gate g USING (doc_id)
+    ORDER BY doc_id"""
+
   /** Table profile — mirrors `Corpus.profile` over the documents table:
     * per column, rows / nulls / exact distincts / min / max as strings. */
   val corpusProfile: String = {

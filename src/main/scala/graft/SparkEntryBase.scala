@@ -33,9 +33,14 @@ private[graft] trait SparkEntryBase {
     * gate is not). */
   private[graft] def admissionIndexDir(s: SparkSession, dir: String): String =
     graft.sources.IndexCache.dirFor(s"admission:$dir") { d =>
-      Corpus.admissionIndex(
+      // bucketed layout (round 14): partitioned by sig_bucket so the
+      // fixed-batch gate (corpus_admission_batch) prunes its read to the
+      // partitions the batch's signatures hash into; the proportional
+      // corpus_admission reads it whole (the partition column is dropped
+      // by the gate) — same rows either way
+      Corpus.admissionIndexBucketed(
         Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
-        .write.mode("overwrite").parquet(d)
+        .write.mode("overwrite").partitionBy("sig_bucket").parquet(d)
     }
 
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM

@@ -143,6 +143,17 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
         s.read.parquet(admissionIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
+    // the PRODUCTION admission shape: a FIXED micro-batch (doc_id < 2000,
+    // replica-0 rows on every rehearsal slice) against the corpus-sized
+    // standing index — the bucket-pruned read is what keeps per-batch
+    // admission O(batch), not O(corpus), as the corpus grows
+    "corpus_admission_batch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGatePruned(
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000),
+        s.read.parquet(admissionIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // funnel consumes the persisted cluster index (built once per JVM
       // per data dir) instead of re-running the star contraction

@@ -105,25 +105,61 @@ object Corpus {
       .agg(min("doc_id").as("dup_of"))
   }
 
+  /** The signature-bucket column for a persisted-index layout: a stable
+    * hash of the full 8-hash signature folded into `numBuckets`
+    * partitions. Derivable identically on the index (write time) and on
+    * an arriving batch (plan time), which is what makes the partition
+    * pruning in [[admissionGatePruned]] sound. */
+  def sigBucket(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64((0 until 8).map(i => col(s"m$i")): _*), lit(numBuckets.toLong))
+      .cast("int")
+
+  /** [[admissionIndex]] in the bucketed persisted layout: same rows plus
+    * the `sig_bucket` partition column. Write it with
+    * `.write.partitionBy("sig_bucket")` — the layout is what lets an
+    * admission batch read only the index partitions its own signatures
+    * hash into ([[admissionGatePruned]]) instead of scanning the whole
+    * standing index; at 100 TB the index is corpus-sized and the batch is
+    * a micro-batch, so the pruned read is the difference between O(batch)
+    * and O(corpus) per admission. */
+  def admissionIndexBucketed(corpus: DataFrame, numBuckets: Int = 512): DataFrame =
+    admissionIndex(corpus).withColumn("sig_bucket", sigBucket(numBuckets))
+
   /** [[admissionGate]] against a PREBUILT (typically persisted) signature
     * index — the production shape: index built once per corpus snapshot,
-    * every admission batch pays only its own row-wise work + the join. */
+    * every admission batch pays only its own row-wise work + the join.
+    *
+    * Join discipline (the decade-2 lesson): every per-row verdict input —
+    * token stats, PII count, the signature itself — is computed BEFORE
+    * the join from ONE tokenize (`keepToks`), and the text is dropped, so
+    * the signature join moves (doc_id, 4 ints, 1 count, 8 longs) per
+    * arrival, never text. The fat form shuffled full documents through
+    * the sort-merge exchange and paid a second `split` of every text
+    * after the join. A `sig_bucket` column on the index (the bucketed
+    * persisted layout) is ignored here — [[admissionGatePruned]] is the
+    * path that exploits it. */
   def admissionGateWithIndex(arrivals: DataFrame, index: DataFrame): DataFrame = {
     val sigCols = (0 until 8).map(i => s"m$i")
-    val staged = Dedup.withProjectedSignatures(arrivals)
-      // docs below the shingle resolution carry null signatures; drop them
-      // to match the batch/oracle contract (Dedup.ingestGate's rule)
-      .filter(col("m0").isNotNull)
-      .join(index, sigCols, "left")
-      .select(col("doc_id"), col("text"), col("dup_of"),
-        split(col("text"), " ").as("_toks"))
-      .select(col("doc_id"), col("dup_of"),
+    // docs below the shingle resolution (< 2 tokens) carry null signatures
+    // and are dropped — the batch/oracle contract (Dedup.ingestGate's
+    // rule). The predicate is the EQUIVALENT token-count form, not
+    // `m0.isNotNull` (m0 is null iff the 2-gram shingle array is empty iff
+    // the doc has < 2 tokens): predicate pushdown rewrites a filter
+    // through the signature projection, and the isNotNull form inlines
+    // the ENTIRE minhash chain into the pushed filter — recomputing every
+    // signature per row before the projection computes it again.
+    val skinny = Dedup.withProjectedSignatures(
+      arrivals.filter(size(split(col("text"), " ")) >= 2), keepToks = true)
+      .select(Seq(
+        col("doc_id"),
         length(col("text")).as("_nc"),
         size(col("_toks")).as("_nt"),
         size(array_distinct(col("_toks"))).as("_nd"),
         size(filter(col("_toks"),
           t => t.isin(TextAnalysis.Stopwords.map(lit(_)): _*))).as("_ns"),
-        Pii.piiCount(col("text")).as("_npii"))
+        Pii.piiCount(col("text")).as("_npii")) ++ sigCols.map(col): _*)
+    val staged = skinny
+      .join(index.drop("sig_bucket"), sigCols, "left")
     // the qualityLogit chain verbatim (same IEEE evaluation order)
     val logit = lit(-1.0) +
       lit(2.0) * least(col("_nt").cast("double") / 100.0, lit(1.0)) +
@@ -137,6 +173,34 @@ object Corpus {
       col("dup_of").isNull.as("pass_dedup"),
       coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
       ((logit > 0.0) && col("_npii") === 0 && col("dup_of").isNull).as("admitted"))
+  }
+
+  /** [[admissionGateWithIndex]] with BUCKET PRUNING against a bucketed
+    * persisted index ([[admissionIndexBucketed]] written with
+    * `partitionBy("sig_bucket")`): the batch's own distinct signature
+    * buckets — at most `numBuckets` small ints, plan-time partition
+    * metadata in the same sense as any partition-pruning predicate — are
+    * collected first, and the index scan is restricted to exactly those
+    * partitions. Matching index rows share the arrival's signature and
+    * therefore its bucket, so dropping every other partition cannot
+    * change a verdict; the left join's unmatched arrivals stay unmatched.
+    *
+    * This is the production admission shape: a micro-batch against a
+    * corpus-sized standing index reads O(batch-distinct-signatures)
+    * partitions, not O(corpus). The bucket-discovery pass re-projects the
+    * batch's signatures (one extra row-wise pass over the BATCH — the
+    * small side by construction; the index, the big side, is what gets
+    * pruned). */
+  def admissionGatePruned(arrivals: DataFrame, index: DataFrame,
+      numBuckets: Int = 512): DataFrame = {
+    require(index.columns.contains("sig_bucket"),
+      "admissionGatePruned needs the bucketed index layout (sig_bucket)")
+    val buckets = Dedup.withProjectedSignatures(
+        arrivals.filter(size(split(col("text"), " ")) >= 2))
+      .select(sigBucket(numBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    admissionGateWithIndex(arrivals,
+      index.filter(col("sig_bucket").isin(buckets: _*)))
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive: given two

@@ -279,8 +279,15 @@ object Dedup {
     * composition form [[Corpus.admissionGate]] chains more per-row
     * verdicts onto). Same staged-projection discipline as
     * `TextAnalysis.quality`: the token and shingle arrays are named once
-    * so each is computed once per row. */
-  def withProjectedSignatures(docs: DataFrame, n: Int = 2, numHashes: Int = 8): DataFrame = {
+    * so each is computed once per row.
+    *
+    * `keepToks = true` additionally carries the `_toks` token array to
+    * the output, so a composition needing token stats alongside the
+    * signature (the admission gate) tokenizes ONCE instead of paying a
+    * second `split` of every text — with `keepToks = false` the
+    * projection chain is byte-identical to the historical form. */
+  def withProjectedSignatures(docs: DataFrame, n: Int = 2, numHashes: Int = 8,
+      keepToks: Boolean = false): DataFrame = {
     val P = 104729L // same prime as minhashSignatures
     val toksC = split(col("text"), " ")
     val idx = when(size(col("_toks")) >= n, sequence(lit(1), size(col("_toks")) - (n - 1)))
@@ -292,9 +299,10 @@ object Dedup {
         .as(s"m$i")
     }
     val cols = docs.columns.map(col).toSeq
+    val kept = if (keepToks) cols :+ col("_toks") else cols
     docs.select(cols :+ toksC.as("_toks"): _*)
-      .select(cols :+ shingleArr.as("_sh"): _*)
-      .select(cols ++ sigs: _*)
+      .select(kept :+ shingleArr.as("_sh"): _*)
+      .select(kept ++ sigs: _*)
   }
 
   /** Streaming ingestion dedup gate — [[incrementalFlags]] for a LIVE feed:
@@ -322,8 +330,13 @@ object Dedup {
     val index = minhashSignatures(corpus, n, numHashes)
       .groupBy(sigCols.map(col): _*)
       .agg(min("doc_id").as("dup_of"))
-    minhashProjected(incoming, n, numHashes)
-      .filter(col("m0").isNotNull) // < n tokens ⇒ no signature: batch parity
+    // < n tokens ⇒ no signature: batch parity. The equivalent token-count
+    // predicate, NOT `m0.isNotNull` — predicate pushdown rewrites the
+    // filter through the signature projection, and the isNotNull form
+    // inlines the whole minhash chain into the pushed filter, computing
+    // every signature twice per row (the corpus_admission decade-2 find).
+    minhashProjected(
+        incoming.filter(size(split(col("text"), " ")) >= n), n, numHashes)
       .join(index, sigCols, "left")
       .select(
         col("doc_id"),

@@ -28,7 +28,11 @@ object Pii {
   val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   private def countOf(c: Column, re: String): Column =
-    size(regexp_extract_all(c, lit(re), lit(0)))
+    // regexp_count, not size(regexp_extract_all): identical non-overlapping
+    // match count without materializing an array of match strings per row —
+    // this projection runs over every arriving document in the admission
+    // gate, so the allocation is the measurable part
+    regexp_count(c, lit(re))
 
   /** Total PII matches across all three classes — the per-row count an
     * admission policy thresholds on ([[Corpus.admissionGate]]). */

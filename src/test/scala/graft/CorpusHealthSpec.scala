@@ -9,6 +9,40 @@ class CorpusHealthSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("bucket-pruned admission == unpruned admission (bucketed index layout)") {
+    // a mixed corpus: long clean docs, a short doc below shingle
+    // resolution, PII carriers, and exact near-dups of corpus members
+    val mk = (id: Long, text: String) => (id, text)
+    val corpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(5L, "call 555-1234 or mail bob@example.com for a quote today ok"),
+      mk(7L, "totally unique corpus sentence about distributed query engines"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      mk(10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      mk(20L, "a brand new arrival document with its own words entirely"),
+      mk(30L, "hi"), // below shingle resolution — dropped by both paths
+      mk(40L, "ping 10.0.0.1 then mail eve@example.org about 555-9876 now"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_bucketed").toString
+    Corpus.admissionIndexBucketed(corpus, numBuckets = 512)
+      .write.mode("overwrite").partitionBy("sig_bucket").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val pruned = Corpus.admissionGatePruned(arrivals, index)
+      .orderBy("doc_id").collect().toSeq
+    val full = Corpus.admissionGateWithIndex(arrivals, index)
+      .orderBy("doc_id").collect().toSeq
+    assert(pruned === full,
+      "partition pruning must never change a verdict (matching rows share buckets)")
+    val byId = pruned.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(10L).getBoolean(3) && byId(10L).getLong(4) === 1L,
+      "the exact dup must hit the index (dup_of = lowest corpus owner)")
+    assert(byId(20L).getBoolean(3), "the novel doc passes the dedup gate")
+    assert(!byId.contains(30L), "below shingle resolution drops (both paths)")
+    assert(!byId(40L).getBoolean(2), "PII carrier fails pass_pii")
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2

@@ -89,7 +89,9 @@ class PlansSpec extends SparkSpec {
     // round-12 TPC-H wave (Q1 full/Q6/Q7/Q8/Q9/Q17/Q21 shapes)
     "q_pricing_summary", "q_forecast_revenue", "q_volume_shipping",
     "q_market_share", "q_product_profit", "q_small_qty_revenue",
-    "q_waiting_suppliers", "q_ship_priority_mix")
+    "q_waiting_suppliers", "q_ship_priority_mix",
+    // round-14: the fixed-batch bucket-pruned admission shape
+    "corpus_admission_batch")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -98,6 +100,15 @@ class PlansSpec extends SparkSpec {
 
   private def count(name: String, marker: String): Int =
     marker.r.findAllIn(plans(name)).size
+
+  /** `split(text` sites in RUNTIME operators only — FileScan lines are
+    * excluded because their DataFilters echo of a pushed filter is a
+    * truncated metadata string (spark.sql.maxMetadataStringLength), not
+    * an execution site, and its visibility varies with expression-ID
+    * length across session lifetime. */
+  private def runtimeSplitSites(name: String): Int =
+    plans(name).linesIterator.filterNot(_.contains("FileScan"))
+      .map(l => "split\\(text".r.findAllIn(l).size).sum
 
   test("no CartesianProduct in any pinned query") {
     for (n <- names)
@@ -227,6 +238,34 @@ class PlansSpec extends SparkSpec {
       "the signature index must be persisted, not rebuilt per query")
     assert(count("corpus_admission", "Join") === 1,
       "admission is exactly one signature-keyed join")
+    // round-14 skinny-join discipline: ONE `_toks` tokenize feeds both the
+    // signature and the quality counts (keepToks), text drops before the
+    // join, and the short-doc gate is the cheap token-count predicate —
+    // 2 runtime split sites (the pushed filter + the projection). The
+    // FileScan's DataFilters metadata ALSO echoes the filter, but that
+    // string is capped at spark.sql.maxMetadataStringLength and the echo
+    // vanishes once expression IDs grow long in a long-lived session
+    // (the full-suite flake this counter replaced), so scan lines are
+    // excluded. The fat form had a second post-join split, plus the
+    // isNotNull(m0) pushdown inlining the whole minhash chain into the
+    // filter — recomputing every signature per row.
+    assert(runtimeSplitSites("corpus_admission") === 2,
+      "tokenize in the pushed short-doc filter + the projection only")
+    assert(!plans("corpus_admission").contains("isnotnull(array_min"),
+      "the short-doc filter must not inline the minhash chain")
+  }
+
+  test("fixed-batch admission prunes the bucketed index read to the " +
+      "batch's own signature buckets") {
+    // the production shape: O(batch) partitions read, not O(corpus) —
+    // the scan must carry a sig_bucket partition filter (plan-time
+    // pruning from the batch's collected bucket set)
+    assert(plans("corpus_admission_batch").contains("PartitionFilters"),
+      "the index scan must be partition-filtered")
+    assert(count("corpus_admission_batch", "sig_bucket[#0-9]* IN") >= 1,
+      "the partition filter must be the batch's bucket INSET")
+    assert(count("corpus_admission_batch", "Join") === 1)
+    assert(runtimeSplitSites("corpus_admission_batch") === 2)
   }
 
   test("OOV rate broadcasts the vocab head, never sort-merges") {
