@@ -151,6 +151,30 @@ object Streams {
     * micro-batch's events for the key (ordered by lsn within the batch).
     * Deleted keys emit a `deleted = true` tombstone and drop their state.
     */
+  /** One apply step for a batch of same-key events — the shared fold of
+    * [[applyStream]] and its `transformWithState` twin
+    * ([[StreamsV2.applyStream]]): events process in lsn order, delete
+    * resets to a tombstone, partial payloads merge over the current
+    * image. */
+  def applyFold(key: (String, String), start: Option[RowState],
+      incoming: Seq[Event]): RowState = {
+    val init = start.getOrElse(
+      RowState(key._1, key._2, None, None, 0L, deleted = true))
+    incoming.sortBy(_.lsn).foldLeft(init) { (cur, e) =>
+      if (e.opCode == "d")
+        RowState(key._1, key._2, None, None, 0L, deleted = true, lastLsn = e.lsn)
+      else {
+        val base = if (cur.deleted) RowState(key._1, key._2, None, None, 0L, deleted = false) else cur
+        base.copy(
+          valV = if (e.setsVal) e.valV else base.valV,
+          kV = if (e.setsK) e.kV else base.kV,
+          version = base.version + 1,
+          deleted = false,
+          lastLsn = e.lsn)
+      }
+    }
+  }
+
   def applyStream(
       events: Dataset[Event],
       ttlMs: Long = 3600000L): Dataset[RowState] = {
@@ -167,21 +191,7 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            val start = state.getOption.getOrElse(
-              RowState(key._1, key._2, None, None, 0L, deleted = true))
-            val next = incoming.toSeq.sortBy(_.lsn).foldLeft(start) { (cur, e) =>
-              if (e.opCode == "d")
-                RowState(key._1, key._2, None, None, 0L, deleted = true, lastLsn = e.lsn)
-              else {
-                val base = if (cur.deleted) RowState(key._1, key._2, None, None, 0L, deleted = false) else cur
-                base.copy(
-                  valV = if (e.setsVal) e.valV else base.valV,
-                  kV = if (e.setsK) e.kV else base.kV,
-                  version = base.version + 1,
-                  deleted = false,
-                  lastLsn = e.lsn)
-              }
-            }
+            val next = applyFold(key, state.getOption, incoming.toSeq)
             if (next.deleted) state.remove()
             else {
               state.update(next)

@@ -964,6 +964,47 @@ object StreamsV2 {
       .transformWithState(new BudgetProcessor(budgetPerSource, ttl), mode, OutputMode.Append())
   }
 
+  /** Row-apply processor — the `transformWithState` form of
+    * [[Streams.applyStream]] (merge-upsert keyed by (tbl, pk)): one
+    * `ValueState[RowState]` per live key, the step is
+    * [[Streams.applyFold]] — the SAME function the v1 form calls, so the
+    * two APIs cannot drift. Delete emits the tombstone and CLEARS the
+    * state (v1's `state.remove()`); TTL is declarative — expiry of an
+    * idle key's state is a silent drop in both forms. */
+  class ApplyProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(String, String), Event, Streams.RowState] {
+    @transient private var row: org.apache.spark.sql.streaming.ValueState[Streams.RowState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      row = getHandle.getValueState(
+        "rowImage", Encoders.product[Streams.RowState], ttl)
+
+    override def handleInputRows(
+        key: (String, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Streams.RowState] = {
+      val start = if (row.exists()) Some(row.get()) else None
+      val next = Streams.applyFold(key, start, rows.toSeq)
+      if (next.deleted) row.clear() else row.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Streaming merge-upsert apply on `transformWithState` — drop-in for
+    * [[Streams.applyStream]]. `ttlMs <= 0` disables expiry. */
+  def applyStream(
+      events: Dataset[Event],
+      ttlMs: Long = 3600000L): Dataset[Streams.RowState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
+    events
+      .groupByKey(e => (e.tbl, e.pk))
+      .transformWithState(new ApplyProcessor(ttl), mode, OutputMode.Append())
+  }
+
   /** One OPEN gap session: `[start, end)` with `end = last event time +
     * gap` (the `session_window` convention — two events share a session
     * iff the later one's time is STRICTLY before the earlier one's end).

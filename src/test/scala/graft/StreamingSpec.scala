@@ -1002,6 +1002,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === 1, s"exactly the eviction row expected; got $got")
   }
 
+  test("transformWithState row apply: parity with the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      ev("tx", 0, 1, "t0", "a", "c", 1, v = Some(1.0), k = Some(10L)),
+      ev("tx", 0, 1, "t0", "a", "u", 2, v = Some(2.0)), // partial: val only
+      ev("tx", 0, 1, "t0", "a", "u", 3, k = Some(30L)), // partial: k only
+      ev("tx", 0, 1, "t1", "b", "c", 4, v = Some(7.0)),
+      ev("tx", 0, 1, "t0", "a", "d", 5), // delete: tombstone + state drop
+      ev("tx", 0, 1, "t0", "a", "c", 6, v = Some(9.0))) // re-insert from blank
+    def run(tag: String,
+        mk: MemoryStream[Event] => org.apache.spark.sql.Dataset[RowState]): Seq[RowState] = {
+      val input = MemoryStream[Event]
+      val q = mk(input)
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").start()
+      feed.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.table(tag).as[RowState].collect().toSeq
+        .sortBy(r => (r.tbl, r.pk, r.lastLsn))
+      q.stop()
+      spark.catalog.dropTempView(tag)
+      rows
+    }
+    withRocksDb {
+      val v2 = run("apply_tws",
+        in => graft.streaming.StreamsV2.applyStream(in.toDS(), ttlMs = 0L))
+      val v1 = run("apply_v1",
+        in => Streams.applyStream(in.toDS(), ttlMs = 0L))
+      assert(v2 === v1, "the two state APIs must emit identical post-images")
+      // the delete reset the image: the re-insert restarts at version 1
+      // with no k carry-over
+      val reborn = v2.filter(r => r.pk == "a" && r.lastLsn == 6L)
+      assert(reborn.map(r => (r.version, r.valV, r.kV, r.deleted)) ===
+        Seq((1L, Some(9.0), None, false)))
+    }
+  }
+
   test("transformWithState scd2: parity with the flatMapGroupsWithState form") {
     import spark.implicits._
     import graft.streaming.Streams.{ScdIn, ScdOut}
