@@ -1018,19 +1018,27 @@ object Dedup {
     * windows there find arbitrary-offset overlap (expensive verify).
     *
     * Shape at 100 TB: block formation is a pure projection
-    * (`sequence` + `transform(slice)` + `posexplode` — zero shuffles, no
-    * ordered aggregate anywhere); occurrence counting is one md5-keyed
-    * window count; the doc ledger is one doc-keyed partial agg. Two
-    * keyed shuffles total, both skew-free (md5 keys are uniform). */
+    * (`posexplode` the block INDICES, md5 the slice per exploded row —
+    * zero shuffles, no ordered aggregate anywhere); occurrence counting
+    * is one md5-keyed window count; the doc ledger is one doc-keyed
+    * partial agg. Two keyed shuffles total, both skew-free (md5 keys are
+    * uniform). Hashing AFTER the explode matters: exploding a
+    * pre-hashed array lets `InferFiltersFromGenerate` push a
+    * `size(...) > 0` guard that INLINES the whole md5-block transform
+    * into the filter — every block hashed twice per doc (the
+    * corpus_admission pushdown-inline find, generator flavor); over
+    * indices the inferred guard re-derives only the cheap sequence. */
   def blockDedup(docs: DataFrame, blockWords: Int = 10): DataFrame = {
     val nb = greatest(
       expr(s"(size(_ws) + ${blockWords - 1}) div $blockWords"), lit(1L))
     val blocks = docs
       .select(col("doc_id"), split(col("text"), " ").as("_ws"))
-      .withColumn("_bhs", transform(sequence(lit(0L), nb - 1),
-        i => md5(array_join(
-          slice(col("_ws"), (i * blockWords + 1).cast("int"), lit(blockWords)), " "))))
-      .select(col("doc_id"), posexplode(col("_bhs")).as(Seq("block_idx", "bh")))
+      .select(col("doc_id"), col("_ws"),
+        posexplode(sequence(lit(0L), nb - 1)).as(Seq("block_idx", "_i")))
+      .select(col("doc_id"), col("block_idx"),
+        md5(array_join(
+          slice(col("_ws"), (col("_i") * blockWords + 1).cast("int"),
+            lit(blockWords)), " ")).as("bh"))
     val withOcc = blocks
       .withColumn("_occ", count(lit(1)).over(Window.partitionBy("bh")))
     withOcc

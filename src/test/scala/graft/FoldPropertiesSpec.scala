@@ -396,4 +396,76 @@ class FoldPropertiesSpec extends AnyFunSuite {
       assert(oShuf.sortBy(_.dayOffset) === o0.sortBy(_.dayOffset))
     }
   }
+
+  test("applyFold: chopped == one-shot on lsn-ordered feeds; delete resets " +
+      "the image and the version counter") {
+    val key = ("t0", "a")
+    val ops = Gen.oneOf("c", "u", "d")
+    val feedGen: Gen[List[Streams.Event]] = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        op <- ops
+        sv <- Gen.oneOf(true, false)
+        v <- Gen.choose(0, 99)
+        sk <- Gen.oneOf(true, false)
+        k <- Gen.choose(0L, 99L)
+      } yield (op, sv, v.toDouble, sk, k))
+    } yield rows.zipWithIndex.map { case ((op, sv, v, sk, k), i) =>
+      Streams.Event("tx", 0, 1, last = false, "t0", "a", op,
+        setsVal = sv, if (sv) Some(v) else None,
+        setsK = sk, if (sk) Some(k) else None,
+        commitTs = i.toLong, lsn = i.toLong + 1)
+    }
+    samples(feedGen, 80, 8800L).foreach { feed =>
+      val one = Streams.applyFold(key, None, feed)
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        // thread state exactly as applyStream does: a delete REMOVES the
+        // state (the next batch folds from None), a live image carries
+        var st: Option[Streams.RowState] = None
+        var last: Option[Streams.RowState] = None
+        chop.filter(_.nonEmpty).foreach { batch =>
+          val next = Streams.applyFold(key, st, batch)
+          st = if (next.deleted) None else Some(next)
+          last = Some(next)
+        }
+        if (feed.nonEmpty)
+          assert(last.contains(one), s"image diverged: $feed chopped $chop")
+      }
+      // a delete anywhere resets: fold past it never leaks the pre-delete k
+      val delAt = feed.indexWhere(_.opCode == "d")
+      if (delAt >= 0 && !feed.drop(delAt + 1).exists(_.setsK))
+        assert(one.deleted || one.kV.isEmpty,
+          s"k must not survive the delete: $feed -> $one")
+    }
+  }
+
+  test("sessionFold: merging a feed in chopped batches == one batch, and " +
+      "the result is a disjoint ascending cover") {
+    import graft.streaming.StreamsV2.{sessionFold, OpenSession}
+    val gap = 10L
+    val feedGen: Gen[List[Long]] = for {
+      n <- Gen.choose(0, 25)
+      ts <- Gen.listOfN(n, Gen.choose(1L, 120L))
+    } yield ts
+    samples(feedGen, 80, 9900L).foreach { feed =>
+      val one = sessionFold(gap, Seq.empty, feed)
+      // disjoint, ascending, counts conserved
+      assert(one.map(_.n).sum === feed.size)
+      one.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end <= b.start, s"overlap in $one")
+        case _ =>
+      }
+      one.foreach(s => assert(s.end > s.start))
+      // chop-invariance: sessions merge across batches through open state
+      samples(chopsGen(feed), 3, feed.hashCode.toLong).foreach { chop =>
+        val merged = chop.foldLeft(Seq.empty[OpenSession]) { (open, batch) =>
+          sessionFold(gap, open, batch)
+        }
+        assert(merged === one, s"sessions diverged: $feed chopped $chop")
+      }
+      // order-insensitive within a batch (the sort owns the order)
+      val rng = new scala.util.Random(feed.hashCode.toLong)
+      assert(sessionFold(gap, Seq.empty, rng.shuffle(feed)) === one)
+    }
+  }
 }
