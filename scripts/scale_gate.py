@@ -115,6 +115,11 @@ DECADE2_QUERIES = [
     "q_ship_priority_mix",    # SCALE.md r13: 4.81 s @100x, exponent 0.68
     "corpus_admission",       # SCALE.md r14: 10.3 s @100x, exponent 0.49
     "corpus_admission_batch", # SCALE.md r14: 3.2 s @100x, ~flat (O(batch))
+    # the two historical second-decade quadratic catches: their capped
+    # fixes carry the production composites, so a decade-2 regression
+    # here is exactly what this stage exists to trip
+    "dedup_verify_capped",    # SCALE.md r11: 57.0 s @100x, exponent 0.72
+    "ann_semdedup_capped",    # SCALE.md r11: 15.2 s @100x, exponent 0.61
 ]
 
 

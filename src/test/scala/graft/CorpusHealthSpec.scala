@@ -43,6 +43,22 @@ class CorpusHealthSpec extends SparkSpec {
     assert(!byId(40L).getBoolean(2), "PII carrier fails pass_pii")
   }
 
+  test("bucket-pruned admission: an all-short-docs batch yields an empty " +
+      "verdict set (empty bucket INSET, no error)") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // every arrival below the shingle resolution -> zero signatures ->
+    // zero buckets collected -> the isin() filter is vacuously false and
+    // the gate emits nothing (matching the unpruned short-doc drop)
+    val arrivals = Seq((10L, "hi"), (20L, "x")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_empty").toString
+    Corpus.admissionIndexBucketed(corpus, numBuckets = 512)
+      .write.mode("overwrite").partitionBy("sig_bucket").parquet(dir)
+    val index = spark.read.parquet(dir)
+    assert(Corpus.admissionGatePruned(arrivals, index).count() === 0L)
+    assert(Corpus.admissionGateWithIndex(arrivals, index).count() === 0L)
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2
