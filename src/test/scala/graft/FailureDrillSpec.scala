@@ -375,6 +375,75 @@ class FailureDrillSpec extends SparkSpec {
     assert(got.toSet === batch)
   }
 
+  /** Restart drill for the `transformWithState` session form
+    * (`StreamsV2.sessionStream`): the keyed open-session ListState AND
+    * the event-time timers must recover from the RocksDB checkpoint — a
+    * session spanning the crash merges, the recovered timers close every
+    * session exactly once when the watermark passes, and the result
+    * equals batch sessionize on the union. Feed shifted +1 s off epoch 0
+    * (the TWS late-row boundary documented on SessionProcessor). */
+  test("restart drill: V2 session ListState and event-time timers recover; " +
+      "spanning session merges") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("session_v2_drill")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    type Sess = (Long, Long, Long, Long)
+    val sessions = new java.util.concurrent.ConcurrentLinkedQueue[Sess]()
+    def startQuery() = {
+      val typed = spark.readStream.schema("user_id LONG, t_ms LONG")
+        .json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      graft.streaming.StreamsV2.sessionStream(typed, gapMs = 60000L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.StreamsV2.SessionOut],
+              _: Long) =>
+            df.collect().foreach(s => sessions.add(
+              (s.userId, s.sessionStart, s.sessionEnd, s.nEvents))))
+        .start()
+    }
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    withRocksDb {
+      // day 1: u1's session OPEN (1 s, 31 s, 51 s; end 111 s), u2's too
+      // (end 71 s); both live only in ListState + their event-time timers
+      writeEvents("day-1.json",
+        Seq((1L, 1000L), (1L, 31000L), (2L, 11000L), (1L, 51000L)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // crash with every session still open
+      assert(sessions.isEmpty, "nothing may close before the watermark moves")
+      // while down: u1's 71 s event lands INSIDE its open session; u3's
+      // far event pushes the watermark past u1/u2's closes on resume
+      writeEvents("day-2.json", Seq((1L, 71000L), (3L, 501000L)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      writeEvents("day-3.json", Seq((99L, 10001000L))) // sentinel closes u3
+      q2.processAllAvailable()
+      q2.stop()
+      val got = sessions.asScala.toSeq.filter(_._1 != 99L).distinct
+      assert(got.toSet === Set(
+        (1L, 1000L, 131000L, 4L), // merged ACROSS the crash
+        (2L, 11000L, 71000L, 1L),
+        (3L, 501000L, 561000L, 1L)), s"got $got")
+      // batch==streaming under fault: equals Sessions.sessionize on the union
+      val batch = graft.operators.Sessions.sessionize(
+        Seq((1L, 1000L), (1L, 31000L), (2L, 11000L), (1L, 51000L),
+          (1L, 71000L), (3L, 501000L))
+          .map { case (u, t) => (u, t * 1000000L) }.toDF("user_id", "ts"),
+        gapMs = 60000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.toSet === batch)
+    }
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * to the drill and restore the session default afterwards. */
   private def withRocksDb[T](body: => T): T = {
