@@ -221,12 +221,18 @@ object Bench {
     // A train form that fails every rep must be VISIBLE, not vanish from
     // the map (probe ≈ median − train_sec would silently read as zero
     // training cost): failures land in `train_failed`, mirroring the
-    // timed queries' `failed` list.
+    // timed queries' `failed` list. Only SCORED reps record a failure
+    // (the warm rep is unscored for timing, so it must be unscored for
+    // failure too — a warm-only hiccup with all scored reps green used
+    // to put the same form in BOTH train_sec and train_failed, reading
+    // as contradictory), and the entry carries a failure COUNT per
+    // exception class instead of last-exception-wins.
     var trainFailed = Map.empty[String, String]
     val trainSecs: Seq[(String, Double)] = results.map(_._1)
       .filter(trainForms.contains)
       .flatMap { name =>
-        def one(): Option[Double] = {
+        var failCounts = Map.empty[String, Int]
+        def one(scored: Boolean): Option[Double] = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try {
@@ -234,14 +240,21 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case t: Throwable =>
-              trainFailed += name -> t.getClass.getSimpleName
-              System.err.println(s"[bench] train form for $name failed:")
+              if (scored) {
+                val cls = t.getClass.getSimpleName
+                failCounts += cls -> (failCounts.getOrElse(cls, 0) + 1)
+              }
+              System.err.println(
+                s"[bench] train form for $name failed (${if (scored) "scored" else "warm"} rep):")
               t.printStackTrace()
               None
           }
         }
-        one() // warm, unscored — same discipline as the query reps
-        val ts = (1 to reps).flatMap(_ => one())
+        one(scored = false) // warm, unscored — same discipline as the query reps
+        val ts = (1 to reps).flatMap(_ => one(scored = true))
+        if (failCounts.nonEmpty)
+          trainFailed += name -> failCounts.toSeq.sorted
+            .map { case (cls, n) => s"$cls:$n" }.mkString(",")
         if (ts.isEmpty) None else Some(name -> median(ts))
       }
     def jmap(entries: Seq[(String, Double)]): String =

@@ -647,6 +647,22 @@ private[graft] trait OraclesCorpusSql extends OraclesEventsSql {
     WHERE s.doc_id % 10 = 0
     ORDER BY s.doc_id"""
 
+  /** The bucket-pruned streaming ingest gate's fixed micro-batch —
+    * mirrors `Dedup.ingestGateWithIndex` over the doc_id%10 split with
+    * the doc_id < 2000 batch slice (bucket pruning is plan-side only:
+    * the verdicts are the plain signature-equality semi-match). */
+  val dedupIngestGatePruned: String = s"""WITH $minhashSigCte,
+    idx AS (
+      SELECT m0, m1, m2, m3, m4, m5, m6, m7, min(doc_id) AS dup_of
+      FROM sigs WHERE doc_id % 10 <> 0
+      GROUP BY m0, m1, m2, m3, m4, m5, m6, m7)
+    SELECT s.doc_id,
+      idx.dup_of IS NOT NULL AS is_dup,
+      coalesce(idx.dup_of, -1) AS dup_of
+    FROM sigs s LEFT JOIN idx USING (m0, m1, m2, m3, m4, m5, m6, m7)
+    WHERE s.doc_id % 10 = 0 AND s.doc_id < 2000
+    ORDER BY s.doc_id"""
+
   def dedupSimhash: String = {
     val bitSums = (0 until 16)
       .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")

@@ -37,10 +37,13 @@ private[graft] trait SparkEntryBase {
       // fixed-batch gate (corpus_admission_batch) prunes its read to the
       // partitions the batch's signatures hash into; the proportional
       // corpus_admission reads it whole (the partition column is dropped
-      // by the gate) — same rows either way
-      Corpus.admissionIndexBucketed(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
-        .write.mode("overwrite").partitionBy("sig_bucket").parquet(d)
+      // by the gate) — same rows either way. Bucket count sized to the
+      // corpus (round 15): a fixed 512 wrote hundreds of near-empty files
+      // at sf0.1 whose open overhead was the unpruned gate's measured
+      // constant; the count is recorded with the index (sidecar +
+      // column metadata) so the pruned gate always folds with it.
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      Corpus.writeAdmissionIndex(corpus, d, Corpus.sizeBuckets(corpus.count()))
     }
 
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM

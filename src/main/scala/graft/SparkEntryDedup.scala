@@ -88,6 +88,17 @@ private[graft] trait SparkEntryDedup extends SparkEntryEvents {
         docs.filter(col("doc_id") % 10 =!= 0))
         .orderBy("doc_id")
     }),
+    // the PRODUCTION live-admission shape: a fixed micro-batch gated
+    // against the PERSISTED bucketed signature index with per-batch
+    // bucket pruning — what each foreachBatch invocation of a live feed
+    // executes; reads O(batch) index partitions, not O(corpus)
+    "dedup_ingest_gate_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ingestGateWithIndex(
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000),
+        Corpus.readAdmissionIndex(s, admissionIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, dir) =>
       Dedup.keepBestByQuality(Tables.documents(s, dir)).orderBy("keep_id")),
     "sample_stratified" -> ((s, dir) =>

@@ -140,7 +140,7 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
       val docs = Tables.documents(s, dir)
       Corpus.admissionGateWithIndex(
         docs.filter(col("doc_id") % 10 === 0),
-        s.read.parquet(admissionIndexDir(s, dir)))
+        Corpus.readAdmissionIndex(s, admissionIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
     // the PRODUCTION admission shape: a FIXED micro-batch (doc_id < 2000,
@@ -149,9 +149,11 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
     // admission O(batch), not O(corpus), as the corpus grows
     "corpus_admission_batch" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // readAdmissionIndex restores the recorded bucket count, so the
+      // prune folds batch signatures with the index's own write-time count
       Corpus.admissionGatePruned(
         docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000),
-        s.read.parquet(admissionIndexDir(s, dir)))
+        Corpus.readAdmissionIndex(s, admissionIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
     "corpus_filter" -> ((s, dir) =>

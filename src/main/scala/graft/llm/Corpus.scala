@@ -114,16 +114,83 @@ object Corpus {
     pmod(xxhash64((0 until 8).map(i => col(s"m$i")): _*), lit(numBuckets.toLong))
       .cast("int")
 
+  /** Schema-metadata key recording the bucket count a `sig_bucket` column
+    * was folded with. Pruning is only sound when the batch recomputes its
+    * buckets with the SAME count the index was written with — the count
+    * therefore travels WITH the index (column metadata in the plan, a
+    * sidecar file in the persisted layout) instead of being a parameter
+    * two call sites must keep in sync by discipline. */
+  val NumBucketsKey = "graft.admission.numBuckets"
+
+  /** Sidecar filename recording the bucket count next to a persisted
+    * bucketed index (underscore prefix: invisible to the parquet reader). */
+  val NumBucketsSidecar = "_graft_num_buckets"
+
+  /** The bucket count recorded on `index`'s `sig_bucket` column, if any. */
+  def recordedNumBuckets(index: DataFrame): Option[Int] = {
+    val f = index.schema.fields.find(_.name == "sig_bucket")
+    f.filter(_.metadata.contains(NumBucketsKey))
+      .map(_.metadata.getLong(NumBucketsKey).toInt)
+  }
+
+  /** Bucket count sized to the corpus: ~2k index rows per bucket, clamped
+    * to [8, 512]. A fixed 512 at small scale writes hundreds of near-empty
+    * partition files whose open/list overhead becomes the gate's constant
+    * (the round-14 sf0.1 regression: the UNPRUNED proportional gate reads
+    * the index whole, paying 512 file opens for ~54k rows); at the 100x
+    * slice and beyond the clamp lands back on 512, so decade-2 pruning
+    * behavior is unchanged. */
+  def sizeBuckets(corpusRows: Long): Int =
+    math.max(8L, math.min(512L, corpusRows / 2048L)).toInt
+
   /** [[admissionIndex]] in the bucketed persisted layout: same rows plus
-    * the `sig_bucket` partition column. Write it with
-    * `.write.partitionBy("sig_bucket")` — the layout is what lets an
-    * admission batch read only the index partitions its own signatures
-    * hash into ([[admissionGatePruned]]) instead of scanning the whole
-    * standing index; at 100 TB the index is corpus-sized and the batch is
-    * a micro-batch, so the pruned read is the difference between O(batch)
+    * the `sig_bucket` partition column, which carries `numBuckets` as
+    * column metadata ([[NumBucketsKey]]) so [[admissionGatePruned]] prunes
+    * with the count the index was actually folded with. Write it with
+    * [[writeAdmissionIndex]] (which also records the count in a sidecar,
+    * since partition-column metadata does not survive a parquet
+    * round-trip) — the layout is what lets an admission batch read only
+    * the index partitions its own signatures hash into
+    * ([[admissionGatePruned]]) instead of scanning the whole standing
+    * index; at 100 TB the index is corpus-sized and the batch is a
+    * micro-batch, so the pruned read is the difference between O(batch)
     * and O(corpus) per admission. */
-  def admissionIndexBucketed(corpus: DataFrame, numBuckets: Int = 512): DataFrame =
-    admissionIndex(corpus).withColumn("sig_bucket", sigBucket(numBuckets))
+  def admissionIndexBucketed(corpus: DataFrame, numBuckets: Int = 512): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(NumBucketsKey, numBuckets.toLong).build()
+    admissionIndex(corpus)
+      .withColumn("sig_bucket", sigBucket(numBuckets).as("sig_bucket", meta))
+  }
+
+  /** Persist the bucketed admission index: partitioned parquet plus the
+    * [[NumBucketsSidecar]] bucket-count sidecar [[readAdmissionIndex]]
+    * restores the column metadata from. */
+  def writeAdmissionIndex(corpus: DataFrame, path: String,
+      numBuckets: Int = 512): Unit = {
+    admissionIndexBucketed(corpus, numBuckets)
+      .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, NumBucketsSidecar),
+      numBuckets.toString.getBytes("UTF-8"))
+  }
+
+  /** Load a persisted bucketed admission index, restoring the recorded
+    * bucket count onto the `sig_bucket` column so every downstream prune
+    * recomputes batch buckets with the write-time fold. An index persisted
+    * without the sidecar (a pre-round-15 layout) loads without metadata
+    * and [[admissionGatePruned]] falls back to its parameter. */
+  def readAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val sidecar = java.nio.file.Paths.get(path, NumBucketsSidecar)
+    if (!java.nio.file.Files.exists(sidecar)) raw
+    else {
+      val n = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8").trim.toLong
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(NumBucketsKey, n).build()
+      raw.withColumn("sig_bucket", col("sig_bucket").as("sig_bucket", meta))
+    }
+  }
 
   /** [[admissionGate]] against a PREBUILT (typically persisted) signature
     * index — the production shape: index built once per corpus snapshot,
@@ -195,9 +262,16 @@ object Corpus {
       numBuckets: Int = 512): DataFrame = {
     require(index.columns.contains("sig_bucket"),
       "admissionGatePruned needs the bucketed index layout (sig_bucket)")
+    // the count the index RECORDS wins over the parameter: a caller whose
+    // numBuckets drifted from the write-time fold would prune away the
+    // matching partitions and silently admit true duplicates — with the
+    // recorded count ([[admissionIndexBucketed]] metadata /
+    // [[readAdmissionIndex]] sidecar) the batch recomputes its buckets
+    // with the index's own fold and a mismatch cannot happen.
+    val nb = recordedNumBuckets(index).getOrElse(numBuckets)
     val buckets = Dedup.withProjectedSignatures(
         arrivals.filter(size(split(col("text"), " ")) >= 2))
-      .select(sigBucket(numBuckets).as("b")).distinct()
+      .select(sigBucket(nb).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     admissionGateWithIndex(arrivals,
       index.filter(col("sig_bucket").isin(buckets: _*)))

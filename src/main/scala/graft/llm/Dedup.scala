@@ -344,6 +344,52 @@ object Dedup {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** [[ingestGate]] against the PERSISTED bucketed signature index
+    * ([[Corpus.admissionIndexBucketed]]'s layout, written via
+    * [[Corpus.writeAdmissionIndex]]) with per-batch bucket pruning — the
+    * production form of live admission: the standing index is
+    * corpus-sized and a micro-batch is not, so the gate reads only the
+    * index partitions the batch's own signatures hash into
+    * (`PartitionFilters` INSET on the static side) instead of
+    * re-planning and re-scanning the full index every micro-batch.
+    *
+    * Bucket discovery collects the batch's distinct `sig_bucket` values —
+    * at most `numBuckets` small ints, the same plan-time
+    * partition-pruning move as [[Corpus.admissionGatePruned]] — which
+    * requires a BATCH frame: drive a live stream through
+    * `writeStream.foreachBatch { (batch, _) => ingestGateWithIndex(batch,
+    * index) ... }`, where each micro-batch arrives as a plain DataFrame.
+    * (The unpruned [[ingestGate]] stays the stream-static-join form for
+    * small indexes, where a broadcast beats pruning.) The bucket fold
+    * count is taken from the index's own recorded metadata
+    * ([[Corpus.recordedNumBuckets]], restored by
+    * [[Corpus.readAdmissionIndex]]) so a drifted `numBuckets` argument
+    * cannot prune away matching partitions; the parameter is only the
+    * fallback for a metadata-less frame. Output contract, including the
+    * short-doc drop, is byte-identical to [[ingestGate]]. */
+  def ingestGateWithIndex(
+      incoming: DataFrame, index: DataFrame,
+      n: Int = 2, numBuckets: Int = 512): DataFrame = {
+    require(index.columns.contains("sig_bucket"),
+      "ingestGateWithIndex needs the bucketed index layout (sig_bucket)")
+    require(!incoming.isStreaming,
+      "bucket discovery needs a batch frame — wrap a live stream in " +
+        "foreachBatch and gate each micro-batch")
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val nb = Corpus.recordedNumBuckets(index).getOrElse(numBuckets)
+    val batch = incoming.filter(size(split(col("text"), " ")) >= n)
+    val buckets = withProjectedSignatures(batch, n)
+      .select(Corpus.sigBucket(nb).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    minhashProjected(batch, n)
+      .join(index.filter(col("sig_bucket").isin(buckets: _*)).drop("sig_bucket"),
+        sigCols, "left")
+      .select(
+        col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   def incrementalFlags(
       corpus: DataFrame, incoming: DataFrame,
       n: Int = 2, numHashes: Int = 8): DataFrame = {

@@ -31,8 +31,12 @@ object Pii {
     // regexp_count, not size(regexp_extract_all): identical non-overlapping
     // match count without materializing an array of match strings per row —
     // this projection runs over every arriving document in the admission
-    // gate, so the allocation is the measurable part
-    regexp_count(c, lit(re))
+    // gate, so the allocation is the measurable part. coalesce to -1 keeps
+    // the null-text contract of the historical size(regexp_extract_all(..))
+    // form (legacy sizeOfNull): a null text counts -1 per class, so the
+    // admission gate's `piiCount === 0` stays FALSE for null input instead
+    // of flipping to null (pass_pii/admitted would otherwise go null).
+    coalesce(regexp_count(c, lit(re)), lit(-1))
 
   /** Total PII matches across all three classes — the per-row count an
     * admission policy thresholds on ([[Corpus.admissionGate]]). */

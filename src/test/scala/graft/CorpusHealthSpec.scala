@@ -59,6 +59,64 @@ class CorpusHealthSpec extends SparkSpec {
     assert(Corpus.admissionGateWithIndex(arrivals, index).count() === 0L)
   }
 
+  test("pruned admission folds with the index's RECORDED bucket count — a " +
+      "drifted numBuckets argument cannot prune away matching partitions") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (20L, "a brand new arrival document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_recorded").toString
+    // write-time fold: 64 buckets, recorded in the sidecar
+    Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 64)
+    val index = Corpus.readAdmissionIndex(spark, dir)
+    assert(Corpus.recordedNumBuckets(index) === Some(64))
+    // caller passes the DEFAULT (512 ≠ 64): before the recorded count, this
+    // silently admitted true duplicates (batch buckets folded mod 512 never
+    // matched partitions folded mod 64); now the recorded fold wins
+    val pruned = Corpus.admissionGatePruned(arrivals, index, numBuckets = 512)
+      .orderBy("doc_id").collect().toSeq
+    val full = Corpus.admissionGateWithIndex(arrivals, index)
+      .orderBy("doc_id").collect().toSeq
+    assert(pruned === full, "recorded-count prune must match the unpruned gate")
+    val dup = pruned.find(_.getLong(0) == 10L).get
+    assert(!dup.getBoolean(3) && dup.getLong(4) === 1L,
+      "the true duplicate must still be caught under the mismatched argument")
+    // a metadata-less frame (raw read, pre-round-15 layout) falls back to
+    // the parameter — parity holds when the caller's count matches
+    val raw = spark.read.parquet(dir)
+    assert(Corpus.recordedNumBuckets(raw) === None)
+    assert(Corpus.admissionGatePruned(arrivals, raw, numBuckets = 64)
+      .orderBy("doc_id").collect().toSeq === full)
+  }
+
+  test("indexed ingest gate == unindexed ingest gate (bucket-pruned " +
+      "static side, identical verdicts)") {
+    val corpus = Seq(
+      (1L, "spark filter join table scan window batch merge"),
+      (5L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "spark filter join table scan window batch merge"), // dup of 1
+      (11L, "fresh unseen tokens nothing like the corpus rows"),
+      (12L, "hi")) // below shingle resolution — dropped by both paths
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 32)
+    val index = Corpus.readAdmissionIndex(spark, dir)
+    val indexed = graft.llm.Dedup.ingestGateWithIndex(arrivals, index)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    val plain = graft.llm.Dedup.ingestGate(arrivals, corpus)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(indexed === plain, "identical output contract, short-doc drop included")
+    assert(indexed === Seq((10L, true, 1L), (11L, false, -1L)))
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2

@@ -627,6 +627,47 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("pinned V1/V2 boundary divergence: an event at epoch-ms 0 is kept " +
+      "by the session_window form and dropped by the transformWithState twin") {
+    import spark.implicits._
+    import graft.streaming.StreamsV2.SessionOut
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the documented runtime boundary (SessionProcessor docstring, ADVICE
+      // r14): transformWithState filters late rows as eventTime <= watermark
+      // and the watermark STARTS at 0, so a t=0 row never reaches the
+      // processor; the v1 native aggregate filters on window END and keeps
+      // it. Every epoch-ms feed satisfies t >= 1, so the divergence is
+      // theoretical — this pin keeps it visible instead of silent.
+      val feed = Seq(
+        EventIn(1L, "view", 0L),      // the boundary row
+        EventIn(1L, "view", 10000L),  // same session under gap 60 s
+        EventIn(99L, "view", 10000000L)) // watermark-pushing sentinel
+      val v1 = runChunked[EventIn, org.apache.spark.sql.Row](
+        in => Streams.sessionStream(in.toDS(), gapMs = 60000L),
+        feed, 1, "session_v1_t0")
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+        .filter(_._1 != 99L)
+      assert(v1 === Seq((1L, 0L, 70000L, 2L)),
+        "v1 keeps the t=0 event (its late filter is on window END)")
+      val v2 = runChunked[EventIn, SessionOut](
+        in => graft.streaming.StreamsV2.sessionStream(in.toDS(), gapMs = 60000L),
+        feed, 1, "session_tws_t0")
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("sessionStart"),
+          r.getAs[Long]("sessionEnd"), r.getAs[Long]("nEvents")))
+        .filter(_._1 != 99L)
+      assert(v2 === Seq((1L, 10000L, 70000L, 1L)),
+        "the TWS runtime drops the t=0 row before the processor sees it")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session fold: interval merge matches session_window semantics " +
       "(strict gap boundary; late event bridges two open sessions)") {
     import graft.streaming.StreamsV2.{sessionFold, OpenSession}

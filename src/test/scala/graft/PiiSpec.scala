@@ -38,6 +38,25 @@ class PiiSpec extends SparkSpec {
     assert(got === org.apache.commons.codec.digest.DigestUtils.md5Hex(s))
   }
 
+  test("null text keeps the historical -1 contract (admission stays false, " +
+      "never null)") {
+    // size(regexp_extract_all(NULL)) under the legacy sizeOfNull default
+    // counted -1 per class; regexp_count(NULL) alone would flip the count
+    // to null and the admission gate's `piiCount === 0` from false to null
+    val df = Seq((1L, Option("no pii")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val counts = Pii.scrub(df, "id", "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(counts === Array((1L, 0, 0, 0), (2L, -1, -1, -1)))
+    val gate = df.select(
+      org.apache.spark.sql.functions.col("id"),
+      (Pii.piiCount(org.apache.spark.sql.functions.col("text")) === 0)
+        .as("pass_pii")).orderBy("id").collect()
+    assert(gate.map(r => (r.getLong(0), r.isNullAt(1), !r.isNullAt(1) && r.getBoolean(1)))
+      === Array((1L, false, true), (2L, false, false)),
+      "a null text must FAIL the pii gate, not poison it to null")
+  }
+
   test("plan: pure projection — no exchange, no aggregate") {
     val plan = Pii.scrub(Seq((1L, "t")).toDF("id", "text"), "id", "text")
       .queryExecution.executedPlan.toString()

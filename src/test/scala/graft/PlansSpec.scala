@@ -91,7 +91,9 @@ class PlansSpec extends SparkSpec {
     "q_market_share", "q_product_profit", "q_small_qty_revenue",
     "q_waiting_suppliers", "q_ship_priority_mix",
     // round-14: the fixed-batch bucket-pruned admission shape
-    "corpus_admission_batch")
+    "corpus_admission_batch",
+    // round-15: the bucket-pruned streaming ingest gate (batch form)
+    "dedup_ingest_gate_pruned")
 
   // built once; query construction may run driver-side convergence loops
   private lazy val plans: Map[String, String] = names.map { n =>
@@ -266,6 +268,20 @@ class PlansSpec extends SparkSpec {
       "the partition filter must be the batch's bucket INSET")
     assert(count("corpus_admission_batch", "Join") === 1)
     assert(runtimeSplitSites("corpus_admission_batch") === 2)
+  }
+
+  test("bucket-pruned ingest gate: the static-side index scan carries the " +
+      "batch's bucket INSET (what each foreachBatch micro-batch executes)") {
+    assert(plans("dedup_ingest_gate_pruned").contains("PartitionFilters"),
+      "the index scan must be partition-filtered")
+    assert(count("dedup_ingest_gate_pruned", "sig_bucket[#0-9]* IN") >= 1,
+      "the partition filter must be the batch's bucket INSET")
+    assert(count("dedup_ingest_gate_pruned", "Join") === 1)
+    // one tokenize in the pushed short-doc filter + one in the signature
+    // projection — the minhash chain must never inline into the filter
+    assert(runtimeSplitSites("dedup_ingest_gate_pruned") === 2)
+    assert(!plans("dedup_ingest_gate_pruned").contains("isnotnull(array_min"),
+      "the short-doc filter must not inline the minhash chain")
   }
 
   test("OOV rate broadcasts the vocab head, never sort-merges") {

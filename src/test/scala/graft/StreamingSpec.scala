@@ -884,6 +884,61 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, "streaming gate == batch incrementalFlags")
   }
 
+  test("live ingest gate via foreachBatch + persisted bucketed index: " +
+      "per-micro-batch bucket pruning, verdict parity with the unindexed gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "spark filter join table scan window batch merge"),
+      (5L, "completely different words entirely other content here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_stream_idx").toString
+    graft.llm.Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 32)
+    val index = graft.llm.Corpus.readAdmissionIndex(spark, dir)
+    val arrivals1 = Seq(
+      (10L, "spark filter join table scan window batch merge"), // dup of 0
+      (11L, "fresh unseen tokens nothing like the corpus rows"))
+    val arrivals2 = Seq(
+      (12L, "completely different words entirely other content here"), // dup of 5
+      (13L, "hi")) // below shingle resolution — dropped
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val input = MemoryStream[(Long, String)]
+    // the production wiring: each micro-batch arrives as a BATCH frame in
+    // foreachBatch, so bucket discovery (collect of ≤numBuckets small
+    // ints) is legal and the standing index read is pruned per batch
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gated = graft.llm.Dedup.ingestGateWithIndex(batch, index)
+        // pin the prune while we're here: the static-side scan of a
+        // non-empty micro-batch must carry the bucket INSET partition filter
+        if (batch.count() > 0) {
+          val plan = gated.queryExecution.executedPlan.toString()
+          // a one-bucket batch's INSET constant-folds to an equality —
+          // both shapes are the prune
+          assert(plan.contains("PartitionFilters") &&
+            "sig_bucket[#0-9]* (IN|=)".r.findFirstIn(plan).isDefined,
+            s"index scan must be partition-pruned to the batch's buckets:\n$plan")
+        }
+        got ++= gated.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    input.addData(arrivals1: _*)
+    q.processAllAvailable()
+    input.addData(arrivals2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // foreachBatch is at-least-once across restarts — no kill here, but
+    // distinct keeps the assertion honest to the sink contract anyway
+    val sorted = got.distinct.sortBy(_._1).toSeq
+    val plain = graft.llm.Dedup.ingestGate(
+      (arrivals1 ++ arrivals2).toDF("doc_id", "text"), corpus)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(sorted === plain, "indexed live gate == unindexed gate on the union")
+    assert(sorted === Seq((10L, true, 0L), (11L, false, -1L), (12L, true, 5L)))
+  }
+
   test("streaming heartbeat monitor: each stall emits once, == batch ledger") {
     import spark.implicits._
     import graft.streaming.Streams.{OpTick, StallOut}
