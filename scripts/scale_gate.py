@@ -103,6 +103,14 @@ GATED_QUERIES = [
     "q_ship_priority_mix",
     # round-14: the fixed-batch bucket-pruned admission shape
     "corpus_admission_batch",
+    # round-15: the heaviest CDC composite (verdict #6 — never had a
+    # decade-2 row) and the linear-by-design contraction composite, both
+    # promoted into the standing gate so their decade rows re-measure per
+    # round instead of resting on narrative numbers
+    "cdc_snapshot_tail",
+    "dedup_clusters",
+    # round-15: the bucket-pruned live ingest gate (fixed micro-batch)
+    "dedup_ingest_gate_pruned",
 ]
 
 # Queries whose prescriptions carry SECOND-decade (100x) numbers in
@@ -120,6 +128,30 @@ DECADE2_QUERIES = [
     # here is exactly what this stage exists to trip
     "dedup_verify_capped",    # SCALE.md r11: 57.0 s @100x, exponent 0.72
     "ann_semdedup_capped",    # SCALE.md r11: 15.2 s @100x, exponent 0.61
+    # round-15 widening (verdict #1/#6): the steady heavy families whose
+    # decade-2 claims were era-stale narrative numbers (r11-r13 one-shots)
+    "dedup_clusters",              # SCALE.md r13: 48.3 s @100x, 0.69
+    "ann_ivfpq_topk",              # train-in-query; never 100x-measured
+    "ann_ivfpq_persisted",         # the standing-pipeline twin
+    "mm_phash_clusters_capped",    # SCALE.md r12: 82.8 s @100x, 0.98
+    "mm_frame_dedup_capped",       # SCALE.md r12: 49.3 s @100x, 0.91
+    "mm_phash_clusters_persisted", # SCALE.md r12/r13: 0.61/0.69
+    "cdc_snapshot_tail",           # heaviest CDC query; never 100x-measured
+    "dedup_ingest_gate_pruned",    # round-15: must stay O(batch) like
+                                   # corpus_admission_batch
+]
+
+# Measured at the 100x slice and RECORDED in the artifact but never
+# gated: the exact recall-calibration baselines whose documented decade-2
+# exponents sit at the limit by design (mm 1.15/1.11 at r12 — the capped/
+# persisted twins above are the production defaults the gate protects).
+# dedup_verify_candidates, the remaining exact baseline, is EXCLUDED even
+# from the report tier: its measured 10x exponent is 2.01 (SCALE.md r9,
+# 436 s at 10x) — a 100x run projects to ~12 h by design, which is the
+# documented reason the capped form exists.
+DECADE2_REPORT = [
+    "mm_phash_clusters",
+    "mm_frame_dedup",
 ]
 
 
@@ -156,7 +188,8 @@ def main():
             queries.append(args[i]); i += 1
     if not queries:
         queries = GATED_QUERIES
-    d2_queries = [] if skip_d2 else [q for q in DECADE2_QUERIES if q in queries]
+    d2_queries = [] if skip_d2 else [
+        q for q in DECADE2_QUERIES + DECADE2_REPORT if q in queries]
 
     if not os.path.exists(os.path.join(slice_dir, "documents.parquet")):
         print(f"[scale_gate] building 10x slice at {slice_dir}")
@@ -204,9 +237,17 @@ def main():
             exp2 = math.log10(t100 / t10)
             report[q]["t100"] = round(t100, 3)
             report[q]["exponent2"] = round(exp2, 2)
-            if gated and exp2 > LIMIT:
+            if q in DECADE2_REPORT:
+                report[q]["decade2_report_only"] = True
+            elif gated and exp2 > LIMIT:
                 violations.append(
                     f"{q}: decade-2 exponent {exp2:.2f} > {LIMIT}")
+        # train-in-query attribution (ann_ivfpq & co): carry train_sec per
+        # decade so the gated exponent can be read net-of-training
+        for lbl, b in (("t1", b1), ("t10", b10), ("t100", b100)):
+            tr = (b or {}).get("train_sec", {}).get(q)
+            if tr is not None:
+                report[q][f"train_{lbl}"] = round(tr, 3)
         if not gated:
             skipped.append(q)
         elif exponent > LIMIT:

@@ -126,8 +126,45 @@ object Bench {
     // Optional comma-separated subset for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var failed = Map.empty[String, String]
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Decomposition probes (round-15, the corpus_admission method made
+    // reusable): named sub-stages of the heavy composites, timed with the
+    // SAME warm+median discipline so a decade-2 adjudication can attribute
+    // a query's growth to a stage instead of re-deriving the split by
+    // hand. Probes run ONLY when explicitly named in SPARK_GRAFT_ONLY
+    // (scripts/decompose.py drives them) — never in the full-surface
+    // artifact, whose totals must stay comparable across rounds.
+    val probeForms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+      import graft.llm.Dedup
+      import graft.sources.Tables
+      Map(
+        // dedup_verify_capped = capped banded candidate generation
+        // + the trigram shingle pass + the pair-intersection verify joins
+        "probe_dvc_cand" -> ((s: SparkSession, dir: String) =>
+          Dedup.minhashCandidates(Tables.documents(s, dir),
+            maxBucket = Dedup.DefaultMaxBucket)),
+        "probe_dvc_sh3" -> ((s: SparkSession, dir: String) =>
+          Dedup.shingles(Tables.documents(s, dir), 3)
+            .groupBy("doc_id")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_sh"))),
+        "probe_dvc_inter" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val docs = Tables.documents(s, dir)
+          val cand = Dedup.minhashCandidates(docs,
+            maxBucket = Dedup.DefaultMaxBucket)
+          val sh = Dedup.shingles(docs, 3)
+          cand
+            .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+            .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+              Seq("b_id", "shingle"))
+            .groupBy("a_id", "b_id")
+            .agg(count(lit(1)).as("n_inter"))
+        }))
+    }
+    val selected = (SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }) ++
+      probeForms.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.exists(_.contains(name)) }
     val results = selected.flatMap { case (name, fn) =>
       def run(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
         spark.catalog.clearCache()

@@ -984,7 +984,12 @@ object Streams {
     * query resuming a checkpoint written by the pre-round-13 shape will
     * fail or misdecode state (the case-class default does NOT apply to
     * already-serialized rows); resume requires a fresh checkpoint
-    * (replay or batch-backfill the state, the FailureDrillSpec recipe). */
+    * (replay or batch-backfill the state, the FailureDrillSpec recipe).
+    * The `transformWithState` twin does NOT share this limitation: with
+    * the Avro state encoding (StateSchemaV3) a V2 processor adds a
+    * nullable state field and resumes the SAME checkpoint, old rows
+    * decoding with the field defaulted — proven by the FailureDrillSpec
+    * schema-evolution drill. */
   case class ActivityState(days: Seq[Long], everActive: Boolean = true)
 
   /** One DAU step for a batch of same-user events — shared fold of
@@ -1071,7 +1076,9 @@ object Streams {
     * `GroupState` encoder schema of [[growthStream]] — resuming a
     * pre-round-13 checkpoint fails or misdecodes state (defaults don't
     * apply to already-serialized rows); resume needs a fresh checkpoint
-    * (see the [[ActivityState]] note). */
+    * (see the [[ActivityState]] note — and its V2 contrast: the
+    * `transformWithState` twin evolves nullable state fields in place
+    * under the Avro encoding). */
   case class GrowthState(lastWeek: Long, churned: Boolean = false)
 
   /** One growth step for a batch of same-user events — shared fold of

@@ -1620,4 +1620,132 @@ class FailureDrillSpec extends SparkSpec {
         s"post-eviction history must restart at ver 1 with a blank image: $reborn")
     }
   }
+
+  /** State-schema evolution drill — the capability `transformWithState`
+    * advertises over V1 `GroupState` (where the r13 ActivityState change
+    * was checkpoint-BREAKING: resume needs a fresh checkpoint). With the
+    * Avro state encoding (`spark.sql.streaming.stateStore.encodingFormat
+    * = avro`, StateSchemaV3), a V2 processor can add a nullable field to
+    * its state case class and RESUME THE SAME CHECKPOINT: pre-evolution
+    * state decodes with the new field defaulted (None), and new writes
+    * round-trip it. The drill: checkpoint [[SchemaEvolutionDrill
+    * .CountProcessorV1]] (per-key count state), kill, resume with the
+    * evolved [[SchemaEvolutionDrill.CountProcessorV2]] (adds
+    * `bonus: Option[Long]`), assert decode + running-count parity with a
+    * batch fold of the union. */
+  test("schema-evolution drill: V2 state gains a defaulted field and " +
+      "resumes the same checkpoint (avro encoding)") {
+    import scala.jdk.CollectionConverters._
+    import graft.SchemaEvolutionDrill._
+    val root = Files.createTempDirectory("tws_schema_evo")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    def startQuery(evolved: Boolean) = {
+      val typed = spark.readStream.schema("user_id LONG, t_ms LONG")
+        .json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted =
+        if (evolved)
+          typed.groupByKey(_.userId).transformWithState(
+            new CountProcessorV2(), TimeMode.None(), OutputMode.Update())
+        else
+          typed.groupByKey(_.userId).transformWithState(
+            new CountProcessorV1(), TimeMode.None(), OutputMode.Update())
+      counted.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[CountOut], _: Long) =>
+          df.collect().foreach(o => out.add((o.userId, o.count, o.bonus))))
+        .start()
+    }
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevEnc = spark.conf.getOption(encKey)
+    // avro from the FIRST write: an unsaferow checkpoint cannot evolve
+    spark.conf.set(encKey, "avro")
+    try withRocksDb {
+      writeEvents("day-1.json", Seq((1L, 1000L), (1L, 2000L), (2L, 3000L)))
+      val q1 = startQuery(evolved = false)
+      q1.processAllAvailable()
+      q1.stop() // kill with u1.count=2, u2.count=1 serialized pre-evolution
+      assert(out.asScala.toSet === Set((1L, 2L, -1L), (2L, 1L, -1L)))
+      out.clear()
+      // while down, the processor EVOLVES: EvoCountV2 adds bonus
+      writeEvents("day-2.json", Seq((1L, 4000L), (3L, 5000L)))
+      val q2 = startQuery(evolved = true)
+      q2.processAllAvailable()
+      // decode: u1's pre-evolution state read back (count 2 → 3) with the
+      // added field defaulted to None (bonus emits -1); u3 is fresh
+      assert(out.asScala.toSet === Set((1L, 3L, -1L), (3L, 1L, -1L)),
+        s"pre-evolution state must decode with the new field defaulted: ${out.asScala}")
+      out.clear()
+      // round-trip: V2 wrote bonus=Some(10*count) for every key it touched
+      writeEvents("day-3.json", Seq((1L, 6000L), (3L, 7000L)))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(out.asScala.toSet === Set((1L, 4L, 30L), (3L, 2L, 10L)),
+        s"evolved-field writes must round-trip: ${out.asScala}")
+      // parity: running counts equal a batch fold of the union
+      val batch = Map(1L -> 4L, 2L -> 1L, 3L -> 2L)
+      assert(out.asScala.map(o => o._1 -> o._2).toMap ===
+        batch.filter { case (k, _) => Set(1L, 3L).contains(k) })
+    } finally prevEnc match {
+      case Some(v) => spark.conf.set(encKey, v)
+      case None => spark.conf.unset(encKey)
+    }
+  }
+}
+
+/** Test-local processor pair for the schema-evolution drill: same state
+  * variable name ("evoCount"), V2's state case class adds a NULLABLE
+  * field — the evolution StateSchemaV3 + Avro encoding supports in place
+  * (a non-nullable addition has no Avro default and is rejected). */
+object SchemaEvolutionDrill {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  case class EvoCountV1(count: Long)
+  case class EvoCountV2(count: Long, bonus: Option[Long])
+  case class CountOut(userId: Long, count: Long, bonus: Long)
+
+  class CountProcessorV1
+      extends StatefulProcessor[Long, graft.streaming.Streams.EventIn, CountOut] {
+    @transient private var st: ValueState[EvoCountV1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "evoCount", Encoders.product[EvoCountV1], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[graft.streaming.Streams.EventIn],
+        timerValues: TimerValues): Iterator[CountOut] = {
+      val c = Option(st.get()).map(_.count).getOrElse(0L) + rows.size
+      st.update(EvoCountV1(c))
+      Iterator.single(CountOut(userId, c, -1L))
+    }
+  }
+
+  class CountProcessorV2
+      extends StatefulProcessor[Long, graft.streaming.Streams.EventIn, CountOut] {
+    @transient private var st: ValueState[EvoCountV2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "evoCount", Encoders.product[EvoCountV2], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[graft.streaming.Streams.EventIn],
+        timerValues: TimerValues): Iterator[CountOut] = {
+      val prev = Option(st.get())
+      val c = prev.map(_.count).getOrElse(0L) + rows.size
+      // emit the DECODED bonus (pre-evolution state must read None),
+      // then write an evolved-field value for the round-trip assertion
+      val decoded = prev.flatMap(_.bonus).getOrElse(-1L)
+      st.update(EvoCountV2(c, Some(10L * c)))
+      Iterator.single(CountOut(userId, c, decoded))
+    }
+  }
 }
