@@ -111,6 +111,10 @@ GATED_QUERIES = [
     "dedup_clusters",
     # round-15: the bucket-pruned live ingest gate (fixed micro-batch)
     "dedup_ingest_gate_pruned",
+    # round-15: the train-in-query heavy and its standing-pipeline twin
+    # (decade rows read net-of-training via the train_t* attribution)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
 ]
 
 # Queries whose prescriptions carry SECOND-decade (100x) numbers in
