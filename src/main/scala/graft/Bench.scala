@@ -334,6 +334,39 @@ object Bench {
       once() // JIT warm
       median(Seq(once(), once(), once()))
     }
+    // Float-array calibration constant (round-15): the r15 close caught a
+    // FAMILY-skewed host band — the ANN embeddings family at ~1.5x with
+    // every other family flat and `calib_sec` unchanged, because the
+    // integer xorshift loop is register/cache-resident and blind to host
+    // drift specific to float-array allocation + FP throughput (exactly
+    // the ANN profile: fresh Array[Float] per row, 64-wide dot products).
+    // This workload measures that axis: 8M iterations of allocate-a-
+    // 64-float-array + multiply-accumulate dot product (~0.5 GB/s of
+    // allocator churn through the TLAB). Published as `calib_fp_sec`
+    // next to `calib_sec`; cross-round family comparison divides by the
+    // matching constant (ANN by fp, scan-bound families by int).
+    val calibFp: Double = if (!wantCalib) 0.0 else {
+      val dim = 64
+      val a = new Array[Float](dim)
+      val b = new Array[Float](dim)
+      var k = 0
+      while (k < dim) { a(k) = k * 0.5f; b(k) = (dim - k) * 0.25f; k += 1 }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var acc = 0.0
+        var it = 0
+        while (it < 8000000) {
+          val c = new Array[Float](dim)
+          var j = 0; var dot = 0.0f
+          while (j < dim) { c(j) = a(j) * b(j); dot += c(j); j += 1 }
+          acc += dot; it += 1
+        }
+        if (acc == 42.0) System.err.print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT warm
+      median(Seq(once(), once(), once()))
+    }
     // Cross-round normalization (round-12 directive): this run's total in
     // r11-anchor-box seconds. 0.0 when calibration was skipped.
     val totalNorm = if (calib > 0) total * CalibRef / calib else 0.0
@@ -352,7 +385,7 @@ object Bench {
     // compute medians correctly (naively including entry 0 overstates
     // every median), so the convention now ships in the artifact itself.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"warm_included":true,"rel_spread":$sp,"failed":$fs,"train_failed":$tfs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"train_sec":${jmap(trainSecs)},"queries":$qs,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"warm_included":true,"rel_spread":$sp,"failed":$fs,"train_failed":$tfs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"calib_fp_sec":${f"$calibFp%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"train_sec":${jmap(trainSecs)},"queries":$qs,"contaminated":$contaminated}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
     // can truncate the one-line artifact; the file always holds it whole —
     // plus the RAW per-rep times, so every median can defend itself
