@@ -159,7 +159,20 @@ object Bench {
               Seq("b_id", "shingle"))
             .groupBy("a_id", "b_id")
             .agg(count(lit(1)).as("n_inter"))
-        }))
+        }),
+        // mm_phash_clusters_capped = the stored-media decode+hash pass
+        // + the 16-bit-banded capped candidate pair join + star
+        // contraction (round-16 directive: name the near-limit row's
+        // linear term the way dedup_verify_capped's is named). Each probe
+        // INCLUDES its predecessors (decompose.py reads differences):
+        // hash = decode floor; pairs − hash = band join; full − pairs =
+        // contraction + histogram.
+        "probe_mpc_hash" -> ((s: SparkSession, dir: String) =>
+          graft.llm.Multimodal.aHash(
+            s.read.parquet(SparkEntry.mediaIndexDir(s, dir)))),
+        "probe_mpc_pairs" -> ((s: SparkSession, dir: String) =>
+          graft.llm.Multimodal.phashDupsWide(graft.llm.Multimodal.aHash(
+            s.read.parquet(SparkEntry.mediaIndexDir(s, dir))))))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }) ++
@@ -345,12 +358,24 @@ object Bench {
     // allocator churn through the TLAB). Published as `calib_fp_sec`
     // next to `calib_sec`; cross-round family comparison divides by the
     // matching constant (ANN by fp, scan-bound families by int).
+    // Round-16 workload fix (ADVICE): the r15 form's per-iteration array
+    // never escaped the loop (only the scalar dot fed acc), so C2 scalar-
+    // replacement could elide the allocation entirely (64 elements is
+    // exactly EliminateAllocArraySizeLimit) — the constant then measured
+    // pure FP throughput, not the allocator-churn axis it documents. The
+    // array now ESCAPES: every iteration publishes it to a field read
+    // after the loop, and a data-dependent element feeds the accumulator,
+    // so the allocation + stores are unremovable. This re-baselines the
+    // constant (r15's 0.415 was the elidable form; the r16 SCALE.md bridge
+    // table maps old→new on the same box) — cross-round division uses
+    // same-form values only.
     val calibFp: Double = if (!wantCalib) 0.0 else {
       val dim = 64
       val a = new Array[Float](dim)
       val b = new Array[Float](dim)
       var k = 0
       while (k < dim) { a(k) = k * 0.5f; b(k) = (dim - k) * 0.25f; k += 1 }
+      var sink: Array[Float] = a
       def once(): Double = {
         val t0 = System.nanoTime()
         var acc = 0.0
@@ -359,9 +384,11 @@ object Bench {
           val c = new Array[Float](dim)
           var j = 0; var dot = 0.0f
           while (j < dim) { c(j) = a(j) * b(j); dot += c(j); j += 1 }
-          acc += dot; it += 1
+          sink = c // escapes: published to a field read after the loop
+          acc += dot + c(it & 63) // data-dependent element read
+          it += 1
         }
-        if (acc == 42.0) System.err.print("") // defeat dead-code elimination
+        if (acc == 42.0 || sink(0) == 42.0f) System.err.print("")
         (System.nanoTime() - t0) / 1e9
       }
       once() // JIT warm

@@ -42,8 +42,13 @@ private[graft] trait SparkEntryBase {
       // at sf0.1 whose open overhead was the unpruned gate's measured
       // constant; the count is recorded with the index (sidecar +
       // column metadata) so the pruned gate always folds with it.
+      // Auto-sized form (round 16): ONE corpus scan — the index frame is
+      // built once and its own row count sizes the fold, instead of a
+      // corpus.count() pre-pass that both rescanned the corpus and
+      // overestimated index rows (duplicate signatures collapse).
       val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
-      Corpus.writeAdmissionIndex(corpus, d, Corpus.sizeBuckets(corpus.count()))
+      Corpus.writeAdmissionIndexAutoSized(corpus, d)
+      ()
     }
 
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM

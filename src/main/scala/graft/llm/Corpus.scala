@@ -143,6 +143,39 @@ object Corpus {
   def sizeBuckets(corpusRows: Long): Int =
     math.max(8L, math.min(512L, corpusRows / 2048L)).toInt
 
+  /** The bucket count an arriving batch must fold with: the count the
+    * index RECORDS wins ([[recordedNumBuckets]]). A metadata-less bucketed
+    * frame (raw `spark.read.parquet` of the layout, lost sidecar) gets the
+    * caller's fallback only after VALIDATION — a fallback that disagrees
+    * with the write-time fold would prune away exactly the matching
+    * partitions and silently admit true duplicates, the hole the recorded
+    * count exists to close (round-16 ADVICE). Validation recomputes
+    * `sig_bucket` from a bounded sample of index rows with the fallback
+    * fold and requires every row to agree: a wrong fold maps a 64-bit
+    * xxhash64 onto the stored bucket only by coincidence, so 256 agreeing
+    * rows make a wrong-but-validated count vanishingly unlikely, while an
+    * empty index validates trivially (nothing prunable to lose). The
+    * sample is a `limit(256)` over ≤ 9 small columns — one bounded job on
+    * the metadata-less path only; indexes read via [[readAdmissionIndex]]
+    * never pay it. */
+  def effectiveNumBuckets(index: DataFrame, fallback: Int): Int =
+    recordedNumBuckets(index).getOrElse {
+      val bad = index
+        .select((0 until 8).map(i => col(s"m$i")) :+
+          col("sig_bucket").cast("int").as("_sb"): _*)
+        .limit(256)
+        .filter(sigBucket(fallback) =!= col("_sb"))
+        .count()
+      if (bad > 0) throw new IllegalStateException(
+        s"metadata-less bucketed admission index: $bad sampled row(s) " +
+          s"disagree with numBuckets=$fallback — the index was folded with " +
+          "a different bucket count; pruning with this fallback would " +
+          "silently admit true duplicates. Re-read the index via " +
+          "Corpus.readAdmissionIndex (restores the recorded count) or pass " +
+          "the write-time count.")
+      fallback
+    }
+
   /** [[admissionIndex]] in the bucketed persisted layout: same rows plus
     * the `sig_bucket` partition column, which carries `numBuckets` as
     * column metadata ([[NumBucketsKey]]) so [[admissionGatePruned]] prunes
@@ -164,14 +197,44 @@ object Corpus {
 
   /** Persist the bucketed admission index: partitioned parquet plus the
     * [[NumBucketsSidecar]] bucket-count sidecar [[readAdmissionIndex]]
-    * restores the column metadata from. */
+    * restores the column metadata from. The sidecar is written to a temp
+    * name then atomically moved, so a reader never observes a
+    * half-written count; the residual window (parquet complete, sidecar
+    * not yet moved) degrades to the metadata-less path, where
+    * [[effectiveNumBuckets]] validates or rejects the caller's fallback
+    * instead of silently pruning wrong. */
   def writeAdmissionIndex(corpus: DataFrame, path: String,
-      numBuckets: Int = 512): Unit = {
-    admissionIndexBucketed(corpus, numBuckets)
+      numBuckets: Int = 512): Unit =
+    writeBucketedIndex(admissionIndex(corpus), path, numBuckets)
+
+  /** [[writeAdmissionIndex]] with the bucket count sized from the INDEX
+    * row count (distinct signatures — what [[sizeBuckets]]'s ~2k-rows-per-
+    * bucket target actually means) in ONE corpus scan: the unbucketed
+    * index is built once, persisted in memory for the count, then written
+    * bucketed. The corpus-rows-fed two-scan form overestimated index rows
+    * (duplicates collapse) and paid a full extra corpus pass just to size
+    * the fold (round-16 ADVICE). Returns the recorded count. */
+  def writeAdmissionIndexAutoSized(corpus: DataFrame, path: String): Int = {
+    val idx = admissionIndex(corpus).persist()
+    try {
+      val nb = sizeBuckets(idx.count())
+      writeBucketedIndex(idx, path, nb)
+      nb
+    } finally { idx.unpersist(); () }
+  }
+
+  private def writeBucketedIndex(index: DataFrame, path: String,
+      numBuckets: Int): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(NumBucketsKey, numBuckets.toLong).build()
+    index.withColumn("sig_bucket", sigBucket(numBuckets).as("sig_bucket", meta))
       .write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, NumBucketsSidecar),
-      numBuckets.toString.getBytes("UTF-8"))
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = dir.resolve(NumBucketsSidecar + ".tmp")
+    java.nio.file.Files.write(tmp, numBuckets.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(NumBucketsSidecar),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Load a persisted bucketed admission index, restoring the recorded
@@ -185,7 +248,18 @@ object Corpus {
     val sidecar = java.nio.file.Paths.get(path, NumBucketsSidecar)
     if (!java.nio.file.Files.exists(sidecar)) raw
     else {
-      val n = new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8").trim.toLong
+      // a corrupt sidecar must fail with a CLEAR contract error, not a
+      // bare NumberFormatException three frames deep — and never fall
+      // back silently: a bucketed index whose recorded count is garbage
+      // is exactly the silent-admit hazard the sidecar exists to prevent
+      val body = new String(
+        java.nio.file.Files.readAllBytes(sidecar), "UTF-8").trim
+      val n = scala.util.Try(body.toLong).toOption.filter(_ > 0L).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt $NumBucketsSidecar sidecar at $path (content: " +
+            s"'${body.take(32)}'): expected a positive integer bucket " +
+            "count — rebuild the index with Corpus.writeAdmissionIndex, " +
+            "or delete the sidecar to use validated-parameter pruning"))
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(NumBucketsKey, n).build()
       raw.withColumn("sig_bucket", col("sig_bucket").as("sig_bucket", meta))
@@ -262,13 +336,12 @@ object Corpus {
       numBuckets: Int = 512): DataFrame = {
     require(index.columns.contains("sig_bucket"),
       "admissionGatePruned needs the bucketed index layout (sig_bucket)")
-    // the count the index RECORDS wins over the parameter: a caller whose
-    // numBuckets drifted from the write-time fold would prune away the
-    // matching partitions and silently admit true duplicates — with the
-    // recorded count ([[admissionIndexBucketed]] metadata /
-    // [[readAdmissionIndex]] sidecar) the batch recomputes its buckets
-    // with the index's own fold and a mismatch cannot happen.
-    val nb = recordedNumBuckets(index).getOrElse(numBuckets)
+    // the count the index RECORDS wins over the parameter; a
+    // metadata-less frame validates the parameter against a row sample
+    // before pruning with it (a drifted count would prune away the
+    // matching partitions and silently admit true duplicates) — see
+    // [[effectiveNumBuckets]].
+    val nb = effectiveNumBuckets(index, numBuckets)
     val buckets = Dedup.withProjectedSignatures(
         arrivals.filter(size(split(col("text"), " ")) >= 2))
       .select(sigBucket(nb).as("b")).distinct()

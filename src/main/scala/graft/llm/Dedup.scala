@@ -365,8 +365,11 @@ object Dedup {
     * ([[Corpus.recordedNumBuckets]], restored by
     * [[Corpus.readAdmissionIndex]]) so a drifted `numBuckets` argument
     * cannot prune away matching partitions; the parameter is only the
-    * fallback for a metadata-less frame. Output contract, including the
-    * short-doc drop, is byte-identical to [[ingestGate]]. */
+    * fallback for a metadata-less frame, and even then it is VALIDATED
+    * against a sample of index rows before any pruning
+    * ([[Corpus.effectiveNumBuckets]] — a stale fallback fails loudly
+    * instead of silently admitting duplicates). Output contract,
+    * including the short-doc drop, is byte-identical to [[ingestGate]]. */
   def ingestGateWithIndex(
       incoming: DataFrame, index: DataFrame,
       n: Int = 2, numBuckets: Int = 512): DataFrame = {
@@ -376,7 +379,9 @@ object Dedup {
       "bucket discovery needs a batch frame — wrap a live stream in " +
         "foreachBatch and gate each micro-batch")
     val sigCols = (0 until 8).map(i => s"m$i")
-    val nb = Corpus.recordedNumBuckets(index).getOrElse(numBuckets)
+    // recorded count wins; a metadata-less frame validates the parameter
+    // against a row sample before pruning with it (Corpus.effectiveNumBuckets)
+    val nb = Corpus.effectiveNumBuckets(index, numBuckets)
     val batch = incoming.filter(size(split(col("text"), " ")) >= n)
     val buckets = withProjectedSignatures(batch, n)
       .select(Corpus.sigBucket(nb).as("b")).distinct()

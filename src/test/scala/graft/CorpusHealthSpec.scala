@@ -93,6 +93,92 @@ class CorpusHealthSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq === full)
   }
 
+  test("metadata-less index with a WRONG fallback fails loudly instead of " +
+      "silently admitting duplicates (both pruned gates)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_badfb").toString
+    Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 64)
+    // lose the sidecar (pre-round-15 layout / failed write window): the
+    // raw read has no recorded count, and the stale 512 default disagrees
+    // with the write-time 64-fold — before round 16 this pruned away the
+    // matching partitions and admitted the true duplicate silently
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, Corpus.NumBucketsSidecar))
+    val raw = spark.read.parquet(dir)
+    assert(Corpus.recordedNumBuckets(raw) === None)
+    val e1 = intercept[IllegalStateException] {
+      Corpus.admissionGatePruned(arrivals, raw, numBuckets = 512).collect()
+    }
+    assert(e1.getMessage.contains("metadata-less bucketed admission index"))
+    val e2 = intercept[IllegalStateException] {
+      graft.llm.Dedup.ingestGateWithIndex(arrivals, raw, numBuckets = 512)
+        .collect()
+    }
+    assert(e2.getMessage.contains("metadata-less bucketed admission index"))
+    // the CORRECT fallback validates against the sample and prunes soundly
+    val ok = Corpus.admissionGatePruned(arrivals, raw, numBuckets = 64)
+      .collect().head
+    assert(!ok.getBoolean(3) && ok.getLong(4) === 1L,
+      "validated fallback must still catch the true duplicate")
+  }
+
+  test("corrupt bucket-count sidecar fails with a clear contract error, " +
+      "never a silent fallback") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_corrupt").toString
+    Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 16)
+    for (garbage <- Seq("", "not-a-number", "-4")) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, Corpus.NumBucketsSidecar),
+        garbage.getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        Corpus.readAdmissionIndex(spark, dir)
+      }
+      assert(e.getMessage.contains(Corpus.NumBucketsSidecar),
+        s"error must name the sidecar (garbage='$garbage'): ${e.getMessage}")
+    }
+  }
+
+  test("auto-sized index build: one corpus scan, fold sized from INDEX " +
+      "rows, count recorded and restored on read") {
+    // 10 docs, two of them exact duplicates of others: the index collapses
+    // duplicate signatures, so its row count (8) is what sizes the fold
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", "eta theta iota kappa lambda mu",
+      "nu xi omicron pi rho sigma", "tau upsilon phi chi psi omega",
+      "one two three four five six", "seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo", "violet black white gray pink teal")
+    val corpus = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, texts(0)), (101L, texts(1)))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_auto").toString
+    val nb = Corpus.writeAdmissionIndexAutoSized(corpus, dir)
+    val indexRows = Corpus.admissionIndex(corpus).count()
+    assert(indexRows === 8L, "duplicate signatures must collapse (10 -> 8)")
+    // the contract: fold sized from INDEX rows (at this scale both counts
+    // clamp to the same bucket floor — the arithmetic boundary is pinned
+    // by the sizeBuckets assertions below)
+    assert(nb === Corpus.sizeBuckets(indexRows))
+    assert(Corpus.sizeBuckets(2048L * 10) === 10 &&
+      Corpus.sizeBuckets(2048L * 10 + 2048) === 11,
+      "sizeBuckets is rows/2048 between the clamps — collapsing duplicate " +
+        "signatures changes the fold once the corpus crosses bucket widths")
+    val index = Corpus.readAdmissionIndex(spark, dir)
+    assert(Corpus.recordedNumBuckets(index) === Some(nb))
+    // and the duplicate owners are the LOWEST doc ids, as in the two-scan form
+    val dupOf = Corpus.admissionGatePruned(
+      Seq((200L, texts(0))).toDF("doc_id", "text"), index)
+      .collect().head
+    assert(!dupOf.getBoolean(3) && dupOf.getLong(4) === 0L)
+  }
+
   test("indexed ingest gate == unindexed ingest gate (bucket-pruned " +
       "static side, identical verdicts)") {
     val corpus = Seq(

@@ -1701,6 +1701,146 @@ class FailureDrillSpec extends SparkSpec {
       case None => spark.conf.unset(encKey)
     }
   }
+
+  /** Round-16 widening of the evolution drill (verdict #6a): the r15 proof
+    * covered `ValueState` — this one evolves the operationally riskier
+    * `ListState` TXN BUFFER mid-checkpoint: V1 buffers (seq, payload)
+    * items; the kill lands with two items half-buffered; the resumed V2
+    * processor's buffered-item schema adds `tag: Option[Long]`. The
+    * pre-evolution ITEMS (not just a scalar) must decode with the field
+    * defaulted, and items appended post-evolution must round-trip it. */
+  test("schema-evolution drill: ListState txn-buffer items gain a defaulted " +
+      "field and resume the same checkpoint (avro encoding)") {
+    import scala.jdk.CollectionConverters._
+    import graft.ListEvolutionDrill._
+    val root = Files.createTempDirectory("tws_list_evo")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, String)]()
+    def writeEvents(name: String, evs: Seq[(Long, String, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, e, t) =>
+          s"""{"user_id":$u,"event_type":"$e","t_ms":$t}"""
+        }.mkString("\n"))
+    def startQuery(evolved: Boolean) = {
+      val typed = spark.readStream
+        .schema("user_id LONG, event_type STRING, t_ms LONG")
+        .json(srcDir.getPath)
+        .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val flushed =
+        if (evolved)
+          typed.groupByKey(_.userId).transformWithState(
+            new BufProcessorV2(), TimeMode.None(), OutputMode.Append())
+        else
+          typed.groupByKey(_.userId).transformWithState(
+            new BufProcessorV1(), TimeMode.None(), OutputMode.Append())
+      flushed.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[FlushOut], _: Long) =>
+          df.collect().foreach(o => out.add((o.userId, o.n, o.payloads, o.tags))))
+        .start()
+    }
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevEnc = spark.conf.getOption(encKey)
+    spark.conf.set(encKey, "avro")
+    try withRocksDb {
+      // two items buffered pre-evolution, NO flush — the kill lands with
+      // the interesting state serialized under the V1 item schema
+      writeEvents("b1.json", Seq((1L, "open", 1000L), (1L, "add", 2000L)))
+      val q1 = startQuery(evolved = false)
+      q1.processAllAvailable()
+      q1.stop()
+      assert(out.isEmpty, "nothing flushed pre-kill")
+      // evolve while down; the flush makes V2 READ the V1-buffered items
+      writeEvents("b2.json", Seq((1L, "flush", 3000L)))
+      val q2 = startQuery(evolved = true)
+      q2.processAllAvailable()
+      assert(out.asScala.toSeq === Seq((1L, 2L, "open|add", "-1|-1")),
+        s"pre-evolution buffered items must decode with tag defaulted: ${out.asScala}")
+      out.clear()
+      // post-evolution appends round-trip the new field (tag = 2*tMs)
+      writeEvents("b3.json", Seq((1L, "add2", 4000L)))
+      q2.processAllAvailable()
+      writeEvents("b4.json", Seq((1L, "flush", 5000L)))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(out.asScala.toSeq === Seq((1L, 1L, "add2", "8000")),
+        s"evolved-field items must round-trip: ${out.asScala}")
+    } finally prevEnc match {
+      case Some(v) => spark.conf.set(encKey, v)
+      case None => spark.conf.unset(encKey)
+    }
+  }
+
+  /** Round-16 (verdict #6b): the documented unsaferow limitation PINNED as
+    * a contract, not a surprise — a checkpoint written under the default
+    * UnsafeRow state encoding CANNOT evolve: resuming with the added
+    * nullable field must fail loudly with Spark's state-schema
+    * incompatibility error (the drill asserts the error chain names the
+    * schema problem), never decode garbage or silently reset state. The
+    * documented remedy is the r13 ActivityState one: fresh checkpoint, or
+    * start with avro from the first write. */
+  test("schema-evolution drill: an unsaferow checkpoint REFUSES to evolve " +
+      "(loud state-schema error, pinned)") {
+    import graft.SchemaEvolutionDrill._
+    val root = Files.createTempDirectory("tws_unsaferow_evo")
+    val srcDir = root.resolve("src").toFile
+    srcDir.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    def writeEvents(name: String, evs: Seq[(Long, Long)]): Unit =
+      Files.writeString(srcDir.toPath.resolve(name),
+        evs.map { case (u, t) => s"""{"user_id":$u,"t_ms":$t}""" }.mkString("\n"))
+    def startQuery(evolved: Boolean) = {
+      val typed = spark.readStream.schema("user_id LONG, t_ms LONG")
+        .json(srcDir.getPath)
+        .select(col("user_id").as("userId"), lit("view").as("eventType"),
+          col("t_ms").as("tMs"))
+        .as[graft.streaming.Streams.EventIn]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val counted =
+        if (evolved)
+          typed.groupByKey(_.userId).transformWithState(
+            new CountProcessorV2(), TimeMode.None(), OutputMode.Update())
+        else
+          typed.groupByKey(_.userId).transformWithState(
+            new CountProcessorV1(), TimeMode.None(), OutputMode.Update())
+      counted.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[CountOut], _: Long) =>
+          { df.collect(); () })
+        .start()
+    }
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevEnc = spark.conf.getOption(encKey)
+    // the DEFAULT encoding — explicitly, so the pin survives a session
+    // that ran the avro drills first
+    spark.conf.set(encKey, "unsaferow")
+    try withRocksDb {
+      writeEvents("day-1.json", Seq((1L, 1000L), (2L, 2000L)))
+      val q1 = startQuery(evolved = false)
+      q1.processAllAvailable()
+      q1.stop()
+      writeEvents("day-2.json", Seq((1L, 3000L)))
+      val q2 = startQuery(evolved = true)
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Throwable => () }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .map(t => t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+        .mkString("\n")
+      assert(chain.toLowerCase.contains("schema"),
+        s"the refusal must name the state-schema incompatibility, got:\n$chain")
+    } finally prevEnc match {
+      case Some(v) => spark.conf.set(encKey, v)
+      case None => spark.conf.unset(encKey)
+    }
+  }
 }
 
 /** Test-local processor pair for the schema-evolution drill: same state
@@ -1747,5 +1887,63 @@ object SchemaEvolutionDrill {
       st.update(EvoCountV2(c, Some(10L * c)))
       Iterator.single(CountOut(userId, c, decoded))
     }
+  }
+}
+
+/** Test-local processor pair for the ListState evolution drill (round 16):
+  * a minimal txn-buffer shape — items append per key until a "flush"
+  * event, which emits the buffered run and clears. V2's ITEM case class
+  * adds a nullable `tag`; same state variable name ("evoBuf"), so the
+  * resumed query reads V1-serialized items through the evolved schema. */
+object ListEvolutionDrill {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  import graft.streaming.Streams.EventIn
+
+  case class BufV1(seq: Long, payload: String)
+  case class BufV2(seq: Long, payload: String, tag: Option[Long])
+  case class FlushOut(userId: Long, n: Long, payloads: String, tags: String)
+
+  class BufProcessorV1 extends StatefulProcessor[Long, EventIn, FlushOut] {
+    @transient private var buf: ListState[BufV1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState("evoBuf", Encoders.product[BufV1], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[FlushOut] =
+      rows.toSeq.sortBy(_.tMs).iterator.flatMap { ev =>
+        if (ev.eventType == "flush") {
+          val items = buf.get().toSeq.sortBy(_.seq)
+          buf.clear()
+          Iterator.single(FlushOut(userId, items.size.toLong,
+            items.map(_.payload).mkString("|"), ""))
+        } else {
+          buf.appendValue(BufV1(ev.tMs, ev.eventType))
+          Iterator.empty
+        }
+      }
+  }
+
+  class BufProcessorV2 extends StatefulProcessor[Long, EventIn, FlushOut] {
+    @transient private var buf: ListState[BufV2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState("evoBuf", Encoders.product[BufV2], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[FlushOut] =
+      rows.toSeq.sortBy(_.tMs).iterator.flatMap { ev =>
+        if (ev.eventType == "flush") {
+          val items = buf.get().toSeq.sortBy(_.seq)
+          buf.clear()
+          // pre-evolution items decode tag=None (emitted -1); evolved
+          // appends carry Some(2*seq)
+          Iterator.single(FlushOut(userId, items.size.toLong,
+            items.map(_.payload).mkString("|"),
+            items.map(_.tag.getOrElse(-1L)).mkString("|")))
+        } else {
+          buf.appendValue(BufV2(ev.tMs, ev.eventType, Some(2L * ev.tMs)))
+          Iterator.empty
+        }
+      }
   }
 }

@@ -939,6 +939,113 @@ class StreamingSpec extends SparkSpec {
     assert(sorted === Seq((10L, true, 0L), (11L, false, -1L), (12L, true, 5L)))
   }
 
+  /** Round-16 drill (verdict #5): the O(batch) claim MEASURED, not just
+    * plan-pinned. Five micro-batches of fixed size stream through the
+    * real `writeStream.foreachBatch` wiring against a standing bucketed
+    * index at 1× and at 10× the corpus — per batch, the drill reads the
+    * executed index scan's partitions-read/files-read metrics and the
+    * batch wall time. O(batch) means: partitions read stay bounded by the
+    * BATCH's own bucket count (never the index's 64 partitions) at both
+    * corpus sizes, and per-batch wall does not scale with the corpus
+    * side. Wall assertions use generous noise bands (3×) — the sharp
+    * assertion is the partition metric, which is deterministic. */
+  test("live ingest gate stays O(batch) across micro-batches as the " +
+      "corpus-side index grows 10x (partitions read bounded by the batch)") {
+    import spark.implicits._
+    import graft.llm.{Corpus, Dedup}
+    def text(i: Long): String =
+      (0 until 8).map(k => s"w${(i * 7 + k * 13) % 50000}").mkString(" ")
+    def corpusDf(n: Int) =
+      (0 until n).map(i => (i.toLong, text(i.toLong))).toDF("doc_id", "text")
+    val batchSize = 20
+    // 5 fixed batches: half exact dups of corpus docs (present in BOTH
+    // corpora — ids < 2000), half fresh arrivals
+    val batches: Seq[Seq[(Long, String)]] = (0 until 5).map { b =>
+      (0 until batchSize / 2).map(j =>
+        (100000L + b * 100 + j, text((b * 97 + j * 11) % 2000))) ++
+        (0 until batchSize / 2).map { j =>
+          // disjoint word space ("f" prefix): genuinely fresh at both sizes
+          val fresh = (0 until 8).map(k => s"f${b * 1000 + j * 10 + k}")
+            .mkString(" ")
+          (200000L + b * 100 + j, fresh)
+        }
+    }
+    // the executed per-batch plan's index-side scan: partitions read after
+    // pruning (falls back to files read — ≥1 file per partition here)
+    def indexScanPartitions(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        // AQE stage wrappers are leaves (children = Nil); the materialized
+        // subplan hangs off .plan
+        case q: QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val ss = scans(df.queryExecution.executedPlan)
+      assert(ss.nonEmpty, "the gate plan must contain the index file scan")
+      val s = ss.head
+      s.metrics.get("numPartitions").orElse(s.metrics.get("numFiles"))
+        .map(_.value).getOrElse(0L)
+    }
+    def drill(corpusRows: Int): (Seq[Double], Seq[Long]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"obatch_idx_$corpusRows").toString
+      // fixed 64-bucket fold at BOTH sizes so partition counts compare
+      // apples-to-apples and a 20-doc batch can only touch ≤ 20 of 64
+      Corpus.writeAdmissionIndex(corpusDf(corpusRows), dir, numBuckets = 64)
+      val index = Corpus.readAdmissionIndex(spark, dir)
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val t0 = System.nanoTime()
+          val gated = Dedup.ingestGateWithIndex(batch, index)
+          val n = gated.collect().length
+          walls += (System.nanoTime() - t0) / 1e9
+          parts += indexScanPartitions(gated)
+          assert(n === batchSize, "every arrival is over shingle resolution")
+          ()
+        }
+        .start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      (walls.toSeq, parts.toSeq)
+    }
+    val (wallS, partS) = drill(2000)
+    val (wallB, partB) = drill(20000)
+    info(f"1x  corpus: walls=${wallS.map(w => f"$w%.2f").mkString(",")} " +
+      s"partitionsRead=${partS.mkString(",")}")
+    info(f"10x corpus: walls=${wallB.map(w => f"$w%.2f").mkString(",")} " +
+      s"partitionsRead=${partB.mkString(",")}")
+    // the sharp assertion: partitions read ≤ the batch's own bucket count
+    // (≤ batchSize distinct signatures), at 1× and at 10× the corpus —
+    // the index has 64 populated partitions; an O(corpus) re-scan reads
+    // all of them
+    (partS ++ partB).zipWithIndex.foreach { case (p, i) =>
+      assert(p > 0 && p <= batchSize,
+        s"batch ${i % 5}: read $p index partitions — must be bounded by " +
+          s"the batch's $batchSize docs, not the 64-partition index")
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // steady-state flatness across batches (batch 0 absorbs codegen/JIT)
+    for ((walls, lbl) <- Seq((wallS, "1x"), (wallB, "10x"))) {
+      val steady = walls.drop(1)
+      assert(steady.max <= 3.0 * med(steady),
+        s"$lbl per-batch wall must stay flat across batches: $walls")
+    }
+    // growing the corpus side 10× must not show up in per-batch wall
+    val ratio = med(wallB.drop(1)) / med(wallS.drop(1))
+    assert(ratio <= 3.0,
+      s"per-batch wall grew ${ratio}x when the corpus grew 10x " +
+        s"(1x=$wallS, 10x=$wallB) — the gate is reading the index " +
+        "proportionally, not O(batch)")
+  }
+
   test("streaming heartbeat monitor: each stall emits once, == batch ledger") {
     import spark.implicits._
     import graft.streaming.Streams.{OpTick, StallOut}
