@@ -51,6 +51,24 @@ private[graft] trait SparkEntryBase {
       ()
     }
 
+  /** Incrementally-maintained admission index for `dir`: base index built
+    * from the doc_id%10 ∈ {2..9} slice, then the %10 == 1 slice MERGED in
+    * via [[Corpus.updateAdmissionIndex]] (dynamic partition overwrite of
+    * only the affected sig_bucket partitions). The final rows must be
+    * identical to the full rebuild over doc_id%10 != 0 — which is exactly
+    * what the `corpus_admission_incremental` oracle checks: it reuses the
+    * full-corpus admission SQL, so any divergence between incremental
+    * maintenance and rebuild (a dropped signature, a wrong min-owner
+    * merge, an unrewritten partition) is a hash mismatch. */
+  private[graft] def admissionIncrIndexDir(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.dirFor(s"admission_incr:$dir") { d =>
+      val docs = Tables.documents(s, dir)
+      Corpus.writeAdmissionIndexAutoSized(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1), d)
+      Corpus.updateAdmissionIndex(s, d, docs.filter(col("doc_id") % 10 === 1))
+      ()
+    }
+
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM
     * (ingest-time work in a real pipeline), so the mm_* decode paths read
     * stored bytes and time decode+process, not re-encode. */

@@ -156,6 +156,18 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
         Corpus.readAdmissionIndex(s, admissionIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
+    // the index-WRITE-path twin of the pruned gate: the standing index is
+    // maintained INCREMENTALLY (base snapshot + one merged ingest
+    // increment, only affected partitions rewritten) and the gate runs
+    // against it — the oracle is the full-rebuild admission SQL, so
+    // incremental maintenance == rebuild is checked row-exactly
+    "corpus_admission_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGatePruned(
+        docs.filter(col("doc_id") % 10 === 0),
+        Corpus.readAdmissionIndex(s, admissionIncrIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // funnel consumes the persisted cluster index (built once per JVM
       // per data dir) instead of re-running the star contraction

@@ -223,6 +223,54 @@ object Corpus {
     } finally { idx.unpersist(); () }
   }
 
+  /** INCREMENTAL maintenance of a persisted bucketed admission index —
+    * the production alternative to rebuilding per corpus snapshot: fold
+    * `newDocs`' signatures into the standing index, rewriting ONLY the
+    * partitions the new signatures hash into (dynamic partition
+    * overwrite). The result is row-identical to a full rebuild over
+    * old ∪ new — the min-doc owner per signature merges across both
+    * sides — at O(increment + affected partitions) cost instead of
+    * O(corpus). At 100 TB the standing index is corpus-sized and an
+    * ingest increment is not: this is the same O(batch)-vs-O(corpus)
+    * distinction [[admissionGatePruned]] makes on the READ path, applied
+    * to the index WRITE path. The bucket fold is the index's own
+    * recorded count (required — merging with a drifted fold would split
+    * signatures across partitions); the sidecar is untouched because the
+    * fold does not change. The merged partitions are eagerly
+    * local-checkpointed before the overwrite so the write never reads
+    * the files it is replacing. */
+  def updateAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame): Unit = {
+    val index = readAdmissionIndex(spark, path)
+    val nb = recordedNumBuckets(index).getOrElse(throw new IllegalStateException(
+      s"updateAdmissionIndex needs the recorded bucket count at $path — " +
+        "an unrecorded fold cannot be merged into safely; rebuild with " +
+        "Corpus.writeAdmissionIndex"))
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val fresh = admissionIndex(newDocs)
+      .withColumn("sig_bucket", sigBucket(nb))
+    // the increment's own distinct buckets: ≤ nb small ints, the same
+    // bounded plan-time collect as the pruned gates
+    val buckets = fresh.select("sig_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.nonEmpty) {
+      val affected = index.filter(col("sig_bucket").isin(buckets: _*))
+      val merged = affected.unionByName(fresh)
+        .groupBy((sigCols :+ "sig_bucket").map(col): _*)
+        .agg(min("dup_of").as("dup_of"))
+        .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
+        .localCheckpoint(true) // materialize BEFORE overwriting the source files
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try merged.write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def writeBucketedIndex(index: DataFrame, path: String,
       numBuckets: Int): Unit = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()

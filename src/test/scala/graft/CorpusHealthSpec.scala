@@ -203,6 +203,63 @@ class CorpusHealthSpec extends SparkSpec {
     assert(indexed === Seq((10L, true, 1L), (11L, false, -1L)))
   }
 
+  test("incremental admission-index update == full rebuild; min-owner " +
+      "merges both directions; only affected partitions rewritten") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "totally unique corpus sentence about distributed query engines"))
+      .toDF("doc_id", "text")
+    val incr = Seq(
+      // same signature as 5 with a LOWER id: the merged owner must flip to 2
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      // same signature as 7 with a higher id: the owner must stay 7
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // a brand-new signature: inserted
+      (13L, "a brand new arrival document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_incr").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = 32)
+    // partition file state before the update, per sig_bucket directory
+    def fileState(): Map[String, Seq[(String, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("sig_bucket="))
+        .map(d => d.getName ->
+          d.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified)).toSeq.sortBy(_._1))
+        .toMap
+    }
+    val before = fileState()
+    val freshBuckets = Corpus.admissionIndex(incr)
+      .select(Corpus.sigBucket(32).as("b")).distinct()
+      .collect().map(r => s"sig_bucket=${r.getInt(0)}").toSet
+    Corpus.updateAdmissionIndex(spark, dir, incr)
+    // rows == a full rebuild over base ∪ incr (owners merged min-doc)
+    val cols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    val updated = Corpus.readAdmissionIndex(spark, dir)
+      .select(cols: _*).collect()
+      .map(r => (0 until 9).map(r.getLong)).toSet
+    val rebuilt = Corpus.admissionIndex(base.unionByName(incr))
+      .select(cols: _*).collect()
+      .map(r => (0 until 9).map(r.getLong)).toSet
+    assert(updated === rebuilt,
+      "incremental maintenance must be row-identical to a full rebuild")
+    assert(updated.map(_.last) === Set(2L, 7L, 9L, 13L),
+      "owner 5 -> 2 (lower new id wins), 7 stays, 9 untouched, 13 inserted")
+    // partitions NOT hashed into by the increment are byte-untouched
+    val after = fileState()
+    for ((bucketDir, files) <- before if !freshBuckets.contains(bucketDir))
+      assert(after(bucketDir) === files,
+        s"unaffected partition $bucketDir must not be rewritten")
+    // and at least one affected partition was actually rewritten
+    assert(freshBuckets.exists(b => before.get(b) != after.get(b)),
+      "the increment's partitions must change")
+    // recorded fold unchanged: the pruned gate still reads it
+    assert(Corpus.recordedNumBuckets(Corpus.readAdmissionIndex(spark, dir))
+      === Some(32))
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2
