@@ -260,6 +260,22 @@ class CorpusHealthSpec extends SparkSpec {
       === Some(32))
   }
 
+  test("incremental update REFUSES an index without a recorded fold " +
+      "(merging with a guessed fold would split signatures across partitions)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_incr_bad").toString
+    Corpus.writeAdmissionIndex(corpus, dir, numBuckets = 16)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, Corpus.NumBucketsSidecar))
+    val e = intercept[IllegalStateException] {
+      Corpus.updateAdmissionIndex(spark, dir,
+        Seq((2L, "one two three four five six")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("recorded bucket count"))
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2
