@@ -258,9 +258,20 @@ def main():
         def net_exp(ta, tb, la, lb):
             if not trains:
                 return None
+            # one-sided train attribution skews the subtraction (train
+            # recorded at only the larger decade would UNDERSTATE growth
+            # and could mask a violation): fall back to gross (r16 ADVICE)
+            if (la in trains) != (lb in trains):
+                print(f"  [scale_gate] {q}: train_sec at only one of "
+                      f"{la}/{lb} — net exponent skipped, gross gates")
+                return None
             na = max(ta - trains.get(la, 0.0), 0.0)
             nb = max(tb - trains.get(lb, 0.0), 0.0)
-            if na < FLOOR_SEC or nb <= 0:
+            # BOTH decades must clear the floor: a tiny-positive nb (the
+            # train≈total degenerate case) yields a strongly-negative
+            # exponent that would silently replace the gross one (r16
+            # ADVICE) — the documented fallback is gross, not near-zero net
+            if na < FLOOR_SEC or nb < FLOOR_SEC:
                 return None
             return math.log10(nb / na)
 

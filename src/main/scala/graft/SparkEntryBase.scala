@@ -69,6 +69,27 @@ private[graft] trait SparkEntryBase {
       ()
     }
 
+  /** Admission index grown through increments THEN re-bucketed: base built
+    * (auto-sized) from the doc_id%10 ∈ {3..9} slice, the %10 == 1 and
+    * %10 == 2 slices merged in as two successive
+    * [[Corpus.updateAdmissionIndex]] increments (the fold stays the
+    * base-build count), then [[Corpus.rebucketAdmissionIndex]] re-folds
+    * the grown index to its own auto-size. Rows must equal the full
+    * rebuild over doc_id%10 != 0 — the `corpus_admission_rebucket` oracle
+    * reuses the full-corpus admission SQL, so a dropped row, a wrong
+    * re-fold, or a stale sidecar after the swap is a hash mismatch. */
+  private[graft] def admissionRebucketIndexDir(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.dirFor(s"admission_rebucket:$dir") { d =>
+      val docs = Tables.documents(s, dir)
+      Corpus.writeAdmissionIndexAutoSized(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1 &&
+          col("doc_id") % 10 =!= 2), d)
+      Corpus.updateAdmissionIndex(s, d, docs.filter(col("doc_id") % 10 === 1))
+      Corpus.updateAdmissionIndex(s, d, docs.filter(col("doc_id") % 10 === 2))
+      Corpus.rebucketAdmissionIndex(s, d)
+      ()
+    }
+
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM
     * (ingest-time work in a real pipeline), so the mm_* decode paths read
     * stored bytes and time decode+process, not re-encode. */

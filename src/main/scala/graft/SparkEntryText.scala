@@ -168,6 +168,18 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
         Corpus.readAdmissionIndex(s, admissionIncrIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
+    // the index-MAINTENANCE-lifecycle twin: grown through two increments
+    // under the frozen base fold, then RE-BUCKETED to its own auto-size
+    // (the split op needsRebucket's criterion calls for) — the oracle is
+    // again the full-rebuild admission SQL, so increments + re-fold +
+    // sidecar swap must be row-identical to a rebuild
+    "corpus_admission_rebucket" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGatePruned(
+        docs.filter(col("doc_id") % 10 === 0),
+        Corpus.readAdmissionIndex(s, admissionRebucketIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // funnel consumes the persisted cluster index (built once per JVM
       // per data dir) instead of re-running the star contraction

@@ -133,15 +133,56 @@ object Corpus {
       .map(_.metadata.getLong(NumBucketsKey).toInt)
   }
 
-  /** Bucket count sized to the corpus: ~2k index rows per bucket, clamped
-    * to [8, 512]. A fixed 512 at small scale writes hundreds of near-empty
-    * partition files whose open/list overhead becomes the gate's constant
-    * (the round-14 sf0.1 regression: the UNPRUNED proportional gate reads
-    * the index whole, paying 512 file opens for ~54k rows); at the 100x
-    * slice and beyond the clamp lands back on 512, so decade-2 pruning
-    * behavior is unchanged. */
-  def sizeBuckets(corpusRows: Long): Int =
-    math.max(8L, math.min(512L, corpusRows / 2048L)).toInt
+  /** The sizing target: ~2k index rows per `sig_bucket` partition. Small
+    * enough that a pruned read of a handful of buckets is a handful of
+    * small files; large enough that a bucket is one healthy parquet file,
+    * not a directory of crumbs. */
+  val TargetRowsPerBucket = 2048L
+
+  /** Default upper clamp on the bucket count: 2^16 partition directories.
+    * At the 2k-rows target this covers ~134M distinct signatures before
+    * per-bucket size starts growing again; past that, partition-directory
+    * COUNT becomes the cost (listing, driver-side partition metadata, one
+    * dirent per bucket on the object store), so the clamp trades bounded
+    * file-count for linear per-bucket growth — the documented point where
+    * a corpus has outgrown one admission index and shards by a leading
+    * signature byte. The round-16 clamp of 512 froze that trade at ~1M
+    * signatures, two orders of magnitude early (round-16 verdict). */
+  val MaxBucketsDefault = 65536
+
+  /** Bucket count sized to the index: ~[[TargetRowsPerBucket]] rows per
+    * bucket, clamped to [8, maxBuckets]. The floor keeps a tiny corpus
+    * from degenerating to one partition; the ceiling is the file-count
+    * trade documented on [[MaxBucketsDefault]]. Near-empty-file overhead
+    * at small scale was the round-14 sf0.1 regression (a fixed 512 wrote
+    * hundreds of near-empty files the UNPRUNED gate paid to open), which
+    * is why the count is sized rather than constant. */
+  def sizeBuckets(corpusRows: Long, maxBuckets: Int = MaxBucketsDefault): Int = {
+    require(maxBuckets >= 8, s"maxBuckets must be >= 8, got $maxBuckets")
+    math.max(8L, math.min(maxBuckets.toLong, corpusRows / TargetRowsPerBucket))
+      .toInt
+  }
+
+  /** Maintenance criterion for an incrementally-grown index
+    * ([[updateAdmissionIndex]] preserves the base-build fold forever, so
+    * per-bucket size grows with the corpus): re-bucket when the average
+    * rows per bucket exceeds `slack` × [[TargetRowsPerBucket]].
+    *
+    * Derivation (the round-16 verdict's open scale question): the pruned
+    * gate's per-batch index read is touchedBuckets × rows/nb — the batch
+    * fixes touchedBuckets, so the read grows linearly in rows once nb is
+    * frozen. Re-bucketing ([[rebucketAdmissionIndex]]) restores
+    * rows/nb ≈ [[TargetRowsPerBucket]] for one full-rewrite cost; at
+    * slack = 2 each rewrite doubles the corpus the index absorbs before
+    * the next one, so total rewrite work over any growth history is
+    * ≤ 2× the final corpus size (geometric series) while the gate's
+    * per-batch read stays within 2× of its rebuilt-index cost. Measured
+    * growth curve: SCALE.md round-17 (per-increment gate reads against a
+    * 10×-grown index, with and without the re-bucket). */
+  def needsRebucket(indexRows: Long, numBuckets: Int,
+      slack: Double = 2.0): Boolean =
+    numBuckets < MaxBucketsDefault &&
+      indexRows.toDouble / numBuckets > slack * TargetRowsPerBucket
 
   /** The bucket count an arriving batch must fold with: the count the
     * index RECORDS wins ([[recordedNumBuckets]]). A metadata-less bucketed
@@ -238,7 +279,25 @@ object Corpus {
     * signatures across partitions); the sidecar is untouched because the
     * fold does not change. The merged partitions are eagerly
     * local-checkpointed before the overwrite so the write never reads
-    * the files it is replacing. */
+    * the files it is replacing.
+    *
+    * Crash/retry contract: the dynamic partition overwrite is NOT atomic
+    * across partitions — a failure mid-commit leaves some affected
+    * partitions merged and some stale. The remedy is to RE-RUN THE SAME
+    * increment: the merge is idempotent (min-fold over old ∪ new is the
+    * same whether `old` already absorbed the increment or not), so a
+    * retry over any partially-updated index converges to the full-rebuild
+    * rows (pinned in CorpusHealthSpec's partial-update drill). A retry is
+    * only convergent for the SAME or a SUPERSET increment; if the failed
+    * increment is lost, rebuild with [[writeAdmissionIndex]].
+    *
+    * Concurrency contract: single-writer ONLY. Two concurrent increments
+    * touching overlapping buckets each overwrite the partition with their
+    * OWN merge — last writer wins and the other side's signatures are
+    * dropped (each read the pre-update partition). Serialize increments
+    * (or union the doc batches into one call); this refusal is
+    * documentation-level because the FileSystem layout has no lock to
+    * detect a concurrent writer with. */
   def updateAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame): Unit = {
     val index = readAdmissionIndex(spark, path)
@@ -260,14 +319,61 @@ object Corpus {
         .agg(min("dup_of").as("dup_of"))
         .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
         .localCheckpoint(true) // materialize BEFORE overwriting the source files
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try merged.write.mode("overwrite").partitionBy("sig_bucket").parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      // per-write dynamic overwrite (DataFrameWriter option), NOT the
+      // session conf: mutating spark.sql.sources.partitionOverwriteMode
+      // for the write's duration races any concurrent writer in the same
+      // session (round-16 ADVICE)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sig_bucket").parquet(path)
+    }
+  }
+
+  /** RE-BUCKET a persisted admission index in place: re-fold every row
+    * with a new bucket count (default: [[sizeBuckets]] of the CURRENT row
+    * count) and rewrite the layout + sidecar once. This is the split-
+    * maintenance op [[needsRebucket]]'s criterion calls for — an index
+    * grown through [[updateAdmissionIndex]] increments keeps its
+    * base-build fold, so per-bucket size (and the pruned gate's per-batch
+    * read) grows with the corpus until a re-bucket restores the
+    * [[TargetRowsPerBucket]] density. Rows are untouched — only the
+    * partition fold changes — so every gate verdict is identical before
+    * and after (oracled: `corpus_admission_rebucket` reuses the
+    * full-rebuild admission SQL).
+    *
+    * Cost and shape: ONE streamed rewrite of the index (a corpus-sized
+    * shuffle-free pass — the new `sig_bucket` is a per-row projection),
+    * written to a sibling staging directory and then swapped in. The
+    * source files are never read and overwritten in the same job, so no
+    * corpus-sized checkpoint is needed. Crash windows: a failure during
+    * the staging write leaves the original index untouched (re-run; the
+    * overwrite-mode staging write is idempotent); a failure between the
+    * swap's remove and move leaves no index at `path`, but the staging
+    * directory (`<path>__rebucket_tmp`) IS the complete new layout,
+    * sidecar included — the remedy is to move it into place by hand
+    * (a re-run cannot: there is no source left to read). On an object
+    * store, publish by pointer-swap to the staging path instead of the
+    * remove+move. Returns the new recorded count. */
+  def rebucketAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBuckets: Option[Int] = None): Int = {
+    val index = readAdmissionIndex(spark, path)
+    require(index.columns.contains("sig_bucket"),
+      s"rebucketAdmissionIndex needs the bucketed layout at $path")
+    val rows = index.drop("sig_bucket")
+    val nb = numBuckets.getOrElse(sizeBuckets(rows.count()))
+    val dir = java.nio.file.Paths.get(path)
+    val staging = dir.resolveSibling(dir.getFileName.toString + "__rebucket_tmp")
+    writeBucketedIndex(rows, staging.toString, nb)
+    deleteRecursively(dir)
+    java.nio.file.Files.move(staging, dir)
+    nb
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val paths = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      paths.reverseIterator.foreach(java.nio.file.Files.delete)
     }
   }
 

@@ -276,6 +276,200 @@ class CorpusHealthSpec extends SparkSpec {
     assert(e.getMessage.contains("recorded bucket count"))
   }
 
+  test("sizeBuckets clamp is scale-aware; needsRebucket fires past 2x " +
+      "target density and never at the ceiling") {
+    assert(Corpus.sizeBuckets(2048L * 1000) === 1000,
+      "the old 512 clamp froze per-bucket growth at ~1M signatures")
+    assert(Corpus.sizeBuckets(2048L * 100000) === Corpus.MaxBucketsDefault)
+    assert(Corpus.sizeBuckets(2048L * 100000, maxBuckets = 1024) === 1024)
+    assert(Corpus.sizeBuckets(1L) === 8)
+    assert(!Corpus.needsRebucket(2048L * 512, 512), "at target: healthy")
+    assert(!Corpus.needsRebucket(2048L * 512 * 2, 512), "2x exactly: boundary")
+    assert(Corpus.needsRebucket(2048L * 512 * 2 + 512, 512), "past 2x: split")
+    assert(!Corpus.needsRebucket(Long.MaxValue / 4, Corpus.MaxBucketsDefault),
+      "at the file-count ceiling there is no count left to grow into — " +
+        "the remedy is sharding the index, not re-bucketing")
+  }
+
+  test("incremental growth steady state: every increment converges to the " +
+      "rebuild; the frozen fold grows the gate's read; re-bucket restores it") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    def mkDocs(ids: Range) = ids.map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_growth").toString
+    Corpus.writeAdmissionIndex(mkDocs(0 until 30), dir, numBuckets = 8)
+    // fixed probe batch, never ingested: its gate read against the grown
+    // index is the steady-state cost the round-16 verdict asked to measure
+    val batch = mkDocs(10000 until 10003)
+    def gateRead(): (Long, Long) = {
+      val index = Corpus.readAdmissionIndex(spark, dir)
+      val nb = Corpus.recordedNumBuckets(index).get
+      val buckets = graft.llm.Dedup.withProjectedSignatures(
+          batch.filter(size(split(col("text"), " ")) >= 2))
+        .select(Corpus.sigBucket(nb).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      (index.filter(col("sig_bucket").isin(buckets: _*)).count(), index.count())
+    }
+    val sigCols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    def indexRows(): Set[Seq[Long]] =
+      Corpus.readAdmissionIndex(spark, dir).select(sigCols: _*)
+        .collect().map(r => (0 until 9).map(r.getLong)).toSet
+    var upto = 30
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (k <- 1 to 10) {
+      Corpus.updateAdmissionIndex(spark, dir, mkDocs(upto until upto + 30))
+      upto += 30
+      // EVERY intermediate state must equal the rebuild over the
+      // cumulative corpus, not just the final one
+      val rebuilt = Corpus.admissionIndex(mkDocs(0 until upto))
+        .select(sigCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+      assert(indexRows() === rebuilt, s"diverged from rebuild after increment $k")
+      val (rd, tot) = gateRead()
+      reads += ((k, rd, tot))
+    }
+    info(s"gate read (rows, of total) per increment: ${reads.mkString(", ")}")
+    // the frozen-fold property the decade rehearsals never see (they
+    // rebuild per scale): the SAME probe batch reads more index rows as
+    // the corpus grows through increments, because per-bucket density
+    // grows while the fold stays the base-build 8
+    assert(reads.last._3 > reads.head._3 * 5, "corpus grew through increments")
+    assert(reads.last._2 > reads.head._2,
+      s"fixed batch's gate read must grow under the frozen fold: $reads")
+    // gate verdicts before the re-bucket, for the parity check below
+    val before = Corpus.admissionGatePruned(
+      batch, Corpus.readAdmissionIndex(spark, dir))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the split-maintenance op: re-fold the grown index once
+    val nb2 = Corpus.rebucketAdmissionIndex(spark, dir, Some(64))
+    assert(nb2 === 64)
+    val reloaded = Corpus.readAdmissionIndex(spark, dir)
+    assert(Corpus.recordedNumBuckets(reloaded) === Some(64),
+      "the sidecar must record the NEW fold after the swap")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "__rebucket_tmp")),
+      "staging dir must be gone after the swap")
+    // rows untouched by the re-fold: still identical to the rebuild
+    val rebuilt = Corpus.admissionIndex(mkDocs(0 until upto))
+      .select(sigCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+    assert(indexRows() === rebuilt, "re-bucket must not change index rows")
+    // identical verdicts, smaller read: density dropped 8x
+    val after = Corpus.admissionGatePruned(batch, reloaded)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after === before, "re-bucket must not change any gate verdict")
+    val (rdAfter, totAfter) = gateRead()
+    info(s"gate read after re-bucket: $rdAfter of $totAfter")
+    assert(totAfter === reads.last._3)
+    assert(rdAfter < reads.last._2,
+      s"re-bucket must shrink the fixed batch's read (${reads.last._2} -> $rdAfter)")
+  }
+
+  test("partial-update crash window: retrying the SAME increment converges " +
+      "to the rebuild (the min-fold merge is idempotent)") {
+    import org.apache.spark.sql.functions.{col, min}
+    val base = (10 until 50).map(i =>
+      (i.toLong, s"b${i}q b${i}r b${i}s b${i}t b${i}u")).toDF("doc_id", "text")
+    // the increment: new signatures, plus a LOWER-id duplicate of base doc
+    // 10 (owner must flip) — the merge's both directions cross the crash
+    val incr = (100 until 130).map(i =>
+        (i.toLong, s"n${i}q n${i}r n${i}s n${i}t n${i}u"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((2L, "b10q b10r b10s b10t b10u")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("adm_crash").toString
+    val nb = 8
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = nb)
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val outCols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    def rows(): Set[Seq[Long]] =
+      Corpus.readAdmissionIndex(spark, dir).select(outCols: _*)
+        .collect().map(r => (0 until 9).map(r.getLong)).toSet
+    val rebuilt = Corpus.admissionIndex(base.unionByName(incr))
+      .select(outCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+    // simulate the exact crash window of the non-atomic multi-partition
+    // overwrite: the increment's merge computed in full, but only a STRICT
+    // SUBSET of the affected partitions committed before the failure
+    val index = Corpus.readAdmissionIndex(spark, dir)
+    val fresh = Corpus.admissionIndex(incr)
+      .withColumn("sig_bucket", Corpus.sigBucket(nb))
+    val buckets = fresh.select("sig_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(buckets.size >= 2,
+      "drill needs >= 2 affected partitions for a real crash window")
+    val committed = buckets.take(buckets.size / 2)
+    val partial = index.filter(col("sig_bucket").isin(buckets: _*))
+      .unionByName(fresh)
+      .groupBy((sigCols :+ "sig_bucket").map(col): _*)
+      .agg(min("dup_of").as("dup_of"))
+      .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
+      .filter(col("sig_bucket").isin(committed: _*))
+      .localCheckpoint(true)
+    partial.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sig_bucket").parquet(dir)
+    // the crash is real: the mixed old/new index diverges from the rebuild
+    assert(rows() !== rebuilt, "partial commit must leave a divergent index")
+    // the documented remedy: RE-RUN THE SAME increment
+    Corpus.updateAdmissionIndex(spark, dir, incr)
+    assert(rows() === rebuilt,
+      "retry over the partially-updated index must converge to the rebuild")
+  }
+
+  test("concurrent increments are UNSUPPORTED: the documented last-writer-" +
+      "wins overwrite drops the first writer's signatures") {
+    import org.apache.spark.sql.functions.{col, min}
+    val nb = 8
+    // find two pool docs with DIFFERENT signatures in the SAME bucket —
+    // the overlap that makes two concurrent writers collide
+    val pool = (200 until 260).map(i =>
+      (i.toLong, s"c${i}q c${i}r c${i}s c${i}t c${i}u")).toDF("doc_id", "text")
+    val byBucket = Corpus.admissionIndex(pool)
+      .withColumn("b", Corpus.sigBucket(nb))
+      .select(col("dup_of"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+      .filter(_._2.length >= 2)
+    assert(byBucket.nonEmpty, "pool must yield a shared bucket")
+    val Seq(idA, idB) = byBucket.head._2.take(2).map(_._1).toSeq
+    val base = (10 until 30).map(i =>
+      (i.toLong, s"z${i}q z${i}r z${i}s z${i}t z${i}u")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_conc").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = nb)
+    val sigCols = (0 until 8).map(i => s"m$i")
+    val docA = pool.filter(col("doc_id") === idA)
+    val docB = pool.filter(col("doc_id") === idB)
+    // writer B reads the PRE-A index and materializes its merge (the
+    // concurrent interleaving), eagerly — exactly what a second session's
+    // in-flight job holds while A commits
+    val freshB = Corpus.admissionIndex(docB)
+      .withColumn("sig_bucket", Corpus.sigBucket(nb))
+    val bucketsB = freshB.select("sig_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val mergedB = Corpus.readAdmissionIndex(spark, dir)
+      .filter(col("sig_bucket").isin(bucketsB: _*)).unionByName(freshB)
+      .groupBy((sigCols :+ "sig_bucket").map(col): _*)
+      .agg(min("dup_of").as("dup_of"))
+      .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
+      .localCheckpoint(true)
+    // writer A commits first (the real op); writer B overwrites after
+    Corpus.updateAdmissionIndex(spark, dir, docA)
+    mergedB.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sig_bucket").parquet(dir)
+    val outCols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    val got = Corpus.readAdmissionIndex(spark, dir).select(outCols: _*)
+      .collect().map(r => (0 until 9).map(r.getLong)).toSet
+    val rebuilt = Corpus
+      .admissionIndex(base.unionByName(docA).unionByName(docB))
+      .select(outCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+    val sigA = Corpus.admissionIndex(docA).select(outCols: _*)
+      .collect().map(r => (0 until 9).map(r.getLong)).toSet
+    assert(got !== rebuilt,
+      "concurrent writers must diverge from the rebuild — if this starts " +
+        "CONVERGING, the scaladoc's single-writer refusal is stale")
+    assert(sigA.forall(s => !got.contains(s)),
+      "B's shared-bucket overwrite must drop A's signatures — the " +
+        "documented last-writer-wins hazard")
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2

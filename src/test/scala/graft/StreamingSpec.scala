@@ -1032,18 +1032,17 @@ class StreamingSpec extends SparkSpec {
           s"the batch's $batchSize docs, not the 64-partition index")
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    // steady-state flatness across batches (batch 0 absorbs codegen/JIT)
+    // wall-clock numbers are INFO-ONLY (round-16 ADVICE): ~0.3 s per-batch
+    // walls are co-tenancy/JIT sensitive and the deterministic
+    // partitions-read assertion above already proves the O(batch)
+    // property; the timings are printed for per-round reading
     for ((walls, lbl) <- Seq((wallS, "1x"), (wallB, "10x"))) {
       val steady = walls.drop(1)
-      assert(steady.max <= 3.0 * med(steady),
-        s"$lbl per-batch wall must stay flat across batches: $walls")
+      info(f"$lbl steady walls: max=${steady.max}%.2f med=${med(steady)}%.2f")
     }
-    // growing the corpus side 10× must not show up in per-batch wall
     val ratio = med(wallB.drop(1)) / med(wallS.drop(1))
-    assert(ratio <= 3.0,
-      s"per-batch wall grew ${ratio}x when the corpus grew 10x " +
-        s"(1x=$wallS, 10x=$wallB) — the gate is reading the index " +
-        "proportionally, not O(batch)")
+    info(f"per-batch wall 10x/1x median ratio: $ratio%.2f (info-only; " +
+      "the partitions-read bound is the gated property)")
   }
 
   test("streaming heartbeat monitor: each stall emits once, == batch ledger") {
