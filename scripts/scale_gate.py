@@ -116,6 +116,14 @@ GATED_QUERIES = [
     # training growth is attributed, not gated; gross stays in the report)
     "ann_ivfpq_topk",
     "ann_ivfpq_persisted",
+    # round-17 (r16 verdict #5): the heaviest CDC composite families with
+    # no decade row until now -- the envelope decode -> txn assembly ->
+    # apply -> diff e2e path and the harness report
+    "cdc_evaluate",
+    # round-17: the admission index's maintenance-lifecycle query
+    # (increments + re-bucket; build amortized once per JVM like the
+    # other index-backed forms, so the row times the pruned gate)
+    "corpus_admission_rebucket",
 ]
 
 # Queries whose prescriptions carry SECOND-decade (100x) numbers in
@@ -149,6 +157,12 @@ DECADE2_QUERIES = [
     # dedup_verify_capped (one verifyCandidates + a 5-row broadcast
     # fanout), so its decade-2 number should track verify_capped's
     "dedup_threshold_curve_capped",
+    # round-17 (r16 verdict #5): the reference's core end-to-end path
+    # (heaviest query family with no 100x row until now) and the harness
+    # report composite -- the gate protects their exponents, not just
+    # their components'
+    "cdc_debezium_e2e",
+    "cdc_evaluate",
 ]
 
 # Measured at the 100x slice and RECORDED in the artifact but never

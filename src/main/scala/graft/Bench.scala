@@ -80,6 +80,55 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** The integer host-speed calibration workload (see the `calib_sec`
+    * comment in [[main]]): 400M plain-xorshift64 steps, median of 3 after
+    * a JIT warm rep. */
+  private def calibIntWorkload(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      if (acc == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm
+    median(Seq(once(), once(), once()))
+  }
+
+  /** The float-array calibration workload (see the `calib_fp_sec` comment
+    * in [[main]]): 8M iterations of allocate-a-64-float-array +
+    * multiply-accumulate dot product, array escaping per iteration. The
+    * body is the round-16 form VERBATIM (same local-var-capture escape,
+    * no added barriers) — the bracket measurement must not re-baseline
+    * the constant it exists to watch. */
+  private def calibFpWorkload(): Double = {
+    val dim = 64
+    val a = new Array[Float](dim)
+    val b = new Array[Float](dim)
+    var k = 0
+    while (k < dim) { a(k) = k * 0.5f; b(k) = (dim - k) * 0.25f; k += 1 }
+    var sink: Array[Float] = a
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0.0
+      var it = 0
+      while (it < 8000000) {
+        val c = new Array[Float](dim)
+        var j = 0; var dot = 0.0f
+        while (j < dim) { c(j) = a(j) * b(j); dot += c(j); j += 1 }
+        sink = c // escapes: published to a field read after the loop
+        acc += dot + c(it & 63) // data-dependent element read
+        it += 1
+      }
+      if (acc == 42.0 || sink(0) == 42.0f) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm
+    median(Seq(once(), once(), once()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,6 +171,23 @@ object Bench {
     for (warm <- Seq("q_top_orders", "q_bucketed_join"))
       try SparkEntry.queries.get(warm).foreach(fn => exec(fn(spark, sfDir)))
       catch { case _: Throwable => () }
+
+    // Calibration is skipped (0.0) for SPARK_GRAFT_ONLY-filtered runs —
+    // debug/gate invocations only read per-query times and should not pay
+    // ~10 s of spinning; full-surface runs (the committed artifact and the
+    // driver's round bench) always carry it, SPARK_GRAFT_CALIB=1 forces it.
+    val wantCalib =
+      sys.env.get("SPARK_GRAFT_ONLY").isEmpty || sys.env.get("SPARK_GRAFT_CALIB").contains("1")
+    // BRACKET measurement (round-16 verdict #3): both constants are taken
+    // at the START (here, post-warm-up, pre-queries) and again at the END,
+    // and BOTH ship in the artifact — a committed run now carries the
+    // evidence that the box stayed in-band for its whole duration. The
+    // r16 close caught the box drifting mid-day (fp 0.393 -> 0.490 ->
+    // 0.606 same-day) only by re-running; with the bracket, a start/end
+    // disagreement > ~15% is visible in the artifact itself and the
+    // round-close rule is RE-RUN, never splice.
+    val calibStart: Double = if (wantCalib) calibIntWorkload() else 0.0
+    val calibFpStart: Double = if (wantCalib) calibFpWorkload() else 0.0
 
     // Optional comma-separated subset for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -327,26 +393,9 @@ object Bench {
     // multi-tenant host itself had slowed; dividing two runs' totals by
     // their calib ratio separates "the code got slower" from "the box got
     // slower" in cross-round comparison. Median of 3 so one scheduler
-    // hiccup can't skew the constant. Skipped (calib_sec = 0.0) for
-    // filtered runs — SPARK_GRAFT_ONLY debug/gate invocations only read
-    // per-query times and should not pay ~4 s of spinning; full-surface
-    // runs (the committed artifact and the driver's round bench) always
-    // carry it, and SPARK_GRAFT_CALIB=1 forces it on anywhere.
-    val wantCalib =
-      sys.env.get("SPARK_GRAFT_ONLY").isEmpty || sys.env.get("SPARK_GRAFT_CALIB").contains("1")
-    val calib: Double = if (!wantCalib) 0.0 else {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
-        while (i < 400000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
-        }
-        if (acc == 42L) System.err.print("") // defeat dead-code elimination
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // JIT warm
-      median(Seq(once(), once(), once()))
-    }
+    // hiccup can't skew the constant. The closing half of the bracket —
+    // the opening half ran before the first query; see calibStart above.
+    val calib: Double = if (!wantCalib) 0.0 else calibIntWorkload()
     // Float-array calibration constant (round-15): the r15 close caught a
     // FAMILY-skewed host band — the ANN embeddings family at ~1.5x with
     // every other family flat and `calib_sec` unchanged, because the
@@ -368,32 +417,8 @@ object Bench {
     // so the allocation + stores are unremovable. This re-baselines the
     // constant (r15's 0.415 was the elidable form; the r16 SCALE.md bridge
     // table maps old→new on the same box) — cross-round division uses
-    // same-form values only.
-    val calibFp: Double = if (!wantCalib) 0.0 else {
-      val dim = 64
-      val a = new Array[Float](dim)
-      val b = new Array[Float](dim)
-      var k = 0
-      while (k < dim) { a(k) = k * 0.5f; b(k) = (dim - k) * 0.25f; k += 1 }
-      var sink: Array[Float] = a
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var acc = 0.0
-        var it = 0
-        while (it < 8000000) {
-          val c = new Array[Float](dim)
-          var j = 0; var dot = 0.0f
-          while (j < dim) { c(j) = a(j) * b(j); dot += c(j); j += 1 }
-          sink = c // escapes: published to a field read after the loop
-          acc += dot + c(it & 63) // data-dependent element read
-          it += 1
-        }
-        if (acc == 42.0 || sink(0) == 42.0f) System.err.print("")
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // JIT warm
-      median(Seq(once(), once(), once()))
-    }
+    // same-form values only. Closing half of the bracket.
+    val calibFp: Double = if (!wantCalib) 0.0 else calibFpWorkload()
     // Cross-round normalization (round-12 directive): this run's total in
     // r11-anchor-box seconds. 0.0 when calibration was skipped.
     val totalNorm = if (calib > 0) total * CalibRef / calib else 0.0
@@ -412,7 +437,7 @@ object Bench {
     // compute medians correctly (naively including entry 0 overstates
     // every median), so the convention now ships in the artifact itself.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"warm_included":true,"rel_spread":$sp,"failed":$fs,"train_failed":$tfs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec":${f"$calib%.3f"},"calib_fp_sec":${f"$calibFp%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"train_sec":${jmap(trainSecs)},"queries":$qs,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"warm_included":true,"rel_spread":$sp,"failed":$fs,"train_failed":$tfs,"preload":$preload,"preload_high":${preload > PreloadLimit},"calib_sec_start":${f"$calibStart%.3f"},"calib_fp_sec_start":${f"$calibFpStart%.3f"},"calib_sec":${f"$calib%.3f"},"calib_fp_sec":${f"$calibFp%.3f"},"total_calib_normalized":${f"$totalNorm%.3f"},"spliced_queries":$spliced,"train_sec":${jmap(trainSecs)},"queries":$qs,"contaminated":$contaminated}"""
     // Durable copy: a bounded stdout capture (the known 2000-char tail)
     // can truncate the one-line artifact; the file always holds it whole —
     // plus the RAW per-rep times, so every median can defend itself
