@@ -124,6 +124,12 @@ GATED_QUERIES = [
     # (increments + re-bucket; build amortized once per JVM like the
     # other index-backed forms, so the row times the pruned gate)
     "corpus_admission_rebucket",
+    # round-17: the concurrent-maintenance twins -- compacted fast path
+    # and the between-compactions folded read (base + 2 pending delta
+    # segments; the bucket prune pushes below the min-fold into every
+    # segment's scan, so the folded row must scale like the plain one)
+    "corpus_admission_concurrent",
+    "corpus_admission_delta_gate",
 ]
 
 # Queries whose prescriptions carry SECOND-decade (100x) numbers in

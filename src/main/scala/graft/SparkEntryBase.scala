@@ -90,6 +90,64 @@ private[graft] trait SparkEntryBase {
       ()
     }
 
+  /** Admission index maintained by CONCURRENT append-only delta segments,
+    * then compacted: base built (auto-sized) from the doc_id%10 ∈ {3..9}
+    * slice, the %10 == 1 and %10 == 2 slices published as two
+    * [[Corpus.appendAdmissionDelta]] segments — the multi-writer path
+    * (each writer owns its own immutable sibling directory; neither reads
+    * the other's state, so publication order cannot matter) — and
+    * [[Corpus.compactAdmissionIndex]] absorbs both into the base. Rows
+    * must equal the full rebuild over doc_id%10 != 0: the
+    * `corpus_admission_concurrent` oracle reuses the full-corpus
+    * admission SQL, so a dropped segment, a wrong min-owner fold, or an
+    * unabsorbed bucket is a hash mismatch. True thread-level concurrency
+    * (two appenders racing) is drilled in CorpusHealthSpec. */
+  private[graft] def admissionConcurrentIndexDir(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.dirFor(s"admission_concurrent:$dir") { d =>
+      val docs = Tables.documents(s, dir)
+      Corpus.writeAdmissionIndexAutoSized(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1 &&
+          col("doc_id") % 10 =!= 2), d)
+      Corpus.appendAdmissionDelta(s, d, docs.filter(col("doc_id") % 10 === 1))
+      Corpus.appendAdmissionDelta(s, d, docs.filter(col("doc_id") % 10 === 2))
+      Corpus.compactAdmissionIndex(s, d)
+      ()
+    }
+
+  /** Admission index with PENDING (uncompacted) delta segments: same base
+    * and two appended segments as [[admissionConcurrentIndexDir]] but the
+    * compaction has not run yet — the state a gate reads between a
+    * writer's publish and the next maintenance cycle. The gate must see
+    * the full corpus through [[Corpus.readAdmissionIndexFolded]] (base ∪
+    * deltas, min-folded after the bucket prune): the
+    * `corpus_admission_delta_gate` oracle is the full-rebuild admission
+    * SQL, so a missed segment or a wrong fold is a hash mismatch. */
+  private[graft] def admissionDeltaIndexDir(s: SparkSession, dir: String): String =
+    graft.sources.IndexCache.dirFor(s"admission_delta:$dir") { d =>
+      val docs = Tables.documents(s, dir)
+      Corpus.writeAdmissionIndexAutoSized(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1 &&
+          col("doc_id") % 10 =!= 2), d)
+      // segments are SIBLINGS of the cached dir (the layout's concurrency
+      // guarantee) — IndexCache's shutdown cleanup only covers d, so the
+      // pending segments register their own
+      Seq(Corpus.appendAdmissionDelta(s, d, docs.filter(col("doc_id") % 10 === 1)),
+          Corpus.appendAdmissionDelta(s, d, docs.filter(col("doc_id") % 10 === 2)))
+        .foreach { p =>
+          sys.addShutdownHook {
+            val root = java.nio.file.Paths.get(p)
+            if (java.nio.file.Files.exists(root)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(root).iterator().asScala.toSeq
+                .reverseIterator
+                .foreach(f => java.nio.file.Files.deleteIfExists(f))
+            }
+          }
+          ()
+        }
+      ()
+    }
+
   /** Stored media column for `dir`: the corpus PNG-encoded ONCE per JVM
     * (ingest-time work in a real pipeline), so the mm_* decode paths read
     * stored bytes and time decode+process, not re-encode. */

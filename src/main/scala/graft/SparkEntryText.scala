@@ -180,6 +180,30 @@ private[graft] trait SparkEntryText extends SparkEntryAnn {
         Corpus.readAdmissionIndex(s, admissionRebucketIndexDir(s, dir)))
         .orderBy("doc_id")
     }),
+    // the MULTI-WRITER maintenance twin: two ingest increments published
+    // as append-only delta segments (the lock-free concurrent path —
+    // updateAdmissionIndex is single-writer by contract) and compacted
+    // back into the base; the oracle is the full-rebuild admission SQL,
+    // so a dropped segment or a wrong min-owner fold is a hash mismatch
+    "corpus_admission_concurrent" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGatePruned(
+        docs.filter(col("doc_id") % 10 === 0),
+        Corpus.readAdmissionIndex(s, admissionConcurrentIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
+    // the BETWEEN-compactions read path: the same two segments still
+    // pending, the gate reading base ∪ deltas min-folded AFTER the bucket
+    // prune (the sig_bucket filter pushes below the fold into every
+    // segment's scan, so the read stays O(touched partitions)) — again
+    // oracled against the full-rebuild admission SQL
+    "corpus_admission_delta_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.admissionGatePruned(
+        docs.filter(col("doc_id") % 10 === 0),
+        Corpus.readAdmissionIndexFolded(s, admissionDeltaIndexDir(s, dir)))
+        .orderBy("doc_id")
+    }),
     "corpus_filter" -> ((s, dir) =>
       // funnel consumes the persisted cluster index (built once per JVM
       // per data dir) instead of re-running the star contraction

@@ -297,7 +297,9 @@ object Corpus {
     * dropped (each read the pre-update partition). Serialize increments
     * (or union the doc batches into one call); this refusal is
     * documentation-level because the FileSystem layout has no lock to
-    * detect a concurrent writer with. */
+    * detect a concurrent writer with. For genuinely concurrent ingestion
+    * use [[appendAdmissionDelta]] + [[compactAdmissionIndex]]: append-only
+    * delta segments share no mutable state and need no lock at all. */
   def updateAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame): Unit = {
     val index = readAdmissionIndex(spark, path)
@@ -318,14 +320,16 @@ object Corpus {
         .groupBy((sigCols :+ "sig_bucket").map(col): _*)
         .agg(min("dup_of").as("dup_of"))
         .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
-        .localCheckpoint(true) // materialize BEFORE overwriting the source files
-      // per-write dynamic overwrite (DataFrameWriter option), NOT the
-      // session conf: mutating spark.sql.sources.partitionOverwriteMode
-      // for the write's duration races any concurrent writer in the same
-      // session (round-16 ADVICE)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("sig_bucket").parquet(path)
+      // materialize BEFORE overwriting the source files; blocks released
+      // once the write has consumed them. Per-write dynamic overwrite
+      // (DataFrameWriter option), NOT the session conf: mutating
+      // spark.sql.sources.partitionOverwriteMode for the write's duration
+      // races any concurrent writer in the same session (round-16 ADVICE)
+      withEagerCheckpoint(merged) {
+        _.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sig_bucket").parquet(path)
+      }
     }
   }
 
@@ -356,6 +360,12 @@ object Corpus {
     * remove+move. Returns the new recorded count. */
   def rebucketAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, numBuckets: Option[Int] = None): Int = {
+    val pending = pendingAdmissionDeltas(path)
+    require(pending.isEmpty,
+      s"rebucketAdmissionIndex at $path with ${pending.size} pending delta " +
+        "segment(s): re-folding the base would strand the deltas on the OLD " +
+        "fold (mismatched folds split signatures across partitions) — run " +
+        "Corpus.compactAdmissionIndex first")
     val index = readAdmissionIndex(spark, path)
     require(index.columns.contains("sig_bucket"),
       s"rebucketAdmissionIndex needs the bucketed layout at $path")
@@ -367,6 +377,199 @@ object Corpus {
     deleteRecursively(dir)
     java.nio.file.Files.move(staging, dir)
     nb
+  }
+
+  /** APPEND-ONLY concurrent maintenance of a persisted admission index —
+    * the multi-writer alternative to [[updateAdmissionIndex]] (which is
+    * single-writer by contract: concurrent partition overwrites are
+    * last-writer-wins and drop the loser's signatures). Each call folds
+    * `newDocs`' signatures with the base index's RECORDED bucket count and
+    * publishes them as an immutable sibling DELTA SEGMENT
+    * (`<path>__delta_<uuid>`), written to a `.tmp` staging name and
+    * atomically renamed — the LSM discipline: writers share NO mutable
+    * state (own directory, unique name, base untouched, sidecar
+    * untouched), so any number of appenders may run concurrently, from
+    * any number of sessions, with no coordination. A crash mid-write
+    * leaves only an unpublished `.tmp` directory that every reader and
+    * the compactor ignore; the remedy is to re-run the same increment
+    * (absorbing the same rows twice is a no-op under the min-fold).
+    *
+    * A delta segment is itself a complete bucketed index (partitioned
+    * layout + bucket-count sidecar), folded with the base's count so
+    * partition pruning stays sound across base and deltas. Readers see
+    * the increment via [[readAdmissionIndexFolded]]; a periodic
+    * [[compactAdmissionIndex]] absorbs published deltas back into the
+    * base. Returns the published segment path. */
+  def appendAdmissionDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame): String = {
+    val nb = recordedNumBuckets(readAdmissionIndex(spark, path)).getOrElse(
+      throw new IllegalStateException(
+        s"appendAdmissionDelta needs the recorded bucket count at $path — " +
+          "a delta folded with a guessed count could not be pruned or " +
+          "compacted soundly; rebuild with Corpus.writeAdmissionIndex"))
+    val dir = java.nio.file.Paths.get(path)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = dir.resolveSibling(
+      dir.getFileName.toString + s"__delta_$id.tmp")
+    val published = dir.resolveSibling(
+      dir.getFileName.toString + s"__delta_$id")
+    writeBucketedIndex(admissionIndex(newDocs), staging.toString, nb)
+    java.nio.file.Files.move(staging, published)
+    published.toString
+  }
+
+  /** Published (renamed-in) delta segments pending compaction at `path`,
+    * oldest-name first. `.tmp` staging directories — crashed or still
+    * in-flight appends — are excluded: a segment exists only once its
+    * atomic rename lands. Pure filesystem metadata, no Spark job. */
+  def pendingAdmissionDeltas(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(path).toAbsolutePath
+    val parent = dir.getParent
+    val prefix = dir.getFileName.toString + "__delta_"
+    if (parent == null || !java.nio.file.Files.isDirectory(parent)) Seq.empty
+    else {
+      val stream = java.nio.file.Files.list(parent)
+      try stream.iterator().asScala.map(_.toString).filter { p =>
+        val name = java.nio.file.Paths.get(p).getFileName.toString
+        name.startsWith(prefix) && !name.endsWith(".tmp")
+      }.toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  /** The CURRENT admission index at `path`: base plus every published
+    * delta segment, min-folded back to one row per signature. With no
+    * pending deltas this is exactly [[readAdmissionIndex]] (no fold, no
+    * extra work). With deltas, duplicate signatures across segments
+    * (and their possibly-different min owners) are re-folded by the same
+    * min(dup_of) the rebuild computes, so gate verdicts over the folded
+    * read equal the rebuild's row-exactly — `corpus_admission_delta_gate`
+    * oracles this against the full-rebuild admission SQL.
+    *
+    * Scale shape: the fold is a groupBy keyed on the signature PLUS
+    * `sig_bucket` (a grouping column), so [[admissionGatePruned]]'s
+    * bucket filter pushes below the aggregate into every segment's scan
+    * as a partition filter — a micro-batch gate over base + D deltas
+    * reads O(touched partitions × (1 + D)) and folds only that pruned
+    * slice, never the corpus. Every segment records the SAME fold by
+    * construction; a mismatched segment (e.g. hand-copied from a
+    * re-bucketed sibling) is refused loudly. */
+  def readAdmissionIndexFolded(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val base = readAdmissionIndex(spark, path)
+    val deltas = pendingAdmissionDeltas(path)
+    if (deltas.isEmpty) base
+    else {
+      val nb = recordedNumBuckets(base).getOrElse(
+        throw new IllegalStateException(
+          s"readAdmissionIndexFolded needs the recorded bucket count at " +
+            s"$path to fold ${deltas.size} pending delta segment(s)"))
+      val segments = deltas.map { d =>
+        val seg = readAdmissionIndex(spark, d)
+        val segNb = recordedNumBuckets(seg)
+        if (!segNb.contains(nb)) throw new IllegalStateException(
+          s"delta segment $d records fold ${segNb.getOrElse("none")} but the " +
+            s"base at $path records $nb — mismatched folds split signatures " +
+            "across partitions; compact or rebuild before reading")
+        seg
+      }
+      val sigCols = (0 until 8).map(i => s"m$i")
+      val folded = segments.foldLeft(base)(_.unionByName(_))
+        .groupBy((sigCols :+ "sig_bucket").map(col): _*)
+        .agg(min("dup_of").as("dup_of"))
+        .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(NumBucketsKey, nb.toLong).build()
+      folded.withColumn("sig_bucket", col("sig_bucket").as("sig_bucket", meta))
+    }
+  }
+
+  /** Absorb published delta segments back into the base index: min-fold
+    * ONLY the base partitions the deltas' buckets touch (the deltas' own
+    * partition directories name them — filesystem metadata, no job) with
+    * every delta row, dynamic-partition-overwrite those partitions, then
+    * delete the absorbed segments. After compaction the plain
+    * [[readAdmissionIndex]] / [[admissionGatePruned]] fast path sees the
+    * full corpus again with zero per-read fold cost. Cost is
+    * O(affected base partitions + delta rows), not O(corpus).
+    *
+    * Crash/retry contract: segments are deleted only AFTER the overwrite
+    * commits, and absorbing an already-absorbed segment is a no-op under
+    * the min-fold, so a crash anywhere (mid-overwrite, mid-delete)
+    * re-converges by re-running compaction. A segment published WHILE a
+    * compaction runs is safe: the pending list is snapshotted first, so
+    * the new segment is neither absorbed nor deleted — it stays pending
+    * for the next cycle (its rows are never in the partitions being
+    * overwritten; delta directories are disjoint from the base).
+    * Single-COMPACTOR only: two concurrent compactions race the same
+    * partition overwrite exactly like two [[updateAdmissionIndex]]
+    * writers — appenders need no lock, the maintenance role does.
+    * Returns the number of segments absorbed. */
+  def compactAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val deltas = pendingAdmissionDeltas(path) // snapshot BEFORE reading
+    if (deltas.isEmpty) return 0
+    val base = readAdmissionIndex(spark, path)
+    val nb = recordedNumBuckets(base).getOrElse(
+      throw new IllegalStateException(
+        s"compactAdmissionIndex needs the recorded bucket count at $path"))
+    val segments = deltas.map { d =>
+      val seg = readAdmissionIndex(spark, d)
+      val segNb = recordedNumBuckets(seg)
+      if (!segNb.contains(nb)) throw new IllegalStateException(
+        s"delta segment $d records fold ${segNb.getOrElse("none")} but the " +
+          s"base at $path records $nb — refusing to compact mismatched folds")
+      seg
+    }
+    // buckets the deltas touch: each segment's partition directory names
+    val buckets = deltas.flatMap { d =>
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("sig_bucket="))
+        .map(_.stripPrefix("sig_bucket=").toInt).toSeq
+      finally stream.close()
+    }.distinct
+    if (buckets.nonEmpty) {
+      val sigCols = (0 until 8).map(i => s"m$i")
+      val affected = base.filter(col("sig_bucket").isin(buckets: _*))
+      val merged = segments.foldLeft(affected)(_.unionByName(_))
+        .groupBy((sigCols :+ "sig_bucket").map(col): _*)
+        .agg(min("dup_of").as("dup_of"))
+        .select(sigCols.map(col) :+ col("dup_of") :+ col("sig_bucket"): _*)
+      // materialize BEFORE overwriting the source; blocks released once
+      // the write has consumed them
+      withEagerCheckpoint(merged) {
+        _.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sig_bucket").parquet(path)
+      }
+    }
+    deltas.foreach(d => deleteRecursively(java.nio.file.Paths.get(d)))
+    deltas.size
+  }
+
+  /** Eagerly localCheckpoint `df` (materializing it BEFORE a write that
+    * overwrites its own source files), run `use` over the checkpointed
+    * frame, then RELEASE the checkpoint's cached blocks. The maintenance
+    * ops are synchronous — by the time `use` returns, the write has
+    * consumed the checkpoint — so an immediate unpersist is safe and
+    * keeps a long-lived maintenance session from accumulating one
+    * affected-partitions-sized block set per increment until the
+    * ContextCleaner happens to GC them (the round-10 cache-hygiene
+    * contract, applied to eager checkpoints: localCheckpoint persists
+    * the underlying RDD outside the CacheManager, so `Dataset.unpersist`
+    * cannot release it — the block handle is the LogicalRDD leaf's). */
+  private def withEagerCheckpoint[A](df: DataFrame)(use: DataFrame => A): A = {
+    val cp = df.localCheckpoint(eager = true)
+    try use(cp)
+    finally cp.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {

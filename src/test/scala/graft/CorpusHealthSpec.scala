@@ -470,6 +470,152 @@ class CorpusHealthSpec extends SparkSpec {
         "documented last-writer-wins hazard")
   }
 
+  test("delta segments: two appenders RACING on threads publish without " +
+      "coordination; folded read == rebuild; compaction absorbs both") {
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val base = (10 until 40).map(i =>
+      (i.toLong, s"e${i}q e${i}r e${i}s e${i}t e${i}u")).toDF("doc_id", "text")
+    // writer A: fresh signatures + a LOWER-id duplicate of base doc 10
+    // (owner must flip through the fold); writer B: fresh signatures + a
+    // duplicate of one of A's docs (a CROSS-SEGMENT duplicate — the min
+    // owner must fold across segments, not just segment-vs-base)
+    val incrA = (100 until 120).map(i =>
+        (i.toLong, s"f${i}q f${i}r f${i}s f${i}t f${i}u"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((2L, "e10q e10r e10s e10t e10u")).toDF("doc_id", "text"))
+    val incrB = (200 until 220).map(i =>
+        (i.toLong, s"g${i}q g${i}r g${i}s g${i}t g${i}u"))
+      .toDF("doc_id", "text")
+      .unionByName(
+        Seq((250L, "f100q f100r f100s f100t f100u")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("adm_delta").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = 8)
+    // the race is real: both appenders run at once on separate threads —
+    // each owns its own sibling directory, so neither can observe or
+    // clobber the other (the guarantee updateAdmissionIndex cannot make)
+    val published = Await.result(Future.sequence(Seq(
+      Future(Corpus.appendAdmissionDelta(spark, dir, incrA)),
+      Future(Corpus.appendAdmissionDelta(spark, dir, incrB)))), 5.minutes)
+    assert(Corpus.pendingAdmissionDeltas(dir).toSet === published.toSet)
+    val outCols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      df.select(outCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+    val rebuilt = setOf(Corpus.admissionIndex(
+      base.unionByName(incrA).unionByName(incrB)))
+    // the folded read sees the full corpus BEFORE any compaction, and the
+    // cross-segment duplicate's owner is the global min (A's doc 100)
+    assert(setOf(Corpus.readAdmissionIndexFolded(spark, dir)) === rebuilt,
+      "base ∪ segments min-folded must equal the rebuild")
+    // the base itself is untouched by appends — segments are siblings
+    assert(setOf(Corpus.readAdmissionIndex(spark, dir)) ===
+      setOf(Corpus.admissionIndex(base)))
+    assert(Corpus.compactAdmissionIndex(spark, dir) === 2)
+    assert(Corpus.pendingAdmissionDeltas(dir).isEmpty,
+      "absorbed segments must be deleted")
+    assert(setOf(Corpus.readAdmissionIndex(spark, dir)) === rebuilt,
+      "after compaction the plain fast-path read must equal the rebuild")
+    assert(Corpus.compactAdmissionIndex(spark, dir) === 0)
+  }
+
+  test("delta segments: pruned gate over pending deltas == rebuilt-index " +
+      "gate; .tmp staging invisible; double-absorption idempotent; " +
+      "re-bucket refuses while deltas pend") {
+    import org.apache.spark.sql.functions.col
+    val base = (10 until 40).map(i =>
+      (i.toLong, s"h${i}q h${i}r h${i}s h${i}t h${i}u")).toDF("doc_id", "text")
+    val incrA = (100 until 115).map(i =>
+      (i.toLong, s"j${i}q j${i}r j${i}s j${i}t j${i}u")).toDF("doc_id", "text")
+    val incrB = (200 until 215).map(i =>
+      (i.toLong, s"k${i}q k${i}r k${i}s k${i}t k${i}u")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_dgate").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = 8)
+    Corpus.appendAdmissionDelta(spark, dir, incrA)
+    Corpus.appendAdmissionDelta(spark, dir, incrB)
+    // a crashed (never-published) append: its .tmp staging directory must
+    // be invisible to the pending list, the folded read, and compaction
+    val tmp = java.nio.file.Paths.get(dir + "__delta_deadbeef.tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("junk"), Array[Byte](1, 2, 3))
+    assert(Corpus.pendingAdmissionDeltas(dir).size === 2,
+      ".tmp staging must not count as a published segment")
+    // the batch: duplicates of a base doc, an A doc, a B doc + fresh rows —
+    // every verdict source crosses the fold
+    val batch = Seq(
+      (1000L, "h10q h10r h10s h10t h10u"),
+      (1001L, "j100q j100r j100s j100t j100u"),
+      (1002L, "k200q k200r k200s k200t k200u"),
+      (1003L, "zz1 zz2 zz3 zz4 zz5")).toDF("doc_id", "text")
+    val viaDeltas = Corpus.admissionGatePruned(
+        batch, Corpus.readAdmissionIndexFolded(spark, dir))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("adm_dgate_rb")
+      .toString
+    Corpus.writeAdmissionIndex(
+      base.unionByName(incrA).unionByName(incrB), rebuiltDir, numBuckets = 8)
+    val viaRebuild = Corpus.admissionGatePruned(
+        batch, Corpus.readAdmissionIndex(spark, rebuiltDir))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaDeltas === viaRebuild,
+      "gate verdicts over pending segments must equal the rebuilt index's")
+    // re-bucket while deltas pend would strand them on the old fold
+    val rb = intercept[IllegalArgumentException] {
+      Corpus.rebucketAdmissionIndex(spark, dir, Some(16))
+    }
+    assert(rb.getMessage.contains("pending delta"))
+    assert(Corpus.compactAdmissionIndex(spark, dir) === 2)
+    // the crash-retry story: a re-published copy of an ALREADY-ABSORBED
+    // increment (the at-least-once window — appender retried after a
+    // commit it never saw) folds to a no-op
+    Corpus.appendAdmissionDelta(spark, dir, incrA)
+    assert(Corpus.compactAdmissionIndex(spark, dir) === 1)
+    val outCols = (0 until 8).map(i => col(s"m$i")) :+ col("dup_of")
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      df.select(outCols: _*).collect().map(r => (0 until 9).map(r.getLong)).toSet
+    assert(setOf(Corpus.readAdmissionIndex(spark, dir)) ===
+      setOf(Corpus.admissionIndex(base.unionByName(incrA).unionByName(incrB))),
+      "absorbing the same increment twice must be a no-op under the min-fold")
+    // now compacted: re-bucket proceeds
+    assert(Corpus.rebucketAdmissionIndex(spark, dir, Some(16)) === 16)
+  }
+
+  test("folded pruned gate plan: the sig_bucket filter pushes below the " +
+      "min-fold into EVERY segment's scan as a partition filter") {
+    import org.apache.spark.sql.functions.col
+    val base = (10 until 40).map(i =>
+      (i.toLong, s"p${i}q p${i}r p${i}s p${i}t p${i}u")).toDF("doc_id", "text")
+    val incr = (100 until 115).map(i =>
+      (i.toLong, s"r${i}q r${i}r r${i}s r${i}t r${i}u")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("adm_dplan").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = 8)
+    Corpus.appendAdmissionDelta(spark, dir, incr)
+    val folded = Corpus.readAdmissionIndexFolded(spark, dir)
+    val pruned = folded.filter(col("sig_bucket").isin(0, 1, 2))
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val ss = scans(pruned.queryExecution.executedPlan)
+    assert(ss.size === 2, s"base + 1 segment = 2 file scans, got ${ss.size}")
+    ss.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(
+          _.name == "sig_bucket")),
+        "each segment scan must carry the pushed sig_bucket partition " +
+          s"filter — O(touched partitions), not O(corpus): $s")
+    }
+    // and the fold itself stays above the prune: verdicts are computed
+    // over only the touched partitions' rows
+    assert(pruned.columns.toSeq ===
+      Seq("m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7", "dup_of",
+        "sig_bucket"))
+  }
+
   test("length drift: integer ppm rates and absolute drift, no floats") {
     // even slice (src0): 3 docs in bucket 0, 1 in bucket 1
     // odd slice (src1): 1 doc in bucket 0, 3 in bucket 2
