@@ -1045,6 +1045,113 @@ class StreamingSpec extends SparkSpec {
       "the partitions-read bound is the gated property)")
   }
 
+  /** Round-17 drill: the admission loop CLOSED in live ingest. The
+    * r15/r16 O(batch) drills gate every micro-batch against a FROZEN
+    * standing index — arrivals never become corpus. With delta segments
+    * the loop closes lock-free: each micro-batch (a) gates against the
+    * CURRENT folded index (base ∪ published segments) and (b) publishes
+    * its own docs as a new segment (`Corpus.appendAdmissionDelta` —
+    * append-only, so a second concurrent ingest pipeline could do the
+    * same with no coordination), so batch N+1 sees batch N's arrivals as
+    * duplicates. A mid-stream compaction absorbs pending segments and
+    * must not change any verdict. The sharp assertions are the
+    * cross-batch dup verdicts (impossible against a frozen index) and
+    * the per-scan partition prune (every scan in the folded plan —
+    * base and each segment — stays bounded by the BATCH's buckets). */
+  test("live delta-segment ingest closes the admission loop: later " +
+      "batches dedup against earlier arrivals; compaction mid-stream " +
+      "preserves verdicts; every folded scan stays batch-pruned") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    def freshText(tag: String): String =
+      (0 until 8).map(k => s"${tag}w$k").mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, freshText(s"base$i")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("delta_stream").toString
+    Corpus.writeAdmissionIndex(base, dir, numBuckets = 16)
+    // b0: 10 fresh; b1: 5 dups OF B0 + 5 fresh; (compact); b2: 3 dups of
+    // base + 3 dups of b0 (now absorbed) + 4 fresh
+    val b0 = (0 until 10).map(i => (1000L + i, freshText(s"zero$i")))
+    val b1 = (0 until 5).map(i => (2000L + i, freshText(s"zero$i"))) ++
+      (0 until 5).map(i => (2100L + i, freshText(s"one$i")))
+    val b2 = (0 until 3).map(i => (3000L + i, freshText(s"base$i"))) ++
+      (0 until 3).map(i => (3100L + i, freshText(s"zero$i"))) ++
+      (0 until 4).map(i => (3200L + i, freshText(s"two$i")))
+    def allScans(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => (other.children ++ other.subqueries).flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+    }
+    val verdicts =
+      scala.collection.mutable.Map.empty[Long, (Boolean, Long)]
+    val scanBound = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val gated = Corpus.admissionGatePruned(batch,
+          Corpus.readAdmissionIndexFolded(spark, dir))
+        gated.collect().foreach { r =>
+          verdicts(r.getAs[Long]("doc_id")) =
+            (r.getAs[Boolean]("pass_dedup"), r.getAs[Long]("dup_of"))
+        }
+        allScans(gated).foreach { s =>
+          val p = s.metrics.get("numPartitions")
+            .orElse(s.metrics.get("numFiles")).map(_.value).getOrElse(0L)
+          scanBound += ((bid.toInt, p))
+        }
+        Corpus.appendAdmissionDelta(spark, dir, batch)
+        ()
+      }
+      .start()
+    input.addData(b0: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable()
+    // mid-stream maintenance: absorb the two published segments
+    assert(Corpus.compactAdmissionIndex(spark, dir) === 2)
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // b0: all fresh — admitted with no owner
+    (0 until 10).foreach { i =>
+      assert(verdicts(1000L + i) === ((true, -1L)),
+        s"b0 doc ${1000 + i} must be fresh")
+    }
+    // b1: the loop is closed — b0's arrivals own their signatures now
+    (0 until 5).foreach { i =>
+      assert(verdicts(2000L + i) === ((false, 1000L + i)),
+        s"b1 doc ${2000 + i} must dedup against b0's ${1000 + i} " +
+          "(frozen-index gating cannot produce this)")
+      assert(verdicts(2100L + i) === ((true, -1L)))
+    }
+    // b2 (post-compaction): base dups, b0 dups (absorbed), fresh — the
+    // compaction changed the layout, not one verdict
+    (0 until 3).foreach { i =>
+      assert(verdicts(3000L + i) === ((false, i.toLong)),
+        s"b2 doc ${3000 + i} must dedup against base doc $i")
+      assert(verdicts(3100L + i) === ((false, 1000L + i)),
+        s"b2 doc ${3100 + i} must dedup against b0's ${1000 + i} " +
+          "through the COMPACTED base")
+    }
+    (0 until 4).foreach(i => assert(verdicts(3200L + i) === ((true, -1L))))
+    // every scan in every folded plan stayed batch-pruned: a 10-doc batch
+    // touches ≤ 10 buckets of any 16-partition segment or base
+    scanBound.foreach { case (bid, p) =>
+      assert(p > 0 && p <= 10,
+        s"batch $bid: a folded-plan scan read $p partitions — must be " +
+          "bounded by the batch's ≤10 distinct signatures, not the " +
+          "16-partition layout")
+    }
+    info(s"per-batch folded-plan scans (batch -> partitions read): " +
+      scanBound.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, xs) => s"b$b=${xs.map(_._2).mkString("+")}" }
+        .mkString(" "))
+  }
+
   test("streaming heartbeat monitor: each stall emits once, == batch ledger") {
     import spark.implicits._
     import graft.streaming.Streams.{OpTick, StallOut}
