@@ -112,6 +112,18 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Per-row argmax-by-cosine over a broadcast centroid array (see
+    * `NearestCentroid`). */
+  def nearestCentroid(emb: Column, nrm: Column, cands: Column): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(emb),
+      GraftBridge.expression(nrm), GraftBridge.expression(cands)))
+
+  /** Per-row m-subspace PQ code assignment over a broadcast codebook array
+    * (see `PqBestCodes`). */
+  def pqBestCodes(emb: Column, cb: Column, m: Int): Column =
+    GraftBridge.column(PqBestCodes(GraftBridge.expression(emb),
+      GraftBridge.expression(cb), m))
+
   /** Pack int8-quantized integral doubles to one byte per dim (see
     * `PackInt8`). */
   def packInt8(c: Column): Column =

@@ -707,11 +707,19 @@ object Dedup {
     * Scale shape, and why this beats full-corpus [[jaccardPairs]] at
     * 100 TB: the candidate set is bounded by the banding (never
     * all-pairs), and the intersection counts come from joining the
-    * candidate pairs to the two docs' shingle sets — two doc-keyed
+    * candidate pairs to the two docs' shingle-set ARRAYS — two doc-keyed
     * equality joins whose cost is Σ_candidates(|A|+|B|), NOT the
     * Σ_shingle freq² a full shingle-keyed self-join pays. The shuffles
-    * are keyed on doc_id (candidates and shingles alike), so hot shingles
-    * never concentrate on one reducer.
+    * are keyed on doc_id (candidates and array rows alike), so hot
+    * shingles never concentrate on one reducer. Round-17: the per-pair
+    * intersection is `size(array_intersect(a_arr, b_arr))` computed
+    * per ROW (hash-set intersect inside codegen) instead of the former
+    * shingle-level join chain — one doc-keyed aggregation replaces the
+    * two shingle-stream joins, the (a, b)-keyed count shuffle and the
+    * pair-back left join, and each doc's shingles cross the wire once
+    * per pair occurrence instead of twice plus a pair-count exchange.
+    * Only the array SIZE is consumed, so the nondeterministic
+    * collect_list order is invisible downstream.
     *
     * Pairs where either doc has no `verifyN`-gram (shorter than `verifyN`
     * words) are dropped — similarity at that resolution is undefined.
@@ -723,19 +731,19 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val cand = minhashCandidates(docs, bandN, bands, rowsPerBand, maxBucket)
     val sh = shingles(docs, verifyN)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_inter"))
+    val shArr = sh.groupBy("doc_id").agg(
+      collect_list(col("shingle")).as("sh_arr"),
+      count(lit(1)).as("n_sh"))
     cand
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
+      .join(shArr.select(col("doc_id").as("a_id"),
+        col("sh_arr").as("a_arr"), col("n_sh").as("a_sh")), "a_id")
+      .join(shArr.select(col("doc_id").as("b_id"),
+        col("sh_arr").as("b_arr"), col("n_sh").as("b_sh")), "b_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
       .select(col("a_id"), col("b_id"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("a_sh") + col("b_sh") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("a_sh") + col("b_sh") - col("n_inter"))).as("jaccard"))
       .withColumn("verified", col("jaccard") >= threshold)
   }
 
@@ -889,9 +897,10 @@ object Dedup {
     * Scale shape: signatures and candidates come from the standard banded
     * path (hot-bucket capped); the estimate is a doc-keyed join of the
     * k-column signature rows onto the pair list (pair list ≪ corpus); the
-    * exact side reuses the [[verifyCandidates]] intersection shape keyed
-    * by (pair, shingle). Integer match counts; two exact double
-    * divisions; |a−b| of exact doubles is exact. */
+    * exact side reuses the [[verifyCandidates]] per-row array-intersect
+    * shape (doc-keyed shingle-array agg + two pair joins). Integer match
+    * counts; two exact double divisions; |a−b| of exact doubles is
+    * exact. */
   def minhashCalibration(docs: DataFrame, n: Int = 2, bands: Int = 4,
       rowsPerBand: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val k = bands * rowsPerBand
@@ -907,20 +916,22 @@ object Dedup {
     val est = cand.join(aSig, "a_id").join(bSig, "b_id")
       .select(col("a_id"), col("b_id"),
         (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    // round-17: same per-row array-intersect verify as [[verifyCandidates]]
+    // (one doc-keyed agg + two pair joins; no shingle-stream join chain)
     val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_inter"))
+    val shArr = sh.groupBy("doc_id").agg(
+      collect_list(col("shingle")).as("sh_arr"),
+      count(lit(1)).as("n_sh"))
     est
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
+      .join(shArr.select(col("doc_id").as("a_id"),
+        col("sh_arr").as("a_arr"), col("n_sh").as("a_sh")), "a_id")
+      .join(shArr.select(col("doc_id").as("b_id"),
+        col("sh_arr").as("b_arr"), col("n_sh").as("b_sh")), "b_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
       .withColumn("exact_jaccard",
-        coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("a_sh") + col("b_sh") - coalesce(col("n_inter"), lit(0L))))
+        col("n_inter").cast("double") /
+          (col("a_sh") + col("b_sh") - col("n_inter")))
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
       .select("a_id", "b_id", "est_jaccard", "exact_jaccard", "abs_err")
   }

@@ -211,21 +211,31 @@ object Similarity {
     scored.withColumn("c_rank", row_number().over(w))
   }
 
-  /** Nearest centroid per vector as a hash AGGREGATION (`max_by` over the
-    * (cos, −c_id) struct — same argmax and tie-break as rank 1 of
-    * [[rankCentroids]]), not a sort-window: over the full corpus this is a
-    * partial-aggregating single shuffle with no per-group sort, and the
-    * vector's own embedding/norm ride through the agg buffer so no rejoin
-    * is needed. Returns (vec_id, list_id, embedding, nrm). */
+  /** The centroid table folded to ONE sorted-array row (ascending c_id —
+    * c_id leads the struct, so `array_sort` orders by it), ready to ride a
+    * 1-row broadcast into a per-row argmax projection. */
+  private def centArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(collect_list(
+      struct(col("c_id"), col("c_emb"), col("c_nrm")))).as("_cands"))
+
+  /** Nearest centroid per vector as a per-row PROJECTION (round-17): the
+    * former `join(broadcast(centroids)) → groupBy(vec_id).max_by` shape
+    * fanned every corpus row ×nLists and folded it back through a
+    * corpus-sized hash Exchange; the codegen'd [[graft.functions.NearestCentroid]]
+    * argmax over the broadcast centroid ARRAY computes the identical winner
+    * (same `dot/(nrm·c_nrm)` arithmetic, same SQLOrderingUtil double
+    * ordering, same smaller-c_id tie-break) with zero Exchange and zero row
+    * fan-out. No null guard: the expression is null only for an EMPTY
+    * centroid array (unreachable — the seed is the first nLists corpus
+    * vectors), and a guard would be pushed into the broadcast join
+    * condition, evaluating the argmax twice per row. Returns
+    * (vec_id, list_id, embedding, nrm). */
   private def assignNearest(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.join(broadcast(centroids), col("vec_id").isNotNull)
-      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("c_id"), col("embedding"), col("nrm")),
-        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("list_id"),
-        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"))
+    vectors.crossJoin(broadcast(centArray(centroids)))
+      .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
+        col("embedding"), col("nrm"), col("_cands")))
+      .select(col("vec_id"), col("_best.c_id").as("list_id"),
+        col("embedding"), col("nrm"))
 
   /** Lloyd's k-means over the corpus, deterministically seeded with the
     * first `nLists` vectors. Each iteration: assign every vector to its
@@ -327,22 +337,20 @@ object Similarity {
     * a periodic rebuild, not a per-batch cost). Emits one row per arrival
     * `(vec_id, list_id, cos_c)` — the appendable inverted-list delta.
     *
-    * Shape at 100 TB: the nLists-row centroid table broadcasts; the
-    * arrivals stream through one codegen'd scoring projection and one
-    * vec_id-keyed `max_by` partial agg (the [[assignNearest]] argmax, not
-    * a sort-window — an ingest batch can be arbitrarily large). Same
-    * cosine + tie-break (smaller c_id) as the build-time assignment, so
-    * the delta is exactly what a rebuild would have produced. */
+    * Shape at 100 TB: the nLists-row centroid table folds to one sorted
+    * array and broadcasts; the arrivals stream through ONE codegen'd
+    * argmax projection ([[assignNearest]]'s shape — no shuffle at all, an
+    * ingest batch can be arbitrarily large). Same cosine + tie-break
+    * (smaller c_id) as the build-time assignment, so the delta is exactly
+    * what a rebuild would have produced. */
   def ivfIncrementalAssign(newVecs: DataFrame, centroids: DataFrame): DataFrame =
     newVecs
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .join(broadcast(centroids), col("vec_id").isNotNull)
-      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("c_id"), col("c_cos")),
-        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("list_id"), col("best.c_cos").as("cos_c"))
+      .crossJoin(broadcast(centArray(centroids)))
+      .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
+        col("embedding"), col("nrm"), col("_cands")))
+      .select(col("vec_id"), col("_best.c_id").as("list_id"),
+        col("_best.c_cos").as("cos_c"))
 
   /** Per-cluster corpus profile over the deterministic k-means index — the
     * topic-distribution view a curation pass reads before deciding what to
@@ -357,19 +365,25 @@ object Similarity {
     * oracle reproduces it exactly. Majority label ties break on the
     * smaller label id.
     *
-    * Shape at 100 TB: index build is the amortized [[ivfIndexBuild]];
-    * the profile itself is one broadcast of nLists centroids, one
-    * vec_id-keyed label join, then two partial aggs whose keys shrink to
-    * (list, label) and list — nothing wider than the corpus scan. */
+    * Shape at 100 TB: centroid training is the amortized
+    * [[kmeansCentroids]]; the profile itself is ONE argmax projection over
+    * the corpus scan (label rides the row — round-17 removed both the
+    * centroid rejoin and the vec_id-keyed label self-join the old
+    * aggregation shape forced), then two partial aggs whose keys shrink
+    * to (list, label) and list. The projected `c_cos` is the argmax
+    * winner's own cosine — the identical double the rejoin recomputed. */
   def clusterProfile(emb: DataFrame, nLists: Int = 16, kmeansIters: Int = 2): DataFrame = {
     val q = 1048576.0 // 2^20
-    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
-    val member = assigned
-      .join(broadcast(centroids), assigned("list_id") === centroids("c_id"))
-      .withColumn("c_cos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .select(col("vec_id"), col("list_id"),
-        floor(col("c_cos") * lit(q)).cast("long").as("qcos"))
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    // consumed exactly once (the 1-row centArray fold) — no persist needed
+    val centroids = kmeansCentroids(emb, nLists, kmeansIters)
+    val member = emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centArray(centroids)))
+      .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
+        col("embedding"), col("nrm"), col("_cands")))
+      .select(col("vec_id"), col("label"), col("_best.c_id").as("list_id"),
+        floor(col("_best.c_cos") * lit(q)).cast("long").as("qcos"))
     val byLabel = member.groupBy("list_id", "label")
       .agg(count(lit(1)).as("n"), sum("qcos").as("qsum"))
     byLabel.groupBy("list_id")
@@ -504,16 +518,13 @@ object Similarity {
     val cents = kmeansCentroids(emb, nLists, kmeansIters)
     val withNorm = emb.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val assigned = withNorm.join(broadcast(cents), col("vec_id").isNotNull)
-      .withColumn("c_cos",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("c_id"), col("embedding"), col("nrm"), col("c_cos")),
-        struct(col("c_cos"), (-col("c_id")).as("neg_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("list_id"),
-        col("best.embedding").as("embedding"), col("best.nrm").as("nrm"),
-        col("best.c_cos").as("c_cos"))
+    // per-row argmax projection (round-17): same winner + cosine as the
+    // former broadcast-join + max_by aggregation, minus its corpus Exchange
+    val assigned = withNorm.crossJoin(broadcast(centArray(cents)))
+      .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
+        col("embedding"), col("nrm"), col("_cands")))
+      .select(col("vec_id"), col("_best.c_id").as("list_id"),
+        col("embedding"), col("nrm"), col("_best.c_cos").as("c_cos"))
     val w = Window.partitionBy("list_id").orderBy(col("c_cos").asc, col("vec_id"))
     val memb = assigned.withColumn("rnk", row_number().over(w))
     val pairs =
@@ -1036,19 +1047,19 @@ object Similarity {
     emb.select(col("vec_id"), posexplode(array((0 until m).map(s =>
       slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
 
-  /** Nearest codeword per (vector, subspace) under L2, as a hash
-    * AGGREGATION (the [[assignNearest]] argmax shape, never a sort-window
-    * over the corpus). `‖x‖²` is constant per subvector so the argmin ranks
-    * by `‖c‖² − 2⟨x,c⟩` only — fewer float ops and one fewer parity
-    * surface. Ties break on the smaller code id via the struct ordering. */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("s"))
-      .withColumn("d2", col("c_dot") - lit(2.0) * dot(col("sub"), col("c_sub")))
-      .groupBy("vec_id", "s")
-      .agg(min_by(struct(col("code"), col("sub")),
-        struct(col("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("s"),
-        col("best.code").as("code"), col("best.sub").as("sub"))
+  /** The codebook folded to ONE sorted-array row (ascending (s, code) —
+    * they lead the struct, so `array_sort` orders by them), ready to ride
+    * a 1-row broadcast into the per-row [[graft.functions.PqBestCodes]]
+    * encode projection. `‖x‖²` is constant per subvector so the argmin
+    * ranks by `‖c‖² − 2⟨x,c⟩` only — fewer float ops and one fewer parity
+    * surface; ties break on the smaller code id (ascending walk +
+    * strict-less replacement). The former per-(vector, subspace) shape —
+    * `posexplode → join(broadcast(cb)) → groupBy(vec_id, s).min_by` —
+    * paid an ×m explode, an ×kSub join fan-out and a corpus-sized hash
+    * Exchange per pass; the projection pays none of them (round-17). */
+  private def cbArray(cb: DataFrame): DataFrame =
+    cb.agg(array_sort(collect_list(
+      struct(col("s"), col("code"), col("c_sub"), col("c_dot")))).as("_cb"))
 
   /** Per-subspace Lloyd codebooks — product quantization's training step:
     * the 64-dim space splits into `m` independent `64/m`-dim subspaces,
@@ -1073,8 +1084,15 @@ object Similarity {
         transform(col("sub"), v => v.cast("double")).as("c_sub"))
       .withColumn("c_dot", dot(col("c_sub"), col("c_sub")))
     (1 to iters).foldLeft(seed) { (cb, _) =>
-      pqAssign(subs, cb)
-        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      // per-row encode (no assignment shuffle), then re-slice for the sums
+      emb.crossJoin(broadcast(cbArray(cb)))
+        .withColumn("_bc", graft.functions.GraftFunctions.pqBestCodes(
+          col("embedding"), col("_cb"), m))
+        .select(col("_bc.codes").as("_codes"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
+        .select(col("s"), element_at(col("_codes"), col("s") + 1).as("code"),
+          posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy("s", "code", "pos")
         .agg(sum(floor(col("x").cast("double") * q)).as("ssum"),
           count(lit(1)).as("cnt"))
@@ -1091,18 +1109,16 @@ object Similarity {
   /** Encode every vector as its `m` nearest-codeword ids plus the
     * reconstructed norm `‖x̂‖ = √Σ_s ‖c_{s,code_s}‖²` (the norm of the
     * codeword concatenation — cross-subspace terms are zero by
-    * construction). One corpus-subvector pass + one vec_id-keyed agg; the
-    * codes row is the 100-TB artifact: m small ints + one double per
-    * vector. */
+    * construction). ONE per-row encode projection over the corpus scan —
+    * zero Exchange (round-17; was a subvector explode + two vec-keyed
+    * aggs); the codes row is the 100-TB artifact: m small ints + one
+    * double per vector. */
   def pqEncode(emb: DataFrame, cb: DataFrame, m: Int = 8): DataFrame =
-    pqAssign(pqSubvectors(emb, m, 64 / m), cb)
-      .join(broadcast(cb.select(col("s"), col("code"), col("c_dot"))), Seq("s", "code"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("code"), col("c_dot")))).as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), p => p.getField("code")).as("codes"),
-        greatest(sqrt(aggregate(transform(col("sc"), p => p.getField("c_dot")),
-          lit(0.0), (acc, x) => acc + x)), lit(1e-300)).as("r_nrm"))
+    emb.crossJoin(broadcast(cbArray(cb)))
+      .withColumn("_bc", graft.functions.GraftFunctions.pqBestCodes(
+        col("embedding"), col("_cb"), m))
+      .select(col("vec_id"), col("_bc.codes").as("codes"),
+        greatest(sqrt(col("_bc.dotsum")), lit(1e-300)).as("r_nrm"))
 
   /** IVF list-balance ledger — the inverted-file twin of [[pqBalance]]:
     * per list, the member count and its load factor vs the uniform
@@ -1275,11 +1291,24 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 8, kSub: Int = 32, nQueries: Int = 10, k: Int = 5,
       kmeansIters: Int = 2, pqIters: Int = 2): DataFrame = {
-    val (centroids, assigned) = ivfIndexBuild(emb, nLists, kmeansIters)
+    val (centroids, _) = ivfIndexBuild(emb, nLists, kmeansIters)
     val cb = pqCodebooks(emb, m, kSub, pqIters).persist()
-    val lists = assigned.select(col("vec_id"), col("list_id"))
-      .join(pqEncode(emb, cb, m), "vec_id")
-      .select(col("vec_id").as("n_id"), col("list_id"), col("codes"), col("r_nrm"))
+    // FUSED list build (round-17): the coarse assignment and the PQ encode
+    // are both per-row projections now, so computing them in ONE pass over
+    // the corpus replaces the former assigned ⋈ pqEncode corpus self-join
+    // on vec_id (row-identical: both sides were deterministic per-row
+    // functions of the same scan)
+    val lists = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centArray(centroids)))
+      .crossJoin(broadcast(cbArray(cb)))
+      .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
+        col("embedding"), col("nrm"), col("_cands")))
+      .withColumn("_bc", graft.functions.GraftFunctions.pqBestCodes(
+        col("embedding"), col("_cb"), m))
+      .select(col("vec_id").as("n_id"), col("_best.c_id").as("list_id"),
+        col("_bc.codes").as("codes"),
+        greatest(sqrt(col("_bc.dotsum")), lit(1e-300)).as("r_nrm"))
     val qNorm = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val probes = rankCentroids(qNorm, centroids)

@@ -335,11 +335,23 @@ class PlansSpec extends SparkSpec {
   test("PQ/ADC top-k: codebooks and LUTs broadcast, the code stream never shuffles wide") {
     assert(count("ann_pq_topk", "SortMergeJoin") === 0,
       "every PQ join side is tiny (codebooks, LUTs) — nothing may sort-merge")
-    assert(count("ann_pq_topk", "BroadcastNestedLoopJoin") === 2,
-      "exactly two tiny-side BNLJs: the query×codebook LUT build and the " +
-        "10-row LUT table onto the corpus code stream")
-    assert(count("ann_pq_topk", "BroadcastHashJoin") >= 2,
-      "subspace-keyed assignment/encode joins must hash-broadcast the codebooks")
+    // round-17: the per-(vector, subspace) codebook joins became per-row
+    // PqBestCodes projections fed by 1-row broadcast codebook arrays, so
+    // every remaining join is a tiny-side BNLJ (LUT build, LUT onto the
+    // code stream, and one cbArray cross per training pass/encode) and the
+    // former subspace-keyed BroadcastHashJoins are gone entirely — with
+    // them went the two corpus-sized assignment Exchanges per pass
+    // the exact BNLJ count varies with how much of the cached codebook
+    // lineage the explain renders (InMemoryRelation subtrees print or
+    // collapse depending on session cache state), so pin the invariant
+    // bounds, not a fragile total
+    val pqTopkBnlj = count("ann_pq_topk", "BroadcastNestedLoopJoin")
+    assert(pqTopkBnlj >= 2 && pqTopkBnlj <= 8,
+      "tiny-side BNLJs only: LUT build, LUT onto the code stream, and the " +
+        "1-row codebook-array crosses of the training/encode lineage")
+    assert(count("ann_pq_topk", "BroadcastHashJoin") === 0,
+      "the subspace-keyed codebook joins must stay fused into the encode " +
+        "projection")
   }
 
   test("bloom gate probes through the 1-row mask broadcast; audit join stays keyed") {
@@ -378,10 +390,13 @@ class PlansSpec extends SparkSpec {
 
   test("PQ rerank: rescore stage broadcasts the coarse result, never re-shuffles the corpus") {
     assert(count("ann_pq_rerank", "SortMergeJoin") === 0)
-    // coarse PQ scan (2 BNLJs: LUT build + LUT onto codes) — the rescore
-    // adds only broadcast hash joins for the candidate and query sides
-    assert(count("ann_pq_rerank", "BroadcastNestedLoopJoin") === 2)
-    assert(count("ann_pq_rerank", "BroadcastHashJoin") >= 4)
+    // coarse PQ scan (BNLJs after the round-17 encode fusion: LUT build,
+    // LUT onto codes, 1-row codebook-array crosses — the exact count
+    // varies with cached-lineage rendering, see the pq_topk pin) — the
+    // rescore adds only broadcast hash joins for candidate and query sides
+    val pqRerankBnlj = count("ann_pq_rerank", "BroadcastNestedLoopJoin")
+    assert(pqRerankBnlj >= 2 && pqRerankBnlj <= 8)
+    assert(count("ann_pq_rerank", "BroadcastHashJoin") >= 2)
   }
 
   test("persisted PQ index serves without rebuilding: no Lloyd in-plan") {
