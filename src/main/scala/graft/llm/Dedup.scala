@@ -711,15 +711,19 @@ object Dedup {
     * equality joins whose cost is Σ_candidates(|A|+|B|), NOT the
     * Σ_shingle freq² a full shingle-keyed self-join pays. The shuffles
     * are keyed on doc_id (candidates and array rows alike), so hot
-    * shingles never concentrate on one reducer. Round-17: the per-pair
-    * intersection is `size(array_intersect(a_arr, b_arr))` computed
-    * per ROW (hash-set intersect inside codegen) instead of the former
-    * shingle-level join chain — one doc-keyed aggregation replaces the
-    * two shingle-stream joins, the (a, b)-keyed count shuffle and the
-    * pair-back left join, and each doc's shingles cross the wire once
-    * per pair occurrence instead of twice plus a pair-count exchange.
-    * Only the array SIZE is consumed, so the nondeterministic
-    * collect_list order is invisible downstream.
+    * shingles never concentrate on one reducer.
+    *
+    * The per-pair intersection is the shingle-level JOIN CHAIN (two
+    * doc-keyed equality joins + one (a, b)-keyed count + a pair-back left
+    * join) — round-18 measured verdict over the round-17 array rewrite:
+    * materializing each doc's shingle set as a `collect_list` array and
+    * intersecting per pair re-ships the full string array once per pair
+    * occurrence and re-scans it per pair (hash-set `array_intersect`:
+    * 2.1× slower than the chain on the driver box; sorted-merge
+    * `SortedIntersectCount`: still ~3× slower at sf0.1 — 6.96 s vs the
+    * chain's ~2 s, the array shuffle+materialization dominating, not the
+    * probe structure). The chain ships each shingle as a narrow row
+    * through hash joins that never materialize a per-doc blob.
     *
     * Pairs where either doc has no `verifyN`-gram (shorter than `verifyN`
     * words) are dropped — similarity at that resolution is undefined.
@@ -729,22 +733,28 @@ object Dedup {
       bandN: Int = 2, bands: Int = 4, rowsPerBand: Int = 2,
       verifyN: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // the candidate list rides into BOTH the intersection chain and the
+    // pair-back join: persisted (it is the banding-bounded pair list —
+    // linear by design) so the signature/band/self-join pipeline behind it
+    // runs once, not once per reference (round-18: −1.2 s at sf0.1/32c)
     val cand = minhashCandidates(docs, bandN, bands, rowsPerBand, maxBucket)
+      .persist()
     val sh = shingles(docs, verifyN)
-    val shArr = sh.groupBy("doc_id").agg(
-      collect_list(col("shingle")).as("sh_arr"),
-      count(lit(1)).as("n_sh"))
-    cand
-      .join(shArr.select(col("doc_id").as("a_id"),
-        col("sh_arr").as("a_arr"), col("n_sh").as("a_sh")), "a_id")
-      .join(shArr.select(col("doc_id").as("b_id"),
-        col("sh_arr").as("b_arr"), col("n_sh").as("b_sh")), "b_id")
-      .withColumn("n_inter",
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val out = cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (col("n_inter").cast("double") /
-          (col("a_sh") + col("b_sh") - col("n_inter"))).as("jaccard"))
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_sh") + col("b_sh") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
       .withColumn("verified", col("jaccard") >= threshold)
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cand))
   }
 
   /** SimHash (Charikar '02) over distinct shingles, `bits`-wide: bit b of the
@@ -897,15 +907,18 @@ object Dedup {
     * Scale shape: signatures and candidates come from the standard banded
     * path (hot-bucket capped); the estimate is a doc-keyed join of the
     * k-column signature rows onto the pair list (pair list ≪ corpus); the
-    * exact side reuses the [[verifyCandidates]] per-row array-intersect
-    * shape (doc-keyed shingle-array agg + two pair joins). Integer match
-    * counts; two exact double divisions; |a−b| of exact doubles is
-    * exact. */
+    * exact side reuses the [[verifyCandidates]] shingle-level join-chain
+    * shape. Integer match counts; two exact double divisions; |a−b| of
+    * exact doubles is exact. */
   def minhashCalibration(docs: DataFrame, n: Int = 2, bands: Int = 4,
       rowsPerBand: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, n, k)
-    val cand = bandedPairs(sigs, bands, rowsPerBand, maxBucket)
+    // sigs feeds the band join AND both per-side estimate joins; cand
+    // feeds the estimate AND the exact chain — persist both (one doc-keyed
+    // signature row per doc; the banding-bounded pair list) so the
+    // shingle→minhash pipeline runs once (round-18)
+    val sigs = minhashSignatures(docs, n, k).persist()
+    val cand = bandedPairs(sigs, bands, rowsPerBand, maxBucket).persist()
     val aSig = sigs.select(
       col("doc_id").as("a_id") +: (0 until k).map(i => col(s"m$i").as(s"am$i")): _*)
     val bSig = sigs.select(
@@ -916,24 +929,26 @@ object Dedup {
     val est = cand.join(aSig, "a_id").join(bSig, "b_id")
       .select(col("a_id"), col("b_id"),
         (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
-    // round-17: same per-row array-intersect verify as [[verifyCandidates]]
-    // (one doc-keyed agg + two pair joins; no shingle-stream join chain)
+    // round-18: same shingle-level join-chain verify as [[verifyCandidates]]
+    // (the round-17 per-pair array-intersect form measured slower — see
+    // that operator's scaladoc for the numbers)
     val sh = shingles(docs, n)
-    val shArr = sh.groupBy("doc_id").agg(
-      collect_list(col("shingle")).as("sh_arr"),
-      count(lit(1)).as("n_sh"))
-    est
-      .join(shArr.select(col("doc_id").as("a_id"),
-        col("sh_arr").as("a_arr"), col("n_sh").as("a_sh")), "a_id")
-      .join(shArr.select(col("doc_id").as("b_id"),
-        col("sh_arr").as("b_arr"), col("n_sh").as("b_sh")), "b_id")
-      .withColumn("n_inter",
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val out = est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
       .withColumn("exact_jaccard",
-        col("n_inter").cast("double") /
-          (col("a_sh") + col("b_sh") - col("n_inter")))
+        coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("a_sh") + col("b_sh") - coalesce(col("n_inter"), lit(0L))))
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
       .select("a_id", "b_id", "est_jaccard", "exact_jaccard", "abs_err")
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(sigs, cand))
   }
 
   /** SOURCE-level n-gram containment matrix: for every ordered source pair

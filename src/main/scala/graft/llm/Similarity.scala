@@ -1114,7 +1114,17 @@ object Similarity {
     * aggs); the codes row is the 100-TB artifact: m small ints + one
     * double per vector. */
   def pqEncode(emb: DataFrame, cb: DataFrame, m: Int = 8): DataFrame =
-    emb.crossJoin(broadcast(cbArray(cb)))
+    pqEncodeFolded(emb, cbArray(cb), m)
+
+  /** [[pqEncode]] against an ALREADY-FOLDED 1-row codebook array — the
+    * round-18 dedup seam: composites that reference the codebook more than
+    * once (encode + LUT build) fold it ONCE per query and pass the same
+    * frame here and to [[pqLutsFolded]], instead of each consumer
+    * re-deriving its own `cbArray(cb)` aggregate over the cached rows
+    * (plan bloat: every reference re-printed the whole training lineage;
+    * runtime: one fold + one broadcast instead of one per consumer). */
+  private def pqEncodeFolded(emb: DataFrame, cbA: DataFrame, m: Int): DataFrame =
+    emb.crossJoin(broadcast(cbA))
       .withColumn("_bc", graft.functions.GraftFunctions.pqBestCodes(
         col("embedding"), col("_cb"), m))
       .select(col("vec_id"), col("_bc.codes").as("codes"),
@@ -1187,8 +1197,11 @@ object Similarity {
     * corpus count broadcast. */
   def pqBalance(emb: DataFrame, m: Int = 8, kSub: Int = 32,
       iters: Int = 2): DataFrame = {
-    val cb = pqCodebooks(emb, m, kSub, iters).persist()
-    val loads = pqEncode(emb, cb, m)
+    // the codebook has exactly ONE consumer here (the encode pass), so no
+    // persist: the single broadcast of the folded array runs the training
+    // lineage exactly once (round-18 — the former cb.persist() only added
+    // an InMemoryRelation between the fold and the same single training run)
+    val loads = pqEncodeFolded(emb, cbArray(pqCodebooks(emb, m, kSub, iters)), m)
       .select(posexplode(col("codes")).as(Seq("s", "code")))
       .groupBy("s", "code").agg(count(lit(1)).as("_load"))
     val total = emb.agg(count(lit(1)).as("_n_vec"))
@@ -1204,7 +1217,7 @@ object Similarity {
         col("max_load"), col("min_load"),
         (col("_n_vec").cast("double") / kSub).as("expected_load"),
         (col("max_load").cast("double") * kSub / col("_n_vec")).as("balance"))
-    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cb))
+    out
   }
 
   /** PQ top-`k` by asymmetric distance computation (ADC): each query
@@ -1223,21 +1236,24 @@ object Similarity {
     * oracle's `list_reduce` over `ORDER BY s`), ties break on n_id. */
   def pqTopK(emb: DataFrame, m: Int = 8, kSub: Int = 32, nQueries: Int = 10,
       k: Int = 5, iters: Int = 2): DataFrame = {
-    // m·kSub rows behind an iterated-aggregation lineage — persist so the
-    // encode and LUT branches build the codebooks once
-    val cb = pqCodebooks(emb, m, kSub, iters).persist()
+    // ONE 1-row folded codebook array behind the iterated-aggregation
+    // training lineage — persisted so the encode and LUT branches share a
+    // single fold (and a single training run) instead of each re-deriving
+    // cbArray over a cached raw-codebook frame (round-18 fold dedup)
+    val cbA = cbArray(pqCodebooks(emb, m, kSub, iters)).persist()
     graft.operators.CacheLifecycle.releaseAfterUse(
-      adcTopK(emb, cb, pqEncode(emb, cb, m), m, nQueries, k), Seq(cb))
+      adcTopK(emb, cbA, pqEncodeFolded(emb, cbA, m), m, nQueries, k), Seq(cbA))
   }
 
   /** The ADC scoring stage shared by [[pqTopK]] and [[pqPersistedTopK]]:
-    * per-query LUTs built from the float queries × codebooks, corpus codes
-    * streamed through m lookups + the per-query top-k window. */
-  private def adcTopK(emb: DataFrame, cb: DataFrame, codesIn: DataFrame,
+    * per-query LUTs built from the float queries × the folded codebook
+    * array, corpus codes streamed through m lookups + the per-query top-k
+    * window. */
+  private def adcTopK(emb: DataFrame, cbA: DataFrame, codesIn: DataFrame,
       m: Int, nQueries: Int, k: Int): DataFrame = {
     val codes = codesIn
       .select(col("vec_id").as("n_id"), col("codes"), col("r_nrm"))
-    val scored = codes.join(broadcast(pqLuts(emb, cb, m, nQueries)),
+    val scored = codes.join(broadcast(pqLutsFolded(emb, cbA, m, nQueries)),
         col("q_id") =!= col("n_id"))
       .withColumn("cos_pq", adcScore(m))
     val w = Window.partitionBy("q_id").orderBy(col("cos_pq").desc, col("n_id"))
@@ -1249,21 +1265,30 @@ object Similarity {
 
   /** Per-query ADC lookup tables: one row per query `(q_id, q_nrm, lut)`
     * where `lut` maps `s·1024 + code` to `⟨q_s, c_{s,code}⟩` — m·kSub
-    * doubles per query, the whole frame broadcasts. */
-  private def pqLuts(emb: DataFrame, cb: DataFrame, m: Int,
+    * doubles per query, the whole frame broadcasts.
+    *
+    * Round-18 shape: a per-row PROJECTION over the same folded 1-row
+    * codebook array the encode pass rides — the former
+    * `join(broadcast(cb)) → groupBy(q_id).collect_list` fan-out paid a
+    * ×(m·kSub) row blowup plus a query-keyed hash Exchange for what is a
+    * deterministic per-query function of (embedding, codebook). Entry
+    * VALUES are bit-identical (same ArrayDot over the same slices); only
+    * the map's internal entry order changes (sorted by (s, code) instead
+    * of collect_list order), which `element_at` lookups cannot observe
+    * and the lut never reaches the output schema. */
+  private def pqLutsFolded(emb: DataFrame, cbA: DataFrame, m: Int,
       nQueries: Int): DataFrame = {
     val subDim = 64 / m
     emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
         norm(col("embedding")).as("q_nrm"))
-      .join(broadcast(cb), col("q_id").isNotNull)
-      .withColumn("lval",
-        dot(slice(col("embedding"), col("s") * subDim + lit(1), lit(subDim)),
-          col("c_sub")))
-      .groupBy("q_id", "q_nrm")
-      .agg(map_from_entries(collect_list(struct(
-        (col("s").cast("long") * 1024L + col("code")).as("key"),
-        col("lval").as("value")))).as("lut"))
+      .crossJoin(broadcast(cbA))
+      .select(col("q_id"), col("q_nrm"),
+        map_from_entries(transform(col("_cb"), e =>
+          struct(
+            (e.getField("s").cast("long") * 1024L + e.getField("code")).as("key"),
+            dot(slice(col("embedding"), e.getField("s") * subDim + lit(1),
+              lit(subDim)), e.getField("c_sub")).as("value")))).as("lut"))
   }
 
   /** The ADC approximate cosine of a row carrying `lut`, `codes`, `q_nrm`,
@@ -1292,7 +1317,9 @@ object Similarity {
       m: Int = 8, kSub: Int = 32, nQueries: Int = 10, k: Int = 5,
       kmeansIters: Int = 2, pqIters: Int = 2): DataFrame = {
     val (centroids, _) = ivfIndexBuild(emb, nLists, kmeansIters)
-    val cb = pqCodebooks(emb, m, kSub, pqIters).persist()
+    // one persisted FOLD of the trained codebooks, shared by the fused
+    // list build and the LUT build (round-18 fold dedup)
+    val cbA = cbArray(pqCodebooks(emb, m, kSub, pqIters)).persist()
     // FUSED list build (round-17): the coarse assignment and the PQ encode
     // are both per-row projections now, so computing them in ONE pass over
     // the corpus replaces the former assigned ⋈ pqEncode corpus self-join
@@ -1301,7 +1328,7 @@ object Similarity {
     val lists = emb
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(centArray(centroids)))
-      .crossJoin(broadcast(cbArray(cb)))
+      .crossJoin(broadcast(cbA))
       .withColumn("_best", graft.functions.GraftFunctions.nearestCentroid(
         col("embedding"), col("nrm"), col("_cands")))
       .withColumn("_bc", graft.functions.GraftFunctions.pqBestCodes(
@@ -1314,7 +1341,7 @@ object Similarity {
     val probes = rankCentroids(qNorm, centroids)
       .filter(col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("list_id"))
-      .join(broadcast(pqLuts(emb, cb, m, nQueries)), "q_id")
+      .join(broadcast(pqLutsFolded(emb, cbA, m, nQueries)), "q_id")
     val scored = lists.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_pq", adcScore(m))
@@ -1323,7 +1350,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("n_id"), col("cos_pq"))
-    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cb))
+    graft.operators.CacheLifecycle.releaseAfterUse(out, Seq(cbA))
   }
 
   /** Write the PQ index under `path`: `codebooks/` (m·kSub tiny rows) and
@@ -1352,7 +1379,7 @@ object Similarity {
     * array-form oracle pins this path too. */
   def pqPersistedTopK(emb: DataFrame, cb: DataFrame, codes: DataFrame,
       m: Int = 8, nQueries: Int = 10, k: Int = 5): DataFrame =
-    adcTopK(emb, cb, codes, m, nQueries, k)
+    adcTopK(emb, cbArray(cb), codes, m, nQueries, k)
 
   /** IVF-PQ over the two STANDING indexes — the full serving composition:
     * probe selection on the persisted float centroids, candidate codes
@@ -1372,7 +1399,7 @@ object Similarity {
     val probes = rankCentroids(qNorm, centroids)
       .filter(col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("list_id"))
-      .join(broadcast(pqLuts(emb, cb, m, nQueries)), "q_id")
+      .join(broadcast(pqLutsFolded(emb, cbArray(cb), m, nQueries)), "q_id")
     val scored = listCodes.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_pq", adcScore(m))
