@@ -152,6 +152,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // round-18 (guide §2: partitioning must adapt to data volume, not the
+      // core count): let AQE coalesce shuffle partitions INSIDE cached-plan
+      // materialization too. Off (the default) every `persist()`ed lineage
+      // compiles without partition coalescing, so droplet-sized cached
+      // frames materialize at full shuffle.partitions width and every
+      // downstream stage inherits that width — measured as ~200-400 ms of
+      // pure task-launch overhead per 32-task stage over ~1 ms of work in
+      // the persist-bearing composites (cdc_snapshot_tail et al.), and the
+      // 32-core anti-scaling family in PERF_r17's scaling block. Safe for
+      // results: the only partition-sensitive operators (GlobalOrder's
+      // spark_partition_id over repartitionByRange; MetricsAgg's local
+      // pre-prune) are invariant under AQE's adjacent-range coalescing.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

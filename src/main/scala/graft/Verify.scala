@@ -55,6 +55,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same cached-plan AQE-coalescing setting as the bench session (see
+      // Bench.scala) — Verify runs under the identical config so the oracle
+      // hash gate attests correctness under the partitioning the bench uses
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
