@@ -76,14 +76,22 @@ private[graft] trait SparkEntryCdc extends SparkEntryBase {
           "cur_val", "cur_k")
         .persist()
       val cut = state.agg(expr("(min(t) + max(t)) div 2").as("cut"))
+      // primitive-buffer aggregation only (round-18): max_by over a struct
+      // carrying the `op` STRING forced SortAggregate — a full sort of the
+      // pre-cut state stream by (tbl, pk) before the partial agg. The
+      // argmax payloads are numeric (cur_val double, cur_k long), and
+      // "last op is a delete" is max(lsn | delete) <=> max(lsn) with lsn
+      // unique — all primitive buffers, both agg levels HashAggregate.
       val seed = state.crossJoin(broadcast(cut))
         .filter(col("t") <= col("cut"))
         .groupBy("tbl", "pk")
-        .agg(max_by(
-          struct(col("op"), col("cur_val"), col("cur_k")), col("lsn")).as("last"))
-        .filter(col("last.op") =!= "delete")
-        .select(col("tbl"), col("pk"),
-          col("last.cur_val").as("val"), col("last.cur_k").as("k"))
+        .agg(
+          max_by(col("cur_val"), col("lsn")).as("val"),
+          max_by(col("cur_k"), col("lsn")).as("k"),
+          max("lsn").as("_mx"),
+          max(when(col("op") === "delete", col("lsn"))).as("_mxd"))
+        .filter(!(col("_mxd") <=> col("_mx")))
+        .select(col("tbl"), col("pk"), col("val"), col("k"))
       val snap = GlobalOrder.rank(
         Capture.snapshotAll(seed, Seq("val", "k")),
         Seq(col("tbl"), col("pk")), "offset")

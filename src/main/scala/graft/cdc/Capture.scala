@@ -175,13 +175,20 @@ object Capture {
     val bounds = state.agg(
       expr("(min(t) + max(t)) div 2").as("cut"),
       max("t").as("max_t"))
+    // primitive-buffer aggregation only (round-18, same rewrite as the
+    // cdc_snapshot_tail seed): numeric max_bys + the lsn-max delete test
+    // keep both agg levels HashAggregate; the struct-with-string max_by
+    // planned SortAggregate (full pre-cut sort by (tbl, pk))
     val live = state.crossJoin(broadcast(bounds))
       .filter(col("t") <= col("cut"))
       .groupBy("tbl", "pk")
-      .agg(max_by(struct(col("op"), col("cur_val"), col("cur_k")), col("lsn")).as("last"))
-      .filter(col("last.op") =!= "delete")
-      .select(col("tbl"), col("pk"),
-        col("last.cur_val").as("val"), col("last.cur_k").as("k"))
+      .agg(
+        max_by(col("cur_val"), col("lsn")).as("val"),
+        max_by(col("cur_k"), col("lsn")).as("k"),
+        max("lsn").as("_mx"),
+        max(when(col("op") === "delete", col("lsn"))).as("_mxd"))
+      .filter(!(col("_mxd") <=> col("_mx")))
+      .select(col("tbl"), col("pk"), col("val"), col("k"))
     val ranked = GlobalOrder.rank(live, Seq(col("tbl"), col("pk")), "rk")
       .withColumn("chunk", expr(s"(rk - 1) div $chunkSize"))
     val params = ranked
@@ -327,10 +334,14 @@ object Capture {
     * One (tbl, pk)-keyed aggregate (map-side partials), a 1-row
     * high-water broadcast, one table rollup — no windows, no sorts. */
   def tombstoneGc(ops: DataFrame, retentionMs: Long = 86400000L): DataFrame = {
+    // same primitive-max trick as [[compactionAudit]]: the key's last op
+    // is a delete iff its max delete-lsn IS its max lsn (lsn unique) —
+    // keeps the corpus-sized aggregate HashAggregate instead of the
+    // string-buffer max_by's SortAggregate (round-18)
     val perKey = ops
       .groupBy("tbl", "pk")
       .agg(
-        max_by(col("op"), col("lsn")).as("_last_op"),
+        max("lsn").as("_mx"),
         max("t").as("_last_t"),
         max(when(col("op") === "delete", col("lsn"))).as("_last_del_lsn"),
         max(when(col("op") === "insert", col("lsn"))).as("_last_ins_lsn"))
@@ -339,8 +350,8 @@ object Capture {
       .groupBy("tbl")
       .agg(
         count(lit(1)).as("n_keys"),
-        count(when(col("_last_op") === "delete", 1)).as("n_tombstones"),
-        count(when(col("_last_op") === "delete" &&
+        count(when(col("_last_del_lsn") <=> col("_mx"), 1)).as("n_tombstones"),
+        count(when((col("_last_del_lsn") <=> col("_mx")) &&
           col("_last_t") < col("_hw") - retentionMs, 1)).as("n_gc_eligible"),
         count(when(col("_last_del_lsn").isNotNull &&
           col("_last_ins_lsn") > col("_last_del_lsn"), 1)).as("n_reborn"))
@@ -350,16 +361,23 @@ object Capture {
           .as("reclaimable_frac"))
   }
 
+  // "last op is a delete" is decided from two PRIMITIVE maxes — lsn is
+  // globally unique, so max(lsn | op=delete) equals max(lsn) exactly when
+  // the key's final op is a delete. The former max_by(op, lsn) carried a
+  // string aggregation buffer, which forces SortAggregate (a full sort of
+  // the op stream by (tbl, pk) before the partial agg, at any scale);
+  // primitive maxes keep both aggregation levels HashAggregate (round-18).
   def compactionAudit(ops: DataFrame): DataFrame =
     ops
       .groupBy("tbl", "pk")
-      .agg(count(lit(1)).as("_n"), max_by(col("op"), col("lsn")).as("_last"))
+      .agg(count(lit(1)).as("_n"), max("lsn").as("_mx"),
+        max(when(col("op") === "delete", col("lsn"))).as("_mxd"))
       .groupBy("tbl")
       .agg(
         sum("_n").as("n_events"),
         count(lit(1)).as("n_keys"),
-        count(when(col("_last") =!= "delete", 1)).as("n_live"),
-        count(when(col("_last") === "delete", 1)).as("n_tombstones"),
+        count(when(!(col("_mxd") <=> col("_mx")), 1)).as("n_live"),
+        count(when(col("_mxd") <=> col("_mx"), 1)).as("n_tombstones"),
         (count(lit(1)).cast("double") / sum("_n")).as("compaction_ratio"),
         (sum("_n").cast("double") / count(lit(1))).as("avg_versions"))
 

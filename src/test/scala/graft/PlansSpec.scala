@@ -672,6 +672,17 @@ class PlansSpec extends SparkSpec {
     assert(count("cdc_compaction", "Exchange SinglePartition") === 0)
   }
 
+  test("last-op-per-key aggregations hash, never sort (round-18 rewrite)") {
+    // the former string-payload max_bys planned SortAggregate — a full
+    // sort of the corpus-sized stream by its group keys before the
+    // partial agg; the primitive-max forms (max lsn + max delete-lsn +
+    // numeric max_bys) keep every aggregation level HashAggregate
+    for (n <- Seq("cdc_compaction", "cdc_tombstone_gc",
+        "cdc_snapshot_tail", "cdc_incremental_snapshot"))
+      assert(count(n, "SortAggregate") === 0,
+        s"$n must aggregate with hash buffers only")
+  }
+
   test("pq balance rides the encode path: keyed joins only") {
     assert(count("ann_pq_balance", "SortMergeJoin") === 0)
     assert(count("ann_pq_balance", "CartesianProduct") === 0)
