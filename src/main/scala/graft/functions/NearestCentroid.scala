@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
@@ -30,8 +31,12 @@ import org.apache.spark.sql.types._
   *
   * `cands` is `array<struct<c_id: long, c_emb: array<float|double>,
   * c_nrm: double>>`; returns `struct<c_id: long, c_cos: double>`, or null
-  * for an empty candidate array (the join form dropped rows there — callers
-  * filter nulls to keep the inner-join contract).
+  * for an EMPTY candidate array. The null case is unreachable by
+  * construction in every declared pipeline (the centroid seed is the
+  * first nLists corpus vectors, so the folded array is non-empty whenever
+  * the corpus is), which is why callers treat the projection as total; a
+  * pipeline that could genuinely present an empty index must filter the
+  * null result itself.
   */
 case class NearestCentroid(emb: Expression, nrm: Expression, cands: Expression)
     extends TernaryExpression {
@@ -51,6 +56,34 @@ case class NearestCentroid(emb: Expression, nrm: Expression, cands: Expression)
     case ArrayType(st: StructType, _) => st
     case other => throw new IllegalArgumentException(
       s"nearest_centroid: candidate array of structs expected, got $other")
+  }
+
+  // integral element types are REJECTED AT ANALYSIS TIME (round-18,
+  // review finding): the join form's ArrayDot accepted int/long arrays,
+  // but this expression's accessors are float/double only — failing in
+  // checkInputDataTypes turns what was an execution/codegen-time throw
+  // into a planner error at the call site
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def floaty(t: DataType): Boolean = t == FloatType || t == DoubleType
+    val embOk = emb.dataType match {
+      case ArrayType(t, _) => floaty(t)
+      case _ => false
+    }
+    val candsOk = cands.dataType match {
+      case ArrayType(st: StructType, _) if st.fields.length == 3 =>
+        st.fields(0).dataType == LongType &&
+          (st.fields(1).dataType match {
+            case ArrayType(t, _) => floaty(t)
+            case _ => false
+          }) && st.fields(2).dataType == DoubleType
+      case _ => false
+    }
+    if (embOk && nrm.dataType == DoubleType && candsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid: expected (array<float|double>, double, " +
+        s"array<struct<long, array<float|double>, double>>), got " +
+        s"(${emb.dataType.simpleString}, ${nrm.dataType.simpleString}, " +
+        s"${cands.dataType.simpleString})")
   }
 
   private def cEmbElemType: DataType = candElem.fields(1).dataType match {
@@ -173,8 +206,16 @@ case class NearestCentroid(emb: Expression, nrm: Expression, cands: Expression)
   * Output `struct<codes: array<long>, dotsum: double>`: one winning code per
   * s-group IN ASCENDING s ORDER (exactly the `array_sort(collect_list)`
   * order downstream consumed) and the sum of the winners' `c_dot` in the
-  * same order (the `pqEncode` reconstructed-norm sum). An s-group absent
-  * from the codebook contributes nothing — the join form dropped it too.
+  * same order (the `pqEncode` reconstructed-norm sum).
+  *
+  * COVERAGE CONTRACT (round-18, review finding): the codebook must carry
+  * exactly the s-groups 0..m-1 — consumers key codes POSITIONALLY
+  * (`element_at(codes, s+1)`, the LUT fold), so an absent or out-of-range
+  * s-group would silently shift every later code into the wrong subspace.
+  * Both evaluation paths therefore REQUIRE s < m and exactly m groups and
+  * throw identically on a malformed codebook (they previously diverged:
+  * interpreted appended unboundedly, codegen silently capped at m). Any
+  * codebook trained on a non-empty corpus satisfies the contract.
   */
 case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
     extends BinaryExpression {
@@ -203,6 +244,35 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
   /** s is IntegerType when it comes off `posexplode`, LongType if cast. */
   private def sIsLong: Boolean = cbElem.fields.head.dataType == LongType
 
+  // same analysis-time rejection as NearestCentroid: the accessors read
+  // float/double embeddings and double codewords only
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = cb.dataType match {
+      case ArrayType(st: StructType, _) if st.fields.length == 4 =>
+        (st.fields(0).dataType == IntegerType || st.fields(0).dataType == LongType) &&
+          st.fields(1).dataType == LongType &&
+          (st.fields(2).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) && st.fields(3).dataType == DoubleType
+      case _ => false
+    }
+    if (embOk && cbOk && m > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_best_codes: expected (array<float|double>, " +
+        "array<struct<int|long, long, array<double>, double>>, m > 0), got " +
+        s"(${emb.dataType.simpleString}, ${cb.dataType.simpleString}, m=$m)")
+  }
+
+  /** Shared malformed-codebook error — thrown IDENTICALLY by the
+    * interpreted and codegen paths (see the coverage contract above). */
+  private def badCodebook(nGroups: Long): Nothing =
+    throw PqBestCodes.malformed(nGroups, m)
+
   override def nullSafeEval(e: Any, c: Any): Any = {
     val x = e.asInstanceOf[ArrayData]
     val arr = c.asInstanceOf[ArrayData]
@@ -222,6 +292,7 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
     while (i < nc) {
       val s0 = if (sIsLong) arr.getStruct(i, 4).getLong(0)
         else arr.getStruct(i, 4).getInt(0).toLong
+      if (s0 < 0L || s0 >= m || codes.size >= m) badCodebook(s0)
       // argmin within this s-group
       var bestCode = 0L
       var bestD2 = 0.0
@@ -256,6 +327,7 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
       dotsum += bestDot
       i = k
     }
+    if (codes.size != m) badCodebook(codes.size.toLong)
     new GenericInternalRow(Array[Any](new GenericArrayData(codes.toArray), dotsum))
   }
 
@@ -303,6 +375,8 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
          |  while ($i < $nc) {
          |    InternalRow $row = $c.getStruct($i, 4);
          |    long $s0 = ${getS(row)};
+         |    if ($s0 < 0L || $s0 >= $m || $nCodes >= $m)
+         |      throw graft.functions.PqBestCodes.malformed($s0, $m);
          |    long $bestCode = 0L; double $bestD2 = 0.0; double $bestDot = 0.0;
          |    boolean $have = false;
          |    int $k = $i;
@@ -325,13 +399,14 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
          |      }
          |      $k++;
          |    }
-         |    if ($nCodes < $m) { $codes[$nCodes] = $bestCode; $nCodes++; }
+         |    $codes[$nCodes] = $bestCode; $nCodes++;
          |    $dotsum += $bestDot;
          |    $i = $k;
          |  }
-         |  long[] ${codes}Out = ($nCodes == $m) ? $codes : java.util.Arrays.copyOf($codes, $nCodes);
+         |  if ($nCodes != $m)
+         |    throw graft.functions.PqBestCodes.malformed((long) $nCodes, $m);
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Object[]{
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(${codes}Out), $dotsum});
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes), $dotsum});
          |}
        """.stripMargin
     })
@@ -339,4 +414,14 @@ case class PqBestCodes(emb: Expression, cb: Expression, m: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqBestCodes =
     copy(emb = newLeft, cb = newRight)
+}
+
+object PqBestCodes {
+  /** The malformed-codebook error both evaluation paths throw (static so
+    * whole-stage-codegen can call it; see the Hash31 note on naming —
+    * no same-named class member, so the forwarder survives). */
+  def malformed(seen: Long, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      "pq_best_codes: malformed codebook — expected exactly " +
+        s"$m subspace groups with s in [0, $m), saw $seen")
 }

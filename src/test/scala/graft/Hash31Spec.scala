@@ -110,4 +110,48 @@ class Hash31Spec extends SparkSpec {
       .collect().head.getLong(0)
     assert(r === 3105L)
   }
+
+  test("pqBestCodes: coverage contract holds identically in codegen and interpreted paths") {
+    import spark.implicits._
+    // m=2, subDim=2; codebook covers s=0 and s=1 with one codeword each
+    val good = typedLit(Seq(
+      (0, 0L, Seq(1.0, 0.0), 1.0),
+      (1, 0L, Seq(0.0, 1.0), 1.0)))
+    // malformed: the s=1 group is ABSENT — must FAIL LOUDLY (the round-17
+    // paths diverged: interpreted emitted a short array, codegen capped)
+    val missing = typedLit(Seq((0, 0L, Seq(1.0, 0.0), 1.0)))
+    // malformed: s out of range
+    val oob = typedLit(Seq((2, 0L, Seq(1.0, 0.0), 1.0)))
+    val df = Seq(Seq(1.0f, 2.0f, 3.0f, 4.0f)).toDF("embedding")
+    def run(cbCol: org.apache.spark.sql.Column): Seq[Long] =
+      df.select(GraftFunctions.pqBestCodes(col("embedding"), cbCol, 2).as("bc"))
+        .select(col("bc.codes")).collect().head.getSeq[Long](0)
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        assert(run(good) === Seq(0L, 0L), s"wholeStage=$wholeStage well-formed encode")
+        for (bad <- Seq(missing, oob)) {
+          val ex = intercept[Exception](run(bad))
+          def chain(t: Throwable): Seq[String] =
+            if (t == null) Nil else t.getMessage +: chain(t.getCause)
+          assert(chain(ex).exists(m => m != null && m.contains("pq_best_codes")),
+            s"wholeStage=$wholeStage must throw the pq_best_codes contract error, got $ex")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("pqBestCodes/nearestCentroid reject integral element types at analysis time") {
+    import spark.implicits._
+    val intEmb = Seq(Seq(1, 2, 3, 4)).toDF("embedding")
+    val cb = typedLit(Seq((0, 0L, Seq(1.0, 0.0), 1.0), (1, 0L, Seq(0.0, 1.0), 1.0)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      intEmb.select(GraftFunctions.pqBestCodes(col("embedding"), cb, 2)).queryExecution.analyzed
+    }
+    val cands = typedLit(Seq((0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      intEmb.select(GraftFunctions.nearestCentroid(col("embedding"), lit(1.0), cands))
+        .queryExecution.analyzed
+    }
+  }
 }
