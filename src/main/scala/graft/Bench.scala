@@ -165,6 +165,18 @@ object Bench {
       // spark_partition_id over repartitionByRange; MetricsAgg's local
       // pre-prune) are invariant under AQE's adjacent-range coalescing.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // round-18 companion to the cached-plan setting above: AQE's
+      // parallelismFirst coalescing targets minPartitionSize (default 1m),
+      // which under-parallelizes CPU-DENSE small-byte stages — measured at
+      // the 10x slice: dedup_verify_capped's candidate-intersect stage
+      // coalesced to 1 task (6.1 s) under the cached-plan setting where the
+      // uncached shape ran 32 tasks (2.2 s wall); 64k restores the width
+      // (16 tasks, 2.0 s) while droplet-sized caches (<<64k) still collapse
+      // to 1 partition, keeping the anti-scaling fix. Byte-based and
+      // core-count-independent; env-overridable for cluster tuning where
+      // per-row cost is lighter.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

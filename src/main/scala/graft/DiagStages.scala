@@ -22,7 +22,10 @@ object DiagStages {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("DIAG_CACHED_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("DIAG_MIN_PART_SIZE", "1m"))
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("DIAG_PREFER_SMJ", "true"))
       .config("spark.sql.codegen.fallback", "false")

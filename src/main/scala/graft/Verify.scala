@@ -59,6 +59,8 @@ object Verify {
       // Bench.scala) — Verify runs under the identical config so the oracle
       // hash gate attests correctness under the partitioning the bench uses
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
